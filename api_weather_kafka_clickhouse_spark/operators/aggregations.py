@@ -1,0 +1,291 @@
+"""Aggregation operators: groupBy/HAVING, rollup/cube/grouping sets,
+multi-distinct, pivot, conditional aggregates, exact moment-based
+stats, approximate distinct.
+
+The reference's only reductions are Python counters
+(app/Consumer_clickhouse.py:86-95 — SURVEY.md §2-A21); everything here
+is §2-C new-query-layer capability.
+
+Scale notes: all aggregates are hash aggregations with map-side
+partial combine (Spark plans partial_agg -> shuffle keys-only ->
+final_agg automatically); decimal sums keep partials exact so the
+combine order never changes results. `approx_count_distinct` (HLL++)
+is the 100 TB path for cardinality — fixed-size sketch per group vs an
+exact-distinct shuffle of every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import money
+from ..registry import register
+from ..tables import load
+
+_DISC = 'CAST(l_discount AS DECIMAL(4,2))'
+_TAX = 'CAST(l_tax AS DECIMAL(4,2))'
+_PRICE = 'CAST(l_extendedprice AS DECIMAL(12,2))'
+_QTY = 'CAST(l_quantity AS DECIMAL(12,2))'
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_QTY}) AS DECIMAL(38,2))                          AS sum_qty,
+           CAST(sum({_PRICE}) AS DECIMAL(38,2))                        AS sum_base_price,
+           CAST(sum({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,4))        AS sum_disc_price,
+           CAST(sum({_PRICE} * (1 - {_DISC}) * (1 + {_TAX}))
+                AS DECIMAL(38,6))                                      AS sum_charge,
+           CAST(sum({_QTY}) AS DOUBLE) / count(*)                      AS avg_qty,
+           CAST(sum({_PRICE}) AS DOUBLE) / count(*)                    AS avg_price,
+           CAST(sum({_DISC}) AS DOUBLE) / count(*)                     AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: 8 aggregates over 2 grouping "
+    "cols. Decimal sums -> exact partial combine; averages derived "
+    "from exact sums by one double division.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(price * (1 - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("decimal(38,6)").alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "agg_groupby_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+    """,
+    doc="GROUP BY + HAVING on an exact decimal sum.",
+)
+def agg_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("_spend_exact"),
+        )
+        .filter(F.col("_spend_exact") > 1000000)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("_spend_exact").cast("decimal(38,2)").alias("spend"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT n.n_name, year(o.o_orderdate) AS yr,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           count(*) AS n
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+    doc="ROLLUP hierarchy totals (nation -> nation/year -> grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    joined = o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey")).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return joined.rollup("n_name", F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two low-cardinality dims.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (two independent one-dim aggregates in "
+    "one pass).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multiple COUNT(DISTINCT) in one aggregate (Spark expands to "
+    "a single multi-distinct aggregate).",
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate by design -> rows-only driver check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB cardinality "
+    "path — fixed-size sketches merge map-side instead of shuffling "
+    "every distinct value. A pytest asserts <2% error vs exact.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT event_type,
+           count(*)   AS n,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v_avg,
+           (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           / (count(*) - 1) AS v_var
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="min/max/avg/sample-variance from exact decimal moment sums — "
+    "deterministic across engines and combine orders (Welford-free).",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(v).cast("double")
+    s2 = F.sum(v * v).cast("double")
+    return e.groupBy("event_type").agg(
+        n.alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        (s1 / n).alias("v_avg"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("v_var"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_custkey,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS urgent_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Conditional aggregation (CASE inside SUM) — one scan computes "
+    "several filtered aggregates.",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", money("o_totalprice")).otherwise(zero))
+        .cast("decimal(38,2)")
+        .alias("urgent_spend"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot on a known value list (unknown lists need a first pass "
+    "to enumerate values — avoided at scale).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qty))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").cast("decimal(38,2)").alias("qty_O"),
+        F.col("F").cast("decimal(38,2)").alias("qty_F"),
+    )

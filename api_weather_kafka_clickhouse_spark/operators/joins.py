@@ -1,0 +1,276 @@
+"""Join operators: broadcast/shuffle equi-joins, semi/anti, outer,
+interval (range) join, and as-of join.
+
+The reference has no joins (SURVEY.md §2-C); its closest analogues are
+the broadcast-style dict lookups (app/Producer_clickhouse.py:86-92,
+app/city_loader.py:46-51), which map to the broadcast-hash joins here.
+
+Scale strategy per join:
+- dimension joins (nation/region/supplier, the routing table): always
+  `F.broadcast` — no shuffle of the 100 TB fact side.
+- fact-fact joins (lineitem ⋈ orders): shuffle hash/sort-merge on the
+  join key; AQE handles skew splitting. At 100 TB, pre-bucketing both
+  tables on orderkey removes this shuffle entirely (see plans/).
+- interval/as-of joins: equi-key first (user_id), range predicate
+  second, so Spark runs a per-key hash join + filter instead of a
+  cartesian nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import money
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "join_flagship_revenue",
+    oracle="""
+    SELECT n.n_name,
+           year(o.o_orderdate)  AS yr,
+           month(o.o_orderdate) AS mo,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate), month(o.o_orderdate)
+    """,
+    doc="Flagship: revenue by nation x month over a 4-table join "
+    "(scan -> filterless fact join -> broadcast dims -> agg). The "
+    "driver's entry(spark) smoke query.",
+)
+def join_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)")))
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_region",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal_sum
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Two chained broadcast-hash joins against tiny dims (the "
+    "reference's topic-routing lookup A10, generalized).",
+)
+def join_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(money("c_acctbal")).cast("decimal(38,2)").alias("acctbal_sum"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+    doc="Left-semi join (EXISTS). No fact columns survive the join, so "
+    "Spark keeps only the build-side keys — minimal shuffle payload.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                AS DECIMAL(38,2)) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Left-outer join preserving zero-order customers.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           (cn.nationkey IS NOT NULL) AS has_customers,
+           (sn.nationkey IS NOT NULL) AS has_suppliers
+    FROM      (SELECT DISTINCT c_nationkey AS nationkey FROM customer) cn
+    FULL JOIN (SELECT DISTINCT s_nationkey AS nationkey FROM supplier) sn
+           ON cn.nationkey = sn.nationkey
+    """,
+    doc="Full-outer join over deduplicated keys.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = load(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("cnk")).distinct()
+    sn = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("snk")).distinct()
+    return cn.join(sn, cn.cnk == sn.snk, "full").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.col("cnk").isNotNull().alias("has_customers"),
+        F.col("snk").isNotNull().alias("has_suppliers"),
+    )
+
+
+@register(
+    "join_interval_pairs",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS first_id,
+           b.event_id AS next_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 10 MINUTE
+    """,
+    doc="Interval (range) self-join: pairs of events by the same user "
+    "within 10 minutes. Equi-key on user_id first so Spark executes a "
+    "hash join + range filter, never a cartesian product — per-user "
+    "buckets keep this linear-ish at 100 TB.",
+)
+def join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_id").alias("next_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user_id)
+            & (F.col("first_id") < F.col("next_id"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "first_id",
+            "next_id",
+            (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_id,
+             last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           last_error_id, last_error_ts
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+    doc="As-of join: each purchase matched to the most recent error by "
+    "the same user at-or-before it. Implemented as union + running "
+    "last-value window — the scalable as-of pattern (one shuffle on "
+    "user_id, no per-row probes), vs. pd.merge_asof per group.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir).filter(F.col("event_type").isin("purchase", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_err = F.col("event_type") == "error"
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_err, F.col("event_id")), ignorenulls=True).over(w).alias("last_error_id"),
+        F.last(F.when(is_err, F.col("ts")), ignorenulls=True).over(w).alias("last_error_ts"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_error_id",
+        "last_error_ts",
+    )

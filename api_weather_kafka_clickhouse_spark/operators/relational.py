@@ -1,0 +1,280 @@
+"""Core relational operators: filter/project/sort/limit, scalar
+function battery, conditionals, set ops, distinct, subqueries.
+
+Reference parity: the reference's only hand-written relational ops are
+an equality filter, a sort, and projections over the city dimension
+(reference app/city_loader.py:14-29,53-57 — SURVEY.md §2-A2/A3/A5);
+everything else here is the §2-C "new query layer" the reference
+delegates to ClickHouse but never exercises.
+
+Scale notes: every query below is a single scan + narrow projection —
+Catalyst pushes the filters and the column pruning into the parquet
+reader (verified via .explain: PushedFilters/ReadSchema), so at 100 TB
+these are IO-bound scans with no shuffle except the explicit
+sort/distinct ones, which AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(value AS DECIMAL(18,2)) AS value_d
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100
+    """,
+    doc="Equality+range filter with projection and lossless decimal cast "
+    "(reference filter: app/city_loader.py:14-17).",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "events", sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").cast("decimal(18,2)").alias("value_d"),
+        )
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_d
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k (reference sort: app/city_loader.py:29). Spark "
+    "TakeOrderedAndProject: per-partition heap + driver merge — no full "
+    "sort at 100 TB.",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, "orders", sf_dir)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+        )
+        .orderBy(F.col("price_d").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                    AS name_upper,
+           length(p_name)                   AS name_len,
+           replace(p_type, ' ', '_')        AS type_snake,
+           len(string_split(p_name, ' '))   AS n_words,
+           substr(p_brand, 1, 5)            AS brand5,
+           concat(p_brand, '#', p_type)     AS brand_type,
+           ascii(p_name)                    AS first_cp
+    FROM part
+    """,
+    doc="String function battery (§2-E: concat/format/upper/length...).",
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+        F.substring("p_brand", 1, 5).alias("brand5"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+        F.ascii("p_name").cast("int").alias("first_cp"),
+    )
+
+
+@register(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                              AS yr,
+           month(o_orderdate)                             AS mo,
+           day(o_orderdate)                               AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+    doc="Date/time battery (§2-E: today()/now()/toYYYYMM mappings — "
+    "reference clickhouse_ddl.sql:7-8,31).",
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice)  AS BIGINT) AS price_ceil,
+           abs(l_discount - 0.05)                 AS disc_dev,
+           l_orderkey % 7                         AS key_mod,
+           l_quantity * l_quantity                AS qty_sq,
+           sqrt(l_quantity)                       AS qty_sqrt
+    FROM lineitem
+    """,
+    doc="Math battery (§2-E casts/modulo; sqrt is IEEE-exact, "
+    "transcendentals deliberately excluded — see functions.scalars).",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+@register(
+    "conditional_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'partial' END                    AS status_word,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'small' END                      AS size_band,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio
+    FROM orders
+    """,
+    doc="CASE/COALESCE/NULLIF battery — the `dict.get(k, default)` "
+    "semantics of the reference consumer (app/clickhouse_db.py:45-82) "
+    "as declarative expressions.",
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")).alias(
+            "prio"
+        ),
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT nationkey, 'both' AS src FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS src FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL in one result (§2-C set ops).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    only = c.subtract(s).withColumn("src", F.lit("customer_only"))
+    return both.unionAll(only)
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="DISTINCT over a narrow projection — shuffle on the two grouping "
+    "cols only; column pruning keeps the 100 TB scan to 2 columns.",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, "orders", sf_dir).select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Schema-on-read JSON extraction + aggregate — the consumer's "
+    "json.loads + dict.get path (app/Consumer_clickhouse.py:157, "
+    "app/clickhouse_db.py:45-82) as from_json over a typed schema.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    parsed = e.withColumn("k", F.from_json("props", "struct<k:bigint>").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_d
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus
+    """,
+    doc="IN-subquery (Catalyst decorrelates to a left-semi join; the "
+    "small side broadcasts).",
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    building = (
+        load(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return (
+        o.join(F.broadcast(building), o.o_custkey == building.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_d"),
+        )
+    )

@@ -1,0 +1,242 @@
+"""Window-function operators: ranking, analytic (lag/lead), running
+and range frames, distribution functions, sessionization.
+
+The reference never issues a window function but its ClickHouse sort
+key `ORDER BY (event_date, city_name, event_time)`
+(app/clickhouse_ddl.sql:32) exists precisely to serve these patterns
+downstream (SURVEY.md §2-C); here they are first-class.
+
+Scale: a window partitioned by a key is one shuffle on that key; all
+frames below are bounded or running (no whole-partition re-scans per
+row). Every ORDER BY carries a unique tiebreak column so results are
+total-ordered and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer — the canonical top-k-per-group via "
+    "row_number, no global sort.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_qty
+    FROM lineitem
+    """,
+    doc="Running decimal sum per supplier over ship order (the B5 "
+    "sort-key pattern). Total tiebreak (shipdate, orderkey, linenumber) "
+    "makes the prefix sums engine-independent.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_id,
+           lead(event_id) OVER w AS next_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead with microsecond-exact gaps (unix_micros == epoch_us, "
+    "integer arithmetic — no float time math).",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense,
+           ntile(4)     OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS quartile
+    FROM part
+    """,
+    doc="rank/dense_rank (tie-stable by definition) + ntile with a "
+    "unique tiebreak.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, "part", sf_dir)
+    w_val = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    w_tot = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w_val).alias("price_rank"),
+        F.dense_rank().over(w_val).alias("price_dense"),
+        F.ntile(4).over(w_tot).alias("quartile"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS value_10m
+    FROM events
+    """,
+    doc="Time-range frame: per-user rolling 10-minute decimal sum — the "
+    "batch twin of the streaming sliding window (streaming/windows.py).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    e.createOrReplaceTempView("_wrf_events")
+    # RANGE with interval bounds is SQL-only in PySpark (rangeBetween
+    # takes long offsets); identical plan either way.
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,2)) AS value_10m
+        FROM _wrf_events
+        """
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           percent_rank() OVER (ORDER BY c_acctbal) AS bal_pct_rank,
+           cume_dist()    OVER (ORDER BY c_acctbal) AS bal_cume
+    FROM customer
+    """,
+    doc="Distribution functions (value-based, tie-stable). Single "
+    "global ordering — fine for dimension-sized inputs; fact-scale "
+    "distributions should use approx percentiles instead.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    w = Window.orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                                ORDER BY ts, event_id))
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization (30-min inactivity gap): lag + running-sum "
+    "session ids then per-session aggregates — one shuffle on user_id; "
+    "the streaming twin uses session_window (streaming/windows.py).",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0).alias("is_new"),
+    )
+    sessions = gaps.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("session_value"),
+    )

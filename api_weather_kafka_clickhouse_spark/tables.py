@@ -1,0 +1,58 @@
+"""Testdata table access.
+
+The driver's tables (TESTDATA.md): TPC-H-ish ``region nation customer
+supplier part orders lineitem`` plus ``events`` (stream stand-in) and
+``documents`` / ``embeddings`` (LLM-data operators). One parquet file
+per table under ``/root/testdata/sf{0.001,0.01,0.1}/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # runtime-settable; needed for driver-owned sessions too
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
+        # nanos-since-epoch long (legacy.parquet.nanosAsLong); truncate
+        # to micros with integer `div` (matches DuckDB's ns→us cast).
+        from pyspark.sql import functions as F  # local: keep module import light
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view (mirrors the DuckDB oracle's
+    pre-registered views) so SQL-flavored queries can run unchanged."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
