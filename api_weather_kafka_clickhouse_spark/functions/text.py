@@ -40,10 +40,15 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     """
     w = tokens(text)
     # element_at is 1-based; sequence(1, size-k+1) yields start offsets.
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
-    )
+    # Guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty array, not a clamped bound.
+    joined = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(joined)
 
 

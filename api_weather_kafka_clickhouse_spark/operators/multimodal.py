@@ -1,1 +1,117 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column handling (SURVEY.md §2-D5): opaque binary
+payloads + typed metadata, decode/feature-extract via Arrow-batched
+Pandas UDFs, deterministic frame sampling.
+
+The container has no image/audio codecs, so the *decode* itself is a
+deterministic stand-in (byte statistics / adler-style checksum), but
+the Spark-side plumbing is the real design and fully tested:
+
+- payloads travel as `binary` columns with a `struct` metadata sibling
+  (mime, n_bytes) — the 100 TB layout where bytes stay columnar and
+  predicates prune on metadata without touching payloads;
+- feature extraction runs in `mapInPandas` (Arrow batches of bytes →
+  numpy → features), the shape a real image/audio decoder plugs into;
+- frame sampling expands rows with built-in `sequence`+`explode`, so
+  the fan-out happens JVM-side, not in Python.
+
+A real decoder would replace `_extract_batch`'s body and raise
+`NotImplementedError` absent its codec; everything around it stays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+ADLER_MOD = 65521
+
+_FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, head_byte int, tail_byte int, checksum bigint"
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-materialized as the multimodal layout:
+    (doc_id, payload binary, meta struct<mime,n_bytes>)."""
+    d = load(spark, "documents", sf_dir)
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder. Real codecs (PIL/ffmpeg) would
+    slot in here unchanged; see module docstring."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "head_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
+                "checksum": payloads.map(lambda b: sum(b) % ADLER_MOD),
+            }
+        )
+
+
+@register(
+    "mm_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           strlen(text)    AS n_bytes,
+           ascii(text[1])  AS head_byte,
+           ascii(text[-1]) AS tail_byte,
+           list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) % {ADLER_MOD}
+             AS checksum
+    FROM documents
+    """,
+    doc="Binary feature extraction through mapInPandas (Arrow batches). "
+    "The oracle recomputes the byte statistics in pure SQL over the "
+    "source text (ASCII corpus: char codes == bytes).",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binary_table(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        _extract_batch, schema=_FEATURE_SCHEMA
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx, n_frames FROM (
+      SELECT doc_id, strlen(text) // 100 AS n_frames,
+             unnest([i for i in range(0, strlen(text) // 100) if i % 4 = 0]) AS frame_idx
+      FROM documents
+      WHERE strlen(text) // 100 > 0
+    )
+    """,
+    doc="Deterministic frame sampling: metadata-declared frame count "
+    "(1 frame / 100 bytes), sample every 4th frame. Fan-out via "
+    "sequence+explode stays JVM-side; payload bytes are never read — "
+    "the plan prunes to metadata only (verify with .explain: no "
+    "payload column in ReadSchema).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bt = binary_table(spark, sf_dir)
+    n_frames = F.col("meta.n_bytes") / F.lit(100)
+    nf = F.floor(n_frames).cast("bigint")
+    return (
+        bt.select("doc_id", nf.alias("n_frames"))
+        .filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))).alias("frame_idx"),
+            "n_frames",
+        )
+    )

@@ -1,1 +1,180 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over embeddings (SURVEY.md §2-D3): brute-force
+cosine top-k as the exact baseline, plus LSH- and IVF-bucketed
+approximate variants as the 100 TB scale path.
+
+Design for scale:
+- The query set is small → broadcast it; the corpus never shuffles.
+- Top-k per query via window row_number over (rounded cosine, id) —
+  a per-partition heap + final merge, not a global sort.
+- ANN variants prune the corpus per query (hyperplane-LSH buckets /
+  IVF coarse cells) and re-rank candidates exactly. Recall is
+  measured against the brute-force baseline in tests/test_similarity.py
+  (driver check is rows-only — approximate by design).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, to_double
+from ..registry import register
+from ..tables import load
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+
+def _corpus_and_queries(spark: SparkSession, sf_dir: str):
+    e = load(spark, "embeddings", sf_dir)
+    corpus = e.select(F.col("vec_id").alias("nbr_id"), to_double("embedding").alias("nbr_vec"))
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), to_double("embedding").alias("q_vec")
+    )
+    return corpus, queries
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, nbr_id, cos_sim, rn AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="Exact cosine top-k per query vector: broadcast queries x full "
+    "corpus scan, rank on (rounded cosine, nbr_id) so ordering is "
+    "engine-independent (Spark/DuckDB cosines are bit-identical; "
+    "rounding is belt-and-braces).",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "nbr_id", "cos_sim", "rank")
+    )
+
+
+# --- hyperplane (SRP) LSH --------------------------------------------
+
+N_PLANES = 32
+LSH_BANDS = 8  # 8 bands x 4 bits: measured ~0.75 recall at ~0.4
+# candidate fraction on this near-random corpus (top-5 neighbors sit
+# at cosine 0.26-0.39 — there is no planted NN structure, so this is
+# the honest SRP operating point; see tests/test_similarity.py)
+_rng = random.Random(427)
+# deterministic pseudo-random hyperplanes, dim 64
+_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(N_PLANES)]
+
+
+def _band_keys(vec) -> F.Column:
+    """Array of LSH_BANDS band keys; band j packs the sign bits of 4
+    hyperplane projections — all codegen, no UDF."""
+    bpb = N_PLANES // LSH_BANDS
+    keys = []
+    for j in range(LSH_BANDS):
+        acc = F.lit(0)
+        for k in range(bpb):
+            plane = _PLANES[j * bpb + k]
+            p = F.array(*[F.lit(x) for x in plane])
+            d = F.aggregate(
+                F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+            )
+            acc = acc + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        keys.append(acc)
+    return F.array(*keys)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    doc="ANN via sign-random-projection LSH, banded like MinHash: 32 "
+    "hyperplane bits -> 8 bands x 4 bits; candidate iff some band "
+    "matches exactly; exact cosine re-rank of candidates. At 100 TB "
+    "the corpus is written bucketed by band keys once, and each query "
+    "probes only matching buckets instead of scanning the corpus.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    cb = corpus.select(
+        "nbr_id", "nbr_vec", F.posexplode(_band_keys(F.col("nbr_vec"))).alias("band_idx", "band_key")
+    )
+    qb = queries.select(
+        "query_id", "q_vec", F.posexplode(_band_keys(F.col("q_vec"))).alias("band_idx", "band_key")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band_idx", "band_key"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "q_vec", "nbr_id", "nbr_vec")
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "nbr_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "sim_ivf_label",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    doc="IVF-style ANN: coarse cells = per-label centroids, queries "
+    "probe the 5 nearest cells, exact re-rank inside probed cells. "
+    "The centroid build is one groupBy over the corpus; at 100 TB "
+    "cells are the partition key, so a query reads probes/n_cells of "
+    "the data. (On this near-random corpus cell quantization is weak "
+    "— measured recall ~0.5 at 5/10 cells; see tests.)",
+)
+def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    corpus = e.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("cell"), to_double("embedding").alias("nbr_vec")
+    )
+    # centroids: elementwise mean per label via posexplode + groupBy
+    cent = (
+        e.select("label", F.posexplode(to_double("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), to_double("embedding").alias("q_vec")
+    )
+    qc = queries.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "cell_sim", cosine(F.col("q_vec"), F.col("centroid"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
+    probed = (
+        qc.withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= 5)
+        .select("query_id", "q_vec", F.col("label").alias("cell"))
+    )
+    cand = corpus.join(F.broadcast(probed), "cell").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "nbr_id", "cos_sim", "rank")
+    )

@@ -1,1 +1,171 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators (SURVEY.md §2-D4): token/char stats,
+quality scoring, language-ID heuristic, document fingerprinting,
+n-gram frequency.
+
+All built-in-function columns (functions/text.py) — per-row compute
+inside codegen, no UDFs, so these run at parquet-scan speed on a
+100 TB documents table; the only shuffles are the final small
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, n_tokens, quality_score, stopword_hits, tokens
+from ..registry import register
+from ..tables import load
+
+_SW_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text)                 AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS n_stopwords
+    FROM documents
+    """,
+    doc="Per-document token statistics: counts, exact average token "
+    "length (int arithmetic + one division), stopword hits via a "
+    "higher-order filter.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    nt = n_tokens("text")
+    return d.select(
+        "doc_id",
+        nt.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nt).alias(
+            "avg_token_len"
+        ),
+        stopword_hits("text").cast("bigint").alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_quality_by_lang",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0
+             * (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                               t -> t IN {_SW_SQL})) AS DOUBLE)
+                          / len(string_split(text, ' ')) > 0.05
+                     THEN 1.0 ELSE 0.5 END) AS q
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+           sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+    FROM scored
+    GROUP BY lang
+    """,
+    doc="Corpus quality filter stats per language: deterministic 0..1 "
+    "heuristic (length band x stopword-ratio band), aggregated with "
+    "exact decimal sums. The keep/drop split is the classic LLM "
+    "pretraining quality gate.",
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    q = quality_score("text")
+    scored = d.select("lang", q.alias("q"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_quality"
+        ),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
+                     * 1.0 / len(string_split(text, ' ')) > 0.08
+                THEN 'en' ELSE 'other' END AS lid_guess
+    FROM documents
+    """,
+    doc="Language-ID heuristic (stopword-density n-gram rule). The "
+    "synthetic corpus is English-like under every label, so the value "
+    "is the deterministic mechanics, not linguistic accuracy.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    density = stopword_hits("text") * F.lit(1.0) / n_tokens("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(density > 0.08, "en").otherwise("other").alias("lid_guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sum((t.pos) * (ascii(t.tok) * 31 + length(t.tok))) % 2147483647 AS fingerprint
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ) t
+    GROUP BY doc_id
+    """,
+    doc="Position-weighted document fingerprint: sum over tokens of "
+    "pos * (ascii(first char) * 31 + len) mod 2^31-1. Commutative "
+    "integer sum -> combine-order independent, exact in both engines; "
+    "order-sensitive because positions are weighted.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    ex = d.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
+    contrib = (F.col("pos0") + 1) * (F.ascii("tok") * 31 + F.length("tok"))
+    return (
+        ex.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg((F.sum("c") % F.lit(2147483647)).alias("fingerprint"))
+    )
+
+
+@register(
+    "text_bigram_topk",
+    oracle="""
+    SELECT bigram, count(*) AS n
+    FROM (
+      SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Global top-20 word bigrams: explode -> count -> top-k with a "
+    "lexicographic tiebreak (partial aggregation map-side, then a "
+    "20-row driver merge — no global sort).",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    w = tokens("text")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )

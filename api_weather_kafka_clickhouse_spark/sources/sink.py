@@ -1,0 +1,61 @@
+"""Warehouse sink: partitioned, sort-ordered columnar table
+(reference ClickHouse MergeTree layer — SURVEY.md §2-B3/B4/B5, §3.3).
+
+The reference's `PARTITION BY toYYYYMM(event_date)` + `ORDER BY
+(event_date, city_name, event_time)` (app/clickhouse_ddl.sql:30-32)
+maps to:
+
+- Hive-style `partitionBy(event_month)` → Catalyst partition pruning
+  on event_date predicates (monthly pruning parity);
+- `sortWithinPartitions(event_date, city_name, event_time)` before
+  write → parquet min/max row-group stats ≈ MergeTree granule
+  skipping for the sort-key prefix;
+- parquet dictionary encoding ≈ LowCardinality(String) (free).
+
+At 100 TB: the month partition bounds file counts, AQE coalescing
+keeps file sizes sane, and `repartition(month, city_bucket)` before
+the sort gives clustering without tiny files. A ClickHouse-compatible
+JDBC write path is sketched for parity with A19 but the engine's
+native warehouse is parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MONTH_COL = "event_month"
+SORT_KEY = ("event_date", "city_name", "event_time")
+
+
+def with_month(df: DataFrame) -> DataFrame:
+    """Derive the partition column (toYYYYMM parity, ddl:31)."""
+    return df.withColumn(MONTH_COL, F.date_format("event_date", "yyyyMM"))
+
+
+def write_fact(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Partitioned + sorted columnar append (B3/B4/B5)."""
+    (
+        with_month(df)
+        .sortWithinPartitions(*SORT_KEY)
+        .write.mode(mode)
+        .partitionBy(MONTH_COL)
+        .parquet(path)
+    )
+
+
+def read_fact(spark: SparkSession, path: str) -> DataFrame:
+    """Read back; month-partition predicates prune directories —
+    check .explain() for PartitionFilters on event_month."""
+    return spark.read.parquet(path)
+
+
+def jdbc_insert(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
+    """Batched warehouse INSERT parity (A19: clickhouse_db.py:87-96)
+    via Spark's JDBC sink. Needs a ClickHouse JDBC driver jar on the
+    classpath — absent in this image, so this path is exercised only
+    when the driver is present."""
+    writer = df.write.mode("append").format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Timing = full query execution to a count-style action (results
+materialized, nothing collected to the driver beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from api_weather_kafka_clickhouse_spark import registry
+from api_weather_kafka_clickhouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, heaviest-representative first.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_flagship_revenue",
+    "join_left_outer",
+    "join_asof",
+    "agg_rollup",
+    "agg_distinct_multi",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sessionize",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "text_token_stats",
+    "text_bigram_topk",
+    "mm_feature_extract",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = registry.queries()
+    # warm the session (JVM/codegen) outside the timed region
+    queries["q1_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

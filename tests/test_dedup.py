@@ -1,0 +1,52 @@
+"""Quality guarantees for the dedup operators beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from api_weather_kafka_clickhouse_spark.operators import dedup
+
+
+def _pairs(df, cols=("doc_a", "doc_b")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact(spark, sf_dir):
+    """LSH candidates + exact verify must equal the exact all-pairs
+    result (band parameters sized for the corpus's similarity gap)."""
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    lsh = _pairs(dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert lsh == exact
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+
+
+def test_simhash_banding_is_exact(spark, sf_dir):
+    """4x16-bit banding must find EXACTLY the hamming<=3 pairs
+    (pigeonhole) — compare against an in-Spark brute-force cross join."""
+    sh = dedup._doc_shingles(spark, sf_dir).filter(F.size("s") > 0)
+    sigs = sh.select("doc_id", dedup.simhash64_expr("s").alias("sim")).cache()
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= dedup.SIMHASH_MAX_HAMMING)
+    )
+    assert _pairs(brute) == _pairs(dedup.dedup_simhash(spark, sf_dir))
+    sigs.unpersist()
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    """The ~0.99-Jaccard planted pairs should mostly land within
+    hamming<=3 — simhash must overlap heavily with the exact result."""
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    simhash = _pairs(dedup.dedup_simhash(spark, sf_dir))
+    assert len(exact) > 0
+    recall = len(exact & simhash) / len(exact)
+    assert recall >= 0.6, f"simhash recall {recall:.2f} vs exact jaccard pairs"
+
+
+def test_exact_keep_first_is_unique_and_minimal(spark, sf_dir):
+    out = dedup.dedup_exact_keep_first(spark, sf_dir)
+    n_keys = out.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys

@@ -1,0 +1,73 @@
+"""Physical-plan property tests: the 100 TB design rules as
+assertions (SURVEY.md §4) — pushdown, pruning, broadcast choice,
+map-side partial aggregation, no cartesian products."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from api_weather_kafka_clickhouse_spark import registry
+from api_weather_kafka_clickhouse_spark.plans import checks
+from api_weather_kafka_clickhouse_spark.tables import load
+
+SPECS = registry.all_specs()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = SPECS["filter_project"].fn(spark, sf_dir)
+    pushed = checks.pushed_filters(df)
+    assert "event_type" in pushed and "value" in pushed, pushed
+
+
+def test_column_pruning_narrow_projection(spark, sf_dir):
+    df = SPECS["distinct_projection"].fn(spark, sf_dir)
+    schemas = checks.scan_read_schema(df)
+    assert schemas, "no parquet scan found"
+    # only the two projected columns are read from a 6-column table
+    assert all(
+        set(s.split(",")[0].split(":")[0:1]) and "o_totalprice" not in s for s in schemas
+    ), schemas
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for name in ("join_flagship_revenue", "join_broadcast_region", "in_subquery"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert checks.has_broadcast_join(df), f"{name} should broadcast its dims"
+
+
+def test_no_cartesian_in_equi_joins(spark, sf_dir):
+    for name in (
+        "join_flagship_revenue",
+        "join_semi",
+        "join_anti",
+        "join_interval_pairs",
+        "dedup_minhash_lsh",
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert not checks.has_cartesian(df), f"{name} planned a cartesian product"
+
+
+def test_aggregates_have_partial_phase(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(df) >= 1
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = SPECS["sort_limit_topk"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in checks.simple_plan(df), (
+        "global top-k should be a per-partition heap, not a full sort"
+    )
+
+
+def test_mm_frame_sample_prunes_payload(spark, sf_dir):
+    df = SPECS["mm_frame_sample"].fn(spark, sf_dir)
+    for s in checks.scan_read_schema(df):
+        assert "payload" not in s, "frame sampling must not read payload bytes"
+
+
+def test_fact_scan_prunes_unused_columns(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    df = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    schemas = checks.scan_read_schema(df)
+    joined = ";".join(schemas)
+    assert "l_extendedprice" not in joined and "l_comment" not in joined

@@ -1,0 +1,132 @@
+"""Streaming-semantics tests (SURVEY.md §5.3): real Structured
+Streaming queries driven to completion with availableNow/memory
+sinks — micro-batch ingest, event-time windows, late data, stateful
+dedup, restart-resume (at-least-once parity, §2-A20)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_weather_kafka_clickhouse_spark.sources.flatten import (
+    flatten_weather_event_time,
+    parse_raw,
+)
+from api_weather_kafka_clickhouse_spark.streaming import pipeline, windows
+from tests.test_ingest_flatten import CORRUPT_LINE, FULL_PAYLOAD, SPARSE_PAYLOAD
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "batch0.json").write_text(
+        "\n".join([json.dumps(FULL_PAYLOAD), json.dumps(SPARSE_PAYLOAD), CORRUPT_LINE])
+    )
+    return d
+
+
+def test_pipeline_end_to_end(spark, stream_dir, tmp_path):
+    msgs = pipeline.read_stream_json_files(spark, str(stream_dir))
+    q = pipeline.start_pipeline(
+        msgs, str(tmp_path / "warehouse"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "warehouse"))
+    assert out.count() == 2  # corrupt line dropped
+    assert "event_month" in out.columns  # partition column materialized
+    cities = {r.city_name for r in out.select("city_name").collect()}
+    assert cities == {"Fixture City", "Sparse City"}
+
+
+def test_pipeline_restart_is_idempotent(spark, stream_dir, tmp_path):
+    """Restarting with the same checkpoint must not duplicate rows
+    (checkpoint replaces the reference's manual commit, A20)."""
+    wh, ck = str(tmp_path / "warehouse"), str(tmp_path / "ckpt")
+    for _ in range(2):
+        msgs = pipeline.read_stream_json_files(spark, str(stream_dir))
+        q = pipeline.start_pipeline(msgs, wh, ck)
+        q.awaitTermination(120)
+    assert spark.read.parquet(wh).count() == 2
+
+
+def test_pipeline_picks_up_new_files(spark, stream_dir, tmp_path):
+    wh, ck = str(tmp_path / "warehouse"), str(tmp_path / "ckpt")
+    q = pipeline.start_pipeline(
+        pipeline.read_stream_json_files(spark, str(stream_dir)), wh, ck
+    )
+    q.awaitTermination(120)
+    extra = dict(FULL_PAYLOAD, name="Third City")
+    (stream_dir / "batch1.json").write_text(json.dumps(extra))
+    q = pipeline.start_pipeline(
+        pipeline.read_stream_json_files(spark, str(stream_dir)), wh, ck
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(wh)
+    assert out.count() == 3
+    assert out.filter(F.col("city_name") == "Third City").count() == 1
+
+
+def _run_to_memory(df, name, mode="append"):
+    # windowed aggregations use "complete": in append mode a single
+    # availableNow batch never advances the watermark past its own
+    # windows, so nothing would be emitted
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_event_time_tumbling_window(spark, stream_dir):
+    msgs = pipeline.read_stream_json_files(spark, str(stream_dir))
+    parsed = parse_raw(msgs, "value").filter(F.col("raw").isNotNull())
+    fact = flatten_weather_event_time(parsed)
+    agg = windows.tumbling_counts(fact, window="5 minutes", watermark="10 minutes")
+    _run_to_memory(agg, "tumble_out", mode="complete")
+    rows = spark.sql("SELECT * FROM tumble_out").collect()
+    # dt values 1700000000 and 1700000300 fall in the same 5-min window
+    assert sum(r.n for r in rows) == 2
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    line = json.dumps(FULL_PAYLOAD)
+    (d / "a.json").write_text("\n".join([line, line, json.dumps(SPARSE_PAYLOAD)]))
+    msgs = pipeline.read_stream_json_files(spark, str(d))
+    parsed = parse_raw(msgs, "value").filter(F.col("raw").isNotNull())
+    fact = flatten_weather_event_time(parsed)
+    deduped = windows.streaming_dedup(fact, key_cols=("city_name", "event_time"))
+    _run_to_memory(deduped, "dedup_out")
+    out = spark.sql("SELECT city_name, count(*) AS n FROM dedup_out GROUP BY city_name").collect()
+    assert {r.city_name: r.n for r in out} == {"Fixture City": 1, "Sparse City": 1}
+
+
+def test_session_window_stream(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),   # same session (gap < 30m)
+            (1, "2024-01-01 02:00:00"),   # new session
+            (2, "2024-01-01 00:05:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    path = str(tmp_path / "events_pq")
+    events.write.parquet(path)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(path)
+    agg = windows.session_counts(stream, ts_col="ts", key_col="user_id", gap="30 minutes")
+    _run_to_memory(agg, "sess_out", mode="complete")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    per_user = {}
+    for r in rows:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {1: 2, 2: 1}
