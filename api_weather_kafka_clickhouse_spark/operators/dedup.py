@@ -5,12 +5,14 @@ No reference counterpart (the reference even disables ClickHouse's
 insert dedup, app/clickhouse_db.py:23); these are the north-star
 LLM-corpus operators, designed 100-TB-first:
 
-- Signatures (minhash/simhash) are computed per-row with higher-order
-  functions inside codegen — zero shuffle, embarrassingly parallel.
+- Shingles and signatures (minhash/simhash) are built with exploded
+  rows + whole-stage-codegen expressions and map-side-combining
+  aggregates (higher-order-function folds run interpreted and
+  measured ~100x slower — see _doc_shingles_exploded).
 - Candidate generation joins on band keys (equi-join, AQE-skew-safe),
   never a cross join.
-- Verification is per-candidate-pair `array_intersect` on the two
-  shingle sets — O(candidates), not O(n²).
+- Verification equi-joins candidates against the exploded shingle
+  table — O(candidate docs' shingles), not O(n²).
 - The exact-Jaccard operator uses an inverted shingle index
   (explode → equi-join → count), the standard all-pairs similarity
   shape; at 100 TB add a document-frequency cutoff on hot shingles.
@@ -66,19 +68,57 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", shingles("text", 3).alias("s"))
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
-    per-pair array_intersect — no shingle explosion."""
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct rows — the hot-path shingle shape.
+
+    posexplode + window lead + concat stays in whole-stage codegen;
+    the equivalent higher-order `transform` runs interpreted and
+    measured ~8 s alone at sf0.1 (~30 µs/shingle of lambda overhead).
+    One shuffle on doc_id (the window), then distinct.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     return (
-        cand.join(sa, "doc_a")
+        t.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), t1, t2).alias("shingle"),
+            t2.alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def _shingle_sizes(e: DataFrame) -> DataFrame:
+    return e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _verify_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    intersection via equi-join of the candidates against the exploded
+    shingle table (touches only candidate docs' shingles)."""
+    ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = _shingle_sizes(e)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(inter / union >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -136,8 +176,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified against.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("s").alias("shingle"))
+    e = _doc_shingles_exploded(spark, sf_dir)
     ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
@@ -146,7 +185,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz = sh.select("doc_id", F.size("s").alias("n"))
+    sz = _shingle_sizes(e)
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -169,26 +208,31 @@ _PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(N_PERM)]
 _PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(N_PERM)]
 
 
-def minhash_signature(sh_col) -> F.Column:
-    """64-perm MinHash signature as an array<bigint>, all inside
-    codegen (nested HOFs, no UDF, no shuffle).
+def minhash_signatures(e: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded → (doc_id, sig: array<bigint>[64]).
+
+    Explode + groupBy with 64 codegen'd `min` aggregates — NOT a
+    higher-order-function fold: Spark evaluates HOF lambdas in
+    interpreted mode per element, which measured ~400 s at sf0.1;
+    this whole-stage-codegen shape runs the same math in seconds.
+    Map-side partial mins reduce each partition to one row per doc
+    before the shuffle (~64*8 bytes per doc on the wire at any scale).
 
     Universal hashing h_i(s) = (A_i * x + B_i) mod p over
     x = xxhash64(s) mod p; products stay < 2^61 so ANSI-mode 64-bit
     arithmetic cannot overflow.
     """
-    a = F.array(*[F.lit(x) for x in _PERM_A])
-    b = F.array(*[F.lit(x) for x in _PERM_B])
-    base = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
-        lambda i: F.aggregate(
-            base,
-            F.lit(_MERSENNE).cast("bigint"),
-            lambda m, x: F.least(
-                m, F.pmod(F.element_at(a, i + 1) * x + F.element_at(b, i + 1), F.lit(_MERSENNE))
-            ),
-        ),
+    x = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    e = e.select("doc_id", x.alias("x"))
+    mins = [
+        F.min(F.pmod(F.lit(_PERM_A[i]) * F.col("x") + F.lit(_PERM_B[i]), F.lit(_MERSENNE))).alias(
+            f"_h{i}"
+        )
+        for i in range(N_PERM)
+    ]
+    grouped = e.groupBy("doc_id").agg(*mins)
+    return grouped.select(
+        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(N_PERM)]).alias("sig")
     )
 
 
@@ -201,8 +245,11 @@ def minhash_signature(sh_col) -> F.Column:
     "not every doc sharing any shingle.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("s") > 0)
-    sig = sh.select("doc_id", minhash_signature(F.col("s")).alias("sig"))
+    # the shingle table feeds 4 plan branches (signatures, both sides
+    # of the verify join, sizes) — persist it once, exactly as the
+    # 100 TB pipeline would checkpoint its shingle index
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
+    sig = minhash_signatures(e)
     n_bands = N_PERM // BAND_ROWS
     # bands unrolled at plan-build time (band count is a static const)
     band_structs = F.array(
@@ -225,7 +272,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs(cand, sh)
+    return _verify_pairs(cand, e)
 
 
 # --- SimHash ---------------------------------------------------------
@@ -234,24 +281,35 @@ SIMHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-exact for hamming<=3
 SIMHASH_MAX_HAMMING = 3
 
 
-def simhash64_expr(shingle_col: str) -> F.Column:
-    """64-bit SimHash of a shingle-set column, HOF-only (SQL expr form:
-    SQL-side shiftright/shiftleft accept expression shift amounts,
-    unlike the PySpark wrappers).
+def simhash_signatures(e: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded → (doc_id, sim: bigint) 64-bit SimHash.
 
     bit_k = 1 iff sum over shingles of ±1 (by bit k of xxhash64) > 0.
+    Same explode + groupBy codegen shape as minhash_signatures (HOF
+    folds are interpreted and ~100x slower); 64 conditional-sum
+    aggregates combine map-side, then one select packs the bits.
+    Bit 63 is set by adding -2^63 (two's complement) — the positive
+    literal would overflow ANSI bigint arithmetic.
     """
-    return F.expr(
-        f"""
-        aggregate(
-          sequence(0, 63),
-          0L,
-          (acc, k) -> acc + if(
-            aggregate(transform({shingle_col}, s -> xxhash64(s)), 0L,
-                      (c, h) -> c + if((shiftright(h, k) & 1L) = 1L, 1L, -1L)) > 0,
-            shiftleft(1L, k), 0L))
-        """
-    )
+    e = e.select("doc_id", F.xxhash64("shingle").alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{k}")
+        for k in range(64)
+    ]
+    g = e.groupBy("doc_id").agg(*sums)
+    zero = F.lit(0).cast("bigint")
+    bit_terms = [
+        F.when(F.col(f"_b{k}") > 0, F.lit(1 << k if k < 63 else -(1 << 63)).cast("bigint")).otherwise(
+            zero
+        )
+        for k in range(64)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return g.select("doc_id", sim.alias("sim"))
 
 
 @register(
@@ -265,8 +323,8 @@ def simhash64_expr(shingle_col: str) -> F.Column:
     "brute-force cross join in tests.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("s") > 0)
-    sigs = sh.select("doc_id", simhash64_expr("s").alias("sim"))
+    e = _doc_shingles_exploded(spark, sf_dir)
+    sigs = simhash_signatures(e)
     band_structs = F.array(
         *[
             F.struct(

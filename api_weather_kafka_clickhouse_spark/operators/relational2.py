@@ -1,0 +1,285 @@
+"""Second coverage battery: exact percentiles/median, value window
+functions, unpivot, batch event-time bucketing, round-robin partition
+assignment, LIMIT/OFFSET pagination, scalar string/date battery 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity)                    AS qty_median,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS qty_p25,
+           percentile_cont(0.90) WITHIN GROUP (ORDER BY l_quantity) AS qty_p90,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact median / continuous percentiles (value-based: "
+    "interpolation over sorted 2-decimal doubles is deterministic). "
+    "At 100 TB prefer approx_percentile — see agg_approx_percentile.",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("qty_median"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("qty_p25"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("qty_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based by design -> rows-only
+    doc="approx_percentile (KLL-style sketch): the 100 TB quantile "
+    "path — bounded-memory mergeable sketches instead of a sort.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("price_p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="first/last/nth value frames (total order via the orderkey "
+    "tiebreak; last_value needs the full-partition frame).",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT o_orderkey, measure, CAST(value AS DECIMAL(18,2)) AS value_d
+    FROM (
+      SELECT o_orderkey,
+             unnest(['totalprice', 'custkey_as_measure']) AS measure,
+             unnest([o_totalprice, CAST(o_custkey AS DOUBLE)]) AS value
+      FROM orders
+    )
+    """,
+    doc="Unpivot (wide→long): stack() in Spark, parallel unnest in "
+    "DuckDB — row expansion stays JVM-side.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, "
+            "'custkey_as_measure', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
+        ),
+    ).select("o_orderkey", "measure", F.col("value").cast("decimal(18,2)").alias("value_d"))
+
+
+@register(
+    "time_bucket_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Batch twin of the streaming tumbling window (hourly buckets "
+    "via date_trunc) — the hypertable-rollup pattern.",
+)
+def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "round_robin_assign",
+    oracle="""
+    SELECT n_name,
+           ((row_number() OVER (ORDER BY n_name) - 1) % 3) + 1 AS slot
+    FROM nation
+    """,
+    doc="Deterministic round-robin assignment (the reference's "
+    "city→topic distribution, city_loader.py:26-44) over a dimension.",
+)
+def round_robin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, "nation", sf_dir)
+    w = Window.orderBy("n_name")
+    return n.select(
+        "n_name", (F.pmod(F.row_number().over(w) - 1, F.lit(3)) + 1).alias("slot")
+    )
+
+
+@register(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_d
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+    doc="Keyset-free pagination (ORDER BY + LIMIT/OFFSET). At scale "
+    "prefer keyset pagination (WHERE key > last_seen ORDER BY key).",
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"))
+        .orderBy(F.col("price_d").desc(), F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+    )
+
+
+@register(
+    "scalar_strings2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')        AS brand_pad,
+           trim(concat(' ', p_name, ' ')) AS name_trim,
+           reverse(p_brand)              AS brand_rev,
+           contains(p_type, 'BRASS')     AS is_brass,
+           starts_with(p_name, 'a')      AS starts_a,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num
+    FROM part
+    """,
+    doc="String battery 2: pad/trim/reverse/contains/prefix/regexp "
+    "(conservative regex — identical semantics in Java and RE2-ish "
+    "engines).",
+)
+def scalar_strings2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.contains("p_type", F.lit("BRASS")).alias("is_brass"),
+        F.startswith("p_name", F.lit("a")).alias("starts_a"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+    )
+
+
+@register(
+    "scalar_dates2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+           weekofyear(o_orderdate) AS iso_week,
+           quarter(o_orderdate)    AS qtr
+    FROM orders
+    """,
+    doc="Date battery 2: interval arithmetic, last_day, dow/week/"
+    "quarter extraction.",
+)
+def scalar_dates2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT s_nationkey AS nationkey,
+           list_sort(list(s_suppkey)) AS supp_keys,
+           count(*) AS n
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    doc="collect_list + array_sort: deterministic array aggregation "
+    "(unsorted collect_list is partition-order-dependent and never "
+    "used in checked queries).",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, "supplier", sf_dir)
+    return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "vector_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm,
+           round(list_sum(CAST(embedding AS DOUBLE[]))
+                 / len(embedding), 6)                       AS mean_val
+    FROM embeddings
+    """,
+    doc="Array/vector column battery: dimension, L2 norm, mean — "
+    "sequential-fold doubles are bit-identical across engines "
+    "(verified for the cosine kernel), rounded as belt-and-braces.",
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm, to_double
+
+    e = load(spark, "embeddings", sf_dir)
+    v = to_double("embedding")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(norm(v), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
+        ).alias("mean_val"),
+    )

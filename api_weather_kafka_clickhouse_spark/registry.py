@@ -77,7 +77,9 @@ def _ensure_loaded() -> None:
         joins,
         multimodal,
         relational,
+        relational2,
         similarity,
+        tpch,
         text_analysis,
         windows,
     )

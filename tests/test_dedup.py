@@ -23,8 +23,8 @@ def test_minhash_lsh_matches_exact(spark, sf_dir):
 def test_simhash_banding_is_exact(spark, sf_dir):
     """4x16-bit banding must find EXACTLY the hamming<=3 pairs
     (pigeonhole) — compare against an in-Spark brute-force cross join."""
-    sh = dedup._doc_shingles(spark, sf_dir).filter(F.size("s") > 0)
-    sigs = sh.select("doc_id", dedup.simhash64_expr("s").alias("sim")).cache()
+    e = dedup._doc_shingles_exploded(spark, sf_dir)
+    sigs = dedup.simhash_signatures(e).cache()
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sa"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sb"))
     brute = (
