@@ -153,17 +153,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "20-row driver merge — no global sort).",
 )
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode + window lead, not a higher-order transform: HOF lambdas
+    # run interpreted (~100x slower); this stays in codegen
+    from pyspark.sql import Window
+
     d = load(spark, "documents", sf_dir)
-    w = tokens("text")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    t = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        t.select(F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"), nxt.alias("_n"))
+        .filter(F.col("_n").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

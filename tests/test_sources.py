@@ -1,0 +1,79 @@
+"""HTTP source (injectable fetcher), Kafka message shape, and
+warehouse sink layout tests (SURVEY.md §2-A7/A8/A19, §2-B4/B5)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from api_weather_kafka_clickhouse_spark.sources import kafka, sink
+from api_weather_kafka_clickhouse_spark.sources.cities import load_cities
+from api_weather_kafka_clickhouse_spark.sources.flatten import flatten_weather, parse_raw
+from api_weather_kafka_clickhouse_spark.sources.http_weather import fetch_weather
+from tests.test_cities import FIXTURE  # synthesized city fixture
+from tests.test_ingest_flatten import FULL_PAYLOAD
+
+
+def _cities(spark, tmp_path):
+    p = tmp_path / "cities.json"
+    p.write_text(json.dumps(FIXTURE))
+    return load_cities(spark, str(p))
+
+
+def make_fake_fetcher():
+    # built as a closure so cloudpickle ships it by VALUE to executor
+    # pythons (a module-level test function would pickle by reference
+    # to a module the workers can't import)
+    payload = dict(FULL_PAYLOAD)
+
+    def fake_fetcher(lat: float, lon: float) -> dict:
+        if lat > 59:  # one city fails -> NULL payload (catch-skip parity)
+            raise ConnectionError("synthetic outage")
+        return dict(payload, coord={"lon": lon, "lat": lat}, name=f"city@{lat}")
+
+    return fake_fetcher
+
+
+def test_http_fetch_with_injected_fetcher(spark, tmp_path):
+    cities = _cities(spark, tmp_path)
+    out = fetch_weather(cities, make_fake_fetcher())
+    rows = out.collect()
+    assert len(rows) == 6  # all RU cities, including the failed one
+    failed = [r for r in rows if r.value is None]
+    assert len(failed) == 1 and failed[0].name == "Alfatown"  # lat 59.9
+    ok = [r for r in rows if r.value is not None]
+    payload = json.loads(ok[0].value)
+    assert payload["coord"]["lat"] == ok[0].lat
+
+
+def test_http_to_flatten_round_trip(spark, tmp_path):
+    """Fetched payloads flow straight into the flatten pipeline."""
+    cities = _cities(spark, tmp_path)
+    fetched = fetch_weather(cities, make_fake_fetcher()).filter(F.col("value").isNotNull())
+    fact = flatten_weather(parse_raw(fetched, "value"))
+    rows = fact.collect()
+    assert len(rows) == 5
+    assert all(r.city_name.startswith("city@") for r in rows)
+
+
+def test_kafka_message_shape(spark, tmp_path):
+    cities = _cities(spark, tmp_path)
+    fetched = fetch_weather(cities, make_fake_fetcher()).filter(F.col("value").isNotNull())
+    msgs = kafka.to_kafka_messages(fetched, key_col="name", payload_cols=["value", "lat", "lon"])
+    assert msgs.columns == ["key", "value"]
+    r = msgs.first()
+    assert isinstance(r.key, str) and json.loads(r.value)["lat"] is not None
+
+
+def test_sink_partition_layout_and_pruning(spark, tmp_path):
+    msgs = spark.createDataFrame([(json.dumps(FULL_PAYLOAD),)], "value string")
+    fact = flatten_weather(parse_raw(msgs, "value"))
+    path = str(tmp_path / "wh")
+    sink.write_fact(fact, path)
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith(sink.MONTH_COL + "=")]
+    assert dirs, "expected hive-style event_month= partition dirs"
+    back = sink.read_fact(spark, path)
+    assert back.count() == 1

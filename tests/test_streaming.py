@@ -130,3 +130,57 @@ def test_session_window_stream(spark, tmp_path):
     for r in rows:
         per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
     assert per_user == {1: 2, 2: 1}
+
+
+def test_sliding_window_stream(spark, stream_dir):
+    msgs = pipeline.read_stream_json_files(spark, str(stream_dir))
+    parsed = parse_raw(msgs, "value").filter(F.col("raw").isNotNull())
+    fact = flatten_weather_event_time(parsed)
+    agg = windows.sliding_avg(
+        fact, value_col="temperature", window="10 minutes", slide="5 minutes"
+    )
+    _run_to_memory(agg, "slide_out", mode="complete")
+    rows = spark.sql("SELECT * FROM slide_out").collect()
+    # two events 5 minutes apart -> overlapping 10-min windows; each
+    # row lands in 2 sliding windows (aggregation is per (window, city))
+    assert sum(r.n for r in rows) == 4
+    per_window = {}
+    for r in rows:
+        per_window.setdefault((r.window_start, r.window_end), set()).add(r.city_name)
+    # both cities share the overlapping middle window
+    assert any(len(v) == 2 for v in per_window.values())
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """A record later than watermark behind the max event time must be
+    dropped from append-mode aggregation state."""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    on_time = dict(FULL_PAYLOAD, dt=1700010000, name="OnTime")
+    ahead = dict(FULL_PAYLOAD, dt=1700020000, name="Ahead")
+    (d / "b0.json").write_text(json.dumps(on_time) + "\n" + json.dumps(ahead))
+    # second batch: event far older than max seen, watermark 10m -> late
+    late = dict(FULL_PAYLOAD, dt=1700012800, name="Late")
+
+    # one continuous query (memory sink cannot recover a checkpoint);
+    # processAllAvailable() drives batch boundaries so the watermark
+    # advances between the on-time and late files
+    msgs = pipeline.read_stream_json_files(spark, str(d))
+    parsed = parse_raw(msgs, "value").filter(F.col("raw").isNotNull())
+    fact = flatten_weather_event_time(parsed)
+    agg = windows.tumbling_counts(fact, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    (d / "b1.json").write_text(json.dumps(late))
+    q.processAllAvailable()
+    q.stop()
+    cities = {r.city_name for r in spark.sql("SELECT * FROM late_out").collect()}
+    # OnTime's window closed once the watermark passed it; Late falls
+    # into an already-finalized window and is dropped
+    assert "OnTime" in cities
+    assert "Late" not in cities
