@@ -43,10 +43,17 @@ def read_stream_json_files(spark: SparkSession, path: str) -> DataFrame:
 
 def transform(messages: DataFrame) -> DataFrame:
     """Message values → typed fact rows; corrupt JSON dropped (parity
-    with Consumer:174-175). Adds an `observe` metric so dropped-row
-    counts surface in query progress (A21)."""
+    with Consumer:174-175). The `observe` metrics surface message and
+    corrupt-row counts in every query progress event — the running
+    counters of the reference consumer (A21: Consumer:86-95) without
+    a second pass."""
     parsed = parse_raw(messages, "value")
-    ok = parsed.filter(F.col("raw").isNotNull())
+    observed = parsed.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count(F.when(F.col("raw").isNull(), 1)).alias("n_corrupt"),
+    )
+    ok = observed.filter(F.col("raw").isNotNull())
     return flatten_weather(ok)
 
 

@@ -184,3 +184,23 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
     # into an already-finalized window and is dropped
     assert "OnTime" in cities
     assert "Late" not in cities
+
+
+def test_observe_metrics_surface_counts(spark, stream_dir, tmp_path):
+    """A21 parity: per-batch message/corrupt counters via observe()."""
+    msgs = pipeline.read_stream_json_files(spark, str(stream_dir))
+    q = pipeline.start_pipeline(
+        msgs, str(tmp_path / "wh"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    progresses = [
+        json.loads(p.json if hasattr(p, "json") else p) for p in q.recentProgress
+    ]
+    metrics = [
+        p["observedMetrics"]["ingest"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("ingest")
+    ]
+    assert metrics, "expected observed ingest metrics in progress"
+    total = {k: sum(m[k] for m in metrics) for k in ("n_messages", "n_corrupt")}
+    assert total == {"n_messages": 3, "n_corrupt": 1}
