@@ -1,0 +1,89 @@
+"""Third coverage battery: printf-style formatting, translate/locate,
+null-handling functions, and an explicit (deliberate) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "scalar_format",
+    oracle="""
+    SELECT s_suppkey,
+           printf('%s#%05d', s_name, s_suppkey) AS tag,
+           repeat('-', 5)                        AS rule,
+           left(s_name, 4)                       AS name_l4,
+           right(s_name, 3)                      AS name_r3,
+           instr(s_name, 'e')                    AS first_e,
+           translate(s_name, 'aeiou', 'AEIOU')   AS shouty_vowels
+    FROM supplier
+    """,
+    doc="printf/repeat/left/right/instr/translate battery (§2-E "
+    "f-string templating parity, Producer:67,81).",
+)
+def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, "supplier", sf_dir)
+    return s.select(
+        "s_suppkey",
+        F.format_string("%s#%05d", F.col("s_name"), F.col("s_suppkey")).alias("tag"),
+        F.repeat(F.lit("-"), 5).alias("rule"),
+        F.left(F.col("s_name"), F.lit(4)).alias("name_l4"),
+        F.right(F.col("s_name"), F.lit(3)).alias("name_r3"),
+        F.instr(F.col("s_name"), "e").cast("bigint").alias("first_e"),
+        F.translate(F.col("s_name"), "aeiou", "AEIOU").alias("shouty_vowels"),
+    )
+
+
+@register(
+    "scalar_nulls",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING')                    AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A')   AS seg_filled,
+           (nullif(c_mktsegment, 'BUILDING') IS NULL)          AS is_building,
+           greatest(c_acctbal, 0.0)                            AS bal_floor0,
+           least(c_acctbal, 1000.0)                            AS bal_cap1k
+    FROM customer
+    """,
+    doc="NULL-handling battery: nullif/coalesce/is-null/greatest/"
+    "least — the reference's dict.get default semantics as "
+    "expressions (clickhouse_db.py:45-82).",
+)
+def scalar_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("N/A")).alias("seg_filled"),
+        seg_null.isNull().alias("is_building"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus, count(*) AS n_combos
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r.r_name, s.o_orderstatus
+    """,
+    doc="Deliberate cross join of two tiny deduplicated sides — the "
+    "only sanctioned cartesian shape; fact-side cartesians are "
+    "asserted absent in tests/test_plans.py.",
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, "region", sf_dir)
+    s = load(spark, "orders", sf_dir).select("o_orderstatus").distinct()
+    return (
+        r.crossJoin(s)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_combos"))
+    )

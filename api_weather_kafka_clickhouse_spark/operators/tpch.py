@@ -281,3 +281,178 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
         )
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS -> left-semi join, counts "
+    "by priority.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV}
+                         ELSE CAST(0.0 AS DECIMAL(16,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
+           CAST(sum({_REV}) AS DECIMAL(38,4)) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional revenue share over a broadcast "
+    "part join (the percentage is derivable from the two exact sums).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load(spark, "part", sf_dir).select("p_partkey", "p_type")
+    zero = F.lit(0.0).cast("decimal(16,4)")
+    rev = _rev_col()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero))
+            .cast("decimal(38,4)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(38,4)").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(sum({_REV}) AS DECIMAL(38,4)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: per-supplier revenue, scalar-subquery max "
+    "filter (ties all surface — deterministic without a tiebreak).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.m)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_size BETWEEN 16 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_size BETWEEN 31 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-range predicates across "
+    "both join sides (Catalyst keeps the equi-key join and applies "
+    "the OR-filter post-join).",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).select("p_partkey", "p_size")
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        (sz.between(1, 15) & q.between(1, 20))
+        | (sz.between(16, 30) & q.between(10, 30))
+        | (sz.between(31, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average balance (exact-sum scalar "
+    "subquery) + anti-join on orders, grouped by nation.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "a"
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("totacctbal"),
+        )
+    )

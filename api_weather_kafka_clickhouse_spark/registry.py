@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         tpch,
         text_analysis,

@@ -25,6 +25,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family, heaviest-representative first.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "join_flagship_revenue",
     "join_left_outer",
     "join_asof",
