@@ -1,1 +1,1 @@
-from . import pipeline, windows  # noqa: F401
+from . import pipeline, stateful, windows  # noqa: F401

@@ -204,3 +204,38 @@ def test_observe_metrics_surface_counts(spark, stream_dir, tmp_path):
     assert metrics, "expected observed ingest metrics in progress"
     total = {k: sum(m[k] for m in metrics) for k in ("n_messages", "n_corrupt")}
     assert total == {"n_messages": 3, "n_corrupt": 1}
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches
+    (integer-cents accumulation -> exact mean)."""
+    from api_weather_kafka_clickhouse_spark.streaming.stateful import running_stats
+
+    d = tmp_path / "st_in"
+    d.mkdir()
+    (d / "b0.csv").write_text("a,10.50\na,20.50\nb,1.00\n")
+    stream = (
+        spark.readStream.schema("key string, value double")
+        .csv(str(d))
+    )
+    out = running_stats(stream, "key", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stats_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    (d / "b1.csv").write_text("a,9.00\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM stats_out").collect()
+    # update mode appends one row per key per batch to the memory
+    # sink; the LAST row per key carries the accumulated state
+    last = {}
+    for r in rows:
+        last[r.key] = r
+    assert last["a"].n == 3
+    assert last["a"].mean == (10.50 + 20.50 + 9.00) / 3
+    assert last["a"].v_min == 9.00 and last["a"].v_max == 20.50
+    assert last["b"].n == 1 and last["b"].mean == 1.00
