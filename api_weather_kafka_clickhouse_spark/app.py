@@ -1,0 +1,77 @@
+"""End-to-end pipeline orchestration — the reference's two supervised
+processes (producer: Producer_clickhouse.py:94-142, consumer:
+Consumer_clickhouse.py:97-188) as composable Spark jobs.
+
+Batch cycle (`run_batch_cycle`): one producer sweep + warehouse
+append, the unit the reference repeats every 300 s (A11). Scheduling
+is the caller's: a driver loop, cron, or a streaming query with
+`Trigger.ProcessingTime("300 seconds")` over the Kafka topics
+(streaming/pipeline.start_pipeline) — in which case producer and
+consumer decouple exactly like the reference's two supervisord
+processes, with Kafka in between.
+
+The fetcher is injectable (sources/http_weather) so the whole cycle
+runs hermetically in tests; production passes
+`make_requests_fetcher(api_key)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.cities import assign_topics, load_cities, route_topic
+from .sources.flatten import flatten_weather, parse_raw
+from .sources.http_weather import FetchFn, fetch_weather
+from .sources.sink import write_fact
+
+
+def run_batch_cycle(
+    spark: SparkSession,
+    cities_path: str,
+    fetcher: FetchFn,
+    warehouse_path: str,
+    archive_path: str | None = None,
+) -> dict[str, int]:
+    """One full producer→consumer cycle against the warehouse.
+
+    cities JSON → filter RU (A1/A2) → topic assignment (A3/A4) →
+    parallel fetch (A7, vs the reference's sequential loop) → archive
+    copy (A9, optional) → parse/flatten (A14-A18) → partitioned
+    sorted append (A19/B3-B5). Returns counters (A21 parity).
+    """
+    cities = load_cities(spark, cities_path)
+    routed = assign_topics(cities)
+    fetched = fetch_weather(cities, fetcher)
+    fetched = route_topic(fetched, routed.select("name", "topic"))
+
+    ok = fetched.filter(F.col("value").isNotNull())
+    if archive_path is not None:
+        # A9: raw-payload archive (one JSON file tree per cycle)
+        ok.select("name", "topic", "value").write.mode("append").json(archive_path)
+
+    fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
+    write_fact(fact, warehouse_path)
+
+    n_cities = cities.count()
+    n_ok = ok.count()
+    return {
+        "n_cities": n_cities,
+        "n_fetched": n_ok,
+        "n_failed": n_cities - n_ok,
+    }
+
+
+def warehouse_summary(spark: SparkSession, warehouse_path: str) -> DataFrame:
+    """The §2-C query layer over the weather fact table itself:
+    per city/month aggregates with partition pruning on event_month."""
+    fact = spark.read.parquet(warehouse_path)
+    return fact.groupBy("event_month", "city_name").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("temperature").alias("t_min"),
+        F.max("temperature").alias("t_max"),
+        (
+            F.sum(F.col("temperature").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("t_avg"),
+    )

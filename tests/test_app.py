@@ -1,0 +1,44 @@
+"""End-to-end batch cycle: cities → fetch → archive → flatten →
+warehouse → query, hermetic via the injected fetcher."""
+
+from __future__ import annotations
+
+import json
+
+from api_weather_kafka_clickhouse_spark import app
+from tests.test_cities import FIXTURE
+from tests.test_sources import make_fake_fetcher
+
+
+def test_full_batch_cycle(spark, tmp_path):
+    cities_path = tmp_path / "cities.json"
+    cities_path.write_text(json.dumps(FIXTURE))
+    wh = str(tmp_path / "warehouse")
+    archive = str(tmp_path / "archive")
+
+    stats = app.run_batch_cycle(
+        spark, str(cities_path), make_fake_fetcher(), wh, archive_path=archive
+    )
+    assert stats == {"n_cities": 6, "n_fetched": 5, "n_failed": 1}
+
+    # warehouse holds the 5 successful cities, partitioned by month
+    fact = spark.read.parquet(wh)
+    assert fact.count() == 5
+    assert "event_month" in fact.columns
+
+    # archive kept raw payloads with topic routing
+    arch = spark.read.json(archive)
+    assert arch.count() == 5
+    assert set(arch.columns) >= {"name", "topic", "value"}
+    topics = {r.topic for r in arch.select("topic").distinct().collect()}
+    assert topics <= {"weather_topic_1", "weather_topic_2", "weather_topic_3"}
+
+    # second cycle appends (the reference's 300 s repeat)
+    app.run_batch_cycle(spark, str(cities_path), make_fake_fetcher(), wh)
+    assert spark.read.parquet(wh).count() == 10
+
+    # query layer over the warehouse
+    summary = app.warehouse_summary(spark, wh)
+    rows = summary.collect()
+    assert all(r.n_obs == 2 for r in rows)  # two cycles per city
+    assert len(rows) == 5
