@@ -289,3 +289,50 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("decimal(38,2)").alias("qty_O"),
         F.col("F").cast("decimal(38,2)").alias("qty_F"),
     )
+
+
+@register(
+    "agg_corr_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)  AS sx,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS sxy
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_vk
+    FROM m
+    """,
+    doc="Pearson correlation from exact decimal/integer moment sums "
+    "(never the built-in corr: its float accumulation order is "
+    "engine- and partitioning-dependent). One scan, map-side exact "
+    "partials, deterministic final arithmetic.",
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    k = F.from_json("props", "struct<k:bigint>").getField("k")
+    base = e.select("event_type", v.alias("v"), k.alias("k"))
+    n = F.count(F.lit(1))
+    m = base.groupBy("event_type").agg(
+        n.alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum("k").cast("double").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+        F.sum(F.col("k") * F.col("k")).cast("double").alias("syy"),
+        F.sum(F.col("v") * F.col("k")).cast("double").alias("sxy"),
+    )
+    corr = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / F.sqrt(
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"]) * (m["n"] * m["syy"] - m["sy"] * m["sy"])
+    )
+    return m.select("event_type", "n", F.round(corr, 6).alias("corr_vk"))

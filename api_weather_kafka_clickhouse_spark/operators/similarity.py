@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -86,20 +88,32 @@ _PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(N_PLANES)]
 
 def _band_keys(vec) -> F.Column:
     """Array of LSH_BANDS band keys; band j packs the sign bits of 4
-    hyperplane projections — all codegen, no UDF."""
+    hyperplane projections.
+
+    Dense matmul is the one place a Pandas UDF beats built-ins: the
+    32 higher-order-function folds run interpreted per element, while
+    one Arrow batch -> numpy (n x 64) @ (64 x 32) matmul does the
+    same work vectorized. Sign bits only -> no cross-engine float
+    determinism concern (rows-only operator)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes_t = [list(col) for col in zip(*_PLANES)]  # 64 x 32
     bpb = N_PLANES // LSH_BANDS
-    keys = []
-    for j in range(LSH_BANDS):
-        acc = F.lit(0)
-        for k in range(bpb):
-            plane = _PLANES[j * bpb + k]
-            p = F.array(*[F.lit(x) for x in plane])
-            d = F.aggregate(
-                F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-            )
-            acc = acc + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        keys.append(acc)
-    return F.array(*keys)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_keys_udf(vecs: pd.Series) -> pd.Series:
+        planes = np.array(planes_t)  # dim x n_planes
+        m = np.stack(vecs.to_numpy())  # n x dim
+        bits = (m @ planes) > 0  # n x n_planes
+        weights = np.array([1 << k for k in range(bpb)])
+        keys = [
+            (bits[:, j * bpb : (j + 1) * bpb] @ weights).astype(np.int32)
+            for j in range(LSH_BANDS)
+        ]
+        out = np.stack(keys, axis=1)  # n x LSH_BANDS
+        return pd.Series(list(out))
+
+    return band_keys_udf(vec)
 
 
 @register(

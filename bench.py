@@ -49,8 +49,10 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("bench")
     queries = registry.queries()
-    # warm the session (JVM/codegen) outside the timed region
+    # warm the session outside the timed region: JVM/codegen (q1) and
+    # the Python/Arrow worker pool (any pandas-UDF query)
     queries["q1_pricing_summary"](spark, SF_DIR).count()
+    queries["mm_feature_extract"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
