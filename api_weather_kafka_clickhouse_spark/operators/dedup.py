@@ -379,3 +379,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.42)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # SRP recall < 1 by design -> rows-only; subset +
+    # recall vs the exact O(n^2) operator asserted in tests
+    doc="Embedding near-dup pairs, the 100 TB path: SRP-LSH band-key "
+    "buckets (reusing similarity._band_keys' Arrow/numpy matmul) "
+    "generate candidates, exact cosine >= 0.42 verifies them — every "
+    "emitted pair is exact, recall is the banding operating point "
+    "(~0.8 at cos 0.42, higher for closer pairs). The exact twin "
+    "dedup_embedding_cosine is the oracle-checked baseline.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine, to_double
+    from .similarity import _band_keys
+
+    e = load(spark, "embeddings", sf_dir).select(
+        "vec_id", to_double("embedding").alias("vec")
+    )
+    bands = e.select(
+        "vec_id", "vec", F.posexplode(_band_keys(F.col("vec"))).alias("band_idx", "band_key")
+    )
+    ba = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "band_idx", "band_key"
+    )
+    bb = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "band_idx", "band_key"
+    )
+    cand = (
+        ba.join(bb, ["band_idx", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.42)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )

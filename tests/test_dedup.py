@@ -50,3 +50,15 @@ def test_exact_keep_first_is_unique_and_minimal(spark, sf_dir):
     out = dedup.dedup_exact_keep_first(spark, sf_dir)
     n_keys = out.select("user_id", "event_type").distinct().count()
     assert out.count() == n_keys
+
+
+def test_embedding_lsh_is_exact_subset_with_recall(spark, sf_dir):
+    """Every SRP-candidate pair is exactly verified (subset of the
+    brute-force result) and recall stays above the banding operating
+    point."""
+    exact = _pairs(dedup.dedup_embedding_cosine(spark, sf_dir), ("vec_a", "vec_b"))
+    approx = _pairs(dedup.dedup_embedding_lsh(spark, sf_dir), ("vec_a", "vec_b"))
+    assert approx <= exact
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.4, f"embedding LSH recall {recall:.2f}"
