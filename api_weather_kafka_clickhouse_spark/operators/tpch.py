@@ -456,3 +456,133 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           year(l.l_shipdate) AS yr,
+           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume — two aliases of "
+    "the same broadcast dimension with an inequality between them.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load(spark, "nation", sf_dir)
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS value_
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_
+    FROM pv
+    WHERE value_ > (SELECT CAST(sum(value_) * 0.001 AS DECIMAL(38,4)) FROM pv)
+    """,
+    doc="TPC-H Q11 shape: per-part value filtered by a scalar-"
+    "subquery fraction of the global total (two passes over one "
+    "aggregate; exact decimals keep the threshold comparison "
+    "engine-deterministic).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+        )
+        .cast("decimal(38,4)")
+        .alias("value_")
+    )
+    thr = pv.agg((F.sum("value_") * F.lit(0.001)).cast("decimal(38,4)").alias("thr"))
+    return (
+        pv.join(F.broadcast(thr), pv.value_ > thr.thr)
+        .select("l_partkey", "value_")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="TPC-H Q21 shape: the hardest subquery pattern — EXISTS and "
+    "NOT EXISTS self-joins on the fact with a per-row inequality. "
+    "Both decorrelate to semi/anti joins on orderkey with the "
+    "inequality as a post-join residual.",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .drop("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    kept = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        kept.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
