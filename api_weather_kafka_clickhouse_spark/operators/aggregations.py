@@ -33,11 +33,11 @@ _QTY = 'CAST(l_quantity AS DECIMAL(12,2))'
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum({_QTY}) AS DECIMAL(38,2))                          AS sum_qty,
-           CAST(sum({_PRICE}) AS DECIMAL(38,2))                        AS sum_base_price,
-           CAST(sum({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,4))        AS sum_disc_price,
+           CAST(sum({_QTY}) AS DOUBLE)                                 AS sum_qty,
+           CAST(sum({_PRICE}) AS DOUBLE)                               AS sum_base_price,
+           CAST(sum({_PRICE} * (1 - {_DISC})) AS DOUBLE)               AS sum_disc_price,
            CAST(sum({_PRICE} * (1 - {_DISC}) * (1 + {_TAX}))
-                AS DECIMAL(38,6))                                      AS sum_charge,
+                AS DOUBLE)                                             AS sum_charge,
            CAST(sum({_QTY}) AS DOUBLE) / count(*)                      AS avg_qty,
            CAST(sum({_PRICE}) AS DOUBLE) / count(*)                    AS avg_price,
            CAST(sum({_DISC}) AS DOUBLE) / count(*)                     AS avg_disc,
@@ -47,8 +47,8 @@ _QTY = 'CAST(l_quantity AS DECIMAL(12,2))'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1-style pricing summary: 8 aggregates over 2 grouping "
-    "cols. Decimal sums -> exact partial combine; averages derived "
-    "from exact sums by one double division.",
+    "cols. Decimal sums -> exact partial combine; final columns cast "
+    "to double (both engines) so output rendering is engine-agnostic.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -58,10 +58,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax").cast("decimal(4,2)")
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(price * (1 - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum(price * (1 - disc) * (1 + tax)).cast("decimal(38,6)").alias("sum_charge"),
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
         (F.sum(qty).cast("double") / n).alias("avg_qty"),
         (F.sum(price).cast("double") / n).alias("avg_price"),
         (F.sum(disc).cast("double") / n).alias("avg_disc"),
@@ -74,7 +74,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
@@ -93,7 +93,7 @@ def agg_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "n_orders",
-            F.col("_spend_exact").cast("decimal(38,2)").alias("spend"),
+            F.col("_spend_exact").cast("double").alias("spend"),
         )
     )
 
@@ -102,7 +102,7 @@ def agg_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT n.n_name, year(o.o_orderdate) AS yr,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -119,7 +119,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     )
     return joined.rollup("n_name", F.year("o_orderdate").cast("bigint").alias("yr")).agg(
-        F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -128,7 +128,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -138,7 +138,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -239,11 +239,11 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT o_custkey,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                          THEN CAST(o_totalprice AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS urgent_spend
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_spend
     FROM orders
     GROUP BY o_custkey
     """,
@@ -257,7 +257,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", money("o_totalprice")).otherwise(zero))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("urgent_spend"),
     )
 
@@ -267,9 +267,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(sum(CASE WHEN l_linestatus = 'O'
-                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_O,
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
            CAST(sum(CASE WHEN l_linestatus = 'F'
-                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_F
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -286,8 +286,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return piv.select(
         "l_returnflag",
-        F.col("O").cast("decimal(38,2)").alias("qty_O"),
-        F.col("F").cast("decimal(38,2)").alias("qty_F"),
+        F.col("O").cast("double").alias("qty_O"),
+        F.col("F").cast("double").alias("qty_F"),
     )
 
 

@@ -33,7 +33,7 @@ from ..tables import load
            year(o.o_orderdate)  AS yr,
            month(o.o_orderdate) AS mo,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -61,7 +61,7 @@ def join_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)")))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -73,7 +73,7 @@ def join_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name,
            count(*) AS n_customers,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal_sum
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -92,7 +92,7 @@ def join_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(money("c_acctbal")).cast("decimal(38,2)").alias("acctbal_sum"),
+            F.sum(money("c_acctbal")).cast("double").alias("acctbal_sum"),
         )
     )
 
@@ -135,7 +135,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey,
            count(o.o_orderkey) AS n_orders,
            CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
-                AS DECIMAL(38,2)) AS total_spend
+                AS DOUBLE) AS total_spend
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
@@ -151,7 +151,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_spend"),
         )
     )

@@ -61,12 +61,12 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lens = payloads.map(len).to_numpy()
         if len(lens) and lens.sum():
             flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            # segment sums via prefix sum: exact for empty segments in
+            # any position (reduceat would need index clipping, which
+            # corrupts the segment before a trailing empty payload)
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            # clip keeps reduceat in range when trailing payloads are
-            # empty; empty segments produce garbage singletons which
-            # the lens==0 mask zeroes right after
-            sums = np.add.reduceat(flat, np.minimum(bounds[:-1], len(flat) - 1))
-            sums[lens == 0] = 0
+            prefix = np.concatenate(([0], np.cumsum(flat)))
+            sums = prefix[bounds[1:]] - prefix[bounds[:-1]]
         else:
             sums = np.zeros(len(lens), dtype=np.int64)
         yield pd.DataFrame(
@@ -87,8 +87,8 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            strlen(text)    AS n_bytes,
            ascii(text[1])  AS head_byte,
            ascii(text[-1]) AS tail_byte,
-           list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) % {ADLER_MOD}
-             AS checksum
+           CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) % {ADLER_MOD}
+                AS BIGINT) AS checksum
     FROM documents
     """,
     doc="Binary feature extraction through mapInPandas (Arrow batches). "

@@ -27,11 +27,12 @@ from ..tables import load
     "filter_project",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(value AS DECIMAL(18,2)) AS value_d
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_d
     FROM events
     WHERE event_type = 'purchase' AND value > 100
     """,
-    doc="Equality+range filter with projection and lossless decimal cast "
+    doc="Equality+range filter with projection and 2-decimal rounding "
+    "via an exact decimal cast, rendered as double "
     "(reference filter: app/city_loader.py:14-17).",
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +43,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            F.col("value").cast("decimal(18,2)").alias("value_d"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("value_d"),
         )
     )
 
@@ -50,7 +51,8 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sort_limit_topk",
     oracle="""
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_d
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_d
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
@@ -65,7 +67,7 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_d"),
         )
         .orderBy(F.col("price_d").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -232,7 +234,7 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -253,7 +255,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in_subquery",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_d
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderstatus
@@ -274,7 +276,7 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_d"),
         )
     )

@@ -91,7 +91,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_measures",
     oracle="""
-    SELECT o_orderkey, measure, CAST(value AS DECIMAL(18,2)) AS value_d
+    SELECT o_orderkey, measure, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_d
     FROM (
       SELECT o_orderkey,
              unnest(['totalprice', 'custkey_as_measure']) AS measure,
@@ -110,7 +110,9 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'totalprice', o_totalprice, "
             "'custkey_as_measure', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
         ),
-    ).select("o_orderkey", "measure", F.col("value").cast("decimal(18,2)").alias("value_d"))
+    ).select(
+        "o_orderkey", "measure", F.col("value").cast("decimal(18,2)").cast("double").alias("value_d")
+    )
 
 
 @register(
@@ -119,7 +121,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
            event_type,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events
     GROUP BY 1, 2
     """,
@@ -135,7 +137,7 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
 
@@ -161,7 +163,7 @@ def round_robin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "limit_offset_page",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_d
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_d
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10 OFFSET 20
@@ -172,7 +174,9 @@ def round_robin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, "orders", sf_dir)
     return (
-        o.select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"))
+        o.select(
+            "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_d")
+        )
         .orderBy(F.col("price_d").desc(), F.col("o_orderkey"))
         .offset(20)
         .limit(10)
@@ -238,19 +242,24 @@ def scalar_dates2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT s_nationkey AS nationkey,
-           list_sort(list(s_suppkey)) AS supp_keys,
+           array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
            count(*) AS n
     FROM supplier
     GROUP BY s_nationkey
     """,
     doc="collect_list + array_sort: deterministic array aggregation "
     "(unsorted collect_list is partition-order-dependent and never "
-    "used in checked queries).",
+    "used in checked queries). The sorted array is emitted as a "
+    "comma-joined string — array cells are unhashable in the driver's "
+    "pandas canonicalizer.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, "supplier", sf_dir)
     return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
-        F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s_suppkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("supp_keys"),
         F.count(F.lit(1)).alias("n"),
     )
 

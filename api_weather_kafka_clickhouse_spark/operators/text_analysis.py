@@ -63,7 +63,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, count(*) AS n_docs,
            CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
-           sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+           CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
     FROM scored
     GROUP BY lang
     """,
@@ -112,7 +112,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           sum((t.pos) * (ascii(t.tok) * 31 + length(t.tok))) % 2147483647 AS fingerprint
+           CAST(sum((t.pos) * (ascii(t.tok) * 31 + length(t.tok))) % 2147483647
+                AS BIGINT) AS fingerprint
     FROM (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS pos

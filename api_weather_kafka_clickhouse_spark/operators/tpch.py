@@ -28,7 +28,7 @@ def _rev_col() -> F.Column:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l.l_orderkey,
-           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -53,7 +53,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -64,7 +64,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n.n_name,
-           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey  = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -97,7 +97,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
     )
 
 
@@ -105,7 +105,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     oracle="""
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -132,7 +132,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(12,2)")
                 * F.col("l_discount").cast("decimal(4,2)")
             )
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -143,7 +143,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -165,7 +165,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -175,10 +175,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -213,7 +213,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                / count(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l
     JOIN pq ON l.l_partkey = pq.l_partkey
@@ -236,7 +236,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -253,7 +253,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
     )
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price_d
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_d
     FROM orders o
     JOIN big      ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -278,7 +278,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_d"),
         )
     )
 
@@ -319,8 +319,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle=f"""
     SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV}
-                         ELSE CAST(0.0 AS DECIMAL(16,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
-           CAST(sum({_REV}) AS DECIMAL(38,4)) AS total_revenue
+                         ELSE CAST(0.0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum({_REV}) AS DOUBLE) AS total_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -341,9 +341,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("promo_revenue"),
-            F.sum(rev).cast("decimal(38,4)").alias("total_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
         )
     )
 
@@ -358,7 +358,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_rev
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
     FROM rev r
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
@@ -380,7 +380,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx.m)
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
     )
 
 
@@ -388,7 +388,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive_predicates",
     oracle="""
     SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -413,7 +413,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"),
+            F.sum(_rev_col()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -428,7 +428,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -452,7 +452,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("totacctbal"),
         )
     )
@@ -463,7 +463,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            year(l.l_shipdate) AS yr,
-           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -492,7 +492,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
         .filter(F.col("nk1") != F.col("nk2"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("yr"))
-        .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
     )
 
 
@@ -505,7 +505,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS value_
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, value_
+    SELECT l_partkey, CAST(value_ AS DOUBLE) AS value_
     FROM pv
     WHERE value_ > (SELECT CAST(sum(value_) * 0.001 AS DECIMAL(38,4)) FROM pv)
     """,
@@ -527,7 +527,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = pv.agg((F.sum("value_") * F.lit(0.001)).cast("decimal(38,4)").alias("thr"))
     return (
         pv.join(F.broadcast(thr), pv.value_ > thr.thr)
-        .select("l_partkey", "value_")
+        .select("l_partkey", F.col("value_").cast("double").alias("value_"))
     )
 
 

@@ -26,7 +26,7 @@ from ..tables import load
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_d,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders
@@ -42,7 +42,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_d"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
@@ -57,7 +57,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS running_qty
+                AS DOUBLE) AS running_qty
     FROM lineitem
     """,
     doc="Running decimal sum per supplier over ship order (the B5 "
@@ -77,7 +77,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum(F.col("l_quantity").cast("decimal(12,2)"))
         .over(w)
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("running_qty"),
     )
 
@@ -140,7 +140,7 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS value_10m
+                AS DOUBLE) AS value_10m
     FROM events
     """,
     doc="Time-range frame: per-user rolling 10-minute decimal sum — the "
@@ -157,7 +157,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(value AS DECIMAL(18,2)))
                     OVER (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(38,2)) AS value_10m
+                    AS DOUBLE) AS value_10m
         FROM _wrf_events
         """
     )
@@ -198,15 +198,16 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts, event_id, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
       FROM gaps
     )
     SELECT user_id, session_seq,
            count(*) AS n_events,
            min(ts)  AS session_start,
            max(ts)  AS session_end,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_seq
     """,
@@ -238,5 +239,5 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("session_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
