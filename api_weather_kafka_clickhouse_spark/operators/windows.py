@@ -171,17 +171,38 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            cume_dist()    OVER (ORDER BY c_acctbal) AS bal_cume
     FROM customer
     """,
-    doc="Distribution functions (value-based, tie-stable). Single "
-    "global ordering — fine for dimension-sized inputs; fact-scale "
-    "distributions should use approx percentiles instead.",
+    doc="Distribution functions (value-based, tie-stable), scale-safe: "
+    "instead of an unpartitioned window over every row (single-task "
+    "global sort at 100 TB), aggregate to per-value counts first — "
+    "c_acctbal has 2 decimals over a bounded range, so the distinct-"
+    "value table is bounded (~1M rows) regardless of fact size — run "
+    "the ordered prefix sum over that small table, and broadcast-join "
+    "the per-value ranks back. percent_rank = (#strictly-less)/(n-1); "
+    "cume_dist = (#less-or-equal)/n — identical to the built-ins "
+    "including tie semantics.",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, "customer", sf_dir)
-    w = Window.orderBy("c_acctbal")
-    return c.select(
-        "c_custkey",
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume"),
+    per_val = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    # ordered prefix sum over the bounded distinct-value table only
+    w = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = per_val.agg(F.sum("cnt").alias("n_total"))
+    stats = (
+        per_val.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_acctbal",
+            F.when(
+                F.col("n_total") > 1,
+                (F.col("cum") - F.col("cnt")) / (F.col("n_total") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bal_pct_rank"),
+            (F.col("cum") / F.col("n_total")).alias("bal_cume"),
+        )
+    )
+    return c.join(F.broadcast(stats), "c_acctbal").select(
+        "c_custkey", "bal_pct_rank", "bal_cume"
     )
 
 

@@ -65,6 +65,20 @@ def test_mm_frame_sample_prunes_payload(spark, sf_dir):
         assert "payload" not in s, "frame sampling must not read payload bytes"
 
 
+def test_window_distribution_is_two_pass(spark, sf_dir):
+    """The distribution query must never sort every raw row in one
+    task: its unpartitioned window may only consume the per-value
+    aggregate (bounded cardinality), and the join back must be a
+    broadcast."""
+    df = SPECS["window_distribution"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    wpos = plan.index("Window")
+    # children print below their parent: the window's input subtree
+    # must contain the per-value HashAggregate
+    assert "HashAggregate" in plan[wpos:], plan
+    assert checks.has_broadcast_join(df), "rank stats should broadcast back to rows"
+
+
 def test_fact_scan_prunes_unused_columns(spark, sf_dir):
     li = load(spark, "lineitem", sf_dir)
     df = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
