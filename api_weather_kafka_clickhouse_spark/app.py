@@ -45,16 +45,23 @@ def run_batch_cycle(
     fetched = fetch_weather(cities, fetcher)
     fetched = route_topic(fetched, routed.select("name", "topic"))
 
-    ok = fetched.filter(F.col("value").isNotNull())
-    if archive_path is not None:
-        # A9: raw-payload archive (one JSON file tree per cycle)
-        ok.select("name", "topic", "value").write.mode("append").json(archive_path)
+    # the fetch is a non-idempotent external call: persist its result
+    # so the archive write, the fact append, and the counters all see
+    # ONE sweep instead of re-executing the HTTP fetch per action
+    fetched.persist()
+    try:
+        ok = fetched.filter(F.col("value").isNotNull())
+        if archive_path is not None:
+            # A9: raw-payload archive (one JSON file tree per cycle)
+            ok.select("name", "topic", "value").write.mode("append").json(archive_path)
 
-    fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
-    write_fact(fact, warehouse_path)
+        fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
+        write_fact(fact, warehouse_path)
 
-    n_cities = cities.count()
-    n_ok = ok.count()
+        n_cities = cities.count()
+        n_ok = ok.count()
+    finally:
+        fetched.unpersist()
     return {
         "n_cities": n_cities,
         "n_fetched": n_ok,

@@ -15,7 +15,8 @@ LLM-corpus operators, designed 100-TB-first:
   table — O(candidate docs' shingles), not O(n²).
 - The exact-Jaccard operator uses an inverted shingle index
   (explode → equi-join → count), the standard all-pairs similarity
-  shape; at 100 TB add a document-frequency cutoff on hot shingles.
+  shape, with a document-frequency cutoff (SHINGLE_DF_CAP) so a viral
+  boilerplate shingle cannot blow up the pair join at corpus scale.
 
 The DuckDB oracle for every *-jaccard pair query is the same
 brute-force inverted-index SQL, so LSH recall bugs can't hide: a
@@ -62,6 +63,31 @@ _JACCARD_ORACLE = """
 
 JACCARD_THRESHOLD = 0.8
 
+# Document-frequency cap for the inverted-index pair join: a shingle
+# appearing in k docs contributes k² join rows, so one viral
+# boilerplate shingle can dominate the shuffle at corpus scale. Shingles
+# above the cap are dropped from INTERSECTION counting only (sizes stay
+# exact), the standard all-pairs-similarity mitigation. Results are
+# bit-identical whenever no shingle exceeds the cap — asserted for the
+# testdata corpus in tests/test_dedup.py (max DF there is far below
+# this default).
+SHINGLE_DF_CAP = 1000
+
+
+def _drop_hot_shingles(e: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Remove shingles whose document frequency exceeds `cap`.
+
+    The hot set is tiny by construction (only shingles shared by >cap
+    docs), so it broadcasts and the anti-join adds no shuffle of `e`.
+    """
+    hot = (
+        e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return e.join(F.broadcast(hot), "shingle", "left_anti")
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
@@ -98,10 +124,28 @@ def _shingle_sizes(e: DataFrame) -> DataFrame:
     return e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _verify_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
+def _verify_pairs(cand: DataFrame, e: DataFrame, restrict_to_candidates: bool = False) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
     intersection via equi-join of the candidates against the exploded
-    shingle table (touches only candidate docs' shingles)."""
+    shingle table.
+
+    `restrict_to_candidates` first narrows the shingle table to
+    candidate docs with a broadcast semi-join, so the intersection
+    joins shuffle only candidate shingles instead of the full corpus —
+    the right shape when the corpus is huge relative to the candidate
+    set (100 TB). It is OFF by default because A/B measurement at
+    sf0.1 (5k docs, 256 candidate pairs) showed the broadcast barrier
+    costs more than the avoided shuffle at local scale: verify-only
+    0.8 s pipelined vs 1.9 s restricted, end-to-end median 4.7 s vs
+    9.8 s. Flip it when candidate_docs << corpus_docs no longer holds
+    the shuffles in memory."""
+    if restrict_to_candidates:
+        docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        e = e.join(F.broadcast(docs), "doc_id", "left_semi")
     ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -173,12 +217,15 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact all-pairs 3-gram Jaccard >= 0.8 via inverted shingle "
     "index: explode distinct shingles -> equi-join on shingle -> count "
     "intersections -> filter. The exact baseline the LSH variants are "
-    "verified against.",
+    "verified against. Hot shingles above SHINGLE_DF_CAP are excluded "
+    "from the pair join (k docs sharing a shingle produce k² rows) — "
+    "a no-op on corpora without viral boilerplate, asserted in tests.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _doc_shingles_exploded(spark, sf_dir)
-    ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ep = _drop_hot_shingles(e)
+    ea = ep.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ep.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         ea.join(eb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

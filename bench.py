@@ -4,8 +4,10 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
  "sf": ...}.
 
-Timing = full query execution to a count-style action (results
-materialized, nothing collected to the driver beyond the count).
+Timing = full query execution into a noop sink: every output column
+is materialized (a bare count() would let the optimizer prune computed
+columns and time little more than the scan), nothing is collected to
+the driver.
 """
 
 from __future__ import annotations
@@ -46,20 +48,28 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Execute the query with all output columns materialized."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = registry.queries()
     # warm the session outside the timed region: JVM/codegen (q1) and
     # the Python/Arrow worker pool (any pandas-UDF query)
-    queries["q1_pricing_summary"](spark, SF_DIR).count()
-    queries["mm_feature_extract"](spark, SF_DIR).count()
+    _materialize(queries["q1_pricing_summary"](spark, SF_DIR))
+    _materialize(queries["mm_feature_extract"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)
         t0 = time.perf_counter()
-        df.count()
+        _materialize(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist intermediates (e.g. the LSH shingle
+        # table) must not hold executor memory into later timings
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

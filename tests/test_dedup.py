@@ -46,6 +46,23 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
     assert recall >= 0.6, f"simhash recall {recall:.2f} vs exact jaccard pairs"
 
 
+def test_hot_shingle_cap_is_noop_on_testdata(spark, sf_dir):
+    """The DF cutoff only drops shingles shared by >SHINGLE_DF_CAP
+    docs; the testdata corpus has none, so the capped pair join must
+    be bit-identical to the uncapped one (and the oracle parity test
+    stays valid)."""
+    e = dedup._doc_shingles_exploded(spark, sf_dir)
+    max_df = (
+        e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
+    )
+    assert max_df < dedup.SHINGLE_DF_CAP, "testdata grew a viral shingle"
+    capped = dedup._drop_hot_shingles(e)
+    assert capped.count() == e.count()
+    # a tight cap (cap=1) removes every shared shingle -> no pairs
+    aggressive = dedup._drop_hot_shingles(e, cap=1)
+    assert aggressive.count() < e.count()
+
+
 def test_exact_keep_first_is_unique_and_minimal(spark, sf_dir):
     out = dedup.dedup_exact_keep_first(spark, sf_dir)
     n_keys = out.select("user_id", "event_type").distinct().count()
