@@ -17,6 +17,9 @@ runs hermetically in tests; production passes
 
 from __future__ import annotations
 
+import time
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +70,43 @@ def run_batch_cycle(
         "n_fetched": n_ok,
         "n_failed": n_cities - n_ok,
     }
+
+
+def run_polling_loop(
+    spark: SparkSession,
+    cities_path: str,
+    fetcher: FetchFn,
+    warehouse_path: str,
+    archive_path: str | None = None,
+    interval_seconds: float = 300.0,
+    error_backoff_seconds: float = 60.0,
+    max_cycles: int | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict[str, int]]:
+    """The reference producer's self-scheduling loop (A11,
+    Producer_clickhouse.py:100-142): run one batch cycle, sleep 300 s,
+    repeat; on a cycle error sleep 60 s and retry. `sleep` and
+    `max_cycles` are injectable so tests drive the loop hermetically;
+    production runs with the defaults (`max_cycles=None` = forever).
+
+    Returns the per-cycle counter dicts (A21 parity); failed cycles
+    record `{"error": 1}`.
+    """
+    reports: list[dict[str, int]] = []
+    cycles = 0
+    while max_cycles is None or cycles < max_cycles:
+        cycles += 1
+        try:
+            reports.append(
+                run_batch_cycle(spark, cities_path, fetcher, warehouse_path, archive_path)
+            )
+            delay = interval_seconds
+        except Exception:  # noqa: BLE001 — reference retries any cycle error
+            reports.append({"error": 1})
+            delay = error_backoff_seconds
+        if max_cycles is None or cycles < max_cycles:
+            sleep(delay)
+    return reports
 
 
 def warehouse_summary(spark: SparkSession, warehouse_path: str) -> DataFrame:

@@ -292,6 +292,49 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Two-phase salted aggregation over a genuinely skewed key "
+    "(o_orderstatus has 3 values, one holding ~half the table): rows "
+    "first aggregate by (key, salt16) so the hot key's work spreads "
+    "over 16 reducers, then the per-salt partials merge by key. For "
+    "plain sums Spark's map-side partial combine already defuses this "
+    "skew; the pattern matters for aggregates partials can't shrink — "
+    "here count(DISTINCT o_custkey), whose distinct sets are deduped "
+    "per salt before the merge (approx_count_distinct is the pure-"
+    "sketch alternative). Results are exactly the plain GROUP BY: "
+    "decimal partials make the merge order irrelevant, and the salted "
+    "distinct-union equals the global distinct.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(16)).alias("salt")
+    partial = (
+        o.select("o_orderstatus", "o_totalprice", "o_custkey", salt)
+        .groupBy("o_orderstatus", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(money("o_totalprice")).alias("_spend"),
+            F.collect_set("o_custkey").alias("_custs"),
+        )
+    )
+    return partial.groupBy("o_orderstatus").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_spend").cast("double").alias("spend"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_custs")))).cast("bigint").alias(
+            "n_custs"
+        ),
+    )
+
+
+@register(
     "agg_corr_moments",
     oracle="""
     WITH m AS (

@@ -138,6 +138,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((SELECT count(*) FROM documents) - dfreq.df + 0.5)
+                   / (dfreq.df + 0.5) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT doc_id, term, round(score, 6) AS tfidf, rn AS rank
+    FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="Per-document top-3 terms by tf-idf (SURVEY §2-D4's groupBy+"
+    "join shape): term counts -> document frequencies -> score join -> "
+    "windowed top-k. The idf is the rational BM25-style "
+    "(N - df + 0.5)/(df + 0.5) — no ln(), so the score arithmetic is "
+    "single IEEE ops and bit-identical across engines (a transcendental "
+    "idf could differ by an ULP and flip rankings). At 100 TB: tf and "
+    "df are two map-side-combining aggregates, the score join shuffles "
+    "on term, top-k is per-doc row_number — no global sort.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rank")
+    )
+
+
+_BPE_ALPHA = "[A-Za-z]+"
+_BPE_NUM = "[0-9]+"
+_BPE_OTHER = "[^A-Za-z0-9 ]"
+_BPE_ALL = f"{_BPE_ALPHA}|{_BPE_NUM}|{_BPE_OTHER}+"
+
+
+@register(
+    "text_token_regex",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_ALL}'))   AS n_tokens_bpe,
+           len(regexp_extract_all(text, '{_BPE_ALPHA}')) AS n_alpha,
+           len(regexp_extract_all(text, '{_BPE_NUM}'))   AS n_num,
+           len(string_split(text, ' '))                  AS n_tokens_ws
+    FROM documents
+    """,
+    doc="BPE-style regex token counting vs whitespace tokens: runs of "
+    "letters, runs of digits, and runs of other non-space chars as "
+    "separate tokens (the GPT-2 pre-tokenizer's class split, reduced "
+    "to character classes that behave identically in Java regex and "
+    "RE2). Pure codegen expressions — token statistics at scan speed.",
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ALL), 0)).cast("bigint").alias(
+            "n_tokens_bpe"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ALPHA), 0)).cast("bigint").alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_NUM), 0)).cast("bigint").alias("n_num"),
+        n_tokens("text").cast("bigint").alias("n_tokens_ws"),
+    )
+
+
+@register(
     "text_bigram_topk",
     oracle="""
     SELECT bigram, count(*) AS n

@@ -10,6 +10,41 @@ from tests.test_cities import FIXTURE
 from tests.test_sources import make_fake_fetcher
 
 
+def test_polling_loop_cycles_and_error_backoff(spark, tmp_path, monkeypatch):
+    """A11 parity: 300 s cycle cadence, 60 s backoff after a failed
+    cycle, loop keeps running (Producer_clickhouse.py:100-142)."""
+    cities_path = tmp_path / "cities.json"
+    cities_path.write_text(json.dumps(FIXTURE))
+    wh = str(tmp_path / "warehouse")
+    sleeps: list[float] = []
+
+    real_cycle = app.run_batch_cycle
+    calls = {"n": 0}
+
+    def flaky_cycle(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("API down this cycle")
+        return real_cycle(*args, **kwargs)
+
+    monkeypatch.setattr(app, "run_batch_cycle", flaky_cycle)
+    reports = app.run_polling_loop(
+        spark,
+        str(cities_path),
+        make_fake_fetcher(),
+        wh,
+        interval_seconds=300.0,
+        error_backoff_seconds=60.0,
+        max_cycles=3,
+        sleep=sleeps.append,
+    )
+    assert len(reports) == 3
+    assert reports[0] == {"error": 1}
+    assert reports[1]["n_fetched"] == 5 and reports[2]["n_fetched"] == 5
+    assert sleeps == [60.0, 300.0]  # backoff after failure, cadence after success
+    assert spark.read.parquet(wh).count() == 10
+
+
 def test_full_batch_cycle(spark, tmp_path):
     cities_path = tmp_path / "cities.json"
     cities_path.write_text(json.dumps(FIXTURE))
