@@ -124,10 +124,19 @@ def _shingle_sizes(e: DataFrame) -> DataFrame:
     return e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _verify_pairs(cand: DataFrame, e: DataFrame, restrict_to_candidates: bool = False) -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame,
+    e: DataFrame,
+    restrict_to_candidates: bool = False,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
     intersection via equi-join of the candidates against the exploded
     shingle table.
+
+    `sizes` (doc_id, n) lets callers reuse shingle-set sizes already
+    computed in another aggregate (minhash fuses them into the
+    signature groupBy) instead of re-shuffling `e` a third time.
 
     `restrict_to_candidates` first narrows the shingle table to
     candidate docs with a broadcast semi-join, so the intersection
@@ -154,7 +163,8 @@ def _verify_pairs(cand: DataFrame, e: DataFrame, restrict_to_candidates: bool = 
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = _shingle_sizes(e)
+    if sizes is None:
+        sizes = _shingle_sizes(e)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -268,6 +278,10 @@ def minhash_signatures(e: DataFrame) -> DataFrame:
     Universal hashing h_i(s) = (A_i * x + B_i) mod p over
     x = xxhash64(s) mod p; products stay < 2^61 so ANSI-mode 64-bit
     arithmetic cannot overflow.
+
+    The shingle-set size rides along as a 65th aggregate (`n`) so the
+    Jaccard verify step gets its denominators from this one shuffle
+    instead of a second groupBy over the shingle table.
     """
     x = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     e = e.select("doc_id", x.alias("x"))
@@ -277,9 +291,9 @@ def minhash_signatures(e: DataFrame) -> DataFrame:
         )
         for i in range(N_PERM)
     ]
-    grouped = e.groupBy("doc_id").agg(*mins)
+    grouped = e.groupBy("doc_id").agg(*mins, F.count(F.lit(1)).alias("n"))
     return grouped.select(
-        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(N_PERM)]).alias("sig")
+        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(N_PERM)]).alias("sig"), "n"
     )
 
 
@@ -292,11 +306,12 @@ def minhash_signatures(e: DataFrame) -> DataFrame:
     "not every doc sharing any shingle.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle table feeds 4 plan branches (signatures, both sides
-    # of the verify join, sizes) — persist it once, exactly as the
-    # 100 TB pipeline would checkpoint its shingle index
+    # the shingle table feeds 3 plan branches (signatures, both sides
+    # of the verify join) — persist it once, exactly as the 100 TB
+    # pipeline would checkpoint its shingle index; the tiny signature
+    # table feeds bands AND the verify denominators, so persist it too
     e = _doc_shingles_exploded(spark, sf_dir).persist()
-    sig = minhash_signatures(e)
+    sig = minhash_signatures(e).persist()
     n_bands = N_PERM // BAND_ROWS
     # bands unrolled at plan-build time (band count is a static const)
     band_structs = F.array(
@@ -319,7 +334,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs(cand, e)
+    return _verify_pairs(cand, e, sizes=sig.select("doc_id", "n"))
 
 
 # --- SimHash ---------------------------------------------------------
