@@ -412,6 +412,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0
+             * (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
+                          AS DOUBLE)
+                          / len(string_split(text, ' ')) > 0.05
+                     THEN 1.0 ELSE 0.5 END) AS q
+      FROM documents
+    ), passed AS (
+      SELECT * FROM quality WHERE q >= 0.5
+    ), exact_survivors AS (
+      SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(text)
+    ), sh AS (
+      SELECT p.doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM passed) p
+      JOIN exact_survivors es ON es.doc_id = p.doc_id
+    ), e AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT doc_id, len(s) AS n FROM sh
+    ), near_dropped AS (
+      SELECT DISTINCT pairs.doc_b AS doc_id
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = pairs.doc_a
+      JOIN sz sb ON sb.doc_id = pairs.doc_b
+      WHERE pairs.inter * 1.0 / (sa.n + sb.n - pairs.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT p.doc_id, p.lang, p.n_chars, round(p.q, 6) AS quality
+    FROM passed p
+    JOIN exact_survivors es ON es.doc_id = p.doc_id
+    WHERE p.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """,
+    doc="The composed LLM-corpus cleaning pass a pretraining pipeline "
+    "runs end-to-end: quality gate (score >= 0.5) -> exact dedup "
+    "(md5 groupBy, keep min doc_id) -> near-dup removal (a doc is "
+    "dropped when it has a >= 0.8-Jaccard twin with a smaller id — "
+    "the deterministic keep-lowest rule, no transitive chasing). "
+    "Every stage is the scale shape used by its standalone operator; "
+    "the whole pipeline is one lazy plan, so Catalyst pushes the "
+    "quality filter below the shingling and the near-dup join only "
+    "ever sees quality-passed, exact-deduped docs.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+
+    d = load(spark, "documents", sf_dir)
+    passed = d.select(
+        "doc_id", "text", "lang", "n_chars", quality_score("text").alias("q")
+    ).filter(F.col("q") >= 0.5)
+    # exact dedup: keep the smallest doc_id per content hash
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        passed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    # near-dup removal among exact survivors only: shingling (distinct
+    # word 3-grams, codegen) runs on the already-reduced doc set
+    sh = exact.select("doc_id", shingles("text", 3).alias("s")).select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    dropped = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        exact.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars", F.round("q", 6).alias("quality"))
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -65,6 +65,19 @@ def test_mm_frame_sample_prunes_payload(spark, sf_dir):
         assert "payload" not in s, "frame sampling must not read payload bytes"
 
 
+def test_flagship_join_shuffle_budget(spark, sf_dir):
+    """The flagship 4-table join must stay within its shuffle budget:
+    dims broadcast (no SortMergeJoin against a dimension) and at most
+    one real data shuffle beyond broadcasts + the final aggregate."""
+    df = SPECS["join_flagship_revenue"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    broadcasts = plan.count("BroadcastHashJoin")
+    assert broadcasts >= 2, plan
+    # Exchange lines include BroadcastExchange; real shuffles are the rest
+    real_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert real_shuffles <= 2, f"{real_shuffles} non-broadcast shuffles:\n{plan}"
+
+
 def test_window_distribution_is_two_pass(spark, sf_dir):
     """The distribution query must never sort every raw row in one
     task: its unpartitioned window may only consume the per-value
