@@ -101,6 +101,58 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_STRIDE = 4
+
+_RESIZE_SCHEMA = "doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, out_checksum bigint"
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stride-downsample stand-in for an image/audio resize kernel:
+    keep every RESIZE_STRIDE-th byte. A real resampler (PIL/librosa)
+    replaces the two numpy lines; the Arrow-batch plumbing, schema,
+    and metadata update are the production shape."""
+    import numpy as np
+
+    for pdf in batches:
+        n_in, n_out, checks = [], [], []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(b, dtype=np.uint8)[::RESIZE_STRIDE]
+            n_in.append(len(b))
+            n_out.append(len(arr))
+            checks.append(int(arr.astype(np.int64).sum()) % ADLER_MOD)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_in": n_in,
+                "n_bytes_out": n_out,
+                "out_checksum": checks,
+            }
+        )
+
+
+@register(
+    "mm_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           strlen(text) AS n_bytes_in,
+           (strlen(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS n_bytes_out,
+           CAST(list_sum([ascii(text[i]) for i in range(1, strlen(text) + 1)
+                          if (i - 1) % {RESIZE_STRIDE} = 0]) % {ADLER_MOD}
+                AS BIGINT) AS out_checksum
+    FROM documents
+    """,
+    doc="Resize/resample through the multimodal decode path: every "
+    "4th byte survives (deterministic downsample stand-in — no codecs "
+    "in this container), metadata updated to the new size, checksum "
+    "over the resampled payload. The oracle recomputes the stride "
+    "sample in SQL over the source text (ASCII corpus: char == byte).",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binary_table(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        _resize_batch, schema=_RESIZE_SCHEMA
+    )
+
+
 @register(
     "mm_frame_sample",
     oracle="""
