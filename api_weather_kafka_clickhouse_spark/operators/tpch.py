@@ -532,6 +532,285 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle=f"""
+    WITH allnations AS (
+      SELECT year(o.o_orderdate) AS yr,
+             CAST(sum(CASE WHEN n2.n_name = 'GERMANY' THEN {_REV}
+                           ELSE CAST(0.0 AS DECIMAL(16,4)) END) AS DECIMAL(38,4)) AS nation_rev,
+             CAST(sum({_REV}) AS DECIMAL(38,4)) AS total_rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY year(o.o_orderdate)
+    )
+    SELECT yr,
+           CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS mkt_share,
+           CAST(total_rev AS DOUBLE) AS total_rev
+    FROM allnations
+    """,
+    doc="TPC-H Q8 shape: one nation's revenue share of a region's "
+    "yearly volume — conditional sum over a 7-table join, share "
+    "derived from two exact decimal sums by one double division.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), "n_regionkey")
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    rev = _rev_col()
+    zero = F.lit(0.0).cast("decimal(16,4)")
+    shares = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "GERMANY", rev).otherwise(zero))
+            .cast("decimal(38,4)")
+            .alias("nation_rev"),
+            F.sum(rev).cast("decimal(38,4)").alias("total_rev"),
+        )
+    )
+    return shares.select(
+        "yr",
+        (F.col("nation_rev").cast("double") / F.col("total_rev").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.col("total_rev").cast("double").alias("total_rev"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(l.l_quantity AS DECIMAL(12,2))
+                      * CAST(l.l_tax AS DECIMAL(4,2)) * 100) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9 shape (profit by supplier nation x year): the "
+    "testdata has no partsupp, so supplycost is proxied by "
+    "quantity*tax*100 — the decimal expression structure (revenue "
+    "minus a per-line cost term, name-filtered parts, nation/year "
+    "grouping) is the Q9 plan shape.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load(spark, "nation", sf_dir)
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%a%")).select("p_partkey")
+    profit = _rev_col() - F.col("l_quantity").cast("decimal(12,2)") * F.col("l_tax").cast(
+        "decimal(4,2)"
+    ) * 100
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: order-count histogram over a filtered left "
+    "join (customers with zero orders kept) — two cascaded "
+    "aggregations, the second over the tiny count domain. The "
+    "reference filter is on o_comment, absent from the testdata; "
+    "o_orderpriority keeps the ON-clause-filter shape.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir).select("c_custkey")
+    o = load(spark, "orders", sf_dir).filter(
+        ~F.col("o_orderpriority").like("%URGENT%")
+    ).select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supp_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(supp_cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey, s.s_suppkey, s.s_name, n.n_name,
+           CAST(c.supp_cost AS DOUBLE) AS supp_cost
+    FROM cost c
+    JOIN best b     ON c.l_partkey = b.l_partkey AND c.supp_cost = b.min_cost
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND c.l_partkey % 100 = 0
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part, region-filtered): "
+    "the correlated MIN subquery decorelates to an aggregate self-join "
+    "on (part, min-cost); supplycost is proxied by the supplier's "
+    "minimum sale price (no partsupp in the testdata). Ties surface "
+    "every min-cost supplier, as in Q2.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("supp_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("supp_cost").alias("min_cost"))
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.l_partkey) & (cost.supp_cost == best.min_cost),
+        )
+        .drop(best.l_partkey)
+        .filter(F.col("l_partkey") % 100 == 0)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("supp_cost").cast("double").alias("supp_cost"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts by part attributes "
+    "with a NOT-IN anti-join exclusion (lineitem stands in for "
+    "partsupp as the part-supplier link; negative-balance suppliers "
+    "stand in for the comment-flagged exclusion list).",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, "part", sf_dir)
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = load(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'GERMANY'
+      AND EXISTS (
+        SELECT 1 FROM shipped sh
+        JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE sh.l_suppkey = s.s_suppkey
+          AND p.p_name LIKE 'a%'
+          AND sh.qty > 50
+      )
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape: suppliers of a nation holding excess stock "
+    "of name-filtered parts — aggregate-then-EXISTS chain decorrelated "
+    "to a semi-join on suppkey (lineitem shipments stand in for "
+    "partsupp availability).",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("a%")).select("p_partkey")
+    shipped = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey")
+    )
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, "nation", sf_dir).filter(F.col("n_name") == "GERMANY")
+    return (
+        s.join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("s_suppkey") == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q21_suppliers_kept_waiting",
     oracle="""
     SELECT s.s_suppkey, s.s_name, count(*) AS numwait
