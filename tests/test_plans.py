@@ -4,6 +4,7 @@ map-side partial aggregation, no cartesian products."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from api_weather_kafka_clickhouse_spark import registry
@@ -76,6 +77,37 @@ def test_flagship_join_shuffle_budget(spark, sf_dir):
     # Exchange lines include BroadcastExchange; real shuffles are the rest
     real_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert real_shuffles <= 2, f"{real_shuffles} non-broadcast shuffles:\n{plan}"
+
+
+# Shuffle budgets for headline queries: the number of non-broadcast
+# Exchanges each plan is allowed. A regression above budget means a
+# dim stopped broadcasting or an extra repartition crept in — the
+# kind of change that is invisible at sf0.1 and catastrophic at 100 TB.
+SHUFFLE_BUDGET = {
+    "q1_pricing_summary": 1,     # one agg exchange
+    "q6_forecast_revenue": 1,    # scan + single-row combine
+    "q3_shipping_priority": 3,   # fact join + agg + topk
+    "join_broadcast_region": 1,  # dims broadcast, one agg
+    "window_topk_per_group": 1,  # one window shuffle
+    "window_running_sum": 1,
+    "sessionize": 2,             # window + final agg
+    "dedup_exact_keep_first": 1,
+    "text_token_stats": 0,       # pure per-row projection
+    "text_lang_id": 0,
+    "mm_feature_extract": 0,     # mapInPandas over the scan
+    "filter_project": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_headline_shuffle_budget(spark, sf_dir, name):
+    df = SPECS[name].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    real = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert real <= SHUFFLE_BUDGET[name], (
+        f"{name}: {real} non-broadcast shuffles (budget "
+        f"{SHUFFLE_BUDGET[name]}):\n{plan}"
+    )
 
 
 def test_window_distribution_is_two_pass(spark, sf_dir):
