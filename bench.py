@@ -44,6 +44,8 @@ HEADLINE = [
     "sim_ann_lsh",
     "text_token_stats",
     "text_bigram_topk",
+    "text_tfidf_topk",
+    "corpus_clean_pipeline",
     "mm_feature_extract",
 ]
 
