@@ -68,6 +68,46 @@ def scalar_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_arrays_maps",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' '))                              AS n_words,
+           array_to_string(list_slice(string_split(p_name, ' '), 1, 3), ' ') AS first3,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'green')           AS has_green,
+           CAST(list_position(string_split(p_name, ' '), 'green') AS BIGINT) AS pos_green,
+           list_max(string_split(p_name, ' '))                         AS max_word,
+           map(['brand', 'size'], [p_brand, CAST(p_size AS VARCHAR)])['brand'][1] AS brand_val
+    FROM part
+    """,
+    doc="Array + map function battery (§2-E in-flight array/map "
+    "shapes): slice/sort/contains/position/max over word arrays and a "
+    "build-then-extract over a string map. All outputs scalar — the "
+    "driver canonicalizer cannot hash array or map cells. "
+    "Cross-engine notes: both engines are 1-based with position 0 for "
+    "missing; DuckDB map extraction yields a 1-element list, "
+    "unwrapped with [1].",
+)
+def scalar_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, "part", sf_dir)
+    arr = F.split("p_name", " ")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("size")),
+        F.array(F.col("p_brand"), F.col("p_size").cast("string")),
+    )
+    return p.select(
+        "p_partkey",
+        F.size(arr).cast("bigint").alias("n_words"),
+        F.array_join(F.slice(arr, 1, 3), " ").alias("first3"),
+        F.array_join(F.sort_array(arr), ",").alias("sorted_words"),
+        F.array_contains(arr, "green").alias("has_green"),
+        F.array_position(arr, "green").cast("bigint").alias("pos_green"),
+        F.array_max(arr).alias("max_word"),
+        F.element_at(m, "brand").alias("brand_val"),
+    )
+
+
+@register(
     "join_cross_small",
     oracle="""
     SELECT r.r_name, s.o_orderstatus, count(*) AS n_combos
