@@ -143,6 +143,69 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+      FROM events GROUP BY 1, 2
+    ), ext AS (
+      SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY event_type
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM ext
+    )
+    SELECT s.event_type, CAST(s.bucket AS TIMESTAMP) AS bucket,
+           coalesce(b.n, 0) AS n,
+           b.vsum,
+           last_value(b.vsum IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vsum_ffill
+    FROM spine s
+    LEFT JOIN b ON b.event_type = s.event_type AND b.bucket = s.bucket
+    """,
+    doc="Hourly resample with gap filling (the hypertable/time_bucket_"
+    "gapfill pattern): per-key dense hour spine via sequence+explode, "
+    "left join of the bucket aggregates, zero-fill for counts and "
+    "forward-fill (last non-null) for the measure. The spine "
+    "generation is per-key bounded (max-min hours), the join is an "
+    "equi-join on (key, bucket), and the forward fill is one running "
+    "window — all linear in spine size at 100 TB.",
+)
+def time_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    b = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("vsum"),
+        )
+    )
+    ext = b.groupBy("event_type").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = ext.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    joined = spine.join(b, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "vsum",
+        F.last("vsum", ignorenulls=True).over(w).alias("vsum_ffill"),
+    )
+
+
+@register(
     "round_robin_assign",
     oracle="""
     SELECT n_name,
