@@ -1,0 +1,75 @@
+"""Incrementally-maintained rollup — a streaming materialized view.
+
+The warehouse layer answers per-city/day aggregates by scanning the
+fact table (`app.warehouse_summary`); this module maintains the same
+answer incrementally: each micro-batch writes its PARTIAL aggregates
+(count + exact decimal sum — commutative, associative, mergeable) and
+readers merge partials. At 100 TB the read side touches the tiny
+rollup table instead of the fact table, and the write side does one
+map-side-combined aggregate per micro-batch.
+
+Exactly-once without a transactional table format: each batch's
+partials land in a `batch_id=<n>` partition written with DYNAMIC
+partition overwrite, so a replayed micro-batch (checkpoint recovery,
+supervisor restart) overwrites its own partition instead of
+double-appending — the idempotent-foreachBatch pattern the reference's
+commit-after-insert only approximates
+(reference app/Consumer_clickhouse.py:160-165, with ClickHouse's
+insert dedup explicitly disabled at app/clickhouse_db.py:23).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+ROLLUP_KEYS = ("event_date", "city_name")
+
+
+def _batch_partials(batch_df: DataFrame) -> DataFrame:
+    return batch_df.groupBy(*ROLLUP_KEYS).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("temperature").cast("decimal(18,2)")).alias("t_sum"),
+        F.min("temperature").alias("t_min"),
+        F.max("temperature").alias("t_max"),
+    )
+
+
+def start_rollup(
+    fact_stream: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Maintain per-(event_date, city_name) partials from the typed
+    fact stream (`pipeline.transform` output)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _batch_partials(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(rollup_path)
+        )
+
+    writer = fact_stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Merge the partials: counts and exact decimal sums add, min/max
+    combine — identical to aggregating the fact table directly."""
+    partials = spark.read.parquet(rollup_path)
+    return partials.groupBy(*ROLLUP_KEYS).agg(
+        F.sum("n_obs").alias("n_obs"),
+        F.min("t_min").alias("t_min"),
+        F.max("t_max").alias("t_max"),
+        (F.sum("t_sum").cast("double") / F.sum("n_obs")).alias("t_avg"),
+    )
