@@ -570,23 +570,29 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir).select(
         "vec_id", to_double("embedding").alias("vec")
     )
+    # band keys computed ONCE (one Arrow/numpy matmul pass over the
+    # corpus, persisted) and carried WITHOUT the vector payload — the
+    # candidate join and its dedup shuffle 3 ints per row instead of
+    # 8 copies of every 64-double embedding; vectors re-attach to the
+    # (small) candidate pair set afterwards
     bands = e.select(
-        "vec_id", "vec", F.posexplode(_band_keys(F.col("vec"))).alias("band_idx", "band_key")
-    )
-    ba = bands.select(
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "band_idx", "band_key"
-    )
-    bb = bands.select(
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "band_idx", "band_key"
-    )
+        "vec_id", F.posexplode(_band_keys(F.col("vec"))).alias("band_idx", "band_key")
+    ).persist()
+    ba = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_key")
+    bb = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_key")
     cand = (
         ba.join(bb, ["band_idx", "band_key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
     return (
-        cand.withColumn("cos_raw", cos)
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.42)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
