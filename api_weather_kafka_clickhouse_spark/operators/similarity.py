@@ -127,19 +127,25 @@ def _band_keys(vec) -> F.Column:
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_and_queries(spark, sf_dir)
+    # corpus band rows carry only (id, band) — not 8 copies of each
+    # embedding; vectors re-attach to the small candidate set below
     cb = corpus.select(
-        "nbr_id", "nbr_vec", F.posexplode(_band_keys(F.col("nbr_vec"))).alias("band_idx", "band_key")
+        "nbr_id", F.posexplode(_band_keys(F.col("nbr_vec"))).alias("band_idx", "band_key")
     )
     qb = queries.select(
-        "query_id", "q_vec", F.posexplode(_band_keys(F.col("q_vec"))).alias("band_idx", "band_key")
+        "query_id", F.posexplode(_band_keys(F.col("q_vec"))).alias("band_idx", "band_key")
     )
     cand = (
         cb.join(F.broadcast(qb), ["band_idx", "band_key"])
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "q_vec", "nbr_id", "nbr_vec")
+        .select("query_id", "nbr_id")
         .dropDuplicates(["query_id", "nbr_id"])
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    scored = (
+        cand.join(corpus, "nbr_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
