@@ -386,7 +386,9 @@ def simhash_signatures(e: DataFrame) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _doc_shingles_exploded(spark, sf_dir)
-    sigs = simhash_signatures(e)
+    # the signature table feeds both sides of the band self-join —
+    # persist the (doc_id, sim) pairs so the 64-sum aggregate runs once
+    sigs = simhash_signatures(e).persist()
     band_structs = F.array(
         *[
             F.struct(
