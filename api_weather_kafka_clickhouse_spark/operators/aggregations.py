@@ -292,6 +292,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT)
+             AS n_urgent,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Boolean aggregate battery: bool_and/bool_or (every/any) and "
+    "a filtered count — one-bit partial state, ideal map-side "
+    "combiners.",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_salted_skew",
     oracle="""
     SELECT o_orderstatus,

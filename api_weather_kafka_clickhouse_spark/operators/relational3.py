@@ -68,6 +68,33 @@ def scalar_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_strings3",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 1)                       AS name_head,
+           regexp_replace(c_name, '[0-9]+', 'N', 'g')       AS name_nodigits,
+           md5(c_name)                                      AS name_md5,
+           sha256(c_name)                                   AS name_sha256,
+           CAST(strpos(c_name, '#') AS BIGINT)              AS hash_pos
+    FROM customer
+    """,
+    doc="String battery 3: split_part, global regexp_replace, "
+    "md5/sha256 content hashing (the dedup fingerprint primitives as "
+    "scalar functions), substring position.",
+)
+def scalar_strings3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("name_nodigits"),
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+    )
+
+
+@register(
     "scalar_arrays_maps",
     oracle="""
     SELECT p_partkey,

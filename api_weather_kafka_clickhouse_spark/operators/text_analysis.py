@@ -232,6 +232,41 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_sentence_udtf",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, '. '), 1) - 1 AS pos,
+           unnest(string_split(text, '. ')) AS sentence
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="Python UDTF surface (§2-C UDF/UDAF/UDTF): a table function "
+    "splitting documents into (pos, sentence) rows via LATERAL join. "
+    "Python UDTFs run row-at-a-time — this demonstrates and "
+    "oracle-checks the API against the declarative twin "
+    "(posexplode(split(...))), which is the production shape for this "
+    "particular transform; UDTFs earn their cost only when the "
+    "expansion logic can't be expressed with built-ins. Fenced to 50 "
+    "docs for exactly that reason.",
+)
+def text_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.sentence FROM _udtf_docs, LATERAL split_sentences(text) s"
+    )
+
+
+@register(
     "text_bigram_topk",
     oracle="""
     SELECT bigram, count(*) AS n
