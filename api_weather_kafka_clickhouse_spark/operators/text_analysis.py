@@ -232,6 +232,49 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_train_holdout",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/holdout assignment — the reproducible "
+    "dataset-split every training pipeline needs: hash the stable key "
+    "(md5, identical hex in every engine), compare a prefix against a "
+    "threshold ('cd' = 205/256 ~ 80%). No RNG, no state: any engine, "
+    "any partitioning, any rerun yields the same split, and adding "
+    "documents never reassigns existing ones.",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < "cd", "train").otherwise("holdout").alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # sampling is engine-RNG-specific -> rows-only;
+    # stratum proportions + seed-determinism asserted in pytest
+    doc="Stratified corpus subsampling (per-language fractions via "
+    "sampleBy): the standard way to rebalance a pretraining mix. "
+    "Seeded Bernoulli sampling per stratum — one scan, no shuffle; "
+    "deterministic for a fixed seed and partitioning but not across "
+    "engines, hence rows-only for the driver. For cross-engine "
+    "reproducible subsets use split_train_holdout's hash-threshold "
+    "pattern instead.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    fractions = {"en": 0.25, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+    return d.sampleBy("lang", fractions, seed=20260813).select("doc_id", "lang", "source")
+
+
+@register(
     "text_sentence_udtf",
     oracle="""
     SELECT doc_id,
