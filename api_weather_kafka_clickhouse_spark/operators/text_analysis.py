@@ -231,6 +231,53 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_TOKEN_BUDGET = 2048
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' ')))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_offset
+    FROM t
+    """,
+    doc="Sequence packing for training (concat-then-chunk): documents "
+    "are laid head-to-tail in a deterministic order and chunked into "
+    f"{SEQ_TOKEN_BUDGET}-token sequences; each doc gets its sequence "
+    "id and starting offset from one running token sum. Packing is "
+    "per-lang (per shard at 100 TB) so the window is partitioned — "
+    "a global pack would serialize; sharded packing is what real "
+    "pipelines do anyway.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    nt = n_tokens("text").cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", nt.alias("n_tokens"), F.sum(nt).over(w).alias("cum"))
+    start = F.col("cum") - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (start / SEQ_TOKEN_BUDGET).cast("bigint").alias("seq_id"),
+        F.pmod(start, F.lit(SEQ_TOKEN_BUDGET)).cast("bigint").alias("seq_offset"),
+    )
+
+
 @register(
     "split_train_holdout",
     oracle="""
