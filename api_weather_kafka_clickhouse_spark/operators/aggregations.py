@@ -292,6 +292,29 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_levels",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)                       AS g_status,
+           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)   AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP with GROUPING()/grouping_id(): the level indicators "
+    "that distinguish a subtotal row's NULL from a real NULL key — "
+    "required for unambiguous rollup consumption.",
+)
+def agg_grouping_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_boolean",
     oracle="""
     SELECT o_orderstatus,

@@ -158,6 +158,35 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS k FROM orders
+    ), d AS (
+      SELECT DISTINCT k FROM a
+    )
+    SELECT d.k, count(*) AS n
+    FROM d JOIN a ON a.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys match each other instead of vanishing — the semantics "
+    "needed when a nullable column is a legitimate join key.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    a = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("ak")
+    )
+    d = a.select(F.col("ak").alias("k")).distinct()
+    return (
+        d.join(a, F.col("k").eqNullSafe(F.col("ak")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
     SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,

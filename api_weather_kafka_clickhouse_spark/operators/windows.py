@@ -164,6 +164,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_numeric",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS nearby_sum
+    FROM orders
+    """,
+    doc="Numeric RANGE frame (value-based, not row-based): per "
+    "customer, the sum of orders within 10000 of the current price. "
+    "RANGE frames include all ties of the current value, so the frame "
+    "is well-defined without a tiebreak — deterministic by "
+    "construction.",
+)
+def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("_wrn_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS nearby_sum
+        FROM _wrn_orders
+        """
+    )
+
+
+@register(
     "window_distribution",
     oracle="""
     SELECT c_custkey,
