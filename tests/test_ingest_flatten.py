@@ -87,6 +87,27 @@ def test_flatten_defaults_and_negative_timezone(spark):
     assert row.timezone == -10800  # §1.4 signed fix
 
 
+def test_unknown_fields_are_ignored(spark):
+    """Forward compatibility: payloads carrying fields the schema
+    doesn't know (new API versions) must flatten identically — parity
+    with the reference's dict.get tolerance (clickhouse_db.py:45-82),
+    which never inspects unknown keys."""
+    extra = dict(
+        FULL_PAYLOAD,
+        new_top_level_field={"a": 1},
+        base="stations",
+        main={**FULL_PAYLOAD["main"], "sea_level": 1021, "grnd_level": 1000},
+        sys={**FULL_PAYLOAD["sys"], "id": 12345, "type": 2},
+    )
+    msgs = spark.createDataFrame(
+        [(json.dumps(FULL_PAYLOAD),), (json.dumps(extra),)], "value string"
+    )
+    out = flatten_weather(parse_raw(msgs, "value").filter(F.col("raw").isNotNull()))
+    rows = out.drop("event_time", "event_date").collect()
+    assert len(rows) == 2
+    assert rows[0] == rows[1], "unknown fields changed the flatten result"
+
+
 def test_corrupt_json_yields_null_raw(spark):
     parsed = parse_raw(_messages(spark), "value")
     assert parsed.filter(F.col("raw").isNull()).count() == 1
