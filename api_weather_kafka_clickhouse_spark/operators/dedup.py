@@ -44,14 +44,21 @@ _JACCARD_ORACLE = """
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                             for i in range(1, len(w) - 1)]) AS s
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-    ), e AS (
+    ), e0 AS (
       SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), hot AS (
+      -- document-frequency cap, mirrored from the Spark side: the
+      -- shingle universe excludes viral shingles SYMMETRICALLY, for
+      -- intersections AND set sizes (no-op on this corpus)
+      SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) > 1000
+    ), e AS (
+      SELECT * FROM e0 WHERE shingle NOT IN (SELECT shingle FROM hot)
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), sz AS (
-      SELECT doc_id, len(s) AS n FROM sh
+      SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
     )
     SELECT doc_a, doc_b,
            round(pairs.inter * 1.0 / (sa.n + sb.n - pairs.inter), 6) AS jaccard
@@ -63,15 +70,15 @@ _JACCARD_ORACLE = """
 
 JACCARD_THRESHOLD = 0.8
 
-# Document-frequency cap for the inverted-index pair join: a shingle
-# appearing in k docs contributes k² join rows, so one viral
-# boilerplate shingle can dominate the shuffle at corpus scale. Shingles
-# above the cap are dropped from INTERSECTION counting only (sizes stay
-# exact), the standard all-pairs-similarity mitigation. Results are
-# bit-identical whenever no shingle exceeds the cap — asserted for the
-# testdata corpus in tests/test_dedup.py (max DF there is far below
-# this default).
-SHINGLE_DF_CAP = 1000
+# Document-frequency cap on the shingle universe: a shingle appearing
+# in k docs contributes k² rows to the inverted-index pair join, so
+# viral boilerplate shingles are removed from the universe entirely —
+# SYMMETRICALLY for intersections and set sizes, in every shingle
+# operator AND in the SQL oracle (which mirrors the cap), so Jaccard
+# stays a true similarity over the capped universe and Spark/oracle
+# parity holds on any corpus. A no-op whenever no shingle exceeds the
+# cap — asserted for the testdata corpus in tests/test_dedup.py.
+SHINGLE_DF_CAP = 1000  # keep in sync with the HAVING clause above
 
 
 def _drop_hot_shingles(e: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
@@ -94,8 +101,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", shingles("text", 3).alias("s"))
 
 
-def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct rows — the hot-path shingle shape.
+def _doc_shingles_exploded(
+    spark: SparkSession, sf_dir: str, cap: int | None = SHINGLE_DF_CAP
+) -> DataFrame:
+    """(doc_id, shingle) distinct rows — the hot-path shingle shape,
+    with the document-frequency cap applied (cap=None disables it).
 
     posexplode + window lead + concat stays in whole-stage codegen;
     the equivalent higher-order `transform` runs interpreted and
@@ -108,7 +118,7 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    return (
+    e = (
         t.select(
             "doc_id",
             F.concat_ws(" ", F.col("tok"), t1, t2).alias("shingle"),
@@ -118,6 +128,9 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingle")
         .distinct()
     )
+    if cap is None:
+        return e
+    return _drop_hot_shingles(e, cap)
 
 
 def _shingle_sizes(e: DataFrame) -> DataFrame:
@@ -227,15 +240,15 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact all-pairs 3-gram Jaccard >= 0.8 via inverted shingle "
     "index: explode distinct shingles -> equi-join on shingle -> count "
     "intersections -> filter. The exact baseline the LSH variants are "
-    "verified against. Hot shingles above SHINGLE_DF_CAP are excluded "
-    "from the pair join (k docs sharing a shingle produce k² rows) — "
-    "a no-op on corpora without viral boilerplate, asserted in tests.",
+    "verified against. The shingle universe excludes hot shingles "
+    "above SHINGLE_DF_CAP symmetrically (intersections and sizes; "
+    "mirrored in the oracle) — a no-op on corpora without viral "
+    "boilerplate, asserted in tests.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _doc_shingles_exploded(spark, sf_dir)
-    ep = _drop_hot_shingles(e)
-    ea = ep.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = ep.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         ea.join(eb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -297,6 +310,35 @@ def minhash_signatures(e: DataFrame) -> DataFrame:
     )
 
 
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from minhash signatures: hash
+    each 4-row band to a key, equi-join on (band_idx, band_key),
+    dedup. Bands are unrolled at plan-build time (static constant).
+    Shared by dedup_minhash_lsh and corpus_clean_pipeline so band
+    parameters can never drift between them."""
+    n_bands = N_PERM // BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.hash(F.slice("sig", j * BAND_ROWS + 1, BAND_ROWS)).alias("band_key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    return (
+        ba.join(bb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_JACCARD_ORACLE,
@@ -312,28 +354,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table feeds bands AND the verify denominators, so persist it too
     e = _doc_shingles_exploded(spark, sf_dir).persist()
     sig = minhash_signatures(e).persist()
-    n_bands = N_PERM // BAND_ROWS
-    # bands unrolled at plan-build time (band count is a static const)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.hash(F.slice("sig", j * BAND_ROWS + 1, BAND_ROWS)).alias("band_key"),
-            )
-            for j in range(n_bands)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_idx", "b.band_key"
-    )
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    cand = (
-        ba.join(bb, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _band_candidates(sig)
     return _verify_pairs(cand, e, sizes=sig.select("doc_id", "n"))
 
 
@@ -435,14 +456,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for i in range(1, len(w) - 1)]) AS s
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM passed) p
       JOIN exact_survivors es ON es.doc_id = p.doc_id
-    ), e AS (
+    ), e0 AS (
       SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), hot AS (
+      SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) > 1000
+    ), e AS (
+      SELECT * FROM e0 WHERE shingle NOT IN (SELECT shingle FROM hot)
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), sz AS (
-      SELECT doc_id, len(s) AS n FROM sh
+      SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
     ), near_dropped AS (
       SELECT DISTINCT pairs.doc_b AS doc_id
       FROM pairs
@@ -484,33 +509,13 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only viable shape at corpus scale): minhash band candidates,
     # exact-Jaccard verified — identical pairs to the exact join, as
     # tests/test_dedup.py::test_minhash_lsh_matches_exact asserts
-    sh = (
-        exact.select("doc_id", shingles("text", 3).alias("s"))
-        .select("doc_id", F.explode("s").alias("shingle"))
-        .persist()
-    )
+    sh = _drop_hot_shingles(
+        exact.select("doc_id", shingles("text", 3).alias("s")).select(
+            "doc_id", F.explode("s").alias("shingle")
+        )
+    ).persist()
     sig = minhash_signatures(sh).persist()
-    n_bands = N_PERM // BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.hash(F.slice("sig", j * BAND_ROWS + 1, BAND_ROWS)).alias("band_key"),
-            )
-            for j in range(n_bands)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_idx", "b.band_key"
-    )
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    cand = (
-        ba.join(bb, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _band_candidates(sig)
     dropped = (
         _verify_pairs(cand, sh, sizes=sig.select("doc_id", "n"))
         .select(F.col("doc_b").alias("doc_id"))

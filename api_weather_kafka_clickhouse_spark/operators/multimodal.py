@@ -136,8 +136,8 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            strlen(text) AS n_bytes_in,
            (strlen(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS n_bytes_out,
-           CAST(list_sum([ascii(text[i]) for i in range(1, strlen(text) + 1)
-                          if (i - 1) % {RESIZE_STRIDE} = 0]) % {ADLER_MOD}
+           CAST(coalesce(list_sum([ascii(text[i]) for i in range(1, strlen(text) + 1)
+                                   if (i - 1) % {RESIZE_STRIDE} = 0]), 0) % {ADLER_MOD}
                 AS BIGINT) AS out_checksum
     FROM documents
     """,
@@ -145,7 +145,9 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "4th byte survives (deterministic downsample stand-in — no codecs "
     "in this container), metadata updated to the new size, checksum "
     "over the resampled payload. The oracle recomputes the stride "
-    "sample in SQL over the source text (ASCII corpus: char == byte).",
+    "sample in SQL over the source text (ASCII corpus: char == byte); "
+    "coalesce guards empty payloads, where DuckDB's list_sum([]) is "
+    "NULL but the kernel returns 0.",
 )
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_table(spark, sf_dir).select("doc_id", "payload").mapInPandas(

@@ -201,6 +201,7 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER (ORDER BY c_acctbal) AS bal_pct_rank,
            cume_dist()    OVER (ORDER BY c_acctbal) AS bal_cume
     FROM customer
+    WHERE c_acctbal IS NOT NULL
     """,
     doc="Distribution functions (value-based, tie-stable), scale-safe: "
     "instead of an unpartitioned window over every row (single-task "
@@ -210,10 +211,13 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the ordered prefix sum over that small table, and broadcast-join "
     "the per-value ranks back. percent_rank = (#strictly-less)/(n-1); "
     "cume_dist = (#less-or-equal)/n — identical to the built-ins "
-    "including tie semantics.",
+    "including tie semantics. NULL balances are excluded on both "
+    "sides: engines disagree on NULL ordering (Spark NULLS FIRST asc, "
+    "DuckDB NULLS LAST), so a distribution over them is not portable — "
+    "and the join-back would need null-safe equality anyway.",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, "customer", sf_dir)
+    c = load(spark, "customer", sf_dir).filter(F.col("c_acctbal").isNotNull())
     per_val = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
     # ordered prefix sum over the bounded distinct-value table only
     w = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, Window.currentRow)

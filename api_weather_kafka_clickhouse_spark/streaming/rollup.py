@@ -63,6 +63,38 @@ def start_rollup(
     return writer.start()
 
 
+def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
+    """Merge all batch partitions into one — run periodically (or on
+    stream shutdown) so a long-lived trigger doesn't accumulate one
+    tiny partition per micro-batch and read_rollup stays a scan of a
+    few files. Partials are mergeable, so compaction is just
+    re-aggregating them into a single `batch_id=-1` partition and
+    replacing the directory. OFFLINE maintenance: stop the rollup
+    stream first — the rewrite is not atomic with concurrent batch
+    writes (a transactional table format would make it so).
+    """
+    merged = (
+        spark.read.parquet(rollup_path)
+        .groupBy(*ROLLUP_KEYS)
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("t_sum").alias("t_sum"),
+            F.min("t_min").alias("t_min"),
+            F.max("t_max").alias("t_max"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    # stage distributed (never collect), then rewrite the directory
+    staging = rollup_path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").parquet(staging)
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(rollup_path)
+    )
+
+
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """Merge the partials: counts and exact decimal sums add, min/max
     combine — identical to aggregating the fact table directly."""

@@ -41,6 +41,7 @@ def run_supervised(
     backoff_seconds: float = 1.0,
     max_backoff_seconds: float = 60.0,
     await_timeout_seconds: float | None = None,
+    healthy_after_seconds: float = 60.0,
 ) -> SupervisorReport:
     """Run a streaming query to termination, restarting on failure.
 
@@ -49,30 +50,51 @@ def run_supervised(
     lossless (the failed micro-batch is replayed from the WAL).
 
     Backoff doubles per consecutive failure (supervisord's
-    startretries+delay analogue) and is capped; after `max_restarts`
-    consecutive failures the last exception propagates so an outer
-    scheduler (cluster manager / container runtime) can take over —
-    the same escalation supervisord performs when a program enters
-    FATAL state.
+    startretries+delay analogue) and is capped; a run that survives
+    `healthy_after_seconds` before failing resets the consecutive
+    counter (supervisord's startsecs), so a long-lived query is not
+    killed by unrelated transient failures spread over its lifetime.
+    After `max_restarts` consecutive failures the last exception
+    propagates so an outer scheduler (cluster manager / container
+    runtime) can take over — the same escalation supervisord performs
+    when a program enters FATAL state. Failures while STARTING the
+    query count like query failures (they are the crash-loop case).
     """
     report = SupervisorReport()
     consecutive = 0
+
+    def register_failure(exc: Exception, started_at: float) -> None:
+        nonlocal consecutive
+        report.errors.append(str(exc))
+        if time.monotonic() - started_at >= healthy_after_seconds:
+            consecutive = 0  # ran healthily before this failure
+        consecutive += 1
+        report.restarts += 1
+        if consecutive > max_restarts:
+            raise exc
+        time.sleep(min(backoff_seconds * 2 ** (consecutive - 1), max_backoff_seconds))
+
     while True:
-        query = start_query()
+        started_at = time.monotonic()
+        try:
+            query = start_query()
+        except Exception as exc:  # noqa: BLE001 — start failure IS the crash-loop case
+            register_failure(exc, started_at)
+            continue
         try:
             if await_timeout_seconds is not None:
                 finished = query.awaitTermination(await_timeout_seconds)
                 if not finished:
                     query.stop()
-                    query.awaitTermination(30)
+                    if not query.awaitTermination(30):
+                        raise TimeoutError(
+                            "query did not terminate within 30 s of stop(); "
+                            "refusing to report a clean stop while it may "
+                            "still be writing"
+                        )
             else:
                 query.awaitTermination()
             report.clean_stop = True
             return report
         except StreamingQueryException as exc:
-            report.errors.append(str(exc))
-            consecutive += 1
-            report.restarts += 1
-            if consecutive > max_restarts:
-                raise
-            time.sleep(min(backoff_seconds * 2 ** (consecutive - 1), max_backoff_seconds))
+            register_failure(exc, started_at)

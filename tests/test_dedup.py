@@ -47,20 +47,35 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
 
 
 def test_hot_shingle_cap_is_noop_on_testdata(spark, sf_dir):
-    """The DF cutoff only drops shingles shared by >SHINGLE_DF_CAP
-    docs; the testdata corpus has none, so the capped pair join must
-    be bit-identical to the uncapped one (and the oracle parity test
-    stays valid)."""
-    e = dedup._doc_shingles_exploded(spark, sf_dir)
+    """The DF cap only removes shingles shared by >SHINGLE_DF_CAP
+    docs; the testdata corpus has none, so the capped shingle universe
+    must equal the uncapped one (keeping the oracle parity test
+    honest — its SQL mirrors the cap)."""
+    raw = dedup._doc_shingles_exploded(spark, sf_dir, cap=None)
     max_df = (
-        e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
+        raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
     )
     assert max_df < dedup.SHINGLE_DF_CAP, "testdata grew a viral shingle"
-    capped = dedup._drop_hot_shingles(e)
-    assert capped.count() == e.count()
-    # a tight cap (cap=1) removes every shared shingle -> no pairs
-    aggressive = dedup._drop_hot_shingles(e, cap=1)
-    assert aggressive.count() < e.count()
+    assert dedup._doc_shingles_exploded(spark, sf_dir).count() == raw.count()
+    # a tight cap (cap=1) removes every shared shingle
+    assert dedup._doc_shingles_exploded(spark, sf_dir, cap=1).count() < raw.count()
+
+
+def test_restricted_verify_matches_pipelined(spark, sf_dir):
+    """The candidate-restricted verify path (the 100 TB flag) must
+    produce exactly the pipelined path's pairs."""
+    e = dedup._doc_shingles_exploded(spark, sf_dir).cache()
+    sig = dedup.minhash_signatures(e).cache()
+    cand = dedup._band_candidates(sig)
+    base = dedup._verify_pairs(cand, e, sizes=sig.select("doc_id", "n"))
+    restricted = dedup._verify_pairs(
+        cand, e, restrict_to_candidates=True, sizes=sig.select("doc_id", "n")
+    )
+    rows = lambda df: {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}  # noqa: E731
+    assert rows(base) == rows(restricted)
+    assert len(rows(base)) > 0
+    e.unpersist()
+    sig.unpersist()
 
 
 def test_exact_keep_first_is_unique_and_minimal(spark, sf_dir):

@@ -60,6 +60,31 @@ def test_rollup_matches_direct_aggregation(spark, stream_dir, tmp_path):
     assert _collect_map(rollup.read_rollup(spark, rp)) == _collect_map(direct)
 
 
+def test_rollup_compaction_preserves_answers(spark, stream_dir, tmp_path):
+    rp, ck = str(tmp_path / "rollup"), str(tmp_path / "ck")
+    q = rollup.start_rollup(
+        pipeline.transform(pipeline.read_stream_json_files(spark, str(stream_dir))), rp, ck
+    )
+    q.awaitTermination(120)
+    (stream_dir / "batch1.json").write_text(
+        json.dumps(dict(FULL_PAYLOAD, name="Third City"))
+    )
+    q = rollup.start_rollup(
+        pipeline.transform(pipeline.read_stream_json_files(spark, str(stream_dir))), rp, ck
+    )
+    q.awaitTermination(120)
+
+    before = _collect_map(rollup.read_rollup(spark, rp))
+    rollup.compact_rollup(spark, rp)
+    after = _collect_map(rollup.read_rollup(spark, rp))
+    assert after == before
+    # everything now lives in the single compacted partition
+    batch_ids = {
+        r.batch_id for r in spark.read.parquet(rp).select("batch_id").distinct().collect()
+    }
+    assert batch_ids == {-1}
+
+
 def test_rollup_replay_is_idempotent(spark, stream_dir, tmp_path):
     """Re-running with the same checkpoint must not duplicate partials
     (each batch overwrites its own batch_id partition); new files
