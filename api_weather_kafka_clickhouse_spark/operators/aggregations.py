@@ -356,30 +356,39 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over 16 reducers, then the per-salt partials merge by key. For "
     "plain sums Spark's map-side partial combine already defuses this "
     "skew; the pattern matters for aggregates partials can't shrink — "
-    "here count(DISTINCT o_custkey), whose distinct sets are deduped "
-    "per salt before the merge (approx_count_distinct is the pure-"
-    "sketch alternative). Results are exactly the plain GROUP BY: "
-    "decimal partials make the merge order irrelevant, and the salted "
-    "distinct-union equals the global distinct.",
+    "here count(DISTINCT o_custkey), computed as the expand-then-count "
+    "shape: a first aggregate on (key, custkey) — which spreads the "
+    "hot key across reducers by the distinct value itself, no giant "
+    "per-key array anywhere — then a count per key "
+    "(approx_count_distinct is the pure-sketch alternative). Results "
+    "are exactly the plain GROUP BY: decimal partials make the merge "
+    "order irrelevant.",
 )
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, "orders", sf_dir)
     salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(16)).alias("salt")
     partial = (
-        o.select("o_orderstatus", "o_totalprice", "o_custkey", salt)
+        o.select("o_orderstatus", "o_totalprice", salt)
         .groupBy("o_orderstatus", "salt")
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(money("o_totalprice")).alias("_spend"),
-            F.collect_set("o_custkey").alias("_custs"),
         )
     )
-    return partial.groupBy("o_orderstatus").agg(
+    sums = partial.groupBy("o_orderstatus").agg(
         F.sum("_n").alias("n"),
         F.sum("_spend").cast("double").alias("spend"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("_custs")))).cast("bigint").alias(
-            "n_custs"
-        ),
+    )
+    # exact distinct without a per-key array: the (key, value) distinct
+    # shuffle is spread by the value, so the hot key never serializes
+    distincts = (
+        o.select("o_orderstatus", "o_custkey")
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+    return sums.join(distincts, "o_orderstatus").select(
+        "o_orderstatus", "n", "spend", "n_custs"
     )
 
 

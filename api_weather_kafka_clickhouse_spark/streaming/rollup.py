@@ -20,6 +20,8 @@ insert dedup explicitly disabled at app/clickhouse_db.py:23).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -63,19 +65,40 @@ def start_rollup(
     return writer.start()
 
 
-def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
-    """Merge all batch partitions into one — run periodically (or on
-    stream shutdown) so a long-lived trigger doesn't accumulate one
-    tiny partition per micro-batch and read_rollup stays a scan of a
-    few files. Partials are mergeable, so compaction is just
-    re-aggregating them into a single `batch_id=-1` partition and
-    replacing the directory. OFFLINE maintenance: stop the rollup
-    stream first — the rewrite is not atomic with concurrent batch
-    writes (a transactional table format would make it so).
+def _last_committed_batch(checkpoint: str) -> int:
+    """Highest batch id the checkpoint has COMMITTED (sink completed
+    AND offset recorded). Batches written to the rollup but not yet
+    committed can replay after a crash, so compaction must not fold
+    them."""
+    commits_dir = os.path.join(checkpoint, "commits")
+    try:
+        ids = [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
+    except FileNotFoundError:
+        return -1
+    return max(ids, default=-1)
+
+
+def compact_rollup(spark: SparkSession, rollup_path: str, checkpoint: str) -> None:
+    """Merge committed batch partitions into one — run periodically
+    (or on stream shutdown) so a long-lived trigger doesn't
+    accumulate one tiny partition per micro-batch and read_rollup
+    stays a scan of a few files.
+
+    Replay safety: only partitions with batch_id <= the checkpoint's
+    last COMMITTED batch are folded into the `batch_id=-1` compacted
+    partition; a batch that was written but not committed (crash
+    between sink and commit) keeps its own partition, so when the
+    restarted stream replays it, the dynamic overwrite replaces that
+    partition instead of double-counting against the compacted data.
+    OFFLINE maintenance: stop the rollup stream first — the directory
+    rewrite is not atomic with concurrent writes.
     """
+    committed = _last_committed_batch(checkpoint)
+    partials = spark.read.parquet(rollup_path)
+    foldable = partials.filter(F.col("batch_id") <= committed)
+    keep = partials.filter(F.col("batch_id") > committed)
     merged = (
-        spark.read.parquet(rollup_path)
-        .groupBy(*ROLLUP_KEYS)
+        foldable.groupBy(*ROLLUP_KEYS)
         .agg(
             F.sum("n_obs").alias("n_obs"),
             F.sum("t_sum").alias("t_sum"),
@@ -83,8 +106,9 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
             F.max("t_max").alias("t_max"),
         )
         .withColumn("batch_id", F.lit(-1))
+        .unionByName(keep)
     )
-    # stage distributed (never collect), then rewrite the directory
+    # stage distributed (never collect), rewrite, then drop staging
     staging = rollup_path.rstrip("/") + "__compacting"
     merged.write.mode("overwrite").parquet(staging)
     (
@@ -93,6 +117,9 @@ def compact_rollup(spark: SparkSession, rollup_path: str) -> None:
         .partitionBy("batch_id")
         .parquet(rollup_path)
     )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

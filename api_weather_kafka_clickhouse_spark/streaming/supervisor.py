@@ -69,9 +69,13 @@ def run_supervised(
         if time.monotonic() - started_at >= healthy_after_seconds:
             consecutive = 0  # ran healthily before this failure
         consecutive += 1
-        report.restarts += 1
         if consecutive > max_restarts:
+            # escalate with the crash-loop history attached: callers
+            # deciding FATAL-state handling get the full report, not
+            # just the last exception
+            exc.supervisor_report = report  # type: ignore[attr-defined]
             raise exc
+        report.restarts += 1  # counts restarts actually performed
         time.sleep(min(backoff_seconds * 2 ** (consecutive - 1), max_backoff_seconds))
 
     while True:

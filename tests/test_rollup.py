@@ -75,14 +75,21 @@ def test_rollup_compaction_preserves_answers(spark, stream_dir, tmp_path):
     q.awaitTermination(120)
 
     before = _collect_map(rollup.read_rollup(spark, rp))
-    rollup.compact_rollup(spark, rp)
+    rollup.compact_rollup(spark, rp, ck)
     after = _collect_map(rollup.read_rollup(spark, rp))
     assert after == before
-    # everything now lives in the single compacted partition
+    # all committed batches folded into the single compacted partition
     batch_ids = {
         r.batch_id for r in spark.read.parquet(rp).select("batch_id").distinct().collect()
     }
     assert batch_ids == {-1}
+    # replay after compaction must not double-count: rerun with the
+    # same checkpoint (no new data) and re-read
+    q = rollup.start_rollup(
+        pipeline.transform(pipeline.read_stream_json_files(spark, str(stream_dir))), rp, ck
+    )
+    q.awaitTermination(120)
+    assert _collect_map(rollup.read_rollup(spark, rp)) == before
 
 
 def test_rollup_replay_is_idempotent(spark, stream_dir, tmp_path):

@@ -77,5 +77,10 @@ def test_supervisor_gives_up_after_max_restarts(spark, stream_dir, tmp_path):
             .start()
         )
 
-    with pytest.raises(StreamingQueryException):
+    with pytest.raises(StreamingQueryException) as excinfo:
         run_supervised(start_always_failing, max_restarts=1, backoff_seconds=0.05)
+    # escalation carries the crash-loop history for the outer scheduler
+    report = excinfo.value.supervisor_report
+    assert report.restarts == 1  # one restart was actually performed
+    assert len(report.errors) == 2  # both failures recorded
+    assert not report.clean_stop
