@@ -135,6 +135,84 @@ def scalar_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+    FROM nation a
+    JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+    doc="Fuzzy key matching via edit distance: nation-name pairs "
+    "within levenshtein 4 — the record-linkage primitive for "
+    "dirty-dimension joins. All-pairs is sanctioned only on the tiny "
+    "dimension; at scale, block first (length band / first-char / "
+    "q-gram LSH) and verify candidates, exactly like the text dedup "
+    "operators.",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, "nation", sf_dir)
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .filter(dist <= 4)
+        .select("name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
+    )
+
+
+@register(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width value histogram: bucket index from one integer "
+    "division — a single map-side-combined aggregate, the scalable "
+    "alternative to sorting for distribution overviews.",
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("lo"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey % 256) AS BIGINT) AS keys_and,
+           CAST(bit_or(o_orderkey % 256)  AS BIGINT) AS keys_or,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS keys_xor
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Bitwise aggregate battery (bit_and/bit_or/bit_xor): "
+    "fixed-size commutative partial state — flag-mask consolidation "
+    "at scan speed.",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    k = F.pmod(F.col("o_orderkey"), F.lit(256))
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(k).cast("bigint").alias("keys_and"),
+        F.bit_or(k).cast("bigint").alias("keys_or"),
+        F.bit_xor(k).cast("bigint").alias("keys_xor"),
+    )
+
+
+@register(
     "join_cross_small",
     oracle="""
     SELECT r.r_name, s.o_orderstatus, count(*) AS n_combos
