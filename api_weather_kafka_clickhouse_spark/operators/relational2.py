@@ -143,6 +143,105 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc="Ordered funnel (signup -> view after signup -> purchase "
+    "after that view): each stage is a filtered min-timestamp "
+    "aggregate joined to the previous stage, so the whole funnel is "
+    "three map-side-combined aggregates + equi-joins on user_id — "
+    "one shuffle key throughout, no window over raw events.",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2.select("user_id", F.lit(2).alias("_s2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(3).alias("_s3")), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("_s3", "_s2", F.lit(1)).cast("int").alias("stage"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "counted once per (cohort, day-offset) they were active — the "
+    "standard retention triangle. Two aggregates + one equi-join on "
+    "user_id; the output is cohort x offset sized, tiny at any input "
+    "scale.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    cohort = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
     "time_resample_gapfill",
     oracle="""
     WITH b AS (
