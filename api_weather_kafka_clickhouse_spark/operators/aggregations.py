@@ -203,6 +203,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_sketch_merge",
+    oracle=None,  # sketch-based by design -> rows-only; error bound
+    # vs exact distinct asserted in tests/test_sketches.py
+    doc="HLL sketches as first-class mergeable data (Datasketches "
+    "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-group "
+    "sketches are built in one pass, then UNIONED into a global "
+    "estimate without rescanning — the 100 TB pattern where per-"
+    "shard/per-day sketches are stored once and any rollup "
+    "(regional, monthly, global) is a cheap sketch merge instead of "
+    "a distinct recount over raw data.",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_group = per_status.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").alias("approx_custs"),
+        "n_rows",
+    )
+    merged = per_status.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return per_group.unionByName(merged)
+
+
+@register(
     "agg_stats_moments",
     oracle="""
     SELECT event_type,
