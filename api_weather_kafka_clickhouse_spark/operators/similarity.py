@@ -169,14 +169,19 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("nbr_id"), F.col("label").alias("cell"), to_double("embedding").alias("nbr_vec")
     )
-    # centroids: elementwise mean per label via posexplode + groupBy
+    # centroids: elementwise mean per label as 64 codegen avg
+    # aggregates packed back into an array — ONE map-side-combined
+    # shuffle carrying n_labels x 64 partial sums, vs. the
+    # posexplode + double-groupBy shape that shuffles corpus x 64
+    # exploded rows (the same fixed-width-aggregate trick as
+    # minhash_signatures)
+    DIM = 64
+    v = to_double("embedding")
     cent = (
-        e.select("label", F.posexplode(to_double("embedding")).alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
+        e.select("label", *[v[i].alias(f"x{i}") for i in range(DIM)])
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+        .agg(*[F.avg(f"x{i}").alias(f"m{i}") for i in range(DIM)])
+        .select("label", F.array(*[f"m{i}" for i in range(DIM)]).alias("centroid"))
     )
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), to_double("embedding").alias("q_vec")

@@ -70,12 +70,17 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
-            df = queries[name](spark, SF_DIR)
+            # time the CALLABLE too, not just the final materialize:
+            # multi-consumer operators storage-checkpoint intermediate
+            # stages eagerly inside the call (plans/stage.py), and that
+            # work belongs in the query's reported cost
             t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
             _materialize(df)
             best = min(best, time.perf_counter() - t0)
-            # queries that persist intermediates (e.g. the LSH shingle
-            # table) must not hold executor memory into later timings
+            # defensive: no operator persists anymore (stage checkpoints
+            # replaced operator-scope caches), but keep later timings
+            # isolated from anything a future query might cache
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

@@ -84,6 +84,23 @@ def test_exact_keep_first_is_unique_and_minimal(spark, sf_dir):
     assert out.count() == n_keys
 
 
+def test_dedup_operators_leave_no_cached_rdds(spark, sf_dir):
+    """Multi-consumer intermediates are storage-checkpointed, not
+    persisted: after an operator's result is fully materialized,
+    nothing may linger in the block-manager cache (round-2 verdict:
+    operator-scope persist leaks accumulate executor memory in
+    long-lived sessions)."""
+    spark.catalog.clearCache()
+    for fn in (
+        dedup.dedup_minhash_lsh,
+        dedup.dedup_simhash,
+        dedup.corpus_clean_pipeline,
+        dedup.dedup_embedding_lsh,
+    ):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
 def test_embedding_lsh_is_exact_subset_with_recall(spark, sf_dir):
     """Every SRP-candidate pair is exactly verified (subset of the
     brute-force result) and recall stays above the banding operating

@@ -43,9 +43,16 @@ def test_no_cartesian_in_equi_joins(spark, sf_dir):
         "join_anti",
         "join_interval_pairs",
         "dedup_minhash_lsh",
+        "fuzzy_match_blocked",
     ):
         df = SPECS[name].fn(spark, sf_dir)
         assert not checks.has_cartesian(df), f"{name} planned a cartesian product"
+        if name == "fuzzy_match_blocked":
+            # the whole point of the blocked twin: candidates come from
+            # a band-key HASH join, never a nested-loop over all pairs
+            assert "NestedLoop" not in checks.simple_plan(df), (
+                "blocked fuzzy match must equi-join on the band key"
+            )
 
 
 def test_aggregates_have_partial_phase(spark, sf_dir):
