@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .plans.stage import stage_checkpoint
 from .sources.cities import assign_topics, load_cities, route_topic
 from .sources.flatten import flatten_weather, parse_raw
 from .sources.http_weather import FetchFn, fetch_weather
@@ -48,23 +49,23 @@ def run_batch_cycle(
     fetched = fetch_weather(cities, fetcher)
     fetched = route_topic(fetched, routed.select("name", "topic"))
 
-    # the fetch is a non-idempotent external call: persist its result
-    # so the archive write, the fact append, and the counters all see
-    # ONE sweep instead of re-executing the HTTP fetch per action
-    fetched.persist()
-    try:
-        ok = fetched.filter(F.col("value").isNotNull())
-        if archive_path is not None:
-            # A9: raw-payload archive (one JSON file tree per cycle)
-            ok.select("name", "topic", "value").write.mode("append").json(archive_path)
+    # the fetch is a non-idempotent external call: materialize its
+    # result to scratch storage ONCE, eagerly, so the archive write,
+    # the fact append, and the counters all read the same sweep.
+    # A persist() would be best-effort only — cache eviction or
+    # executor loss silently re-executes the HTTP fetch for later
+    # actions; the storage checkpoint is a hard once-only guarantee.
+    fetched = stage_checkpoint(fetched, "fetch_cycle")
+    ok = fetched.filter(F.col("value").isNotNull())
+    if archive_path is not None:
+        # A9: raw-payload archive (one JSON file tree per cycle)
+        ok.select("name", "topic", "value").write.mode("append").json(archive_path)
 
-        fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
-        write_fact(fact, warehouse_path)
+    fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
+    write_fact(fact, warehouse_path)
 
-        n_cities = cities.count()
-        n_ok = ok.count()
-    finally:
-        fetched.unpersist()
+    n_cities = cities.count()
+    n_ok = ok.count()
     return {
         "n_cities": n_cities,
         "n_fetched": n_ok,

@@ -356,7 +356,12 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
     doc="MinHash(64) + LSH(16 bands x 4 rows) candidates, exact-Jaccard "
     "verified — same result contract as dedup_ngram_jaccard, but the "
     "join is on band keys: at 100 TB each doc meets only its bucket, "
-    "not every doc sharing any shingle.",
+    "not every doc sharing any shingle. Recall bound: a true pair at "
+    "Jaccard exactly 0.8 misses all 16 bands with p ~ (1-0.8^4)^16 ~ "
+    "2e-4 (lower above the threshold), so exact-oracle parity is a "
+    "property of this corpus, not of the algorithm — if a regenerated "
+    "corpus ever breaks parity here, suspect band-miss at the "
+    "threshold boundary before suspecting a code regression.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle table feeds 3 plan branches (signatures, both sides

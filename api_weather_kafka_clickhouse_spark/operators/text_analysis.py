@@ -273,7 +273,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        (start / SEQ_TOKEN_BUDGET).cast("bigint").alias("seq_id"),
+        # integer `div`, not float `/` + cast: the oracle uses exact
+        # integer floor division, and double arithmetic diverges once
+        # a per-lang cumulative token count exceeds 2^53 — mirrors the
+        # exact pmod used for seq_offset
+        F.expr(f"(cum - n_tokens) div {SEQ_TOKEN_BUDGET}").cast("bigint").alias("seq_id"),
         F.pmod(start, F.lit(SEQ_TOKEN_BUDGET)).cast("bigint").alias("seq_offset"),
     )
 

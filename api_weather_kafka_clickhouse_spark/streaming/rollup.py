@@ -65,16 +65,30 @@ def start_rollup(
     return writer.start()
 
 
-def _last_committed_batch(checkpoint: str) -> int:
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _last_committed_batch(spark: SparkSession, checkpoint: str) -> int:
     """Highest batch id the checkpoint has COMMITTED (sink completed
     AND offset recorded). Batches written to the rollup but not yet
     committed can replay after a crash, so compaction must not fold
-    them."""
-    commits_dir = os.path.join(checkpoint, "commits")
-    try:
-        ids = [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
-    except FileNotFoundError:
+    them.
+
+    Listed via the Hadoop FileSystem API, not os.listdir, so an
+    HDFS/S3/file: checkpoint URI resolves the same way Spark's own
+    commit log does (a local-only listdir would silently return -1
+    there and turn compaction into a no-op)."""
+    fs, p = _fs_and_path(spark, os.path.join(checkpoint, "commits"))
+    if not fs.exists(p):
         return -1
+    ids = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(p)
+        if st.getPath().getName().isdigit()
+    ]
     return max(ids, default=-1)
 
 
@@ -91,9 +105,17 @@ def compact_rollup(spark: SparkSession, rollup_path: str, checkpoint: str) -> No
     restarted stream replays it, the dynamic overwrite replaces that
     partition instead of double-counting against the compacted data.
     OFFLINE maintenance: stop the rollup stream first — the directory
-    rewrite is not atomic with concurrent writes.
+    swap is not atomic with concurrent writes.
+
+    Crash safety: the compacted table is fully written to a staging
+    directory first, then swapped in with two renames (old -> trash,
+    staging -> live). The live directory is never deleted before its
+    replacement exists; the only crash window is between the two
+    renames, where the live path is briefly missing but BOTH complete
+    copies are on disk — recovery is renaming either `__old` (original)
+    or `__compacting` (compacted) back to the live path.
     """
-    committed = _last_committed_batch(checkpoint)
+    committed = _last_committed_batch(spark, checkpoint)
     partials = spark.read.parquet(rollup_path)
     foldable = partials.filter(F.col("batch_id") <= committed)
     keep = partials.filter(F.col("batch_id") > committed)
@@ -108,18 +130,22 @@ def compact_rollup(spark: SparkSession, rollup_path: str, checkpoint: str) -> No
         .withColumn("batch_id", F.lit(-1))
         .unionByName(keep)
     )
-    # stage distributed (never collect), rewrite, then drop staging
-    staging = rollup_path.rstrip("/") + "__compacting"
-    merged.write.mode("overwrite").parquet(staging)
-    (
-        spark.read.parquet(staging)
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(rollup_path)
-    )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    # stage distributed (never collect), fully written before any
+    # mutation of the live directory, then rename-swap
+    live = rollup_path.rstrip("/")
+    staging, trash = live + "__compacting", live + "__old"
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+    fs, live_p = _fs_and_path(spark, live)
+    _, staging_p = _fs_and_path(spark, staging)
+    _, trash_p = _fs_and_path(spark, trash)
+    fs.delete(trash_p, True)
+    if not fs.rename(live_p, trash_p):
+        raise IOError(f"compact_rollup: could not move {live} aside")
+    if not fs.rename(staging_p, live_p):
+        # roll back: restore the original so readers keep working
+        fs.rename(trash_p, live_p)
+        raise IOError(f"compact_rollup: could not swap in {staging}")
+    fs.delete(trash_p, True)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
