@@ -32,7 +32,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.stage import stage_checkpoint
+from ..plans.stage import eager_release
 from ..registry import register
 from ..tables import load
 
@@ -365,16 +365,17 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle table feeds 3 plan branches (signatures, both sides
-    # of the verify join) — materialize it once to scratch storage,
-    # exactly as the 100 TB pipeline checkpoints its shingle index;
-    # the tiny signature table feeds bands AND the verify denominators.
-    # stage_checkpoint, not persist: a persist here outlives the call
-    # (the result is lazy) and leaks executor memory into long-lived
-    # sessions — round-2 verdict item 3.
-    e = stage_checkpoint(_doc_shingles_exploded(spark, sf_dir), "lsh_shingles")
-    sig = stage_checkpoint(minhash_signatures(e), "lsh_sig")
+    # of the verify join) and the tiny signature table feeds bands AND
+    # the verify denominators — persist both at memory speed, compute
+    # the (small) pair result eagerly to scratch, then drop the caches
+    # before returning: multi-consumer reuse without the round-2
+    # operator-scope persist leak, and without writing the big shingle
+    # table to disk.
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
+    sig = minhash_signatures(e).persist()
     cand = _band_candidates(sig)
-    return _verify_pairs(cand, e, sizes=sig.select("doc_id", "n"))
+    out = _verify_pairs(cand, e, sizes=sig.select("doc_id", "n"))
+    return eager_release(out, "lsh_pairs", e, sig)
 
 
 # --- SimHash ---------------------------------------------------------
@@ -429,9 +430,9 @@ def simhash_signatures(e: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _doc_shingles_exploded(spark, sf_dir)
     # the signature table feeds both sides of the band self-join —
-    # materialize the (doc_id, sim) pairs so the 64-sum aggregate runs
-    # once and nothing stays cached past the call
-    sigs = stage_checkpoint(simhash_signatures(e), "simhash_sig")
+    # cache the (doc_id, sim) pairs so the 64-sum aggregate runs once;
+    # released via eager_release below
+    sigs = simhash_signatures(e).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -447,13 +448,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band_idx", "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band_idx", "band_key")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         ba.join(bb, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+    return eager_release(out, "simhash_pairs", sigs)
 
 
 @register(
@@ -537,10 +539,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     # `exact` feeds two consumers (the shingle branch and the final
-    # anti-join) — checkpoint it so quality scoring + dedup run once
-    exact = stage_checkpoint(
-        passed.join(survivor_ids, "doc_id", "left_semi"), "clean_exact"
-    )
+    # anti-join) — cache it so quality scoring + dedup run once;
+    # released via eager_release at the end
+    exact = passed.join(survivor_ids, "doc_id", "left_semi").persist()
     # near-dup removal among exact survivors only, via the LSH path
     # (4x cheaper than the inverted-index pair join at sf0.1 and the
     # only viable shape at corpus scale): minhash band candidates,
@@ -549,18 +550,21 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserts. Shingling uses the codegen posexplode+window shape
     # (the interpreted HOF measured ~2x slower at sf0.1); the shingle
     # table feeds signatures AND both sides of the verify join.
-    sh = stage_checkpoint(_shingles_exploded(exact), "clean_shingles")
-    sig = stage_checkpoint(minhash_signatures(sh), "clean_sig")
+    sh = _shingles_exploded(exact).persist()
+    sig = minhash_signatures(sh).persist()
     cand = _band_candidates(sig)
     dropped = (
         _verify_pairs(cand, sh, sizes=sig.select("doc_id", "n"))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return (
-        exact.join(dropped, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_chars", F.round("q", 6).alias("quality"))
+    out = exact.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars", F.round("q", 6).alias("quality")
     )
+    # the survivor projection is narrow (4 scalar columns, no text) —
+    # the one eager scratch write is cheap; all three fan-out caches
+    # (exact survivors, shingles, signatures) are dropped on return
+    return eager_release(out, "clean_survivors", exact, sh, sig)
 
 
 @register(
@@ -614,17 +618,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double("embedding").alias("vec")
     )
     # band keys computed ONCE (one Arrow/numpy matmul pass over the
-    # corpus, storage-checkpointed — no cache lingers past the call)
-    # and carried WITHOUT the vector payload — the candidate join and
-    # its dedup shuffle 3 ints per row instead of 8 copies of every
-    # 64-double embedding; vectors re-attach to the (small) candidate
-    # pair set afterwards
-    bands = stage_checkpoint(
-        e.select(
-            "vec_id", F.posexplode(_band_keys(F.col("vec"))).alias("band_idx", "band_key")
-        ),
-        "emb_bands",
-    )
+    # corpus, cached and released via eager_release below) and carried
+    # WITHOUT the vector payload — the candidate join and its dedup
+    # shuffle 3 ints per row instead of 8 copies of every 64-double
+    # embedding; vectors re-attach to the (small) candidate pair set
+    # afterwards
+    bands = e.select(
+        "vec_id", F.posexplode(_band_keys(F.col("vec"))).alias("band_idx", "band_key")
+    ).persist()
     ba = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_key")
     bb = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_key")
     cand = (
@@ -636,10 +637,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
-    return (
+    out = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.42)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+    return eager_release(out, "emb_pairs", bands)

@@ -393,3 +393,127 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+def _token_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) rows of word n-grams — codegen posexplode +
+    window leads (the dedup shingle shape generalized to n); one
+    shuffle on doc_id, everything else whole-stage codegen."""
+    from pyspark.sql import Window
+
+    t = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, n)]
+    return (
+        t.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "gram")
+    )
+
+
+DECONTAM_NGRAM = 4
+DECONTAM_EVAL_SOURCE = "src0"
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source, lang,
+             unnest(list_transform(generate_series(1, len(t) - {DECONTAM_NGRAM - 1}),
+                    i -> list_aggregate(t[i:i+{DECONTAM_NGRAM - 1}], 'string_agg', ' ')))
+               AS gram
+      FROM tok
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE source = '{DECONTAM_EVAL_SOURCE}'
+    )
+    SELECT c.doc_id, any_value(c.lang) AS lang, any_value(c.source) AS source,
+           count(DISTINCT c.gram) AS n_hit_grams
+    FROM grams c JOIN eval_grams e USING (gram)
+    WHERE c.source <> '{DECONTAM_EVAL_SOURCE}'
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination: corpus documents sharing any "
+    f"{DECONTAM_NGRAM}-gram with the held-out eval shard "
+    f"('{DECONTAM_EVAL_SOURCE}') are flagged with their distinct-hit "
+    "count; the clean corpus is the left-anti join against these ids. "
+    "Scale shape: eval suites are tiny relative to a 100 TB corpus, so "
+    "the eval gram set BROADCASTS and the corpus-side explode never "
+    "shuffles — one broadcast hash join at scan speed, then a "
+    "map-side-combined count per surviving doc_id. The n-gram match "
+    "is the standard contamination test (exact 8-13-gram collision in "
+    "published pipelines; 4 here to suit the synthetic corpus).",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    grams = _token_ngrams(d.select("doc_id", "text"), DECONTAM_NGRAM).join(
+        d.select("doc_id", "source", "lang"), "doc_id"
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == DECONTAM_EVAL_SOURCE).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+    return (
+        corpus.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("source").alias("source"),
+            F.count_distinct("gram").alias("n_hit_grams"),
+        )
+    )
+
+
+REPETITION_NGRAM = 3
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - {REPETITION_NGRAM - 1}),
+                    i -> list_aggregate(t[i:i+{REPETITION_NGRAM - 1}], 'string_agg', ' ')))
+               AS gram
+      FROM tok
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           count(DISTINCT gram) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM grams
+    GROUP BY doc_id
+    """,
+    doc="Within-document repetition ratio: fraction of duplicated "
+    f"{REPETITION_NGRAM}-grams (1 - distinct/total) — the "
+    "Gopher-style repetition quality filter that catches boilerplate "
+    "and degenerate generations. The gram explode and the per-doc "
+    "aggregate share the doc_id partitioning (window shuffle feeds "
+    "the groupBy with no second exchange); fixed-size state per doc.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    return (
+        _token_ngrams(d, REPETITION_NGRAM)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("gram").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -51,3 +51,22 @@ def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
     path = os.path.join(_root(), f"{name}_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def eager_release(result: DataFrame, name: str, *cached: DataFrame) -> DataFrame:
+    """Run ``result`` NOW against in-memory ``cached`` intermediates,
+    then drop the caches.
+
+    The persist-leak-free twin of plain ``.persist()`` fan-out: the
+    operator persists its multi-consumer intermediates (memory speed,
+    no scratch IO for the big tables), computes its — typically small —
+    final result once to scratch parquet, and unpersists everything
+    before returning. The caller gets a clean re-read whose lineage is
+    just a file scan; nothing stays in the block-manager cache after
+    the call (the round-2 leak), and the big intermediates were never
+    written to disk at all (the cost stage_checkpoint pays).
+    """
+    out = stage_checkpoint(result, name)
+    for df in cached:
+        df.unpersist()
+    return out
