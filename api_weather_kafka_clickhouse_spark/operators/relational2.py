@@ -454,3 +454,58 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
         ).alias("mean_val"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "time_ewma_per_key",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             {EWMA_ALPHA} * s.value + {1 - EWMA_ALPHA} * r.ewma
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, round(ewma, 6) AS ewma
+    FROM r
+    """,
+    doc="Exponentially weighted moving average of `value` per user "
+    "over event time — the classic smoothing operator whose "
+    "UNBOUNDED recurrence (y = a*x + (1-a)*y_prev) no SQL window "
+    "frame can express. This is the legitimate applyInPandas case "
+    "(SURVEY §2-C UDF surface): groups shuffle once on the key, the "
+    "per-group scan is inherently sequential, state is one double. "
+    "The Spark kernel and the oracle's recursive CTE apply the "
+    "IDENTICAL fma ordering (a*x + (1-a)*prev), so doubles agree "
+    "bit-for-bit before the belt-and-braces round. At 100 TB the "
+    "shuffle is the only data movement; group count (keys) bounds "
+    "parallelism, per-key memory is O(group), same as any "
+    "sessionization.",
+)
+def time_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load(spark, "events", sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pdf["value"].to_numpy().copy()
+        a, b = EWMA_ALPHA, 1 - EWMA_ALPHA
+        for i in range(1, len(out)):
+            # same literal expression as the oracle's recursive step
+            out[i] = a * out[i] + b * out[i - 1]
+        pdf = pdf.assign(ewma=out.round(6))
+        return pdf[["user_id", "event_id", "value", "ewma"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id bigint, event_id bigint, value double, ewma double"
+    )
