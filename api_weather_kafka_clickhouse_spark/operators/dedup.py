@@ -104,7 +104,14 @@ def _shingles_exploded(docs: DataFrame, cap: int | None = SHINGLE_DF_CAP) -> Dat
     posexplode + window lead + concat stays in whole-stage codegen;
     the equivalent higher-order `transform` runs interpreted and
     measured ~8 s alone at sf0.1 (~30 µs/shingle of lambda overhead).
-    One shuffle on doc_id (the window), then distinct.
+    One shuffle on doc_id (the window), then distinct. A zero-shuffle
+    alternative was A/B-measured and REJECTED: assembling trigrams
+    array-side via ``arrays_zip(t, slice(t,2,..), slice(t,3,..))``
+    avoids the window exchange but allocates ~4 array copies per
+    document (split + two slices + the zipped struct array), and the
+    operator end-to-end ran 5.1-15.7 s vs 4.0-4.7 s at sf0.1 —
+    allocation pressure beat the saved exchange. Row-streaming
+    through the window keeps per-row state flat.
 
     The shingle column is the 8-byte xxhash64 of the trigram, not the
     string: every consumer (minhash/simhash signatures, the inverted-

@@ -167,39 +167,41 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN s3 ON s1.user_id = s3.user_id
     """,
     doc="Ordered funnel (signup -> view after signup -> purchase "
-    "after that view): each stage is a filtered min-timestamp "
-    "aggregate joined to the previous stage, so the whole funnel is "
-    "three map-side-combined aggregates + equi-joins on user_id — "
-    "one shuffle key throughout, no window over raw events.",
+    "after that view): ONE scan of the three event types and ONE "
+    "shuffle on user_id — the per-user stage logic runs on collected "
+    "per-type timestamp arrays (bounded by events-per-user, the same "
+    "state bound as sessionization), where array_min over a filtered "
+    "array picks each stage's earliest qualifying instant. The "
+    "equivalent stage-per-aggregate formulation costs three scans "
+    "and three shuffles plus two joins; at 100 TB this shape moves "
+    "each event exactly once.",
 )
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, "events", sf_dir)
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    e = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("signup", "view", "purchase")
     )
-    s2 = (
-        e.filter(F.col("event_type") == "view")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.join(s2.select("user_id", F.lit(2).alias("_s2")), "user_id", "left")
-        .join(s3.select("user_id", F.lit(3).alias("_s3")), "user_id", "left")
-        .select(
-            "user_id",
-            F.coalesce("_s3", "_s2", F.lit(1)).cast("int").alias("stage"),
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_views"),
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "_purchases"
+            ),
         )
+        .filter(F.col("t1").isNotNull())
+    )
+    t2 = F.array_min(F.filter("_views", lambda x: x > F.col("t1")))
+    staged = per_user.withColumn("t2", t2).withColumn(
+        "t3", F.array_min(F.filter("_purchases", lambda x: x > F.col("t2")))
+    )
+    return staged.select(
+        "user_id",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("stage"),
     )
 
 
@@ -220,21 +222,27 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cohort retention matrix: users grouped by first-seen day, "
     "counted once per (cohort, day-offset) they were active — the "
-    "standard retention triangle. Two aggregates + one equi-join on "
-    "user_id; the output is cohort x offset sized, tiny at any input "
-    "scale.",
+    "standard retention triangle. ONE scan and one shuffle on "
+    "user_id: the per-user aggregate carries min(date) (the cohort) "
+    "and the distinct active-day set (bounded by the calendar, not by "
+    "event count) in the same pass; offsets explode from that set and "
+    "feed the tiny cohort x offset aggregate. The join-back "
+    "formulation (cohort aggregate joined to raw events + distinct) "
+    "scans events twice and shuffles event-count rows — this shape "
+    "moves each event once and shuffles per-user day sets.",
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
-    cohort = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
-    activity = (
-        e.join(cohort, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
-        )
-        .distinct()
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day"),
+        F.collect_set(F.to_date("ts")).alias("_days"),
+    )
+    activity = per_user.select(
+        "cohort_day",
+        F.explode("_days").alias("_day"),
+    ).select(
+        "cohort_day",
+        F.datediff(F.col("_day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
     )
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
