@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .plans.stage import stage_checkpoint
+from .plans.stage import scoped_checkpoint
 from .sources.cities import assign_topics, load_cities, route_topic
 from .sources.flatten import flatten_weather, parse_raw
 from .sources.http_weather import FetchFn, fetch_weather
@@ -55,17 +55,20 @@ def run_batch_cycle(
     # A persist() would be best-effort only — cache eviction or
     # executor loss silently re-executes the HTTP fetch for later
     # actions; the storage checkpoint is a hard once-only guarantee.
-    fetched = stage_checkpoint(fetched, "fetch_cycle")
-    ok = fetched.filter(F.col("value").isNotNull())
-    if archive_path is not None:
-        # A9: raw-payload archive (one JSON file tree per cycle)
-        ok.select("name", "topic", "value").write.mode("append").json(archive_path)
+    # SCOPED: all consumers finish inside this cycle, and the polling
+    # loop runs forever — an unscoped checkpoint would leak one full
+    # sweep of scratch files per cycle until the volume fills.
+    with scoped_checkpoint(fetched, "fetch_cycle") as sweep:
+        ok = sweep.filter(F.col("value").isNotNull())
+        if archive_path is not None:
+            # A9: raw-payload archive (one JSON file tree per cycle)
+            ok.select("name", "topic", "value").write.mode("append").json(archive_path)
 
-    fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
-    write_fact(fact, warehouse_path)
+        fact = flatten_weather(parse_raw(ok, "value").filter(F.col("raw").isNotNull()))
+        write_fact(fact, warehouse_path)
 
-    n_cities = cities.count()
-    n_ok = ok.count()
+        n_cities = cities.count()
+        n_ok = ok.count()
     return {
         "n_cities": n_cities,
         "n_fetched": n_ok,

@@ -518,10 +518,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup removal (a doc is dropped when it has a >= 0.8-Jaccard "
     "twin with a smaller id — the deterministic keep-lowest rule, no "
     "transitive chasing). Every stage is the scale shape used by its "
-    "standalone operator, and the two fan-out stages (exact survivors; "
-    "their shingle table) are storage-checkpointed so each is computed "
-    "exactly once across its consumers instead of re-derived per plan "
-    "branch. LSH recall bound: a true pair at Jaccard exactly 0.8 "
+    "standalone operator, and the fan-out stages (exact survivors; "
+    "their shingle table; signatures) are memory-persisted across "
+    "their consumers instead of re-derived per plan branch (best-"
+    "effort caching — eviction recomputes a stage; the narrow final "
+    "survivor projection is the one storage-checkpointed artifact, "
+    "and every cache is dropped before the call returns). LSH recall bound: a true pair at Jaccard exactly 0.8 "
     "misses all 16 bands with p ~ (1-0.8^4)^16 ~ 2e-4, so exact-oracle "
     "parity is corpus-dependent by design — a parity break after a "
     "corpus regeneration is expected LSH recall loss at the threshold "

@@ -444,29 +444,41 @@ DECONTAM_EVAL_SOURCE = "src0"
     f"('{DECONTAM_EVAL_SOURCE}') are flagged with their distinct-hit "
     "count; the clean corpus is the left-anti join against these ids. "
     "Scale shape: eval suites are tiny relative to a 100 TB corpus, so "
-    "the eval gram set BROADCASTS and the corpus-side explode never "
-    "shuffles — one broadcast hash join at scan speed, then a "
-    "map-side-combined count per surviving doc_id. The n-gram match "
+    "only the eval shard is ever exploded to build the gram set, which "
+    "BROADCASTS; the contamination test on the corpus side is a "
+    "broadcast hash join at scan speed. The corpus pays one doc_id "
+    "exchange (the gram window) plus a map-side-combined count over "
+    "the tiny hit set — no corpus-size shuffle ever carries grams to "
+    "a reducer. The n-gram match "
     "is the standard contamination test (exact 8-13-gram collision in "
     "published pipelines; 4 here to suit the synthetic corpus).",
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
-    grams = _token_ngrams(d.select("doc_id", "text"), DECONTAM_NGRAM).join(
-        d.select("doc_id", "source", "lang"), "doc_id"
-    )
+    # the source predicate splits at the DOCUMENT level, before any
+    # shingling: the eval shard (tiny by definition) is the only side
+    # that gets exploded to build the broadcast gram set, and the
+    # corpus side is shingled exactly once — shingling everything and
+    # filtering grams afterwards would run the explode+window pass
+    # over the full corpus twice
     eval_grams = (
-        grams.filter(F.col("source") == DECONTAM_EVAL_SOURCE).select("gram").distinct()
-    )
-    corpus = grams.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
-    return (
-        corpus.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("lang").alias("lang"),
-            F.any_value("source").alias("source"),
-            F.count_distinct("gram").alias("n_hit_grams"),
+        _token_ngrams(
+            d.filter(F.col("source") == DECONTAM_EVAL_SOURCE).select("doc_id", "text"),
+            DECONTAM_NGRAM,
         )
+        .select("gram")
+        .distinct()
+    )
+    corpus_docs = d.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+    hits = (
+        _token_ngrams(corpus_docs.select("doc_id", "text"), DECONTAM_NGRAM)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    # metadata attaches to the (small) flagged set, not to every gram
+    return hits.join(corpus_docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "n_hit_grams"
     )
 
 

@@ -10,14 +10,17 @@ join) need it computed exactly once. Two standard options:
   executor memory (round-2 verdict, "operator-scope persist leaks").
 - **storage checkpoint** (this module) — write the stage to scratch
   columnar files once, eagerly, and hand every consumer a clean
-  re-read. Nothing stays in the block-manager cache, lineage is
-  truncated (no recompute storms on executor loss), and at cluster
-  scale the same call writes the job's scratch HDFS/S3 prefix — the
-  shape a 100 TB pipeline uses for its shingle/signature indexes
-  anyway.
+  re-read. Nothing stays in the block-manager cache and lineage is
+  truncated (no recompute storms on executor loss).
 
-The scratch root is one session-scoped temp dir, removed at process
-exit.
+The scratch root defaults to a driver-local temp dir (right for
+``local[N]``, removed at process exit). On a real cluster set
+``SPARK_GRAFT_SCRATCH_DIR`` to a shared scratch prefix (HDFS/S3) that
+every executor can reach — a driver-local path would scatter task
+output across executor-local filesystems and the re-read would see a
+partial dataset. Dirs under an env-provided root are NOT removed at
+exit (the cluster's scratch-retention policy owns them); per-call
+cleanup is available via ``scoped_checkpoint``.
 """
 
 from __future__ import annotations
@@ -27,18 +30,39 @@ import os
 import shutil
 import tempfile
 import uuid
+from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 _STAGE_ROOT: str | None = None
+_ROOT_IS_LOCAL_TMP = False
 
 
 def _root() -> str:
-    global _STAGE_ROOT
+    global _STAGE_ROOT, _ROOT_IS_LOCAL_TMP
     if _STAGE_ROOT is None:
-        _STAGE_ROOT = tempfile.mkdtemp(prefix="spark_graft_stage_")
-        atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+        env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+        if env:
+            _STAGE_ROOT = env
+        else:
+            _STAGE_ROOT = tempfile.mkdtemp(prefix="spark_graft_stage_")
+            _ROOT_IS_LOCAL_TMP = True
+            atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
     return _STAGE_ROOT
+
+
+def _new_path(name: str) -> str:
+    return os.path.join(_root(), f"{name}_{uuid.uuid4().hex}")
+
+
+def _remove(df: DataFrame, path: str) -> None:
+    """Delete a checkpoint dir via the Hadoop FS API (works for any
+    scheme the session can write, not just local POSIX)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
 
 
 def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
@@ -47,10 +71,30 @@ def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
     Eager: the write runs now, so the cost lands inside the operator's
     own timing, and every downstream consumer scans columnar files
     instead of recomputing the stage or pinning executor memory.
+    The files live until process exit (local tmp root) or until the
+    cluster scratch policy reclaims them (env-provided root); callers
+    with a bounded consumption scope should prefer ``scoped_checkpoint``.
     """
-    path = os.path.join(_root(), f"{name}_{uuid.uuid4().hex}")
+    path = _new_path(name)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+@contextmanager
+def scoped_checkpoint(df: DataFrame, name: str = "stage") -> Iterator[DataFrame]:
+    """``stage_checkpoint`` whose files are deleted when the block
+    exits — for callers that finish consuming the stage inside a known
+    scope (e.g. one polling cycle). Without the delete, a
+    run-forever loop would accumulate one full checkpoint per cycle
+    until the scratch volume fills.
+    """
+    path = _new_path(name)
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    try:
+        yield out
+    finally:
+        _remove(df, path)
 
 
 def eager_release(result: DataFrame, name: str, *cached: DataFrame) -> DataFrame:
@@ -65,8 +109,14 @@ def eager_release(result: DataFrame, name: str, *cached: DataFrame) -> DataFrame
     just a file scan; nothing stays in the block-manager cache after
     the call (the round-2 leak), and the big intermediates were never
     written to disk at all (the cost stage_checkpoint pays).
+
+    The unpersist runs even when the eager write throws — an exception
+    path that left the caches registered would reintroduce the exact
+    leak this module exists to prevent.
     """
-    out = stage_checkpoint(result, name)
-    for df in cached:
-        df.unpersist()
+    try:
+        out = stage_checkpoint(result, name)
+    finally:
+        for df in cached:
+            df.unpersist()
     return out
