@@ -529,3 +529,47 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SHUFFLE_SEED = "42"
+SHUFFLE_SHARDS = 16
+
+
+@register(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS h
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) AS shard,
+           row_number() OVER (
+             PARTITION BY instr('0123456789abcdef', substr(h, 1, 1))
+             ORDER BY h, doc_id) AS pos
+    FROM keyed
+    """,
+    doc="Deterministic global shuffle for training: each document's "
+    "position comes from md5(doc_id || seed) — any engine, any "
+    "partitioning, any rerun yields the same permutation, and the "
+    "shard (first hex nibble of the hash) doubles as the output file "
+    "assignment. The scale shape is exactly this plan: ONE hash-"
+    "partitioned exchange on the shard, a sort within each shard "
+    "(independent, parallel — never a global sort), and writers emit "
+    "shard files in order. Changing the seed constant reshuffles; "
+    "keeping it reproduces a published data order bit-for-bit.",
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
+    keyed = d.select("doc_id", "lang", h.alias("h")).withColumn(
+        "shard",
+        (F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1).cast("bigint"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id", "lang", "shard", F.row_number().over(w).alias("pos")
+    )
