@@ -33,6 +33,13 @@ def parse_raw(df: DataFrame, value_col: str = "value") -> DataFrame:
     from_json alone maps corrupt input to an all-null struct, not a
     NULL — `try_parse_json` (variant) supplies the syntactic validity
     gate so callers get a clean NULL to filter on.
+
+    Deliberately TWO parses (reviewed and kept): the single-parse
+    alternative — PERMISSIVE from_json with columnNameOfCorruptRecord
+    — flags rows with field-level TYPE mismatches as corrupt too,
+    but the contract (SURVEY §1.3) drops only syntactically invalid
+    JSON and keeps mismatched fields as NULL→default. Only
+    try_parse_json distinguishes the two cases.
     """
     value = F.col(value_col).cast("string")
     return df.withColumn(
@@ -49,8 +56,11 @@ def _num(path: str, out_type: str, default: int = 0) -> Column:
 
 
 def _epoch_ts(path: str) -> Column:
-    # NULL stays NULL (nullable TimestampType — §1.4 fix)
-    return F.to_timestamp(F.from_unixtime(F.col(path)))
+    # NULL stays NULL (nullable TimestampType — §1.4 fix).
+    # timestamp_seconds converts directly; the from_unixtime →
+    # to_timestamp round-trip formatted every value through a
+    # session-timezone string for the same result
+    return F.timestamp_seconds(F.col(path))
 
 
 def _fact_columns(r: str, event_time: Column) -> list[Column]:

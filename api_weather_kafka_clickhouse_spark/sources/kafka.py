@@ -17,20 +17,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cities import N_TOPICS, TOPIC_PREFIX
+
 BOOTSTRAP = "kafka-1:9092,kafka-2:9092,kafka-3:9092"  # README.md:69-80 parity
-TOPICS = ("weather_topic_1", "weather_topic_2", "weather_topic_3")
+# single owner of the topic fan-out contract: cities.py (routing),
+# re-derived here (subscription) and in weather_datasource (planning)
+TOPICS = tuple(f"{TOPIC_PREFIX}{i + 1}" for i in range(N_TOPICS))
 
 
 def kafka_available(spark: SparkSession) -> bool:
     """True if the kafka connector is on the classpath (import-try
-    equivalent for a JVM data source)."""
+    equivalent for a JVM data source).
+
+    The probe load() fails even WITH the connector present (the dummy
+    options are invalid), so absence is detected by ERROR CLASS —
+    DATA_SOURCE_NOT_FOUND / FAILED_FIND_DATA_SOURCE — via the typed
+    getter, not by substring-matching an error message that varies
+    across Spark versions and locales. Unclassified errors fall back
+    to the conservative answer (unavailable): callers then use the
+    tested file/memory twins instead of crashing later at start().
+    """
+    from pyspark.errors import PySparkException
+
     try:
         spark.readStream.format("kafka").option("subscribe", "x").option(
             "kafka.bootstrap.servers", "x:1"
         ).load()
         return True
-    except Exception as e:  # DATA_SOURCE_NOT_FOUND when jar missing
-        return "DATA_SOURCE_NOT_FOUND" not in str(e)
+    except PySparkException as e:
+        cond = e.getCondition() or ""
+        if "DATA_SOURCE_NOT_FOUND" in cond or "FAILED_FIND_DATA_SOURCE" in cond:
+            return False
+        # classified as something else (e.g. option validation) —
+        # the source resolved, so the connector exists
+        return True
+    except Exception:
+        return False
 
 
 def to_kafka_messages(df: DataFrame, key_col: str, payload_cols: list[str] | None = None) -> DataFrame:

@@ -6,7 +6,9 @@ The reference's `PARTITION BY toYYYYMM(event_date)` + `ORDER BY
 maps to:
 
 - Hive-style `partitionBy(event_month)` → Catalyst partition pruning
-  on event_date predicates (monthly pruning parity);
+  on event_month predicates (monthly pruning parity; date-ranged
+  readers derive the month bound explicitly — `read_fact_between` —
+  because Spark cannot infer month bounds from an event_date filter);
 - `sortWithinPartitions(event_date, city_name, event_time)` before
   write → parquet min/max row-group stats ≈ MergeTree granule
   skipping for the sort-key prefix;
@@ -44,10 +46,47 @@ def write_fact(df: DataFrame, path: str, mode: str = "append") -> None:
     )
 
 
+def write_fact_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Replay-idempotent micro-batch write: the batch lands in its own
+    ``batch_id=<n>`` partition (then month) with DYNAMIC partition
+    overwrite, so a micro-batch replayed after a crash-between-sink-
+    and-commit OVERWRITES its own partitions instead of double-
+    appending — the same idempotent-foreachBatch pattern as
+    streaming/rollup.py, upgrading the reference's at-least-once
+    commit-after-insert (Consumer:160-165) to effectively-exactly-once
+    for deterministic batches."""
+    (
+        with_month(df)
+        .withColumn("batch_id", F.lit(batch_id))
+        .sortWithinPartitions(*SORT_KEY)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", MONTH_COL)
+        .parquet(path)
+    )
+
+
 def read_fact(spark: SparkSession, path: str) -> DataFrame:
-    """Read back; month-partition predicates prune directories —
-    check .explain() for PartitionFilters on event_month."""
+    """Read back. NOTE: pruning happens on the PARTITION column
+    ``event_month`` — Spark does not derive a month predicate from an
+    `event_date` filter (the functional relationship is unknown to
+    Catalyst), so date-ranged readers must constrain event_month too;
+    use read_fact_between."""
     return spark.read.parquet(path)
+
+
+def read_fact_between(spark: SparkSession, path: str, start_date: str, end_date: str) -> DataFrame:
+    """Date-range read with EXPLICIT month-partition pruning: the
+    event_month predicate (derived driver-side from the date bounds)
+    prunes directories, the event_date predicate then row-filters via
+    parquet min/max stats on the sorted files — together, MergeTree
+    partition + granule skipping parity."""
+    months = (F.date_format(F.lit(start_date), "yyyyMM"), F.date_format(F.lit(end_date), "yyyyMM"))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(MONTH_COL).between(*months))
+        .filter(F.col("event_date").between(F.lit(start_date), F.lit(end_date)))
+    )
 
 
 def jdbc_insert(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:

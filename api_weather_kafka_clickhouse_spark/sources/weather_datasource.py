@@ -42,9 +42,10 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from .cities import N_TOPICS, TOPIC_PREFIX
+
 FORMAT_NAME = "weather_api"
 SCHEMA_DDL = "name string, lat double, lon double, topic string, value string"
-N_TOPICS = 3  # reference topic fan-out (docker-compose: weather_topic_1..3)
 
 
 def _load_cities(path: str) -> list[dict]:
@@ -97,7 +98,8 @@ def _build_fetcher(options: dict):
 
 
 def _topic(i: int) -> str:
-    return f"weather_topic_{i % N_TOPICS + 1}"
+    # topic contract owned by cities.py — one edit point for fan-out
+    return f"{TOPIC_PREFIX}{i % N_TOPICS + 1}"
 
 
 def _sweep(cities: list[dict], options: dict) -> Iterator[tuple]:

@@ -27,18 +27,14 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.flatten import flatten_weather, parse_raw
 from ..sources.schemas import WEATHER_RAW_SCHEMA
-from ..sources.sink import write_fact
+from ..sources.sink import write_fact_batch
 
 
 def read_stream_json_files(spark: SparkSession, path: str) -> DataFrame:
     """File-source twin of the Kafka source for local/test runs: each
     line is one Kafka message value (raw weather JSON). Schema is the
     single `value` string — identical shape to the Kafka source."""
-    return (
-        spark.readStream.schema("value string")
-        .text(path)
-        .withColumnRenamed("value", "value")
-    )
+    return spark.readStream.schema("value string").text(path)
 
 
 def transform(messages: DataFrame) -> DataFrame:
@@ -63,12 +59,17 @@ def start_pipeline(
     checkpoint: str,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
-    """The full consumer: micro-batches appended to the partitioned
-    warehouse via foreachBatch (the reference's batched INSERT, A19)."""
+    """The full consumer: micro-batches written to the partitioned
+    warehouse via foreachBatch (the reference's batched INSERT, A19).
+    Each batch lands in its own batch_id partition with dynamic
+    overwrite (write_fact_batch), so a batch replayed after a crash
+    between sink and checkpoint-commit overwrites itself instead of
+    double-appending — a plain append here would silently duplicate
+    every fact row of the replayed batch."""
     fact = transform(messages)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_fact(batch_df, warehouse_path)
+        write_fact_batch(batch_df, warehouse_path, batch_id)
 
     writer = fact.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if trigger_seconds is not None:

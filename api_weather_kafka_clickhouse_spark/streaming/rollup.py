@@ -30,9 +30,15 @@ ROLLUP_KEYS = ("event_date", "city_name")
 
 
 def _batch_partials(batch_df: DataFrame) -> DataFrame:
+    # t_sum is pinned to decimal(38,2) here AND in compact_rollup's
+    # re-aggregation: Spark's sum() widens precision by 10, so an
+    # unpinned compaction would write decimal(38,2) partitions next to
+    # the stream's decimal(28,2) ones and later un-merged reads would
+    # resolve an arbitrary footer (intermittent parquet conversion
+    # errors). One fixed type keeps every partition schema identical.
     return batch_df.groupBy(*ROLLUP_KEYS).agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.sum(F.col("temperature").cast("decimal(18,2)")).alias("t_sum"),
+        F.sum(F.col("temperature").cast("decimal(18,2)")).cast("decimal(38,2)").alias("t_sum"),
         F.min("temperature").alias("t_min"),
         F.max("temperature").alias("t_max"),
     )
@@ -123,7 +129,8 @@ def compact_rollup(spark: SparkSession, rollup_path: str, checkpoint: str) -> No
         foldable.groupBy(*ROLLUP_KEYS)
         .agg(
             F.sum("n_obs").alias("n_obs"),
-            F.sum("t_sum").alias("t_sum"),
+            # same fixed decimal as _batch_partials — see comment there
+            F.sum("t_sum").cast("decimal(38,2)").alias("t_sum"),
             F.min("t_min").alias("t_min"),
             F.max("t_max").alias("t_max"),
         )

@@ -46,12 +46,22 @@ def _make_updater(evict_ms: int | None):
         else:
             sum_cents, n, v_min, v_max = 0, 0, float("inf"), float("-inf")
         for pdf in pdfs:
-            v = pdf["value"]
+            # NULL values arrive as NaN via Arrow; pandas sum/min/max
+            # skip NaN but len() would count it — without the dropna
+            # the mean biases low and an all-NULL batch would poison
+            # min/max with inf sentinels
+            v = pdf["value"].dropna()
+            if v.empty:
+                continue
             # 2-decimal values -> integer cents: state math stays exact
             sum_cents += int(round(float(v.sum()) * 100))
             n += len(v)
             v_min = min(v_min, float(v.min()))
             v_max = max(v_max, float(v.max()))
+        if n == 0:
+            # no numeric observation for this key yet: no state row to
+            # checkpoint, no output (emitting would divide by zero)
+            return
         state.update((sum_cents, n, v_min, v_max))
         if evict_ms is not None:
             state.setTimeoutDuration(evict_ms)

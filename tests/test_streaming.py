@@ -239,3 +239,51 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     assert last["a"].mean == (10.50 + 20.50 + 9.00) / 3
     assert last["a"].v_min == 9.00 and last["a"].v_max == 20.50
     assert last["b"].n == 1 and last["b"].mean == 1.00
+
+
+def test_stateful_running_stats_skips_nulls(spark, tmp_path):
+    """NULL values must not bias the mean or poison min/max state:
+    pandas sum/min/max skip NaN but a naive len() counts NaN rows, and
+    an all-NULL first batch would emit mean=0 with inf sentinels."""
+    from api_weather_kafka_clickhouse_spark.streaming.stateful import running_stats
+
+    d = tmp_path / "st_null_in"
+    d.mkdir()
+    # key a: one real value + one NULL; key b: only NULLs
+    (d / "b0.csv").write_text("a,10.00\na,\nb,\n")
+    stream = spark.readStream.schema("key string, value double").csv(str(d))
+    out = running_stats(stream, "key", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stats_null_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.key: r for r in spark.sql("SELECT * FROM stats_null_out").collect()}
+    assert "b" not in rows  # no numeric observation -> no emitted row
+    a = rows["a"]
+    assert a.n == 1 and a.mean == 10.00
+    assert a.v_min == 10.00 and a.v_max == 10.00
+
+
+def test_pipeline_replayed_batch_overwrites_not_appends(spark, stream_dir, tmp_path):
+    """A micro-batch replayed after a crash between sink and commit
+    must overwrite its own batch_id partition, not double-append: the
+    sink write is idempotent per batch id (write_fact_batch)."""
+    from api_weather_kafka_clickhouse_spark.sources.sink import write_fact_batch
+
+    wh = str(tmp_path / "wh_replay")
+    msgs = pipeline.read_stream_json_files(spark, str(stream_dir))
+    q = pipeline.start_pipeline(msgs, wh, str(tmp_path / "ck_replay"))
+    q.awaitTermination(120)
+    before = spark.read.parquet(wh).count()
+    # simulate the crash-window replay: re-run batch 0's sink write
+    fact = pipeline.transform(
+        spark.read.schema("value string").text(str(stream_dir))
+    )
+    write_fact_batch(fact, wh, 0)
+    after = spark.read.parquet(wh)
+    assert after.count() == before, "replay must not duplicate rows"
+    assert after.filter(F.col("batch_id") == 0).count() == before
