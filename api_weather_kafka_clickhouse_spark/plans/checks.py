@@ -35,18 +35,24 @@ def simple_plan(df: DataFrame) -> str:
     return _explain(df, "simple")
 
 
-def scan_read_schema(df: DataFrame, table_hint: str = "") -> list[str]:
-    """Column names the parquet scan actually reads (pruning check)."""
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (pruning check).
+
+    Greedy to the LAST '>' on the line: a non-greedy/[^>]* match
+    would truncate at the first '>' of any nested type
+    (``struct<...,embedding:array<float>,label:bigint>``) and drop
+    every column after it, turning "'payload' not in schema"
+    assertions into vacuous passes."""
     plan = formatted_plan(df)
-    cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols.append(m.group(1))
-    return cols
+    return [m.group(1) for m in re.finditer(r"ReadSchema: struct<(.*)>", plan)]
 
 
 def pushed_filters(df: DataFrame) -> str:
+    """PushedFilters lines, each captured to the last ']' on the line
+    — ``In(col, [a,b])`` predicates contain inner ']'s that a
+    non-greedy match would truncate at, dropping later filters."""
     plan = formatted_plan(df)
-    return "\n".join(m.group(0) for m in re.finditer(r"PushedFilters: \[[^\]]*\]", plan))
+    return "\n".join(m.group(0) for m in re.finditer(r"PushedFilters: \[.*\]", plan))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -59,9 +65,18 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def partial_aggregate_count(df: DataFrame) -> int:
-    """# of map-side partial hash aggregates in the plan."""
-    return len(re.findall(r"HashAggregate", simple_plan(df))) // 2
+    """# of map-side partial aggregate nodes in the plan.
+
+    Counted from the node's function list (``functions=[partial_``)
+    rather than node-name arithmetic: the old ``HashAggregate``//2
+    heuristic substring-matched ObjectHashAggregate, assumed exactly
+    two nodes per logical aggregate (distinct aggregates plan four),
+    and missed SortAggregate fallbacks entirely."""
+    return simple_plan(df).count("functions=[partial_")
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return simple_plan(df).count("Exchange")
+    """# of SHUFFLE exchanges. ``\\bExchange\\b`` — a plain substring
+    count would also match BroadcastExchange and report shuffles in a
+    genuinely shuffle-free broadcast-join plan."""
+    return len(re.findall(r"\bExchange\b", simple_plan(df)))

@@ -36,24 +36,25 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 
 _STAGE_ROOT: str | None = None
-_ROOT_IS_LOCAL_TMP = False
 
 
 def _root() -> str:
-    global _STAGE_ROOT, _ROOT_IS_LOCAL_TMP
+    global _STAGE_ROOT
     if _STAGE_ROOT is None:
         env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
         if env:
             _STAGE_ROOT = env
         else:
             _STAGE_ROOT = tempfile.mkdtemp(prefix="spark_graft_stage_")
-            _ROOT_IS_LOCAL_TMP = True
             atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
     return _STAGE_ROOT
 
 
-def _new_path(name: str) -> str:
-    return os.path.join(_root(), f"{name}_{uuid.uuid4().hex}")
+def _materialize(df: DataFrame, name: str) -> tuple[str, DataFrame]:
+    """Write ``df`` to a fresh scratch dir; return (path, re-read)."""
+    path = os.path.join(_root(), f"{name}_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return path, df.sparkSession.read.parquet(path)
 
 
 def _remove(df: DataFrame, path: str) -> None:
@@ -75,9 +76,7 @@ def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
     cluster scratch policy reclaims them (env-provided root); callers
     with a bounded consumption scope should prefer ``scoped_checkpoint``.
     """
-    path = _new_path(name)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return _materialize(df, name)[1]
 
 
 @contextmanager
@@ -88,9 +87,7 @@ def scoped_checkpoint(df: DataFrame, name: str = "stage") -> Iterator[DataFrame]
     run-forever loop would accumulate one full checkpoint per cycle
     until the scratch volume fills.
     """
-    path = _new_path(name)
-    df.write.mode("overwrite").parquet(path)
-    out = df.sparkSession.read.parquet(path)
+    path, out = _materialize(df, name)
     try:
         yield out
     finally:

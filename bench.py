@@ -84,7 +84,14 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # best-effort: an env-overridden SF_DIR without an 'sf<num>'
+    # suffix must not crash AFTER the whole benchmark ran — the one
+    # JSON line below is the driver contract and must always print
+    tail = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf: float | str = float(tail)
+    except ValueError:
+        sf = SF_DIR
     print(
         json.dumps(
             {
@@ -92,7 +99,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )
