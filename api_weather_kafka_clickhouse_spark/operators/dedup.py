@@ -263,7 +263,10 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate, asserted in tests.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _doc_shingles_exploded(spark, sf_dir)
+    # the shingle table feeds THREE plan branches (both join sides +
+    # the size aggregate) — cache it once or the dominant shingling
+    # stage executes three times per run; released via eager_release
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
     ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
@@ -276,12 +279,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    out = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return eager_release(out, "jaccard_pairs", e)
 
 
 # --- MinHash + LSH ---------------------------------------------------

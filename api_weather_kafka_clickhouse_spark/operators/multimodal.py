@@ -85,15 +85,19 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     SELECT doc_id,
            strlen(text)    AS n_bytes,
-           ascii(text[1])  AS head_byte,
-           ascii(text[-1]) AS tail_byte,
-           CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) % {ADLER_MOD}
-                AS BIGINT) AS checksum
+           CASE WHEN strlen(text) = 0 THEN -1 ELSE ascii(text[1])  END AS head_byte,
+           CASE WHEN strlen(text) = 0 THEN -1 ELSE ascii(text[-1]) END AS tail_byte,
+           CAST(coalesce(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]), 0)
+                % {ADLER_MOD} AS BIGINT) AS checksum
     FROM documents
     """,
     doc="Binary feature extraction through mapInPandas (Arrow batches). "
     "The oracle recomputes the byte statistics in pure SQL over the "
-    "source text (ASCII corpus: char codes == bytes).",
+    "source text (ASCII corpus: char codes == bytes). Empty payloads "
+    "are guarded to the kernel's sentinels (-1 head/tail, 0 checksum) "
+    "— DuckDB's list_sum([]) is NULL and ascii('') is not -1, so an "
+    "unguarded oracle would diverge on any empty document (the "
+    "mm_resize_stub oracle guards the same case).",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_table(spark, sf_dir).select("doc_id", "payload").mapInPandas(

@@ -172,9 +172,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..plans.stage import eager_release
+
     d = load(spark, "documents", sf_dir)
     ex = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two plan branches (document frequencies AND the score
+    # join) — cache it or the full-corpus token explode + groupBy runs
+    # twice; released via eager_release
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -189,11 +194,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rank")
     )
+    return eager_release(out, "tfidf_topk", tf)
 
 
 _BPE_ALPHA = "[A-Za-z]+"
@@ -532,7 +538,8 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHUFFLE_SEED = "42"
-SHUFFLE_SHARDS = 16
+# shard count is fixed at 16 by the first-hex-nibble split below —
+# both the Spark plan and the oracle hard-code the nibble alphabet
 
 
 @register(

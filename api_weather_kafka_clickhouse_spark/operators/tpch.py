@@ -524,7 +524,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("value_")
     )
-    thr = pv.agg((F.sum("value_") * F.lit(0.001)).cast("decimal(38,4)").alias("thr"))
+    # the fraction multiplies in DECIMAL on both engines: a double
+    # 0.001 literal would promote the product to double and a ~1-ulp
+    # error at a .00005 rounding boundary could flip the (38,4)
+    # threshold vs the oracle's exact decimal arithmetic
+    frac = F.expr("CAST(0.001 AS DECIMAL(4,3))")
+    thr = pv.agg((F.sum("value_") * frac).cast("decimal(38,4)").alias("thr"))
     return (
         pv.join(F.broadcast(thr), pv.value_ > thr.thr)
         .select("l_partkey", F.col("value_").cast("double").alias("value_"))
