@@ -85,17 +85,23 @@ def test_exact_keep_first_is_unique_and_minimal(spark, sf_dir):
 
 
 def test_dedup_operators_leave_no_cached_rdds(spark, sf_dir):
-    """Multi-consumer intermediates are storage-checkpointed, not
-    persisted: after an operator's result is fully materialized,
-    nothing may linger in the block-manager cache (round-2 verdict:
-    operator-scope persist leaks accumulate executor memory in
-    long-lived sessions)."""
+    """Multi-consumer intermediates persist only WITHIN an operator
+    call (eager_release drops every cache before returning): after an
+    operator's result is materialized, nothing may linger in the
+    block-manager cache (round-2 verdict: operator-scope persist
+    leaks accumulate executor memory in long-lived sessions)."""
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        text_tfidf_topk,
+    )
+
     spark.catalog.clearCache()
     for fn in (
         dedup.dedup_minhash_lsh,
         dedup.dedup_simhash,
+        dedup.dedup_ngram_jaccard,
         dedup.corpus_clean_pipeline,
         dedup.dedup_embedding_lsh,
+        text_tfidf_topk,
     ):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
