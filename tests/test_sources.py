@@ -77,3 +77,26 @@ def test_sink_partition_layout_and_pruning(spark, tmp_path):
     assert dirs, "expected hive-style event_month= partition dirs"
     back = sink.read_fact(spark, path)
     assert back.count() == 1
+
+
+def test_read_fact_between_prunes_month_partitions(spark, tmp_path):
+    """Date-ranged reads must constrain the PARTITION column: Spark
+    cannot derive event_month bounds from an event_date predicate, so
+    read_fact_between adds them explicitly — asserted via
+    PartitionFilters in the scan plan."""
+    from datetime import date
+
+    from api_weather_kafka_clickhouse_spark.plans import checks
+
+    rows = [(date(2026, m, 15), f"city{m}", 20.0) for m in (6, 7, 8)]
+    df = spark.createDataFrame(
+        rows, "event_date date, city_name string, temperature double"
+    ).withColumn("event_time", F.col("event_date").cast("timestamp"))
+    path = str(tmp_path / "wh_prune")
+    sink.write_fact(df, path)
+    pruned = sink.read_fact_between(spark, path, "2026-07-01", "2026-07-31")
+    assert [r.city_name for r in pruned.collect()] == ["city7"]
+    plan = checks.formatted_plan(pruned)
+    assert "PartitionFilters" in plan and sink.MONTH_COL in plan.split("PartitionFilters")[1].split("]")[0], (
+        "month predicate must reach the scan's partition filters"
+    )
