@@ -19,13 +19,17 @@ The scratch root defaults to a driver-local temp dir (right for
 every executor can reach — a driver-local path would scatter task
 output across executor-local filesystems and the re-read would see a
 partial dataset. Dirs under an env-provided root are NOT removed at
-exit (the cluster's scratch-retention policy owns them); per-call
-cleanup is available via ``scoped_checkpoint``.
+exit by default (the cluster's scratch-retention policy owns them),
+but every dir this process creates is tracked: long-lived sessions
+can call ``reclaim_checkpoints`` once they have finished consuming
+the returned DataFrames, and per-call cleanup is available via
+``scoped_checkpoint``.
 """
 
 from __future__ import annotations
 
 import atexit
+import logging
 import os
 import shutil
 import tempfile
@@ -35,7 +39,18 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
+log = logging.getLogger(__name__)
+
 _STAGE_ROOT: str | None = None
+
+# Every checkpoint dir created by this process, in creation order.
+# Dirs removed by scoped_checkpoint / reclaim_checkpoints are dropped
+# from the list; what remains is exactly the scratch space the session
+# still owes the filesystem.
+_LIVE_DIRS: list[str] = []
+
+# Plan-inspection mode flag — see lazy_plans().
+_LAZY_PLANS = False
 
 
 def _root() -> str:
@@ -54,6 +69,7 @@ def _materialize(df: DataFrame, name: str) -> tuple[str, DataFrame]:
     """Write ``df`` to a fresh scratch dir; return (path, re-read)."""
     path = os.path.join(_root(), f"{name}_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
+    _LIVE_DIRS.append(path)
     return path, df.sparkSession.read.parquet(path)
 
 
@@ -64,6 +80,38 @@ def _remove(df: DataFrame, path: str) -> None:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    if path in _LIVE_DIRS:
+        _LIVE_DIRS.remove(path)
+
+
+def live_checkpoint_dirs() -> tuple[str, ...]:
+    """Checkpoint dirs this process has created and not yet removed."""
+    return tuple(_LIVE_DIRS)
+
+
+def reclaim_checkpoints(spark) -> int:
+    """Delete every tracked checkpoint dir; return how many were removed.
+
+    The release hook for long-lived sessions (a polling loop, a
+    notebook): each operator call leaves one small result-checkpoint
+    dir behind, and under ``SPARK_GRAFT_SCRATCH_DIR`` nothing else
+    reclaims them during the process lifetime. Call this only once
+    every DataFrame previously returned by a checkpointing operator
+    has been fully consumed — their lineage is a scan of these files,
+    so reclaiming early breaks those frames.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for path in list(_LIVE_DIRS):
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(conf).delete(p, True)
+            removed += 1
+        except Exception:  # noqa: BLE001 — best-effort reclamation
+            log.warning("failed to reclaim checkpoint dir %s", path, exc_info=True)
+        _LIVE_DIRS.remove(path)
+    return removed
 
 
 def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
@@ -72,7 +120,8 @@ def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
     Eager: the write runs now, so the cost lands inside the operator's
     own timing, and every downstream consumer scans columnar files
     instead of recomputing the stage or pinning executor memory.
-    The files live until process exit (local tmp root) or until the
+    The files live until process exit (local tmp root), until
+    ``reclaim_checkpoints`` (long-lived sessions), or until the
     cluster scratch policy reclaims them (env-provided root); callers
     with a bounded consumption scope should prefer ``scoped_checkpoint``.
     """
@@ -91,7 +140,33 @@ def scoped_checkpoint(df: DataFrame, name: str = "stage") -> Iterator[DataFrame]
     try:
         yield out
     finally:
-        _remove(df, path)
+        # cleanup must never mask an exception from the body — a
+        # transient FS error here is log-worthy, not raise-worthy
+        try:
+            _remove(df, path)
+        except Exception:  # noqa: BLE001
+            log.warning("failed to remove checkpoint dir %s", path, exc_info=True)
+
+
+@contextmanager
+def lazy_plans() -> Iterator[None]:
+    """Plan-inspection mode: inside this block ``eager_release``
+    skips the scratch write and hands back the UNMATERIALIZED result
+    (caches unmarked first, so explain shows the raw operator tree,
+    not InMemoryRelation stubs or a post-checkpoint file scan).
+
+    Exists for the plan-shape tests: asserting on the registered fn's
+    normal return would check a plain parquet FileScan — a cartesian
+    regression inside the operator would pass silently (the round-3
+    advice finding). Never use it to EXECUTE an operator: the lazy
+    plan recomputes every fan-out stage once per consumer.
+    """
+    global _LAZY_PLANS
+    _LAZY_PLANS = True
+    try:
+        yield
+    finally:
+        _LAZY_PLANS = False
 
 
 def eager_release(result: DataFrame, name: str, *cached: DataFrame) -> DataFrame:
@@ -109,11 +184,19 @@ def eager_release(result: DataFrame, name: str, *cached: DataFrame) -> DataFrame
 
     The unpersist runs even when the eager write throws — an exception
     path that left the caches registered would reintroduce the exact
-    leak this module exists to prevent.
+    leak this module exists to prevent — and is itself guarded so a
+    cleanup failure can never mask the write's exception.
     """
+    if _LAZY_PLANS:
+        for df in cached:
+            df.unpersist()
+        return result
     try:
         out = stage_checkpoint(result, name)
     finally:
         for df in cached:
-            df.unpersist()
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — never mask the primary error
+                log.warning("unpersist failed during eager_release(%s)", name, exc_info=True)
     return out

@@ -42,7 +42,6 @@ def test_no_cartesian_in_equi_joins(spark, sf_dir):
         "join_semi",
         "join_anti",
         "join_interval_pairs",
-        "dedup_minhash_lsh",
         "fuzzy_match_blocked",
     ):
         df = SPECS[name].fn(spark, sf_dir)
@@ -53,6 +52,32 @@ def test_no_cartesian_in_equi_joins(spark, sf_dir):
             assert "NestedLoop" not in checks.simple_plan(df), (
                 "blocked fuzzy match must equi-join on the band key"
             )
+
+
+def test_no_cartesian_in_checkpointing_operators(spark, sf_dir):
+    """The dedup/text operators return an eager checkpoint re-read, so
+    their registered plan is just a parquet FileScan — asserting on it
+    would let a cartesian regression in the candidate/verify joins
+    pass silently (round-3 advice). lazy_plans() makes eager_release
+    hand back the real pre-checkpoint operator tree instead."""
+    from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
+
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_lsh",
+        "corpus_clean_pipeline",
+        "text_tfidf_topk",
+    ):
+        with lazy_plans():
+            df = SPECS[name].fn(spark, sf_dir)
+        plan = checks.simple_plan(df)
+        assert not checks.has_cartesian(df), f"{name} planned a cartesian product"
+        assert "NestedLoop" not in plan, f"{name} planned a nested-loop join"
+        # the lazy plan must be the real operator tree, not a scan of
+        # an already-written checkpoint (which would re-vacuum the test)
+        assert "Join" in plan or "HashAggregate" in plan, plan
 
 
 def test_aggregates_have_partial_phase(spark, sf_dir):
