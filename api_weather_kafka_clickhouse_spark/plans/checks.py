@@ -64,6 +64,38 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in p
 
 
+# A sanctioned scalar broadcast: a BroadcastExchange whose input is a
+# global (keys=[]) aggregate — by construction exactly one build row.
+_SCALAR_BROADCAST_BUILD = re.compile(
+    r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
+    r"[^\n]*(?:Hash|Sort|ObjectHash)Aggregate\((?:keys|key)=\[\]"
+)
+
+
+def unbounded_nested_loop_count(df: DataFrame) -> int:
+    """# of nested-loop join nodes that are NOT the sanctioned
+    scalar-broadcast shape (build side = a single-row keys=[] global
+    aggregate).
+
+    ``CartesianProduct`` always counts. ``BroadcastNestedLoopJoin`` is
+    exempt only when its broadcast input is a global aggregate: Spark
+    plans ``crossJoin(broadcast(one_row_total))`` as
+    ``BroadcastNestedLoopJoin BuildRight, Cross``, and with exactly one
+    build row the "nested loop" degenerates to a map-side column
+    append — scale-safe (SCALE.md: "the only cartesians are
+    broadcast-of-1-row totals"). A broadcast of a real multi-row
+    relation, or a non-broadcast nested loop, still counts: those are
+    the O(n·m) shapes the plan tests exist to forbid.
+    """
+    plan = simple_plan(df)
+    cartesians = plan.count("CartesianProduct")
+    bnlj = plan.count("NestedLoopJoin")
+    # CartesianProduct has no broadcast build, so scalar exemptions can
+    # only ever discount BroadcastNestedLoopJoin nodes
+    exempt = min(len(_SCALAR_BROADCAST_BUILD.findall(plan)), bnlj)
+    return cartesians + bnlj - exempt
+
+
 def partial_aggregate_count(df: DataFrame) -> int:
     """# of map-side partial aggregate nodes in the plan.
 

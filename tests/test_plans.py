@@ -4,6 +4,8 @@ map-side partial aggregation, no cartesian products."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,7 +61,13 @@ def test_no_cartesian_in_checkpointing_operators(spark, sf_dir):
     their registered plan is just a parquet FileScan — asserting on it
     would let a cartesian regression in the candidate/verify joins
     pass silently (round-3 advice). lazy_plans() makes eager_release
-    hand back the real pre-checkpoint operator tree instead."""
+    hand back the real pre-checkpoint operator tree instead.
+
+    "No cartesian" means no UNBOUNDED nested loop: the sanctioned
+    1-row scalar broadcast (text_tfidf_topk attaches the corpus doc
+    count via crossJoin(broadcast(count))) plans as
+    BroadcastNestedLoopJoin and is exempt — the check requires the
+    build side to be a keys=[] global aggregate."""
     from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
 
     for name in (
@@ -73,11 +81,38 @@ def test_no_cartesian_in_checkpointing_operators(spark, sf_dir):
         with lazy_plans():
             df = SPECS[name].fn(spark, sf_dir)
         plan = checks.simple_plan(df)
-        assert not checks.has_cartesian(df), f"{name} planned a cartesian product"
-        assert "NestedLoop" not in plan, f"{name} planned a nested-loop join"
+        assert checks.unbounded_nested_loop_count(df) == 0, (
+            f"{name} planned an unbounded cartesian/nested-loop join:\n{plan}"
+        )
         # the lazy plan must be the real operator tree, not a scan of
         # an already-written checkpoint (which would re-vacuum the test)
         assert "Join" in plan or "HashAggregate" in plan, plan
+        if name == "dedup_minhash_lsh":
+            # candidate generation must equi-join on the BAND keys —
+            # a bare "some Join exists" would pass on the wrong join
+            # (e.g. only the verify join surviving a band regression)
+            assert re.search(r"Join [^\n]*band_idx#\d+[^\n]*band_key#\d+", plan), (
+                f"minhash candidates must hash-join on (band_idx, band_key):\n{plan}"
+            )
+
+
+def test_unbounded_nested_loop_check_catches_real_cartesians(spark, sf_dir):
+    """Negative fixture: the scalar-broadcast exemption must not
+    vacuum the check — a genuine all-pairs cross join (broadcast or
+    not) is still flagged, while the sanctioned broadcast-of-1-row
+    total is not."""
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    assert checks.unbounded_nested_loop_count(n.crossJoin(F.broadcast(r))) > 0, (
+        "broadcast cross join of a multi-row table must be flagged"
+    )
+    assert checks.unbounded_nested_loop_count(n.crossJoin(r)) > 0, (
+        "plain cross join must be flagged"
+    )
+    total = r.agg(F.count(F.lit(1)).alias("n"))
+    assert checks.unbounded_nested_loop_count(n.crossJoin(F.broadcast(total))) == 0, (
+        "1-row scalar broadcast is the sanctioned shape"
+    )
 
 
 def test_aggregates_have_partial_phase(spark, sf_dir):
