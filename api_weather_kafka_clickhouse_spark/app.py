@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .plans.stage import scoped_checkpoint
+from .plans.stage import reclaim_checkpoints, scoped_checkpoint
 from .sources.cities import assign_topics, load_cities, route_topic
 from .sources.flatten import flatten_weather, parse_raw
 from .sources.http_weather import FetchFn, fetch_weather
@@ -86,12 +86,22 @@ def run_polling_loop(
     error_backoff_seconds: float = 60.0,
     max_cycles: int | None = None,
     sleep: Callable[[float], None] = time.sleep,
+    reclaim_scratch: bool = True,
 ) -> list[dict[str, int]]:
     """The reference producer's self-scheduling loop (A11,
     Producer_clickhouse.py:100-142): run one batch cycle, sleep 300 s,
     repeat; on a cycle error sleep 60 s and retry. `sleep` and
     `max_cycles` are injectable so tests drive the loop hermetically;
     production runs with the defaults (`max_cycles=None` = forever).
+
+    Between cycles the loop reclaims any checkpoint scratch dirs left
+    by operators invoked during the cycle (a safe point: the cycle's
+    frames are fully consumed — run_batch_cycle returns only
+    counters). Without this, a run-forever loop under
+    SPARK_GRAFT_SCRATCH_DIR accumulates one result-checkpoint per
+    operator call until the scratch volume fills. Pass
+    `reclaim_scratch=False` when the session is shared with a consumer
+    still holding DataFrames returned by checkpointing operators.
 
     Returns the per-cycle counter dicts (A21 parity); failed cycles
     record `{"error": 1}`.
@@ -108,6 +118,8 @@ def run_polling_loop(
         except Exception:  # noqa: BLE001 — reference retries any cycle error
             reports.append({"error": 1})
             delay = error_backoff_seconds
+        if reclaim_scratch:
+            reclaim_checkpoints(spark)
         if max_cycles is None or cycles < max_cycles:
             sleep(delay)
     return reports

@@ -511,9 +511,14 @@ def time_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, len(out)):
             # same literal expression as the oracle's recursive step
             out[i] = a * out[i] + b * out[i - 1]
-        pdf = pdf.assign(ewma=out.round(6))
+        pdf = pdf.assign(ewma=out)
         return pdf[["user_id", "event_id", "value", "ewma"]]
 
-    return e.groupBy("user_id").applyInPandas(
+    smoothed = e.groupBy("user_id").applyInPandas(
         ewma, schema="user_id bigint, event_id bigint, value double, ewma double"
     )
+    # Final rounding on the Spark column, NOT numpy: np.round is
+    # half-to-even while F.round and the DuckDB oracle are HALF_UP
+    # (away from zero on ties) — a double landing on a 6th-decimal
+    # midpoint would diverge (round-4 advice).
+    return smoothed.withColumn("ewma", F.round(F.col("ewma"), 6))

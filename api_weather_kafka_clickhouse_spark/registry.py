@@ -54,58 +54,61 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # (verified against CORRECTNESS_r01.json: exactly the first 50 entries
 # in registration order). This list pins the 50 driver-visible slots.
 #
-# Round-3 rotation: 11 slots that were same-family redundancy in r2
-# (5 extra TPC-H shapes beyond the 5 representatives, 2 of 8 window
-# kinds, 2 of 3 grouping-analytics shapes, 1 of 2 outer joins, 1 TPC-H
-# kept at 4) swapped for the operators that had never had a driver
-# CORRECTNESS row: the composed corpus pipeline, tf-idf, funnel /
-# retention analytics, 2 more TPC-H shapes, salted-skew agg, time
-# resample/gapfill, null-safe join, multimodal resize, and the blocked
-# fuzzy-match twin. Every §2 family keeps >= 1 gate row, so a
-# regression in a rotated-out query's family stays driver-visible; the
-# rotated-out queries themselves remain oracle-verified locally in
-# tests/test_oracle_parity.py (which replicates the driver's
-# canonicalization exactly — it predicted round 2's 50/50 bit-for-bit).
+# Rotation history: r3 swapped 11 redundant slots for first-time gate
+# rows (corpus pipeline, tf-idf, funnel/retention, salted-skew, ...).
+# Round-5 rotation (round 2 of the plan at the r4 verdict): 12 slots
+# that were green in BOTH r3 and r4 and are same-family redundancy
+# (3 of 6 TPC-H, 3 of 8 joins, 2 of 6 windows, 2 of 7 aggs, 1 of 4
+# text, 1 of 3 multimodal) swapped for 12 oracle-checked queries that
+# have never had a driver CORRECTNESS row: 5 more TPC-H shapes
+# (q4/q6/q10/q14/q19), the left outer join, lag/lead windows,
+# grouping-sets, and 4 LLM-corpus operators (decontamination,
+# repetition-ratio quality gate, sequence packing, deterministic
+# shuffle). Every §2 family keeps >= 1 gate row, so a regression in a
+# rotated-out query's family stays driver-visible; rotated-out queries
+# remain oracle-verified locally in tests/test_oracle_parity.py
+# (the replica that predicted rounds 2-4's driver results bit-for-bit).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",  # r3 rotation: first driver row
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",  # r3 rotation: first driver row
     "q18_large_volume_customer",
+    "q4_order_priority",  # r5 rotation: first driver row
+    "q6_forecast_revenue",  # r5 rotation: first driver row
+    "q10_returned_items",  # r5 rotation: first driver row
+    "q14_promo_revenue",  # r5 rotation: first driver row
+    "q19_disjunctive_predicates",  # r5 rotation: first driver row
     # joins
     "join_flagship_revenue",
     "join_broadcast_region",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
     "join_interval_pairs",
     "join_asof",
-    "join_null_safe",  # r3 rotation: first driver row
+    "join_null_safe",
+    "join_left_outer",  # r5 rotation: first driver row
     # window functions
     "window_topk_per_group",
-    "window_running_sum",
-    "window_rank_dense",
     "window_range_frame",
     "window_distribution",
     "sessionize",
+    "window_lag_lead",  # r5 rotation: first driver row
     # aggregation battery
     "agg_groupby_having",
     "agg_rollup",
-    "agg_distinct_multi",
     "agg_stats_moments",
-    "agg_pivot",
     "agg_collect_sorted",
-    "agg_salted_skew",  # r3 rotation: first driver row
+    "agg_salted_skew",
+    "agg_grouping_sets",  # r5 rotation: first driver row
     # behavioral analytics
-    "funnel_stages",  # r3 rotation: first driver row
-    "retention_cohorts",  # r3 rotation: first driver row
-    # text analysis
+    "funnel_stages",
+    "retention_cohorts",
+    # text analysis / corpus prep
     "text_token_stats",
-    "text_fingerprint",
     "text_bigram_topk",
-    "text_tfidf_topk",  # r3 rotation: first driver row
+    "text_tfidf_topk",
+    "decontaminate_ngram_overlap",  # r5 rotation: first driver row
+    "text_repetition_ratio",  # r5 rotation: first driver row
+    "pack_sequences",  # r5 rotation: first driver row
+    "shuffle_deterministic",  # r5 rotation: first driver row
     # similarity search (exact baseline; ANN variants are rows-only)
     "sim_topk_bruteforce",
     # deduplication / corpus cleaning
@@ -113,15 +116,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "corpus_clean_pipeline",  # r3 rotation: first driver row
+    "corpus_clean_pipeline",
     # record linkage
-    "fuzzy_match_blocked",  # r3 rotation: first driver row (new op)
+    "fuzzy_match_blocked",
     # multimodal
     "mm_feature_extract",
     "mm_frame_sample",
-    "mm_resize_stub",  # r3 rotation: first driver row
     # time series
-    "time_resample_gapfill",  # r3 rotation: first driver row
+    "time_resample_gapfill",
     # core relational / scalar
     "filter_project",
     "sort_limit_topk",

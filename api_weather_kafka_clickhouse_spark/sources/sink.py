@@ -31,8 +31,16 @@ SORT_KEY = ("event_date", "city_name", "event_time")
 
 
 def with_month(df: DataFrame) -> DataFrame:
-    """Derive the partition column (toYYYYMM parity, ddl:31)."""
-    return df.withColumn(MONTH_COL, F.date_format("event_date", "yyyyMM"))
+    """Derive the partition column (toYYYYMM parity, ddl:31).
+
+    Written as an INT yyyyMM, matching ClickHouse's toYYYYMM(Date) ->
+    UInt32: with a string partition value, readers depended on Hive
+    partition type inference + implicit ANSI casts to compare against
+    int/date-derived bounds — pruning silently stopped if
+    ``spark.sql.sources.partitionColumnTypeInference.enabled`` was
+    false (round-4 advice). An int value round-trips identically with
+    inference on or off."""
+    return df.withColumn(MONTH_COL, F.date_format("event_date", "yyyyMM").cast("int"))
 
 
 def write_fact(df: DataFrame, path: str, mode: str = "append") -> None:
@@ -81,7 +89,10 @@ def read_fact_between(spark: SparkSession, path: str, start_date: str, end_date:
     prunes directories, the event_date predicate then row-filters via
     parquet min/max stats on the sorted files — together, MergeTree
     partition + granule skipping parity."""
-    months = (F.date_format(F.lit(start_date), "yyyyMM"), F.date_format(F.lit(end_date), "yyyyMM"))
+    months = (
+        F.date_format(F.lit(start_date), "yyyyMM").cast("int"),
+        F.date_format(F.lit(end_date), "yyyyMM").cast("int"),
+    )
     return (
         spark.read.parquet(path)
         .filter(F.col(MONTH_COL).between(*months))

@@ -37,13 +37,24 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
-        # nanos-since-epoch long (legacy.parquet.nanosAsLong); truncate
-        # to micros with integer `div` (matches DuckDB's ns→us cast).
+        # events.ts has shipped as two physical parquet types across
+        # driver testdata generations; normalize both to a session-TZ
+        # TIMESTAMP (session TZ is pinned UTC, so values equal DuckDB's
+        # naive-UTC reading either way):
+        # - TIMESTAMP(NANOS): read as nanos-since-epoch long under
+        #   legacy.parquet.nanosAsLong; truncate to micros with integer
+        #   `div` (matches DuckDB's ns→us cast).
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as
+        #   TIMESTAMP_NTZ; cast reinterprets the wall time in the UTC
+        #   session zone. Leaving it NTZ would break every operator
+        #   using instant functions (unix_micros, unix_timestamp).
         from pyspark.sql import functions as F  # local: keep module import light
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -63,13 +63,14 @@ def main() -> None:
     _materialize(queries["q1_pricing_summary"](spark, SF_DIR))
     _materialize(queries["mm_feature_extract"](spark, SF_DIR))
 
-    # best-of-2 per query: single-run numbers on a shared local JVM
-    # carry GC/compilation noise of ±50%; the minimum of two runs is
-    # the standard way to report the query's actual cost
+    # best-of-3 per query: single-run numbers on a shared local JVM
+    # carry GC/compilation noise of ±50% — round-4's best-of-2 still
+    # overstated dedup_minhash_lsh by 2.2× when both runs landed slow;
+    # the minimum of three runs tracks the query's actual cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # time the CALLABLE too, not just the final materialize:
             # multi-consumer operators storage-checkpoint intermediate
             # stages eagerly inside the call (plans/stage.py), and that

@@ -45,6 +45,35 @@ def test_polling_loop_cycles_and_error_backoff(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(wh).count() == 10
 
 
+def test_polling_loop_reclaims_scratch_between_cycles(spark, tmp_path):
+    """Long-lived-session hygiene: a run-forever loop must not
+    accumulate operator checkpoint dirs cycle over cycle — each cycle
+    ends at a safe point (its frames fully consumed) and reclaims."""
+    from api_weather_kafka_clickhouse_spark.plans import stage
+
+    cities_path = tmp_path / "cities.json"
+    cities_path.write_text(json.dumps(FIXTURE))
+    wh = str(tmp_path / "warehouse_reclaim")
+
+    # simulate an unscoped operator checkpoint left from earlier work
+    # in the same session (the leak reclaim exists to stop)
+    leftover = stage.stage_checkpoint(spark.range(10), "loop_leftover")
+    assert leftover.count() == 10
+    assert any("loop_leftover" in d for d in stage.live_checkpoint_dirs())
+
+    app.run_polling_loop(
+        spark,
+        str(cities_path),
+        make_fake_fetcher(),
+        wh,
+        max_cycles=2,
+        sleep=lambda _s: None,
+    )
+    assert stage.live_checkpoint_dirs() == (), (
+        "the loop must reclaim tracked scratch dirs between cycles"
+    )
+
+
 def test_full_batch_cycle(spark, tmp_path):
     cities_path = tmp_path / "cities.json"
     cities_path.write_text(json.dumps(FIXTURE))

@@ -100,3 +100,35 @@ def test_read_fact_between_prunes_month_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and sink.MONTH_COL in plan.split("PartitionFilters")[1].split("]")[0], (
         "month predicate must reach the scan's partition filters"
     )
+
+
+def test_pruning_survives_disabled_partition_type_inference(spark, tmp_path):
+    """event_month is written as an INT yyyyMM so pruning does not
+    depend on Hive partition type inference (round-4 advice): with
+    inference disabled the partition column surfaces as string, and
+    the int-valued bounds must still reach PartitionFilters and prune
+    to the right rows."""
+    from datetime import date
+
+    from api_weather_kafka_clickhouse_spark.plans import checks
+
+    rows = [(date(2026, m, 15), f"city{m}", 20.0) for m in (6, 7, 8)]
+    df = spark.createDataFrame(
+        rows, "event_date date, city_name string, temperature double"
+    ).withColumn("event_time", F.col("event_date").cast("timestamp"))
+    path = str(tmp_path / "wh_prune_noinfer")
+    sink.write_fact(df, path)
+
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        pruned = sink.read_fact_between(spark, path, "2026-07-01", "2026-07-31")
+        assert [r.city_name for r in pruned.collect()] == ["city7"]
+        plan = checks.formatted_plan(pruned)
+        pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+        assert sink.MONTH_COL in pf, (
+            f"month predicate must prune even without type inference; got: {pf!r}"
+        )
+    finally:
+        spark.conf.set(key, prev)

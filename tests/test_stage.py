@@ -24,6 +24,38 @@ def test_scoped_checkpoint_removes_files(spark):
     )
 
 
+def test_reclaim_checkpoints_deletes_tracked_dirs(spark):
+    df = spark.range(50).withColumn("x", F.col("id") * 3)
+    out1 = stage.stage_checkpoint(df, "reclaim_a")
+    out2 = stage.stage_checkpoint(df.filter("id < 10"), "reclaim_b")
+    assert out1.count() == 50 and out2.count() == 10  # fully consumed
+    tracked = [d for d in stage.live_checkpoint_dirs() if "reclaim_" in d]
+    assert len(tracked) == 2 and all(os.path.isdir(d) for d in tracked)
+    before = len(stage.live_checkpoint_dirs())
+    removed = stage.reclaim_checkpoints(spark)
+    assert removed == before, "every tracked dir counts toward the return value"
+    assert stage.live_checkpoint_dirs() == (), "_LIVE_DIRS must drain"
+    assert not any(os.path.exists(d) for d in tracked), "dirs must be gone from disk"
+
+
+def test_reclaim_checkpoints_logs_not_raises_on_fs_error(spark, caplog):
+    """A dir that vanished out from under the tracker (cluster scratch
+    retention beat us to it, permission flap) must not abort the
+    reclamation sweep — the entry is dropped and the rest proceed."""
+    df = spark.range(5)
+    out = stage.stage_checkpoint(df, "reclaim_err")
+    assert out.count() == 5
+    stage._LIVE_DIRS.append("/nonexistent/spark_graft_bogus_dir")
+    # Hadoop LocalFS delete() on a missing path returns false (no
+    # throw), so force a real failure: an unparseable URI
+    stage._LIVE_DIRS.append("::not a uri::")
+    with caplog.at_level("WARNING", logger=stage.log.name):
+        removed = stage.reclaim_checkpoints(spark)
+    assert removed >= 1, "healthy dirs still reclaimed despite the bad entry"
+    assert stage.live_checkpoint_dirs() == (), "bad entries are dropped, not retried forever"
+    assert "failed to reclaim" in caplog.text, "FS errors are logged, never raised"
+
+
 def test_eager_release_unpersists_on_write_failure(spark):
     cached = spark.range(10).persist()
     cached.count()
