@@ -32,7 +32,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.stage import eager_release
+from ..plans.stage import eager_release, stage_checkpoint
 from ..registry import register
 from ..tables import load
 
@@ -658,3 +658,116 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
     return eager_release(out, "emb_pairs", bands)
+
+
+# --- cluster canonicalization (connected components) -----------------
+
+CC_MAX_ITERATIONS = 50
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """(doc_id, canonical_id) for every vertex of the pair graph,
+    canonical_id = the smallest doc_id in the vertex's connected
+    component — distributed min-label propagation.
+
+    Pair-emitting dedup operators stop at edges; an actual dedup
+    decision needs components: with pairs (1,2) and (2,3), doc 3 must
+    map to canonical 1 even though (1,3) was never emitted (the
+    keep-lowest rule of corpus_clean_pipeline chases one hop only;
+    this operator closes the transitive gap the way production
+    pipelines do between candidate generation and survivor choice).
+
+    Shape per iteration: one equi-join (edges ⋈ labels on src) + one
+    map-side-combined min aggregate — the standard iterative Spark CC
+    (GraphFrames' default algorithm is the same label propagation).
+    Labels only ever decrease, so sum(label) is a monotone convergence
+    metric: one scalar aggregate per round decides the fixpoint, no
+    row-level old-vs-new comparison join. Iterations are bounded by
+    the component diameter (tiny for near-dup clusters — boilerplate
+    families are dense, not chains); CC_MAX_ITERATIONS is a runaway
+    guard, not a tuning knob. The edge list is storage-checkpointed
+    once up front so every iteration scans columnar files instead of
+    recomputing the upstream LSH candidate/verify plan, and each
+    round's labels are persisted while the next round consumes them.
+
+    At 100 TB: edges carry two longs per near-dup pair (no text, no
+    signatures); each iteration shuffles O(E) longs. Skewed hub
+    vertices are AQE's skew-join case, and the driver sees one scalar
+    per round — nothing else leaves the executors.
+    """
+    edges = pairs.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).unionByName(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+    edges = stage_checkpoint(edges, "cc_edges").persist()
+
+    labels = (
+        edges.select(F.col("e_src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    converged = False
+    for _ in range(CC_MAX_ITERATIONS):
+        nbr_min = edges.join(labels, edges.e_src == labels.doc_id).select(
+            F.col("e_dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        # one scalar to the driver per round (convergence control only
+        # — label data itself never leaves the cluster)
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged and prev_sum is not None:
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERATIONS} iterations"
+        )
+    out = labels.select("doc_id", F.col("label").alias("canonical_id"))
+    return eager_release(out, "cc_labels", edges, labels)
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}
+    ), edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM jp
+      UNION ALL
+      SELECT doc_b, doc_a FROM jp
+    ), reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS canonical_id
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup clusters collapsed to canonical survivors: MinHash-"
+    "LSH pairs (same candidates+verify as dedup_minhash_lsh) -> "
+    "connected components -> every clustered doc mapped to its "
+    "component's min doc_id. The oracle recomputes the same pair "
+    "graph brute-force and closes it with a recursive-CTE transitive "
+    "closure, so both the pair recall AND the transitive grouping are "
+    "hash-checked.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
+    sig = minhash_signatures(e).persist()
+    cand = _band_candidates(sig)
+    pairs = _verify_pairs(cand, e, sizes=sig.select("doc_id", "n")).select("doc_a", "doc_b")
+    # materialize pairs before iterating: connected_components runs a
+    # driver-coordinated loop, and each round must scan a tiny edge
+    # file, not re-execute the LSH candidate/verify plan
+    pairs = eager_release(pairs, "cc_pairs", e, sig)
+    return connected_components(pairs)

@@ -117,3 +117,22 @@ def test_embedding_lsh_is_exact_subset_with_recall(spark, sf_dir):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.4, f"embedding LSH recall {recall:.2f}"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A 4-edge chain needs multiple propagation rounds: every vertex
+    must land on the component min even though no direct pair links
+    the endpoints; a separate 2-clique must stay its own component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup.connected_components(pairs).count() == 0
