@@ -82,6 +82,57 @@ def session_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "15 minutes",
+    watermark: str = "30 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right-stream rows to
+    left-stream rows with the same `key` whose event times lie within
+    ``[left_ts - max_lag, left_ts + max_lag]`` — the enrichment shape
+    (e.g. sensor readings ⋈ station alerts) the reference's
+    processing-time pipeline cannot express at all.
+
+    Both inputs MUST carry a watermark plus the explicit time-range
+    predicate: that pair is what lets Spark evict buffered state —
+    a left row older than ``watermark + max_lag`` past the max seen
+    event time can never match a future right row, so per-key state
+    is bounded no matter how long the query runs (the 100 TB/forever
+    requirement). Without the range condition Spark would buffer both
+    streams indefinitely (and reject outer joins outright).
+
+    ``join_type`` may be "inner" or the outer variants Spark supports
+    for stream-stream joins ("leftOuter"/"rightOuter"/"fullOuter");
+    outer results for unmatched rows are emitted only once the
+    watermark closes their interval. Timestamp columns are both kept,
+    suffixed via select aliases on the caller's side if needed —
+    `key` is coalesced into one output column.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lk = F.col(f"__l.{key}")
+    rk = F.col(f"__r.{key}")
+    lts = F.col(f"__l.{left_ts}")
+    rts = F.col(f"__r.{right_ts}")
+    cond = (
+        (lk == rk)
+        & (rts >= lts - F.expr(f"INTERVAL {max_lag}"))
+        & (rts <= lts + F.expr(f"INTERVAL {max_lag}"))
+    )
+    joined = lw.alias("__l").join(rw.alias("__r"), cond, join_type)
+    # one key column out (outer joins null the unmatched side's key)
+    return joined.select(
+        F.coalesce(lk, rk).alias(key),
+        *[F.col(f"__l.{c}") for c in left.columns if c != key],
+        *[F.col(f"__r.{c}").alias(f"r_{c}" if c in left.columns else c) for c in right.columns if c != key],
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("city_name", "event_time"),

@@ -40,6 +40,7 @@ HEADLINE = [
     "sessionize",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "text_token_stats",

@@ -287,3 +287,36 @@ def test_pipeline_replayed_batch_overwrites_not_appends(spark, stream_dir, tmp_p
     after = spark.read.parquet(wh)
     assert after.count() == before, "replay must not duplicate rows"
     assert after.filter(F.col("batch_id") == 0).count() == before
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream enrichment join: readings match
+    alerts for the same station within ±15 minutes; a reading with no
+    alert in range joins nothing (inner)."""
+    readings = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 21.5),
+            (1, "2024-01-01 03:00:00", 22.0),  # no alert within 15m
+            (2, "2024-01-01 00:05:00", -3.0),
+        ],
+        "station long, ts_s string, temp double",
+    ).select("station", F.to_timestamp("ts_s").alias("r_ts"), "temp")
+    alerts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "storm"),
+            (2, "2024-01-01 00:00:00", "frost"),
+            (2, "2024-01-01 01:00:00", "thaw"),  # out of range of the reading
+        ],
+        "station long, ts_s string, kind string",
+    ).select("station", F.to_timestamp("ts_s").alias("a_ts"), "kind")
+    rp, ap = str(tmp_path / "readings_pq"), str(tmp_path / "alerts_pq")
+    readings.write.parquet(rp)
+    alerts.write.parquet(ap)
+    rs = spark.readStream.schema("station long, r_ts timestamp, temp double").parquet(rp)
+    As = spark.readStream.schema("station long, a_ts timestamp, kind string").parquet(ap)
+    joined = windows.interval_join_streams(
+        rs, As, key="station", left_ts="r_ts", right_ts="a_ts", max_lag="15 minutes"
+    )
+    _run_to_memory(joined, "ssj_out")
+    rows = {(r.station, r.temp, r.kind) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert rows == {(1, 21.5, "storm"), (2, -3.0, "frost")}
