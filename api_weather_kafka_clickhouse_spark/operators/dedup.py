@@ -771,3 +771,79 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file, not re-execute the LSH candidate/verify plan
     pairs = eager_release(pairs, "cc_pairs", e, sig)
     return connected_components(pairs)
+
+
+@register(
+    "dedup_survivors_transitive",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}
+    ), edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM jp
+      UNION ALL
+      SELECT doc_b, doc_a FROM jp
+    ), reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    ), dropped AS (
+      SELECT id FROM (SELECT id, min(r) AS c FROM reach GROUP BY id)
+      WHERE id != c
+    )
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
+    """,
+    doc="The corpus-level transitive dedup decision: a document is "
+    "dropped iff it sits in a near-dup connected component and is not "
+    "the component's min doc_id — i.e. exactly one survivor per "
+    "transitive cluster (the guarantee corpus_clean_pipeline's "
+    "one-hop keep-lowest rule cannot give on chained duplicates). "
+    "Survivors come from a left-anti join of the corpus against the "
+    "(small) dropped set; AQE chooses broadcast when the dup fraction "
+    "is low and falls back to shuffle when it is not — the anti-join "
+    "never carries text, only ids.",
+)
+def dedup_survivors_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_cluster_canonical(spark, sf_dir)
+    dropped = labels.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    d = load(spark, "documents", sf_dir)
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+_EMB_PAIR_SQL = """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.42
+"""
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE ep AS ({_EMB_PAIR_SQL}
+    ), edges AS (
+      SELECT vec_a AS e_src, vec_b AS e_dst FROM ep
+      UNION ALL
+      SELECT vec_b, vec_a FROM ep
+    ), reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS canonical_id
+    FROM reach GROUP BY id
+    """,
+    doc="Semantic near-dup clusters: exact-cosine pairs (>= 0.42, the "
+    "oracle-checked dedup_embedding_cosine contract) closed into "
+    "connected components with the same distributed min-label "
+    "propagation as dedup_cluster_canonical — one operator kernel, "
+    "two pair sources (text LSH / embedding cosine). The 100 TB pair "
+    "source is dedup_embedding_lsh (SRP-banded); the exact O(n²) pair "
+    "join here is the oracle baseline, as everywhere in this module.",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs, src="vec_a", dst="vec_b")

@@ -320,3 +320,42 @@ def test_stream_stream_interval_join(spark, tmp_path):
     _run_to_memory(joined, "ssj_out")
     rows = {(r.station, r.temp, r.kind) for r in spark.sql("SELECT * FROM ssj_out").collect()}
     assert rows == {(1, 21.5, "storm"), (2, -3.0, "frost")}
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter stream-stream join: the reading with no alert in its
+    interval is emitted with nulls once the watermark closes it."""
+    readings = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 21.5),
+            (1, "2024-01-01 06:00:00", 22.0),  # closes earlier watermarks
+            (2, "2024-01-01 00:05:00", -3.0),
+            (2, "2024-01-01 06:00:00", 1.0),
+        ],
+        "station long, ts_s string, temp double",
+    ).select("station", F.to_timestamp("ts_s").alias("r_ts"), "temp")
+    alerts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "storm"),
+            (1, "2024-01-01 06:05:00", "hail"),
+            (2, "2024-01-01 05:55:00", "wind"),
+        ],
+        "station long, ts_s string, kind string",
+    ).select("station", F.to_timestamp("ts_s").alias("a_ts"), "kind")
+    rp, ap = str(tmp_path / "lo_readings"), str(tmp_path / "lo_alerts")
+    readings.write.parquet(rp)
+    alerts.write.parquet(ap)
+    rs = spark.readStream.schema("station long, r_ts timestamp, temp double").parquet(rp)
+    As = spark.readStream.schema("station long, a_ts timestamp, kind string").parquet(ap)
+    joined = windows.interval_join_streams(
+        rs, As, key="station", left_ts="r_ts", right_ts="a_ts",
+        max_lag="15 minutes", watermark="30 minutes", join_type="leftOuter",
+    )
+    _run_to_memory(joined, "ssj_lo_out")
+    rows = {(r.station, r.temp, r.kind) for r in spark.sql("SELECT * FROM ssj_lo_out").collect()}
+    # matched rows present; the 00:05 station-2 reading has no alert
+    # within +/-15m and is emitted with a null kind after its interval
+    # falls behind the watermark
+    assert (1, 21.5, "storm") in rows and (1, 22.0, "hail") in rows
+    assert (2, 1.0, "wind") in rows
+    assert (2, -3.0, None) in rows
