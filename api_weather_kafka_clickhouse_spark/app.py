@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .plans.stage import reclaim_checkpoints, scoped_checkpoint
+from .plans.stage import live_checkpoint_dirs, reclaim_checkpoints, scoped_checkpoint
 from .sources.cities import assign_topics, load_cities, route_topic
 from .sources.flatten import flatten_weather, parse_raw
 from .sources.http_weather import FetchFn, fetch_weather
@@ -94,19 +94,23 @@ def run_polling_loop(
     `max_cycles` are injectable so tests drive the loop hermetically;
     production runs with the defaults (`max_cycles=None` = forever).
 
-    Between cycles the loop reclaims any checkpoint scratch dirs left
-    by operators invoked during the cycle (a safe point: the cycle's
-    frames are fully consumed — run_batch_cycle returns only
-    counters). Without this, a run-forever loop under
-    SPARK_GRAFT_SCRATCH_DIR accumulates one result-checkpoint per
-    operator call until the scratch volume fills. Pass
-    `reclaim_scratch=False` when the session is shared with a consumer
-    still holding DataFrames returned by checkpointing operators.
+    Between cycles the loop reclaims checkpoint scratch dirs CREATED
+    DURING ITS OWN CYCLES (a safe point: the cycle's frames are fully
+    consumed — run_batch_cycle returns only counters). Dirs that were
+    already tracked when the loop started are left alone — they may
+    back DataFrames other code in the session still holds, and the
+    loop can only vouch for its own frames. Without the reclaim, a
+    run-forever loop under SPARK_GRAFT_SCRATCH_DIR accumulates one
+    result-checkpoint per operator call until the scratch volume
+    fills. `reclaim_scratch=False` disables it entirely.
 
     Returns the per-cycle counter dicts (A21 parity); failed cycles
     record `{"error": 1}`.
     """
     reports: list[dict[str, int]] = []
+    # dirs already tracked when the loop starts belong to other code's
+    # possibly-live frames — never reclaim them from here
+    preexisting = live_checkpoint_dirs()
     cycles = 0
     while max_cycles is None or cycles < max_cycles:
         cycles += 1
@@ -119,7 +123,7 @@ def run_polling_loop(
             reports.append({"error": 1})
             delay = error_backoff_seconds
         if reclaim_scratch:
-            reclaim_checkpoints(spark)
+            reclaim_checkpoints(spark, exclude=preexisting)
         if max_cycles is None or cycles < max_cycles:
             sleep(delay)
     return reports

@@ -682,58 +682,79 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     (GraphFrames' default algorithm is the same label propagation).
     Labels only ever decrease, so sum(label) is a monotone convergence
     metric: one scalar aggregate per round decides the fixpoint, no
-    row-level old-vs-new comparison join. Iterations are bounded by
-    the component diameter (tiny for near-dup clusters — boilerplate
-    families are dense, not chains); CC_MAX_ITERATIONS is a runaway
-    guard, not a tuning knob. The edge list is storage-checkpointed
-    once up front so every iteration scans columnar files instead of
-    recomputing the upstream LSH candidate/verify plan, and each
-    round's labels are persisted while the next round consumes them.
+    row-level old-vs-new comparison join. The sum accumulates in
+    DECIMAL(38,0) — at 1e10+ vertices with large ids a bigint sum
+    would overflow (throw under ANSI; silently wrap otherwise, where
+    a wrap coinciding across rounds could falsely signal
+    convergence). Iterations are bounded by the component diameter
+    (tiny for near-dup clusters — boilerplate families are dense, not
+    chains); CC_MAX_ITERATIONS is a runaway guard, not a tuning knob.
+
+    ``pairs`` is persisted while the symmetrized edge list is
+    storage-checkpointed (the union embeds the pair plan TWICE — an
+    unmaterialized O(n²) pair source would execute twice in that one
+    write without the cache), then every iteration scans the
+    checkpoint's columnar files. All caches, including each round's
+    labels, are released on every exit path.
 
     At 100 TB: edges carry two longs per near-dup pair (no text, no
     signatures); each iteration shuffles O(E) longs. Skewed hub
     vertices are AQE's skew-join case, and the driver sees one scalar
     per round — nothing else leaves the executors.
     """
-    edges = pairs.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).unionByName(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
-    edges = stage_checkpoint(edges, "cc_edges").persist()
-
-    labels = (
-        edges.select(F.col("e_src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-
-    converged = False
-    for _ in range(CC_MAX_ITERATIONS):
-        nbr_min = edges.join(labels, edges.e_src == labels.doc_id).select(
-            F.col("e_dst").alias("doc_id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(nbr_min)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+    pairs = pairs.persist()
+    labels = None
+    try:
+        edges = pairs.select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+        ).unionByName(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        edges = stage_checkpoint(edges, "cc_edges").persist()
+    finally:
+        pairs.unpersist()
+    try:
+        labels = (
+            edges.select(F.col("e_src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
             .persist()
         )
-        # one scalar to the driver per round (convergence control only
-        # — label data itself never leaves the cluster)
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged and prev_sum is not None:
-        raise RuntimeError(
-            f"connected_components did not converge in {CC_MAX_ITERATIONS} iterations"
-        )
-    out = labels.select("doc_id", F.col("label").alias("canonical_id"))
-    return eager_release(out, "cc_labels", edges, labels)
+        big_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+        prev_sum = labels.agg(big_sum).collect()[0][0]
+
+        converged = False
+        for _ in range(CC_MAX_ITERATIONS):
+            nbr_min = edges.join(labels, edges.e_src == labels.doc_id).select(
+                F.col("e_dst").alias("doc_id"), "label"
+            )
+            new_labels = (
+                labels.unionByName(nbr_min)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            # one scalar to the driver per round (convergence control
+            # only — label data itself never leaves the cluster)
+            cur_sum = new_labels.agg(big_sum).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        if not converged and prev_sum is not None:
+            raise RuntimeError(
+                f"connected_components did not converge in {CC_MAX_ITERATIONS} iterations"
+            )
+        out = labels.select("doc_id", F.col("label").alias("canonical_id"))
+        return eager_release(out, "cc_labels", edges, labels)
+    except Exception:
+        # eager_release handles the success path; any raise above it
+        # (non-convergence, a failed mid-loop job) must not leave the
+        # operator-scope caches registered — the round-2 leak class
+        edges.unpersist()
+        if labels is not None:
+            labels.unpersist()
+        raise
 
 
 @register(
@@ -764,13 +785,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _doc_shingles_exploded(spark, sf_dir).persist()
     sig = minhash_signatures(e).persist()
-    cand = _band_candidates(sig)
-    pairs = _verify_pairs(cand, e, sizes=sig.select("doc_id", "n")).select("doc_a", "doc_b")
-    # materialize pairs before iterating: connected_components runs a
-    # driver-coordinated loop, and each round must scan a tiny edge
-    # file, not re-execute the LSH candidate/verify plan
-    pairs = eager_release(pairs, "cc_pairs", e, sig)
-    return connected_components(pairs)
+    try:
+        cand = _band_candidates(sig)
+        pairs = _verify_pairs(cand, e, sizes=sig.select("doc_id", "n")).select("doc_a", "doc_b")
+        # no separate pair checkpoint: connected_components persists
+        # the pair frame while it writes the (symmetrized) cc_edges
+        # checkpoint — one scratch write, after which iterations scan
+        # files and never re-execute the LSH candidate/verify plan
+        return connected_components(pairs)
+    finally:
+        e.unpersist()
+        sig.unpersist()
 
 
 @register(

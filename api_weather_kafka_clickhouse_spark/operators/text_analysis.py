@@ -598,27 +598,36 @@ PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 @register(
     "text_pii_scrub",
     oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT *, regexp_replace(t1, '{PII_SSN}', '<SSN>', 'g') AS t2 FROM s1
+    )
     SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-               '{PII_SSN}', '<SSN>', 'g'),
-             '{PII_IPV4}', '<IP>', 'g') AS text_scrubbed,
+           regexp_replace(t2, '{PII_IPV4}', '<IP>', 'g') AS text_scrubbed,
            len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
-           len(regexp_extract_all(text, '{PII_SSN}')) AS n_ssns,
-           len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips
-    FROM documents
+           len(regexp_extract_all(t1, '{PII_SSN}')) AS n_ssns,
+           len(regexp_extract_all(t2, '{PII_IPV4}')) AS n_ips
+    FROM s2
     """,
     doc="PII redaction — the compliance pass every training-corpus "
     "pipeline runs before packing: emails, SSNs, and IPv4 literals "
     "replaced with typed placeholder tags, with per-doc match counts "
-    "for audit. Pure codegen regexp_replace/regexp_count chains (no "
-    "UDF), so it runs at scan speed over 100 TB; patterns are "
-    "restricted to the Java-regex/RE2 common subset so the DuckDB "
-    "oracle executes the IDENTICAL expressions. The synthetic corpus "
-    "contains no PII (scrub is the identity there — asserted in "
-    "tests), so the redaction semantics themselves are proven on "
-    "crafted fixtures in tests/test_text_pii.py.",
+    "for audit. Each count is taken on the SAME intermediate its "
+    "replacement ran on (emails on raw text, SSNs on the email-"
+    "scrubbed text, IPs after both), so counts always equal the "
+    "redactions actually performed — counting everything on the raw "
+    "text would report a phantom SSN for '123-45-6789@example.com', "
+    "whose digits the email pass already consumed. Pure codegen "
+    "regexp_replace/regexp_count chains (no UDF), so it runs at scan "
+    "speed over 100 TB; patterns are restricted to the Java-regex/RE2 "
+    "common subset so the DuckDB oracle executes the IDENTICAL "
+    "expressions. The synthetic corpus contains no PII (scrub is the "
+    "identity there — asserted in tests), so the redaction semantics "
+    "themselves are proven on crafted fixtures in "
+    "tests/test_text_pii.py.",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
@@ -627,21 +636,16 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_scrubbed, n_emails, n_ssns, n_ips) over any
-    (doc_id, text) frame — the reusable kernel text_pii_scrub wraps."""
+    (doc_id, text) frame — the reusable kernel text_pii_scrub wraps.
+    Counts are staged to match the chained replacements (see the
+    registered operator's doc)."""
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_SSN,
-            "<SSN>",
-        ),
-        PII_IPV4,
-        "<IP>",
-    )
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_SSN, "<SSN>")
     return docs.select(
         "doc_id",
-        scrubbed.alias("text_scrubbed"),
+        F.regexp_replace(t2, PII_IPV4, "<IP>").alias("text_scrubbed"),
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_SSN)).cast("bigint").alias("n_ssns"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t1, F.lit(PII_SSN)).cast("bigint").alias("n_ssns"),
+        F.regexp_count(t2, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
     )

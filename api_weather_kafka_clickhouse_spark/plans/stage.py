@@ -89,8 +89,9 @@ def live_checkpoint_dirs() -> tuple[str, ...]:
     return tuple(_LIVE_DIRS)
 
 
-def reclaim_checkpoints(spark) -> int:
-    """Delete every tracked checkpoint dir; return how many were removed.
+def reclaim_checkpoints(spark, exclude: tuple[str, ...] = ()) -> int:
+    """Delete every tracked checkpoint dir (minus ``exclude``); return
+    how many were removed.
 
     The release hook for long-lived sessions (a polling loop, a
     notebook): each operator call leaves one small result-checkpoint
@@ -98,12 +99,18 @@ def reclaim_checkpoints(spark) -> int:
     reclaims them during the process lifetime. Call this only once
     every DataFrame previously returned by a checkpointing operator
     has been fully consumed — their lineage is a scan of these files,
-    so reclaiming early breaks those frames.
+    so reclaiming early breaks those frames. A caller that can only
+    vouch for ITS OWN frames (a loop sharing the session with other
+    code) should snapshot ``live_checkpoint_dirs()`` before its work
+    and pass that as ``exclude``, reclaiming only what it created.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    excluded = set(exclude)
     removed = 0
     for path in list(_LIVE_DIRS):
+        if path in excluded:
+            continue
         try:
             p = jvm.org.apache.hadoop.fs.Path(path)
             p.getFileSystem(conf).delete(p, True)

@@ -35,6 +35,11 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     if name == "events":
         # runtime-settable; needed for driver-owned sessions too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ->timestamp normalization below reinterprets wall
+        # time in the SESSION zone: a driver-owned session that never
+        # went through get_spark()'s timeZone=UTC pinning would shift
+        # every instant by the host offset, so pin it here too
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts has shipped as two physical parquet types across

@@ -45,22 +45,31 @@ def test_polling_loop_cycles_and_error_backoff(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(wh).count() == 10
 
 
-def test_polling_loop_reclaims_scratch_between_cycles(spark, tmp_path):
-    """Long-lived-session hygiene: a run-forever loop must not
-    accumulate operator checkpoint dirs cycle over cycle — each cycle
-    ends at a safe point (its frames fully consumed) and reclaims."""
+def test_polling_loop_reclaims_own_scratch_only(spark, tmp_path, monkeypatch):
+    """Long-lived-session hygiene, scoped correctly: the loop reclaims
+    checkpoint dirs created DURING its cycles (so a run-forever loop
+    doesn't fill the scratch volume), but must NOT delete dirs that
+    were already tracked at loop entry — those may back DataFrames
+    other code in the shared session still holds."""
     from api_weather_kafka_clickhouse_spark.plans import stage
 
     cities_path = tmp_path / "cities.json"
     cities_path.write_text(json.dumps(FIXTURE))
     wh = str(tmp_path / "warehouse_reclaim")
 
-    # simulate an unscoped operator checkpoint left from earlier work
-    # in the same session (the leak reclaim exists to stop)
+    # a pre-loop checkpoint whose DataFrame stays live across the loop
     leftover = stage.stage_checkpoint(spark.range(10), "loop_leftover")
     assert leftover.count() == 10
-    assert any("loop_leftover" in d for d in stage.live_checkpoint_dirs())
 
+    # make each cycle leak one unscoped operator checkpoint (stand-in
+    # for a checkpointing operator invoked inside the cycle)
+    real_cycle = app.run_batch_cycle
+
+    def leaky_cycle(*args, **kwargs):
+        stage.stage_checkpoint(spark.range(5), "cycle_leak").count()
+        return real_cycle(*args, **kwargs)
+
+    monkeypatch.setattr(app, "run_batch_cycle", leaky_cycle)
     app.run_polling_loop(
         spark,
         str(cities_path),
@@ -69,9 +78,16 @@ def test_polling_loop_reclaims_scratch_between_cycles(spark, tmp_path):
         max_cycles=2,
         sleep=lambda _s: None,
     )
-    assert stage.live_checkpoint_dirs() == (), (
-        "the loop must reclaim tracked scratch dirs between cycles"
+    live = stage.live_checkpoint_dirs()
+    assert not any("cycle_leak" in d for d in live), (
+        "dirs created during the loop's cycles must be reclaimed"
     )
+    assert any("loop_leftover" in d for d in live), (
+        "pre-loop dirs may back live frames elsewhere — never reclaimed by the loop"
+    )
+    assert leftover.count() == 10, "the pre-loop frame must still be readable"
+    # cleanup so later tests see a drained tracker
+    stage.reclaim_checkpoints(spark)
 
 
 def test_full_batch_cycle(spark, tmp_path):

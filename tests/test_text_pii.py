@@ -40,3 +40,16 @@ def test_corpus_scrub_is_identity_on_testdata(spark, sf_dir):
         "sum(n_emails + n_ssns + n_ips) AS hits"
     ).first()
     assert (agg.hits or 0) == 0
+
+
+def test_scrub_counts_match_performed_redactions(spark):
+    """An SSN-shaped run consumed by the email pass must not be
+    reported as an (unredacted) SSN — counts are staged to the text
+    each replacement actually saw."""
+    docs = spark.createDataFrame(
+        [(1, "contact 123-45-6789@example.com now")],
+        "doc_id bigint, text string",
+    )
+    r = scrub_pii(docs).first()
+    assert r.text_scrubbed == "contact <EMAIL> now"
+    assert r.n_emails == 1 and r.n_ssns == 0 and r.n_ips == 0
