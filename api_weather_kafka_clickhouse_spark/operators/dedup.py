@@ -663,6 +663,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cluster canonicalization (connected components) -----------------
 
 CC_MAX_ITERATIONS = 50
+# Truncate label lineage every k rounds: labels appears TWICE in each
+# round's plan (its own union branch + the edge join), so the logical
+# plan DOUBLES per iteration — by round ~40 plan construction alone
+# OOMs the driver (found by the union-find property test on a
+# long-chain random graph). A storage checkpoint resets the plan to a
+# file scan; 2^6 plan nodes between checkpoints is harmless.
+CC_CHECKPOINT_EVERY = 6
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
@@ -722,16 +729,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         prev_sum = labels.agg(big_sum).collect()[0][0]
 
         converged = False
-        for _ in range(CC_MAX_ITERATIONS):
+        for it in range(CC_MAX_ITERATIONS):
             nbr_min = edges.join(labels, edges.e_src == labels.doc_id).select(
                 F.col("e_dst").alias("doc_id"), "label"
             )
-            new_labels = (
-                labels.unionByName(nbr_min)
-                .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
-                .persist()
+            new_labels = labels.unionByName(nbr_min).groupBy("doc_id").agg(
+                F.min("label").alias("label")
             )
+            if (it + 1) % CC_CHECKPOINT_EVERY == 0:
+                # lineage reset (see CC_CHECKPOINT_EVERY) — the write
+                # is the round's evaluation; the re-read is tiny
+                new_labels = stage_checkpoint(new_labels, "cc_labels_iter")
+            new_labels = new_labels.persist()
             # one scalar to the driver per round (convergence control
             # only — label data itself never leaves the cluster)
             cur_sum = new_labels.agg(big_sum).collect()[0][0]

@@ -136,3 +136,42 @@ def test_connected_components_transitive_chain(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property check: on seeded random graphs the distributed
+    min-label propagation equals a reference union-find exactly —
+    star, chain, cycle, and forest shapes all arise across seeds."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n_vertices, n_edges = 60, 45
+        edges = [
+            (a, b)
+            for _ in range(n_edges)
+            for a in [rng.randrange(n_vertices)]
+            for b in [rng.randrange(n_vertices)]
+            if a != b
+        ]
+        parent = list(range(n_vertices))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in sorted(touched)}
+
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            r.doc_id: r.canonical_id
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expected, f"seed {seed}: {got} != {expected}"
