@@ -81,11 +81,29 @@ def _estimated_sim(a: str, b: str):
     ) / F.lit(N_PERM)
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str, exclude_batch: int | None = None
+) -> DataFrame:
     if os.path.isdir(path):
-        # basePath keeps reading stable across the partition dirs;
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.option("basePath", path).parquet(path)
+            df.schema  # force schema inference now, inside the try
+        except AnalysisException:
+            # the dir exists but holds no data files (a crash between
+            # partition deletes/writes) — an empty store, not an error
+            return spark.createDataFrame([], schema)
+        if exclude_batch is not None:
+            # a REPLAYED micro-batch must not see its own first
+            # attempt's partial store writes: every doc would
+            # self-match at sim 1.0 and the whole batch would be
+            # dropped. Excluding the batch's own partition makes
+            # replay correct by construction in every crash window
+            # (before this, it survived only because an empty dynamic
+            # overwrite happens to leave old partitions in place).
+            df = df.filter(F.col("ingest_batch") != exclude_batch)
         # drop the partition column — consumers key on doc_id only
-        df = spark.read.option("basePath", path).parquet(path)
         return df.select(*[f.split(" ")[0] for f in schema.split(", ")])
     return spark.createDataFrame([], schema)
 
@@ -102,8 +120,12 @@ def dedup_ingest_batch(
         sig = minhash_signatures(_shingles_exploded(docs)).persist()
         try:
             bands = sig_bands(sig)
-            stored_bands = _read_or_empty(spark, os.path.join(store_dir, "bands"), _BAND_SCHEMA)
-            stored_sigs = _read_or_empty(spark, os.path.join(store_dir, "sigs"), _SIG_SCHEMA)
+            stored_bands = _read_or_empty(
+                spark, os.path.join(store_dir, "bands"), _BAND_SCHEMA, exclude_batch=batch_id
+            )
+            stored_sigs = _read_or_empty(
+                spark, os.path.join(store_dir, "sigs"), _SIG_SCHEMA, exclude_batch=batch_id
+            )
 
             # candidates vs the store: band equi-join, then sig fetch
             cand_old = (

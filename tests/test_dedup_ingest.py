@@ -83,3 +83,23 @@ def test_dedup_ingest_batch_is_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
     assert spark.read.parquet(store + "/sigs").count() == 2
     assert spark.read.parquet(store + "/bands").count() == 2 * 16
+
+
+def test_dedup_ingest_replay_after_partial_store_write(spark, tmp_path):
+    """Crash-window replay: first attempt wrote survivors and sigs but
+    died before the bands write; the replayed batch must not
+    self-match its own partial store entries — it recomputes the same
+    admission and completes the index."""
+    import shutil
+    import os as _os
+
+    store = str(tmp_path / "store_p")
+    out = str(tmp_path / "survivors_p")
+    batch = spark.createDataFrame([(1, BASE), (2, DISTINCT)], "doc_id long, text string")
+    dedup_ingest.dedup_ingest_batch(batch, 3, store, out)
+    # simulate the crash: bands partition of batch 3 vanishes
+    shutil.rmtree(_os.path.join(store, "bands", "ingest_batch=3"))
+    dedup_ingest.dedup_ingest_batch(batch, 3, store, out)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    assert spark.read.parquet(store + "/sigs").count() == 2
+    assert spark.read.parquet(store + "/bands").count() == 2 * 16
