@@ -32,7 +32,12 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.stage import eager_release, stage_checkpoint
+from ..plans.stage import (
+    drop_checkpoint_dir,
+    eager_release,
+    stage_checkpoint,
+    stage_checkpoint_with_path,
+)
 from ..registry import register
 from ..tables import load
 
@@ -332,12 +337,12 @@ def minhash_signatures(e: DataFrame) -> DataFrame:
     )
 
 
-def _band_candidates(sig: DataFrame) -> DataFrame:
-    """Candidate (doc_a, doc_b) pairs from minhash signatures: hash
-    each 4-row band to a key, equi-join on (band_idx, band_key),
-    dedup. Bands are unrolled at plan-build time (static constant).
-    Shared by dedup_minhash_lsh and corpus_clean_pipeline so band
-    parameters can never drift between them."""
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, sig, ...) → (doc_id, band_idx, band_key): hash each
+    BAND_ROWS-slice of the signature to a band key, one row per band.
+    THE single banding implementation — the batch candidate join and
+    the streaming dedup-ingest index both call this, so the hashing
+    (not just the constants) cannot drift between them."""
     n_bands = N_PERM // BAND_ROWS
     band_structs = F.array(
         *[
@@ -348,9 +353,17 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
             for j in range(n_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_idx", "b.band_key"
     )
+
+
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from minhash signatures: band
+    the signatures (minhash_bands), equi-join on (band_idx, band_key),
+    dedup. Shared by dedup_minhash_lsh and corpus_clean_pipeline so
+    band parameters can never drift between them."""
+    bands = minhash_bands(sig)
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (
@@ -729,6 +742,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         prev_sum = labels.agg(big_sum).collect()[0][0]
 
         converged = False
+        iter_ckpt_path: str | None = None
         for it in range(CC_MAX_ITERATIONS):
             nbr_min = edges.join(labels, edges.e_src == labels.doc_id).select(
                 F.col("e_dst").alias("doc_id"), "label"
@@ -738,8 +752,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             )
             if (it + 1) % CC_CHECKPOINT_EVERY == 0:
                 # lineage reset (see CC_CHECKPOINT_EVERY) — the write
-                # is the round's evaluation; the re-read is tiny
-                new_labels = stage_checkpoint(new_labels, "cc_labels_iter")
+                # is the round's evaluation; the re-read is tiny. The
+                # previous iteration snapshot is dead once this one
+                # materializes: rotate it off scratch now instead of
+                # accumulating one O(V) snapshot per 6 rounds for the
+                # life of the process.
+                prev_path = iter_ckpt_path
+                iter_ckpt_path, new_labels = stage_checkpoint_with_path(
+                    new_labels, "cc_labels_iter"
+                )
+                if prev_path is not None:
+                    drop_checkpoint_dir(new_labels.sparkSession, prev_path)
             new_labels = new_labels.persist()
             # one scalar to the driver per round (convergence control
             # only — label data itself never leaves the cluster)
@@ -755,7 +778,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 f"connected_components did not converge in {CC_MAX_ITERATIONS} iterations"
             )
         out = labels.select("doc_id", F.col("label").alias("canonical_id"))
-        return eager_release(out, "cc_labels", edges, labels)
+        result = eager_release(out, "cc_labels", edges, labels)
+        if iter_ckpt_path is not None:
+            # the final iteration snapshot is dead once the result
+            # checkpoint above has materialized from it
+            drop_checkpoint_dir(result.sparkSession, iter_ckpt_path)
+        return result
     except Exception:
         # eager_release handles the success path; any raise above it
         # (non-convergence, a failed mid-loop job) must not leave the

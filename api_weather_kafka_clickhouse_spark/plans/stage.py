@@ -121,6 +121,29 @@ def reclaim_checkpoints(spark, exclude: tuple[str, ...] = ()) -> int:
     return removed
 
 
+def stage_checkpoint_with_path(df: DataFrame, name: str = "stage") -> tuple[str, DataFrame]:
+    """``stage_checkpoint`` that also returns the scratch path, for
+    callers that rotate checkpoints (an iterative loop where snapshot
+    k is dead the moment snapshot k+1 materializes) and want to
+    delete the dead one via ``drop_checkpoint_dir`` instead of
+    leaving it for process-exit/reclaim cleanup."""
+    return _materialize(df, name)
+
+
+def drop_checkpoint_dir(spark, path: str) -> None:
+    """Best-effort delete of one tracked checkpoint dir (Hadoop FS
+    API — any scheme). Errors are logged, never raised; the dir stays
+    reclaimable later either way."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    except Exception:  # noqa: BLE001 — cleanup must not mask the caller's work
+        log.warning("failed to drop checkpoint dir %s", path, exc_info=True)
+    if path in _LIVE_DIRS:
+        _LIVE_DIRS.remove(path)
+
+
 def stage_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
     """Materialize ``df`` once to scratch parquet; return the re-read.
 

@@ -5,31 +5,50 @@ before admission, so the corpus stays near-dup-free as it grows
 (the shape a production training-data pipeline actually runs; the
 batch operators in operators/dedup.py are its full-corpus twins).
 
-Store layout (both plain parquet, Hive-partitioned by the ingest
+Store layout (all plain parquet, Hive-partitioned by the ingest
 batch id so replayed micro-batches overwrite their own partition —
 the same idempotent-foreachBatch pattern as sources/sink.py):
 
 - ``<store>/bands``: (doc_id, band_idx, band_key) — 16 rows per
-  admitted doc. The ONLY thing a new batch joins against: a band-key
-  equi-join, selective by construction, never a scan-all-pairs.
+  admitted shingleable doc. The ONLY thing a new batch joins
+  against: a band-key equi-join, selective by construction, never a
+  scan-all-pairs.
 - ``<store>/sigs``: (doc_id, sig: array<bigint>[64]) — one row per
-  admitted doc, fetched only for band-join candidates to estimate
-  similarity.
+  admitted shingleable doc, fetched only for band-join candidates to
+  estimate similarity.
+- ``<store>/shorts``: (doc_id, text_md5) — docs too short to shingle
+  (< 3 tokens) can't carry a MinHash signature; they are deduped
+  EXACTLY by content hash instead (near-dup on a 2-token doc is
+  meaningless, but an unindexed doc would be re-admitted on every
+  at-least-once re-delivery — the invariant leak this table closes).
 
 Dedup rule per new doc (deterministic):
-- dropped if a band match against the STORE has estimated Jaccard
-  >= threshold (fraction of agreeing minhash components — the
-  standard unbiased estimator; at 64 permutations the estimate's
-  std dev at the 0.8 threshold is ~0.05);
-- dropped if a band match against a SMALLER-id doc of the same batch
-  estimates >= threshold (keep-lowest within the batch, one hop —
-  the transitive closure over history is exactly what the running
-  store provides: a dropped doc's survivor twin is already indexed).
+- duplicate doc_ids within a batch collapse first (keep the
+  lexicographically-smallest text — producer-retry rows would
+  otherwise both pass the anti-join, and same-id-different-text rows
+  would merge shingle sets into a signature matching neither);
+- a shingleable doc is dropped if a band match against the STORE has
+  estimated Jaccard >= threshold (fraction of agreeing minhash
+  components — the standard unbiased estimator; at 64 permutations
+  the estimate's std dev at the 0.8 threshold is ~0.05), or if a
+  band match against a SMALLER-id doc of the same batch estimates >=
+  threshold (keep-lowest within the batch, one hop — the transitive
+  closure over history is what the running store provides);
+- a short doc is dropped if its md5 is already stored, or a
+  smaller-id doc of the same batch shares it.
+
+Replay correctness: a batch EXCLUDES its own store partitions from
+every dedup decision, so a partial first attempt can never
+self-match; re-running a batch id recomputes the same admission and
+overwrites its own partitions.
 
 At 100 TB: the per-batch cost is O(batch shingles) signature math +
 one band equi-join against the index + a candidate-only sig fetch;
-the full corpus is never rescanned. Band/permutation parameters are
-shared with operators/dedup.py (imported, can't drift).
+the full corpus is never rescanned. Banding comes from
+operators.dedup.minhash_bands — the same code, not a copy, so the
+streaming index and the batch operators cannot drift. The
+one-partition-per-batch store wants periodic compaction at a
+quiescent point (SCALE.md).
 """
 
 from __future__ import annotations
@@ -41,9 +60,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import (
-    BAND_ROWS,
     N_PERM,
     _shingles_exploded,
+    minhash_bands,
     minhash_signatures,
 )
 
@@ -51,25 +70,7 @@ SIG_SIM_THRESHOLD = 0.8
 
 _SIG_SCHEMA = "doc_id bigint, sig array<bigint>"
 _BAND_SCHEMA = "doc_id bigint, band_idx int, band_key int"
-
-
-def sig_bands(sig: DataFrame) -> DataFrame:
-    """(doc_id, sig, ...) → (doc_id, band_idx, band_key): the same
-    16×4 banding as the batch LSH operators (same F.hash over the
-    same slices — imported constants keep parameters in lockstep)."""
-    n_bands = N_PERM // BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.hash(F.slice("sig", j * BAND_ROWS + 1, BAND_ROWS)).alias("band_key"),
-            )
-            for j in range(n_bands)
-        ]
-    )
-    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_idx", "b.band_key"
-    )
+_SHORT_SCHEMA = "doc_id bigint, text_md5 string"
 
 
 def _estimated_sim(a: str, b: str):
@@ -81,10 +82,24 @@ def _estimated_sim(a: str, b: str):
     ) / F.lit(N_PERM)
 
 
-def _read_or_empty(
-    spark: SparkSession, path: str, schema: str, exclude_batch: int | None = None
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FS API, so hdfs:///s3a://
+    stores work identically to local paths (an os.path.isdir gate
+    would silently treat every remote store as empty — no dedup, no
+    error)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _read_store(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    exclude_batch: int | None = None,
+    only_batch: int | None = None,
 ) -> DataFrame:
-    if os.path.isdir(path):
+    if _fs_exists(spark, path):
         from pyspark.errors import AnalysisException
 
         try:
@@ -92,17 +107,16 @@ def _read_or_empty(
             df.schema  # force schema inference now, inside the try
         except AnalysisException:
             # the dir exists but holds no data files (a crash between
-            # partition deletes/writes) — an empty store, not an error
+            # partition deletes/writes, or an all-empty history) — an
+            # empty store, not an error
             return spark.createDataFrame([], schema)
         if exclude_batch is not None:
             # a REPLAYED micro-batch must not see its own first
             # attempt's partial store writes: every doc would
-            # self-match at sim 1.0 and the whole batch would be
-            # dropped. Excluding the batch's own partition makes
-            # replay correct by construction in every crash window
-            # (before this, it survived only because an empty dynamic
-            # overwrite happens to leave old partitions in place).
+            # self-match and the whole batch would be dropped
             df = df.filter(F.col("ingest_batch") != exclude_batch)
+        if only_batch is not None:
+            df = df.filter(F.col("ingest_batch") == only_batch)
         # drop the partition column — consumers key on doc_id only
         return df.select(*[f.split(" ")[0] for f in schema.split(", ")])
     return spark.createDataFrame([], schema)
@@ -114,17 +128,31 @@ def dedup_ingest_batch(
     """foreachBatch body: admit the batch's non-near-dup docs, index
     their signatures. Separated from the query wiring so tests (and a
     batch backfill) can drive it directly."""
+    from pyspark.sql import Window
+
     spark = batch.sparkSession
-    docs = batch.select("doc_id", "text").persist()
+
+    # collapse duplicate doc_ids deterministically before anything
+    # else (see module docstring)
+    w = Window.partitionBy("doc_id").orderBy("text")
+    docs = (
+        batch.select("doc_id", "text", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
     try:
         sig = minhash_signatures(_shingles_exploded(docs)).persist()
         try:
-            bands = sig_bands(sig)
-            stored_bands = _read_or_empty(
+            bands = minhash_bands(sig)
+            stored_bands = _read_store(
                 spark, os.path.join(store_dir, "bands"), _BAND_SCHEMA, exclude_batch=batch_id
             )
-            stored_sigs = _read_or_empty(
+            stored_sigs = _read_store(
                 spark, os.path.join(store_dir, "sigs"), _SIG_SCHEMA, exclude_batch=batch_id
+            )
+            stored_shorts = _read_store(
+                spark, os.path.join(store_dir, "shorts"), _SHORT_SCHEMA, exclude_batch=batch_id
             )
 
             # candidates vs the store: band equi-join, then sig fetch
@@ -162,49 +190,79 @@ def dedup_ingest_batch(
                 _estimated_sim("sig_a", "sig_b") >= SIG_SIM_THRESHOLD
             ).select(F.col("doc_b").alias("doc_id"))
 
-            # the dropped set derives FROM docs, so a bare
-            # join(..., "doc_id", "left_anti") is a self-join whose
-            # two doc_id sides carry the same attribute id — the
-            # condition degenerates and the anti-join drops everything
-            # whenever any doc is dropped. Rename the right side to a
-            # fresh attribute and join on an explicit condition.
-            dropped = (
-                dropped_vs_store.unionByName(dropped_in_batch)
-                .distinct()
-                .select(F.col("doc_id").alias("dropped_id"))
+            # docs too short to shingle: exact md5 dedup vs the shorts
+            # store and within the batch (keep-lowest id per digest)
+            shorts = (
+                docs.join(sig.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.md5("text").alias("text_md5"))
+                .persist()
             )
-            survivors = docs.join(
-                dropped, docs["doc_id"] == dropped["dropped_id"], "left_anti"
-            )
-
-            def _append(df: DataFrame, path: str) -> None:
-                (
-                    df.withColumn("ingest_batch", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("ingest_batch")
-                    .parquet(path)
+            try:
+                dropped_short_vs_store = shorts.join(
+                    stored_shorts.select(F.col("text_md5").alias("old_md5")),
+                    shorts["text_md5"] == F.col("old_md5"),
+                    "left_semi",
+                ).select("doc_id")
+                sw = Window.partitionBy("text_md5").orderBy("doc_id")
+                dropped_short_in_batch = (
+                    shorts.select("doc_id", "text_md5", F.row_number().over(sw).alias("_rn"))
+                    .filter(F.col("_rn") > 1)
+                    .select("doc_id")
                 )
 
-            # ORDER MATTERS: the survivors plan reads the band/sig
-            # store (via `dropped`), and the store writes below mutate
-            # it — an evaluation of `survivors` after those writes
-            # would see each admitted doc's OWN fresh index entry,
-            # self-match at sim 1.0, and drop everything. Write the
-            # survivors first (the one evaluation, against the
-            # pre-batch store), then index from a RE-READ of the
-            # written partition: its lineage is a file scan, immune to
-            # both the store mutation and cache eviction.
-            _append(survivors, survivors_dir)
-            written = (
-                spark.read.option("basePath", survivors_dir)
-                .parquet(survivors_dir)
-                .filter(F.col("ingest_batch") == batch_id)
-                .select("doc_id")
-            )
-            surviving_sigs = sig.join(written, "doc_id", "left_semi")
-            _append(surviving_sigs.select("doc_id", "sig"), os.path.join(store_dir, "sigs"))
-            _append(sig_bands(surviving_sigs), os.path.join(store_dir, "bands"))
+                dropped = (
+                    dropped_vs_store.unionByName(dropped_in_batch)
+                    .unionByName(dropped_short_vs_store)
+                    .unionByName(dropped_short_in_batch)
+                    .distinct()
+                    .select(F.col("doc_id").alias("dropped_id"))
+                )
+                # the dropped set derives FROM docs: a bare
+                # join(..., "doc_id", "left_anti") would be a self-join
+                # whose two doc_id sides carry the same attribute id —
+                # the condition degenerates and drops everything. Join
+                # on an explicitly renamed right side.
+                survivors = docs.join(
+                    dropped, docs["doc_id"] == dropped["dropped_id"], "left_anti"
+                )
+
+                def _append(df: DataFrame, path: str) -> None:
+                    (
+                        df.withColumn("ingest_batch", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("ingest_batch")
+                        .parquet(path)
+                    )
+
+                # ORDER MATTERS: the survivors plan reads the store
+                # (via `dropped`), and the store writes below mutate
+                # it — an evaluation of `survivors` after those writes
+                # would see each admitted doc's OWN fresh index entry,
+                # self-match at sim 1.0, and drop everything. Write
+                # the survivors first (the one evaluation, against the
+                # pre-batch store), then index from a RE-READ of the
+                # written files: their lineage is a file scan, immune
+                # to both the store mutation and cache eviction.
+                _append(survivors, survivors_dir)
+                # only THIS batch's partition: a re-delivered doc_id
+                # surviving in an older partition must not cause the
+                # current (dropped) copy to be re-indexed
+                written = _read_store(
+                    spark,
+                    survivors_dir,
+                    "doc_id bigint, text string",
+                    only_batch=batch_id,
+                ).select("doc_id")
+                surviving_sigs = sig.join(written, "doc_id", "left_semi")
+                _append(surviving_sigs.select("doc_id", "sig"), os.path.join(store_dir, "sigs"))
+                _append(minhash_bands(surviving_sigs), os.path.join(store_dir, "bands"))
+                _append(
+                    shorts.join(written, "doc_id", "left_semi"),
+                    os.path.join(store_dir, "shorts"),
+                )
+            finally:
+                shorts.unpersist()
         finally:
             sig.unpersist()
     finally:

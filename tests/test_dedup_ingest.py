@@ -103,3 +103,43 @@ def test_dedup_ingest_replay_after_partial_store_write(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
     assert spark.read.parquet(store + "/sigs").count() == 2
     assert spark.read.parquet(store + "/bands").count() == 2 * 16
+
+
+def test_short_docs_dedup_exactly_and_empty_batch_is_safe(spark, tmp_path):
+    """Docs too short to shingle (< 3 tokens) carry no MinHash
+    signature — they dedup EXACTLY via the shorts md5 store, across
+    batches and within a batch; an empty batch must be a no-op, not a
+    crash. Duplicate doc_ids in one batch collapse to one row."""
+    store = str(tmp_path / "store_s")
+    out = str(tmp_path / "survivors_s")
+
+    b0 = spark.createDataFrame(
+        [(1, "hello world"), (2, BASE)], "doc_id long, text string"
+    )
+    dedup_ingest.dedup_ingest_batch(b0, 0, store, out)
+
+    # empty batch between real ones (post-restart no-data batch)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup_ingest.dedup_ingest_batch(empty, 1, store, out)
+
+    b2 = spark.createDataFrame(
+        [
+            (3, "hello world"),   # exact short dup of stored doc 1 -> dropped
+            (4, "tiny doc"),      # new short -> admitted
+            (5, "tiny doc"),      # same digest, larger id -> dropped in batch
+            (6, DISTINCT),
+            (6, DISTINCT),        # duplicate doc_id row -> collapses
+        ],
+        "doc_id long, text string",
+    )
+    dedup_ingest.dedup_ingest_batch(b2, 2, store, out)
+
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 4, 6}
+    assert len(rows) == 4, "duplicate doc_id rows must collapse to one"
+    shorts = spark.read.parquet(store + "/shorts")
+    assert {r.doc_id for r in shorts.collect()} == {1, 4}
+    # re-delivery of an already-admitted short doc in a later batch
+    b3 = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    dedup_ingest.dedup_ingest_batch(b3, 3, store, out)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4, 6}
