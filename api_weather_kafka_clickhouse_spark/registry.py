@@ -68,6 +68,21 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # rotated-out query's family stays driver-visible; rotated-out queries
 # remain oracle-verified locally in tests/test_oracle_parity.py
 # (the replica that predicted rounds 2-4's driver results bit-for-bit).
+#
+# Round-6 rotation plan (next batch of never-gated oracle-checked
+# queries, one swap-in per redundant green slot, keeping >= 1 gate
+# row per family): q12/q17/q15/q22/q7 (TPC-H), join_cross_small,
+# window_first_last_nth or window_range_numeric, agg_cube or
+# agg_conditional, scalar_strings + scalar_dates (batteries),
+# split_train_holdout, time_ewma_per_key, and the round-5 additions
+# dedup_cluster_canonical / dedup_survivors_transitive /
+# dedup_embedding_clusters / text_pii_scrub. After that one more
+# rotation (q8/q11/q13/q16/q20/q21, remaining scalar batteries and
+# aggregation shapes, conditional_case, distinct_projection,
+# unpivot_measures, round_robin_assign, limit_offset_page,
+# vector_stats, fuzzy_match_levenshtein, text_quality_by_lang,
+# text_lang_id, text_token_regex, text_sentence_udtf,
+# dedup_exact_hash) covers every oracle-checked query at least once.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
