@@ -288,3 +288,52 @@ def start_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+COMPACTED_BATCH_ID = -1
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int:
+    """Fold every store table's one-partition-per-batch history into a
+    single ``ingest_batch=-1`` partition; returns how many tables were
+    rewritten. A long-running deployment accumulates one (tiny)
+    partition dir per micro-batch — directory listings, not data
+    size, eventually dominate the per-batch store read.
+
+    MUST run at a QUIESCENT point: no in-flight batch, no pending
+    replay (the swap below briefly removes the table, and a
+    concurrent batch reading a missing store would dedup against
+    nothing). A replay arriving AFTER compaction degrades safely: the
+    replayed batch's docs are already in the compacted partition, so
+    every doc self-matches, the batch admits nothing, and its
+    (empty) partition writes change no data — the admitted corpus
+    and index are unchanged. A crash mid-compaction leaves either
+    the old table or a ``__compact_tmp`` dir beside the swapped-in
+    one; rerunning compaction converges.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    rewritten = 0
+    for sub, schema in (
+        ("sigs", _SIG_SCHEMA),
+        ("bands", _BAND_SCHEMA),
+        ("shorts", _SHORT_SCHEMA),
+    ):
+        path = os.path.join(store_dir, sub)
+        if not _fs_exists(spark, path):
+            continue
+        df = _read_store(spark, path, schema)
+        tmp = path + "__compact_tmp"
+        (
+            df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(tmp)
+        )
+        p_old = jvm.org.apache.hadoop.fs.Path(path)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_old.getFileSystem(conf)
+        fs.delete(p_old, True)
+        fs.rename(p_tmp, p_old)
+        rewritten += 1
+    return rewritten

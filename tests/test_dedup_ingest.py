@@ -143,3 +143,39 @@ def test_short_docs_dedup_exactly_and_empty_batch_is_safe(spark, tmp_path):
     b3 = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
     dedup_ingest.dedup_ingest_batch(b3, 3, store, out)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4, 6}
+
+
+def test_compact_store_folds_partitions_and_dedup_still_works(spark, tmp_path):
+    import os as _os
+
+    store = str(tmp_path / "store_c")
+    out = str(tmp_path / "survivors_c")
+    dedup_ingest.dedup_ingest_batch(
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"), 0, store, out
+    )
+    dedup_ingest.dedup_ingest_batch(
+        spark.createDataFrame([(2, DISTINCT), (3, "hi there")], "doc_id long, text string"),
+        1, store, out,
+    )
+    assert dedup_ingest.compact_store(spark, store) == 3
+    for sub in ("sigs", "bands", "shorts"):
+        parts = [d for d in _os.listdir(_os.path.join(store, sub)) if d.startswith("ingest_batch=")]
+        assert parts == ["ingest_batch=-1"], (sub, parts)
+    # dedup against the compacted store still works...
+    dedup_ingest.dedup_ingest_batch(
+        spark.createDataFrame(
+            [(4, BASE + " indeed"), (5, "hi there"), (6, DISTINCT2)],
+            "doc_id long, text string",
+        ),
+        2, store, out,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 6}
+    # ...and a replay of a PRE-compaction batch is a safe no-op: its
+    # docs self-match the compacted copies, nothing is re-admitted,
+    # nothing already admitted is lost
+    dedup_ingest.dedup_ingest_batch(
+        spark.createDataFrame([(2, DISTINCT), (3, "hi there")], "doc_id long, text string"),
+        1, store, out,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 6}
+    assert {r.doc_id for r in spark.read.parquet(store + "/sigs").collect()} == {1, 2, 6}
