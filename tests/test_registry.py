@@ -1,0 +1,47 @@
+"""Driver-gate invariants: the first 50 registered queries ARE the
+pinned priority list, every gate slot is oracle-checked, and no
+registration reshuffle can silently change what the driver evaluates."""
+
+from __future__ import annotations
+
+from api_weather_kafka_clickhouse_spark import registry
+
+
+def test_first_50_registrations_match_priority_pin():
+    specs = registry.all_specs()
+    first50 = tuple(list(specs)[:50])
+    assert first50 == registry._PRIORITY, (
+        "the driver evaluates the FIRST 50 registered queries; a "
+        "registration-order change just altered the gate set"
+    )
+
+
+def test_every_gate_slot_is_oracle_checked():
+    specs = registry.all_specs()
+    missing = [n for n in registry._PRIORITY if specs[n].oracle is None]
+    assert not missing, f"gate slots without an oracle: {missing}"
+
+
+def test_priority_has_no_duplicates_and_exactly_50():
+    assert len(registry._PRIORITY) == 50
+    assert len(set(registry._PRIORITY)) == 50
+
+
+def test_rows_only_queries_are_documented_choices():
+    """Every registered query without an oracle must be one of the
+    known approximate/RNG-by-design operators — a new query landing
+    without an oracle by accident should fail here, not silently get
+    the weaker rows-only driver check."""
+    specs = registry.all_specs()
+    rows_only = {n for n, s in specs.items() if s.oracle is None}
+    expected = {
+        "agg_approx_distinct",
+        "agg_hll_sketch_merge",
+        "agg_approx_percentile",
+        "dedup_simhash",
+        "dedup_embedding_lsh",
+        "sim_ann_lsh",
+        "sim_ivf_label",
+        "sample_stratified",
+    }
+    assert rows_only == expected, rows_only.symmetric_difference(expected)
