@@ -95,11 +95,17 @@ def run_polling_loop(
     production runs with the defaults (`max_cycles=None` = forever).
 
     Between cycles the loop reclaims checkpoint scratch dirs CREATED
-    DURING ITS OWN CYCLES (a safe point: the cycle's frames are fully
-    consumed — run_batch_cycle returns only counters). Dirs that were
-    already tracked when the loop started are left alone — they may
-    back DataFrames other code in the session still holds, and the
-    loop can only vouch for its own frames. Without the reclaim, a
+    DURING THE CYCLE IT JUST RAN (a safe point: the cycle's frames are
+    fully consumed — run_batch_cycle returns only counters). The
+    created-set is the before/after difference of the tracked dirs
+    around each `run_batch_cycle` call: a snapshot taken once at loop
+    entry (the round-5 shape) could not tell the loop's own dirs from
+    dirs other code in a shared session registered BETWEEN cycles, and
+    reclaimed those callers' live checkpoints out from under their
+    DataFrames (round-5 review finding). A dir someone else registers
+    concurrently DURING a cycle is still indistinguishable from the
+    cycle's own — run the loop in its own session/process if other
+    code checkpoints concurrently with a sweep. Without the reclaim, a
     run-forever loop under SPARK_GRAFT_SCRATCH_DIR accumulates one
     result-checkpoint per operator call until the scratch volume
     fills. `reclaim_scratch=False` disables it entirely.
@@ -108,12 +114,10 @@ def run_polling_loop(
     record `{"error": 1}`.
     """
     reports: list[dict[str, int]] = []
-    # dirs already tracked when the loop starts belong to other code's
-    # possibly-live frames — never reclaim them from here
-    preexisting = live_checkpoint_dirs()
     cycles = 0
     while max_cycles is None or cycles < max_cycles:
         cycles += 1
+        before_cycle = set(live_checkpoint_dirs())
         try:
             reports.append(
                 run_batch_cycle(spark, cities_path, fetcher, warehouse_path, archive_path)
@@ -123,7 +127,10 @@ def run_polling_loop(
             reports.append({"error": 1})
             delay = error_backoff_seconds
         if reclaim_scratch:
-            reclaim_checkpoints(spark, exclude=preexisting)
+            # reclaim ONLY what this cycle created: everything tracked
+            # now that was already tracked before the cycle is excluded
+            keep = tuple(d for d in live_checkpoint_dirs() if d in before_cycle)
+            reclaim_checkpoints(spark, exclude=keep)
         if max_cycles is None or cycles < max_cycles:
             sleep(delay)
     return reports

@@ -728,7 +728,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         edges = pairs.select(
             F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
         ).unionByName(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
-        edges = stage_checkpoint(edges, "cc_edges").persist()
+        # path kept so the O(E) edges dir — the operator's largest
+        # scratch artifact — is dropped the moment the result
+        # materializes, not at process exit (round-5 review finding)
+        edges_path, edges = stage_checkpoint_with_path(edges, "cc_edges")
+        edges = edges.persist()
     finally:
         pairs.unpersist()
     try:
@@ -779,10 +783,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             )
         out = labels.select("doc_id", F.col("label").alias("canonical_id"))
         result = eager_release(out, "cc_labels", edges, labels)
+        # both inputs are dead once the result checkpoint above has
+        # materialized from them: the final iteration snapshot and the
+        # edge list itself (on the exception path they stay tracked in
+        # _LIVE_DIRS for a later reclaim instead)
         if iter_ckpt_path is not None:
-            # the final iteration snapshot is dead once the result
-            # checkpoint above has materialized from it
             drop_checkpoint_dir(result.sparkSession, iter_ckpt_path)
+        drop_checkpoint_dir(result.sparkSession, edges_path)
         return result
     except Exception:
         # eager_release handles the success path; any raise above it

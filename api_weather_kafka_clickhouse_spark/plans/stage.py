@@ -73,13 +73,18 @@ def _materialize(df: DataFrame, name: str) -> tuple[str, DataFrame]:
     return path, df.sparkSession.read.parquet(path)
 
 
-def _remove(df: DataFrame, path: str) -> None:
-    """Delete a checkpoint dir via the Hadoop FS API (works for any
-    scheme the session can write, not just local POSIX)."""
-    spark = df.sparkSession
+def _delete_path(spark, path: str) -> None:
+    """Delete one path via the Hadoop FS API (works for any scheme the
+    session can write, not just local POSIX). Raises on FS errors; a
+    missing path is a silent success (Hadoop delete returns false
+    without throwing — the dir is gone either way)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def _remove(df: DataFrame, path: str) -> None:
+    _delete_path(df.sparkSession, path)
     if path in _LIVE_DIRS:
         _LIVE_DIRS.remove(path)
 
@@ -104,19 +109,21 @@ def reclaim_checkpoints(spark, exclude: tuple[str, ...] = ()) -> int:
     code) should snapshot ``live_checkpoint_dirs()`` before its work
     and pass that as ``exclude``, reclaiming only what it created.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     excluded = set(exclude)
     removed = 0
     for path in list(_LIVE_DIRS):
         if path in excluded:
             continue
         try:
-            p = jvm.org.apache.hadoop.fs.Path(path)
-            p.getFileSystem(conf).delete(p, True)
+            _delete_path(spark, path)
             removed += 1
         except Exception:  # noqa: BLE001 — best-effort reclamation
             log.warning("failed to reclaim checkpoint dir %s", path, exc_info=True)
+        # dropped from tracking even on failure: the sweep is terminal
+        # by contract (a permanently-bad entry retried on every cycle
+        # of a polling loop would log forever); the narrow per-dir
+        # release path, drop_checkpoint_dir, keeps failed entries so
+        # THIS sweep gets one shot at them later.
         _LIVE_DIRS.remove(path)
     return removed
 
@@ -132,14 +139,16 @@ def stage_checkpoint_with_path(df: DataFrame, name: str = "stage") -> tuple[str,
 
 def drop_checkpoint_dir(spark, path: str) -> None:
     """Best-effort delete of one tracked checkpoint dir (Hadoop FS
-    API — any scheme). Errors are logged, never raised; the dir stays
-    reclaimable later either way."""
+    API — any scheme). Errors are logged, never raised — and on
+    failure the path STAYS in ``_LIVE_DIRS`` so a later
+    ``reclaim_checkpoints`` sweep (or process-exit cleanup of the tmp
+    root) retries it; untracking a surviving dir would leak it for
+    the process lifetime (round-5 review finding)."""
     try:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+        _delete_path(spark, path)
     except Exception:  # noqa: BLE001 — cleanup must not mask the caller's work
         log.warning("failed to drop checkpoint dir %s", path, exc_info=True)
+        return
     if path in _LIVE_DIRS:
         _LIVE_DIRS.remove(path)
 

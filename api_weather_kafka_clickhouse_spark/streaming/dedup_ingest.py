@@ -142,7 +142,17 @@ def dedup_ingest_batch(
         .persist()
     )
     try:
-        sig = minhash_signatures(_shingles_exploded(docs)).persist()
+        # cap=None: the hot-shingle document-frequency cut is a
+        # CORPUS-level statistic; computed per micro-batch it would
+        # make the stored signature of a text depend on what else
+        # happened to arrive in its batch (a boilerplate shingle
+        # crossing the cap in a big backfill batch but not in a small
+        # later one), so identical text gets different signatures and
+        # near-dups against the store are silently missed below the
+        # threshold (round-5 review finding). Streaming signatures
+        # must be context-free; the batch twins keep the cap because
+        # there the DF estimate really is corpus-wide.
+        sig = minhash_signatures(_shingles_exploded(docs, cap=None)).persist()
         try:
             bands = minhash_bands(sig)
             stored_bands = _read_store(
@@ -301,15 +311,26 @@ def compact_store(spark: SparkSession, store_dir: str) -> int:
     size, eventually dominate the per-batch store read.
 
     MUST run at a QUIESCENT point: no in-flight batch, no pending
-    replay (the swap below briefly removes the table, and a
+    replay (the swap below briefly moves the table aside, and a
     concurrent batch reading a missing store would dedup against
     nothing). A replay arriving AFTER compaction degrades safely: the
     replayed batch's docs are already in the compacted partition, so
     every doc self-matches, the batch admits nothing, and its
     (empty) partition writes change no data — the admitted corpus
-    and index are unchanged. A crash mid-compaction leaves either
-    the old table or a ``__compact_tmp`` dir beside the swapped-in
-    one; rerunning compaction converges.
+    and index are unchanged.
+
+    Crash safety: the swap is rename-aside → rename-tmp-in →
+    delete-aside, so at every instant at least one COMPLETE copy of
+    the table exists under the live path, ``__compact_tmp``, or
+    ``__compact_old``; on entry any dangling state from a previous
+    crash is recovered first (tmp renamed into a missing live path,
+    a leftover aside copy deleted once the live path is complete).
+    Rerunning compaction after a crash at ANY step therefore
+    converges with the index intact. The round-5 delete-old-then-
+    rename ordering instead had a window where the table existed
+    only in ``__compact_tmp`` and a rerun's existence check skipped
+    it — every later batch then read an EMPTY store and silently
+    re-admitted near-dups of the entire history.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -320,20 +341,43 @@ def compact_store(spark: SparkSession, store_dir: str) -> int:
         ("shorts", _SHORT_SCHEMA),
     ):
         path = os.path.join(store_dir, sub)
+        tmp = path + "__compact_tmp"
+        aside = path + "__compact_old"
+        p_live = jvm.org.apache.hadoop.fs.Path(path)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        p_aside = jvm.org.apache.hadoop.fs.Path(aside)
+        fs = p_live.getFileSystem(conf)
+
+        # -- recovery of a previous crashed run, in dependency order --
+        # crash between rename-aside and rename-in: the only complete
+        # copy is tmp (aside holds the pre-compaction history; tmp is
+        # written from it, so tmp is the newer complete state)
+        if fs.exists(p_tmp) and not fs.exists(p_live):
+            if not fs.rename(p_tmp, p_live):
+                raise IOError(f"compact_store recovery: rename {tmp} -> {path} failed")
+        # crash before delete-aside (live is complete) — or, with the
+        # branch above, the aside left from a rename-in crash
+        if fs.exists(p_aside) and fs.exists(p_live):
+            fs.delete(p_aside, True)
+        # a stale tmp beside a complete live table (crash between the
+        # tmp write and rename-aside) is simply overwritten below
+
         if not _fs_exists(spark, path):
             continue
         df = _read_store(spark, path, schema)
-        tmp = path + "__compact_tmp"
         (
             df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
             .write.mode("overwrite")
             .partitionBy("ingest_batch")
             .parquet(tmp)
         )
-        p_old = jvm.org.apache.hadoop.fs.Path(path)
-        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = p_old.getFileSystem(conf)
-        fs.delete(p_old, True)
-        fs.rename(p_tmp, p_old)
+        # -- the swap; rename returns FALSE on failure (no throw) --
+        if not fs.rename(p_live, p_aside):
+            raise IOError(f"compact_store: rename {path} -> {aside} failed")
+        if not fs.rename(p_tmp, p_live):
+            # put the old table back so the store is never left missing
+            fs.rename(p_aside, p_live)
+            raise IOError(f"compact_store: rename {tmp} -> {path} failed")
+        fs.delete(p_aside, True)
         rewritten += 1
     return rewritten

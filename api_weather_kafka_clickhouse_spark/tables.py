@@ -33,33 +33,44 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # runtime-settable; needed for driver-owned sessions too
+        # runtime-settable; needed for driver-owned sessions too.
+        # Deliberately NOT restored: it only changes how TIMESTAMP
+        # (NANOS) parquet — otherwise unreadable — is surfaced, and the
+        # physical reader may consult it again at scan execution, long
+        # after this function returned.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the NTZ->timestamp normalization below reinterprets wall
-        # time in the SESSION zone: a driver-owned session that never
-        # went through get_spark()'s timeZone=UTC pinning would shift
-        # every instant by the host offset, so pin it here too
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts has shipped as two physical parquet types across
-        # driver testdata generations; normalize both to a session-TZ
-        # TIMESTAMP (session TZ is pinned UTC, so values equal DuckDB's
-        # naive-UTC reading either way):
+        # driver testdata generations; normalize both to a TIMESTAMP
+        # whose instant equals DuckDB's naive-UTC reading:
         # - TIMESTAMP(NANOS): read as nanos-since-epoch long under
         #   legacy.parquet.nanosAsLong; truncate to micros with integer
-        #   `div` (matches DuckDB's ns→us cast).
+        #   `div` (matches DuckDB's ns→us cast). timestamp_micros is
+        #   an instant constructor — session-TZ-independent.
         # - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as
-        #   TIMESTAMP_NTZ; cast reinterprets the wall time in the UTC
-        #   session zone. Leaving it NTZ would break every operator
-        #   using instant functions (unix_micros, unix_timestamp).
+        #   TIMESTAMP_NTZ; the cast to TIMESTAMP reinterprets wall
+        #   time in the SESSION zone, so it must run under UTC.
+        #   Catalyst binds the cast's zone at ANALYSIS, which is eager
+        #   at DataFrame creation, so pinning the conf around the
+        #   withColumn and restoring it leaves the caller's session
+        #   zone untouched (round-5 review: a reader must not mutate
+        #   global session state) while the plan keeps UTC semantics.
+        #   Verified by tests/test_tables.py with a session pinned to
+        #   America/New_York. Leaving ts NTZ instead would break every
+        #   operator using instant functions (unix_micros, ...).
         from pyspark.sql import functions as F  # local: keep module import light
 
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            prev_tz = spark.conf.get("spark.sql.session.timeZone")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            try:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return df
 
 

@@ -145,6 +145,133 @@ def test_short_docs_dedup_exactly_and_empty_batch_is_safe(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4, 6}
 
 
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _seed_store(spark, tmp_path, tag):
+    store = str(tmp_path / f"store_{tag}")
+    out = str(tmp_path / f"surv_{tag}")
+    dedup_ingest.dedup_ingest_batch(_mk(spark, [(1, BASE)]), 0, store, out)
+    dedup_ingest.dedup_ingest_batch(
+        _mk(spark, [(2, DISTINCT), (3, "hi there")]), 1, store, out
+    )
+    return store, out
+
+
+def _assert_store_intact(spark, store, out, batch_id=9):
+    """The recovered store must still drop a near-dup of stored doc 1
+    AND an exact short dup of stored doc 3 — the silent-empty-store
+    failure mode (round-5 compact_store crash window) admits both —
+    while a genuinely-new doc is still admitted; and no swap debris
+    (__compact_tmp / __compact_old) may remain."""
+    import os as _os
+
+    dedup_ingest.dedup_ingest_batch(
+        _mk(spark, [(8, BASE + " indeed"), (9, "hi there"), (10, DISTINCT2)]),
+        batch_id, store, out,
+    )
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 8 not in ids and 9 not in ids, (
+        f"recovered store failed to dedup — it is empty or partial: {ids}"
+    )
+    assert 10 in ids, f"recovered store must still admit new docs: {ids}"
+    for sub in ("sigs", "bands", "shorts"):
+        for suffix in ("__compact_tmp", "__compact_old"):
+            assert not _os.path.exists(_os.path.join(store, sub) + suffix), (
+                f"swap debris left behind: {sub}{suffix}"
+            )
+
+
+def test_compact_store_recovers_from_tmp_only_crash(spark, tmp_path):
+    """The round-5 catastrophic window: a crash between delete-old and
+    rename-in left each table ONLY in __compact_tmp. A rerun must
+    recover the table before deciding anything — the old code's
+    existence check skipped it, and every later batch then read an
+    empty store and silently re-admitted near-dups of all history."""
+    import os as _os
+    import shutil
+
+    store, out = _seed_store(spark, tmp_path, "tmponly")
+    assert dedup_ingest.compact_store(spark, store) == 3
+    for sub in ("sigs", "bands", "shorts"):
+        p = _os.path.join(store, sub)
+        shutil.move(p, p + "__compact_tmp")
+    assert dedup_ingest.compact_store(spark, store) == 3
+    _assert_store_intact(spark, store, out)
+
+
+def test_compact_store_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash between rename-aside and rename-tmp-in: the live path is
+    missing, tmp holds the complete compacted copy, aside holds the
+    pre-compaction history. Recovery must prefer tmp (the newer
+    complete state) and clear the aside copy."""
+    import os as _os
+    import shutil
+
+    store, out = _seed_store(spark, tmp_path, "midswap")
+    for sub in ("sigs", "bands", "shorts"):
+        p = _os.path.join(store, sub)
+        shutil.copytree(p, p + "__compact_tmp")
+        shutil.move(p, p + "__compact_old")
+    assert dedup_ingest.compact_store(spark, store) == 3
+    _assert_store_intact(spark, store, out)
+
+
+def test_compact_store_recovers_aside_leftover_crash(spark, tmp_path):
+    """Crash after rename-tmp-in but before delete-aside: the live
+    table is complete; the stale aside copy must be cleared and
+    compaction proceed normally."""
+    import os as _os
+    import shutil
+
+    store, out = _seed_store(spark, tmp_path, "aside")
+    for sub in ("sigs", "bands", "shorts"):
+        p = _os.path.join(store, sub)
+        shutil.copytree(p, p + "__compact_old")
+    assert dedup_ingest.compact_store(spark, store) == 3
+    _assert_store_intact(spark, store, out)
+
+
+def test_streaming_signatures_are_batch_independent(spark, tmp_path):
+    """Round-5 review: the per-batch SHINGLE_DF_CAP made stored
+    signatures depend on batch COMPOSITION — a boilerplate shingle
+    crossing the cap in a big backfill batch (dropped before signing)
+    but not in a small later batch gave identical text different
+    signatures, so near-dups against the store were missed below the
+    similarity estimate. The streaming path must sign context-free
+    (cap=None): (a) the stored signature of a text is identical
+    whether it arrived alone or in a >cap-skewed batch, and (b) a
+    near-dup split across such batches is still dropped."""
+    from api_weather_kafka_clickhouse_spark.operators.dedup import SHINGLE_DF_CAP
+
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    t1 = boiler + " alpha beta gamma"
+    n_fillers = SHINGLE_DF_CAP + 10  # boiler shingles cross the DF cap
+    big = [(1, t1)] + [
+        (i, f"{boiler} unique filler token {i}") for i in range(2, n_fillers + 2)
+    ]
+
+    store_a, out_a = str(tmp_path / "store_big"), str(tmp_path / "surv_big")
+    dedup_ingest.dedup_ingest_batch(_mk(spark, big), 0, store_a, out_a)
+    store_b, out_b = str(tmp_path / "store_solo"), str(tmp_path / "surv_solo")
+    dedup_ingest.dedup_ingest_batch(_mk(spark, [(1, t1)]), 0, store_b, out_b)
+
+    sig_a = spark.read.parquet(store_a + "/sigs").filter("doc_id = 1").collect()
+    sig_b = spark.read.parquet(store_b + "/sigs").filter("doc_id = 1").collect()
+    assert len(sig_a) == 1 and len(sig_b) == 1
+    assert list(sig_a[0].sig) == list(sig_b[0].sig), (
+        "stored signature of identical text must not depend on what "
+        "else arrived in its batch"
+    )
+
+    # the near-dup pair split across the skewed backfill batch and a
+    # later small batch: capped signing misses it, context-free drops it
+    dedup_ingest.dedup_ingest_batch(_mk(spark, [(5000, t1 + " indeed")]), 1, store_a, out_a)
+    ids = {r.doc_id for r in spark.read.parquet(out_a).collect()}
+    assert 5000 not in ids, "near-dup of a backfill-batch doc must be dropped"
+
+
 def test_compact_store_folds_partitions_and_dedup_still_works(spark, tmp_path):
     import os as _os
 
