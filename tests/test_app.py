@@ -69,6 +69,18 @@ def test_polling_loop_reclaims_own_scratch_only(spark, tmp_path, monkeypatch):
         stage.stage_checkpoint(spark.range(5), "cycle_leak").count()
         return real_cycle(*args, **kwargs)
 
+    # a checkpoint another caller registers BETWEEN cycles (the sleep
+    # runs after cycle 1's reclaim, before cycle 2): round-5's
+    # snapshot-at-loop-entry exclude could not tell it from the loop's
+    # own dirs and deleted it out from under the caller's DataFrame —
+    # the per-cycle before/after diff must leave it alone
+    mid_loop: dict[str, object] = {}
+
+    def concurrent_sleep(_s):
+        if not mid_loop:
+            mid_loop["df"] = stage.stage_checkpoint(spark.range(7), "mid_loop_concurrent")
+            assert mid_loop["df"].count() == 7
+
     monkeypatch.setattr(app, "run_batch_cycle", leaky_cycle)
     app.run_polling_loop(
         spark,
@@ -76,7 +88,7 @@ def test_polling_loop_reclaims_own_scratch_only(spark, tmp_path, monkeypatch):
         make_fake_fetcher(),
         wh,
         max_cycles=2,
-        sleep=lambda _s: None,
+        sleep=concurrent_sleep,
     )
     live = stage.live_checkpoint_dirs()
     assert not any("cycle_leak" in d for d in live), (
@@ -86,6 +98,13 @@ def test_polling_loop_reclaims_own_scratch_only(spark, tmp_path, monkeypatch):
         "pre-loop dirs may back live frames elsewhere — never reclaimed by the loop"
     )
     assert leftover.count() == 10, "the pre-loop frame must still be readable"
+    assert any("mid_loop_concurrent" in d for d in live), (
+        "a checkpoint registered between cycles by other code must "
+        "survive the next cycle's reclaim"
+    )
+    assert mid_loop["df"].count() == 7, (
+        "the concurrent caller's DataFrame must remain readable"
+    )
     # cleanup so later tests see a drained tracker
     stage.reclaim_checkpoints(spark)
 

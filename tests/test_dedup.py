@@ -138,6 +138,29 @@ def test_connected_components_empty_pairs(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_connected_components_releases_scratch(spark):
+    """After a CC call exactly ONE scratch checkpoint may remain — the
+    result itself. The O(E) cc_edges stage (the operator's largest
+    artifact) and any iteration snapshots must be dropped the moment
+    the result materializes, not at process exit (round-5 review:
+    one stranded edges dir per call × bench runs adds up)."""
+    from api_weather_kafka_clickhouse_spark.plans import stage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    before = set(stage.live_checkpoint_dirs())
+    result = dedup.connected_components(pairs)
+    assert result.count() == 6
+    created = [d for d in stage.live_checkpoint_dirs() if d not in before]
+    assert len(created) == 1 and "cc_labels" in created[0], (
+        f"only the result checkpoint may survive the call, got: {created}"
+    )
+    # the result stays readable after its inputs were dropped
+    assert result.count() == 6
+    stage.drop_checkpoint_dir(spark, created[0])
+
+
 def test_connected_components_matches_union_find_on_random_graphs(spark):
     """Property check: on seeded random graphs the distributed
     min-label propagation equals a reference union-find exactly —

@@ -56,6 +56,31 @@ def test_reclaim_checkpoints_logs_not_raises_on_fs_error(spark, caplog):
     assert "failed to reclaim" in caplog.text, "FS errors are logged, never raised"
 
 
+def test_drop_checkpoint_dir_keeps_entry_on_failure(spark, caplog):
+    """A failed per-dir delete must leave the path TRACKED so a later
+    reclaim sweep retries it — untracking a surviving dir would leak
+    it for the process lifetime (round-5 review finding). The sweep
+    itself stays terminal (bad entries dropped, see the reclaim test
+    above) — the two policies differ on purpose."""
+    df = spark.range(5)
+    path, out = stage.stage_checkpoint_with_path(df, "drop_keep")
+    assert out.count() == 5
+    bad = "::not a uri::"  # unparseable — the FS call throws
+    stage._LIVE_DIRS.append(bad)
+    with caplog.at_level("WARNING", logger=stage.log.name):
+        stage.drop_checkpoint_dir(spark, bad)
+    assert "failed to drop" in caplog.text
+    assert bad in stage.live_checkpoint_dirs(), (
+        "a failed delete must stay tracked for a later reclaim retry"
+    )
+    # the healthy dir still drops normally
+    stage.drop_checkpoint_dir(spark, path)
+    assert path not in stage.live_checkpoint_dirs() and not os.path.exists(path)
+    # and the terminal sweep clears the bad entry
+    stage.reclaim_checkpoints(spark)
+    assert bad not in stage.live_checkpoint_dirs()
+
+
 def test_eager_release_unpersists_on_write_failure(spark):
     cached = spark.range(10).persist()
     cached.count()
