@@ -69,61 +69,61 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # remain oracle-verified locally in tests/test_oracle_parity.py
 # (the replica that predicted rounds 2-4's driver results bit-for-bit).
 #
-# Round-6 rotation plan (next batch of never-gated oracle-checked
-# queries, one swap-in per redundant green slot, keeping >= 1 gate
-# row per family): q12/q17/q15/q22/q7 (TPC-H), join_cross_small,
-# window_first_last_nth or window_range_numeric, agg_cube or
-# agg_conditional, scalar_strings + scalar_dates (batteries),
-# split_train_holdout, time_ewma_per_key, and the round-5 additions
-# dedup_cluster_canonical / dedup_survivors_transitive /
-# dedup_embedding_clusters / text_pii_scrub. After that one more
-# rotation (q8/q11/q13/q16/q20/q21, remaining scalar batteries and
+# Round-6 rotation (round 3 of the plan, executed): 16 slots that
+# were green in r5 and same-family redundancy (5 TPC-H, 2 joins,
+# 2 windows, 2 aggs, 1 behavioral, 4 text) swapped for 16
+# oracle-checked queries with no driver CORRECTNESS row ever: 5 more
+# TPC-H shapes (q7/q12/q15/q17/q22), the cross join, first/last/nth
+# window frames, cube, the scalar string+date batteries, the ML-prep
+# holdout split, per-key EWMA, and the four round-5 operators
+# (transitive clustering ×3 + PII scrub — new code meets the driver
+# oracle, not just the local replica). Every §2 family keeps >= 1
+# gate row; rotated-out queries remain oracle-verified locally in
+# tests/test_oracle_parity.py (the replica that has predicted the
+# driver gate bit-for-bit five rounds running).
+#
+# Round-7 rotation plan (the final batch — after it every
+# oracle-checked query has had at least one driver row):
+# q8/q11/q13/q16/q20/q21, remaining scalar batteries and
 # aggregation shapes, conditional_case, distinct_projection,
 # unpivot_measures, round_robin_assign, limit_offset_page,
 # vector_stats, fuzzy_match_levenshtein, text_quality_by_lang,
 # text_lang_id, text_token_regex, text_sentence_udtf,
-# dedup_exact_hash) covers every oracle-checked query at least once.
+# dedup_exact_hash.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q18_large_volume_customer",
-    "q4_order_priority",  # r5 rotation: first driver row
-    "q6_forecast_revenue",  # r5 rotation: first driver row
-    "q10_returned_items",  # r5 rotation: first driver row
-    "q14_promo_revenue",  # r5 rotation: first driver row
-    "q19_disjunctive_predicates",  # r5 rotation: first driver row
+    "q7_volume_shipping",  # r6 rotation: first driver row
+    "q12_shipmode_priority",  # r6 rotation: first driver row
+    "q15_top_supplier",  # r6 rotation: first driver row
+    "q17_small_quantity_revenue",  # r6 rotation: first driver row
+    "q22_global_sales_opportunity",  # r6 rotation: first driver row
     # joins
     "join_flagship_revenue",
     "join_broadcast_region",
     "join_interval_pairs",
     "join_asof",
-    "join_null_safe",
-    "join_left_outer",  # r5 rotation: first driver row
+    "join_cross_small",  # r6 rotation: first driver row
     # window functions
     "window_topk_per_group",
-    "window_range_frame",
     "window_distribution",
     "sessionize",
-    "window_lag_lead",  # r5 rotation: first driver row
+    "window_first_last_nth",  # r6 rotation: first driver row
     # aggregation battery
     "agg_groupby_having",
-    "agg_rollup",
     "agg_stats_moments",
     "agg_collect_sorted",
     "agg_salted_skew",
-    "agg_grouping_sets",  # r5 rotation: first driver row
+    "agg_cube",  # r6 rotation: first driver row
     # behavioral analytics
     "funnel_stages",
-    "retention_cohorts",
     # text analysis / corpus prep
     "text_token_stats",
     "text_bigram_topk",
     "text_tfidf_topk",
-    "decontaminate_ngram_overlap",  # r5 rotation: first driver row
-    "text_repetition_ratio",  # r5 rotation: first driver row
-    "pack_sequences",  # r5 rotation: first driver row
-    "shuffle_deterministic",  # r5 rotation: first driver row
+    "text_pii_scrub",  # r6 rotation: first driver row (new in r5)
     # similarity search (exact baseline; ANN variants are rows-only)
     "sim_topk_bruteforce",
     # deduplication / corpus cleaning
@@ -132,6 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "corpus_clean_pipeline",
+    "dedup_cluster_canonical",  # r6 rotation: first driver row (new in r5)
+    "dedup_survivors_transitive",  # r6 rotation: first driver row (new in r5)
+    "dedup_embedding_clusters",  # r6 rotation: first driver row (new in r5)
     # record linkage
     "fuzzy_match_blocked",
     # multimodal
@@ -139,6 +142,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     # time series
     "time_resample_gapfill",
+    "time_ewma_per_key",  # r6 rotation: first driver row
+    # ML data prep
+    "split_train_holdout",  # r6 rotation: first driver row
     # core relational / scalar
     "filter_project",
     "sort_limit_topk",
@@ -146,6 +152,8 @@ _PRIORITY: tuple[str, ...] = (
     "in_subquery",
     "events_json_extract",
     "time_bucket_hourly",
+    "scalar_strings",  # r6 rotation: first driver row
+    "scalar_dates",  # r6 rotation: first driver row
 )
 
 
