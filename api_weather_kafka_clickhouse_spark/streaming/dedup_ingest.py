@@ -65,6 +65,7 @@ from ..operators.dedup import (
     minhash_bands,
     minhash_signatures,
 )
+from .store import COMPACTED_BATCH_ID, append_partition, compact_tables, fs_exists, read_store
 
 SIG_SIM_THRESHOLD = 0.8
 
@@ -82,44 +83,10 @@ def _estimated_sim(a: str, b: str):
     ) / F.lit(N_PERM)
 
 
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Existence check through the Hadoop FS API, so hdfs:///s3a://
-    stores work identically to local paths (an os.path.isdir gate
-    would silently treat every remote store as empty — no dedup, no
-    error)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
-
-
-def _read_store(
-    spark: SparkSession,
-    path: str,
-    schema: str,
-    exclude_batch: int | None = None,
-    only_batch: int | None = None,
-) -> DataFrame:
-    if _fs_exists(spark, path):
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = spark.read.option("basePath", path).parquet(path)
-            df.schema  # force schema inference now, inside the try
-        except AnalysisException:
-            # the dir exists but holds no data files (a crash between
-            # partition deletes/writes, or an all-empty history) — an
-            # empty store, not an error
-            return spark.createDataFrame([], schema)
-        if exclude_batch is not None:
-            # a REPLAYED micro-batch must not see its own first
-            # attempt's partial store writes: every doc would
-            # self-match and the whole batch would be dropped
-            df = df.filter(F.col("ingest_batch") != exclude_batch)
-        if only_batch is not None:
-            df = df.filter(F.col("ingest_batch") == only_batch)
-        # drop the partition column — consumers key on doc_id only
-        return df.select(*[f.split(" ")[0] for f in schema.split(", ")])
-    return spark.createDataFrame([], schema)
+# store plumbing shared with streaming/embedding_ingest.py — see
+# streaming/store.py for the layout and replay contract
+_fs_exists = fs_exists
+_read_store = read_store
 
 
 def dedup_ingest_batch(
@@ -237,13 +204,7 @@ def dedup_ingest_batch(
                 )
 
                 def _append(df: DataFrame, path: str) -> None:
-                    (
-                        df.withColumn("ingest_batch", F.lit(batch_id))
-                        .write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .partitionBy("ingest_batch")
-                        .parquet(path)
-                    )
+                    append_partition(df, path, batch_id)
 
                 # ORDER MATTERS: the survivors plan reads the store
                 # (via `dropped`), and the store writes below mutate
@@ -300,9 +261,6 @@ def start_dedup_ingest(
     )
 
 
-COMPACTED_BATCH_ID = -1
-
-
 def compact_store(spark: SparkSession, store_dir: str) -> int:
     """Fold every store table's one-partition-per-batch history into a
     single ``ingest_batch=-1`` partition; returns how many tables were
@@ -310,74 +268,18 @@ def compact_store(spark: SparkSession, store_dir: str) -> int:
     partition dir per micro-batch — directory listings, not data
     size, eventually dominate the per-batch store read.
 
-    MUST run at a QUIESCENT point: no in-flight batch, no pending
-    replay (the swap below briefly moves the table aside, and a
-    concurrent batch reading a missing store would dedup against
-    nothing). A replay arriving AFTER compaction degrades safely: the
-    replayed batch's docs are already in the compacted partition, so
-    every doc self-matches, the batch admits nothing, and its
-    (empty) partition writes change no data — the admitted corpus
-    and index are unchanged.
-
-    Crash safety: the swap is rename-aside → rename-tmp-in →
-    delete-aside, so at every instant at least one COMPLETE copy of
-    the table exists under the live path, ``__compact_tmp``, or
-    ``__compact_old``; on entry any dangling state from a previous
-    crash is recovered first (tmp renamed into a missing live path,
-    a leftover aside copy deleted once the live path is complete).
-    Rerunning compaction after a crash at ANY step therefore
-    converges with the index intact. The round-5 delete-old-then-
-    rename ordering instead had a window where the table existed
-    only in ``__compact_tmp`` and a rerun's existence check skipped
-    it — every later batch then read an EMPTY store and silently
-    re-admitted near-dups of the entire history.
+    Quiescence, replay-after-compaction safety, and the crash-safe
+    rename-aside → rename-in → delete-aside swap (with entry-time
+    recovery of dangling state) are documented on
+    ``store.compact_tables`` — this is that machinery applied to the
+    three dedup-index tables.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    rewritten = 0
-    for sub, schema in (
-        ("sigs", _SIG_SCHEMA),
-        ("bands", _BAND_SCHEMA),
-        ("shorts", _SHORT_SCHEMA),
-    ):
-        path = os.path.join(store_dir, sub)
-        tmp = path + "__compact_tmp"
-        aside = path + "__compact_old"
-        p_live = jvm.org.apache.hadoop.fs.Path(path)
-        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        p_aside = jvm.org.apache.hadoop.fs.Path(aside)
-        fs = p_live.getFileSystem(conf)
-
-        # -- recovery of a previous crashed run, in dependency order --
-        # crash between rename-aside and rename-in: the only complete
-        # copy is tmp (aside holds the pre-compaction history; tmp is
-        # written from it, so tmp is the newer complete state)
-        if fs.exists(p_tmp) and not fs.exists(p_live):
-            if not fs.rename(p_tmp, p_live):
-                raise IOError(f"compact_store recovery: rename {tmp} -> {path} failed")
-        # crash before delete-aside (live is complete) — or, with the
-        # branch above, the aside left from a rename-in crash
-        if fs.exists(p_aside) and fs.exists(p_live):
-            fs.delete(p_aside, True)
-        # a stale tmp beside a complete live table (crash between the
-        # tmp write and rename-aside) is simply overwritten below
-
-        if not _fs_exists(spark, path):
-            continue
-        df = _read_store(spark, path, schema)
+    return compact_tables(
+        spark,
+        store_dir,
         (
-            df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
-            .write.mode("overwrite")
-            .partitionBy("ingest_batch")
-            .parquet(tmp)
-        )
-        # -- the swap; rename returns FALSE on failure (no throw) --
-        if not fs.rename(p_live, p_aside):
-            raise IOError(f"compact_store: rename {path} -> {aside} failed")
-        if not fs.rename(p_tmp, p_live):
-            # put the old table back so the store is never left missing
-            fs.rename(p_aside, p_live)
-            raise IOError(f"compact_store: rename {tmp} -> {path} failed")
-        fs.delete(p_aside, True)
-        rewritten += 1
-    return rewritten
+            ("sigs", _SIG_SCHEMA),
+            ("bands", _BAND_SCHEMA),
+            ("shorts", _SHORT_SCHEMA),
+        ),
+    )
