@@ -106,6 +106,72 @@ def test_embedding_ingest_streaming_wiring(spark, tmp_path):
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 3}
 
 
+def test_embedding_ingest_survivor_invariant_under_random_splits(spark, tmp_path):
+    """Property: however a corpus is split into ingest batches, (a)
+    the same split replays to the same survivor set (determinism),
+    and (b) no two SURVIVORS are band-matched near-dups (cosine >=
+    threshold) — the store plus in-batch keep-lowest must never admit
+    both ends of a detectable near-dup pair, regardless of which
+    batch each end arrived in."""
+    from pyspark.sql import functions as F
+
+    from api_weather_kafka_clickhouse_spark.streaming.embedding_ingest import (
+        EMB_SIM_THRESHOLD,
+        _bands_of,
+        _safe_cosine,
+    )
+
+    rng = random.Random(31)
+    base = [[rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(8)]
+    # 24 vectors: 8 bases, each with 2 near-dups (3 per cluster)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):
+            rows.append((vid, [x + rng.gauss(0.0, 1e-3) for x in b]))
+            vid += 1
+
+    for seed in (0, 1):
+        r2 = random.Random(seed)
+        shuffled = rows[:]
+        r2.shuffle(shuffled)
+        cuts = sorted(r2.sample(range(1, len(rows)), 2))
+        batches = [
+            shuffled[: cuts[0]],
+            shuffled[cuts[0] : cuts[1]],
+            shuffled[cuts[1] :],
+        ]
+        store = str(tmp_path / f"pstore_{seed}")
+        out = str(tmp_path / f"psurv_{seed}")
+        for bid, batch in enumerate(batches):
+            embedding_ingest.embedding_ingest_batch(_mk(spark, batch), bid, store, out)
+        ids1 = {r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()}
+        # determinism: replay every batch, same result (re-read after —
+        # the replay rewrites partitions, staling any earlier frame)
+        for bid, batch in enumerate(batches):
+            embedding_ingest.embedding_ingest_batch(_mk(spark, batch), bid, store, out)
+        surv = spark.read.parquet(out).select("vec_id", "vec")
+        ids2 = {r.vec_id for r in surv.select("vec_id").collect()}
+        assert ids1 == ids2, f"seed {seed}: replay changed the survivor set"
+
+        # invariant: no band-matched surviving pair above threshold
+        bands = _bands_of(surv)
+        pa = bands.select(F.col("vec_id").alias("a"), "band_idx", "band_key")
+        pb = bands.select(F.col("vec_id").alias("b"), "band_idx", "band_key")
+        cand = (
+            pa.join(pb, ["band_idx", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .join(surv.select(F.col("vec_id").alias("a"), F.col("vec").alias("va")), "a")
+            .join(surv.select(F.col("vec_id").alias("b"), F.col("vec").alias("vb")), "b")
+        )
+        offenders = cand.filter(
+            _safe_cosine(F.col("va"), F.col("vb")) >= EMB_SIM_THRESHOLD
+        ).collect()
+        assert not offenders, f"seed {seed}: near-dup survivors {offenders}"
+
+
 def test_embedding_compact_store_and_crash_recovery(spark, tmp_path):
     """Compaction folds the per-batch partitions and — via the shared
     crash-safe swap — a rerun after the tmp-only crash state (the
