@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..plans.stage import (
     drop_checkpoint_dir,
     eager_release,
+    plans_are_lazy,
     stage_checkpoint,
     stage_checkpoint_with_path,
 )
@@ -786,10 +787,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         # both inputs are dead once the result checkpoint above has
         # materialized from them: the final iteration snapshot and the
         # edge list itself (on the exception path they stay tracked in
-        # _LIVE_DIRS for a later reclaim instead)
-        if iter_ckpt_path is not None:
-            drop_checkpoint_dir(result.sparkSession, iter_ckpt_path)
-        drop_checkpoint_dir(result.sparkSession, edges_path)
+        # _LIVE_DIRS for a later reclaim instead). In lazy_plans mode
+        # eager_release returns the UNMATERIALIZED plan, whose lineage
+        # still scans these very files — skip the delete there (the
+        # dirs stay tracked for reclaim) or the returned frame throws
+        # FileNotFoundException on first evaluation.
+        if not plans_are_lazy():
+            if iter_ckpt_path is not None:
+                drop_checkpoint_dir(result.sparkSession, iter_ckpt_path)
+            drop_checkpoint_dir(result.sparkSession, edges_path)
         return result
     except Exception:
         # eager_release handles the success path; any raise above it

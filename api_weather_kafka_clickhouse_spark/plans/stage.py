@@ -187,6 +187,16 @@ def scoped_checkpoint(df: DataFrame, name: str = "stage") -> Iterator[DataFrame]
             log.warning("failed to remove checkpoint dir %s", path, exc_info=True)
 
 
+def plans_are_lazy() -> bool:
+    """True inside a ``lazy_plans()`` block. Operators that delete
+    their own scratch once the result checkpoint has materialized must
+    SKIP the delete in lazy mode: ``eager_release`` hands back an
+    UNMATERIALIZED plan there, whose lineage still scans those files —
+    deleting them would make the returned DataFrame throw
+    FileNotFoundException on first evaluation."""
+    return _LAZY_PLANS
+
+
 @contextmanager
 def lazy_plans() -> Iterator[None]:
     """Plan-inspection mode: inside this block ``eager_release``

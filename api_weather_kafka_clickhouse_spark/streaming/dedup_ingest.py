@@ -65,7 +65,7 @@ from ..operators.dedup import (
     minhash_bands,
     minhash_signatures,
 )
-from .store import COMPACTED_BATCH_ID, append_partition, compact_tables, fs_exists, read_store
+from .store import append_partition, compact_tables, read_store
 
 SIG_SIM_THRESHOLD = 0.8
 
@@ -85,7 +85,6 @@ def _estimated_sim(a: str, b: str):
 
 # store plumbing shared with streaming/embedding_ingest.py — see
 # streaming/store.py for the layout and replay contract
-_fs_exists = fs_exists
 _read_store = read_store
 
 

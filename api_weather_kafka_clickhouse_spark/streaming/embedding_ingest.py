@@ -176,8 +176,16 @@ def embedding_ingest_batch(
             ).select("vec_id")
             surviving = vecs.join(written, "vec_id", "left_semi")
             append_partition(surviving, os.path.join(store_dir, "vecs"), batch_id)
+            # survivor band keys are identical to the already-computed
+            # (and persisted) batch band keys by determinism — semi-join
+            # the cached frame instead of running the matmul UDF a
+            # second time over (nearly) the same vectors (mirrors how
+            # dedup_ingest reuses surviving_sigs rather than
+            # re-shingling)
             append_partition(
-                _bands_of(surviving), os.path.join(store_dir, "bands"), batch_id
+                bands.join(written, "vec_id", "left_semi"),
+                os.path.join(store_dir, "bands"),
+                batch_id,
             )
         finally:
             bands.unpersist()

@@ -161,6 +161,27 @@ def test_connected_components_releases_scratch(spark):
     stage.drop_checkpoint_dir(spark, created[0])
 
 
+def test_connected_components_lazy_mode_result_stays_evaluable(spark):
+    """Under lazy_plans() eager_release returns the UNMATERIALIZED
+    plan, whose lineage still scans the cc_edges / iteration-snapshot
+    files — the operator must NOT delete them there (round-6 review:
+    the eager-mode scratch drop would make the returned frame throw
+    FileNotFoundException on first evaluation)."""
+    from api_weather_kafka_clickhouse_spark.plans import stage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    before = set(stage.live_checkpoint_dirs())
+    with stage.lazy_plans():
+        result = dedup.connected_components(pairs)
+    # evaluating the lazy plan must still work: its backing scratch
+    # files survive the call (tracked for a later reclaim instead)
+    assert result.count() == 6
+    for d in [d for d in stage.live_checkpoint_dirs() if d not in before]:
+        stage.drop_checkpoint_dir(spark, d)
+
+
 def test_connected_components_matches_union_find_on_random_graphs(spark):
     """Property check: on seeded random graphs the distributed
     min-label propagation equals a reference union-find exactly —
