@@ -167,8 +167,33 @@ def all_specs() -> dict[str, QuerySpec]:
     return ordered
 
 
+def _utc_pinned(fn: QueryFn) -> QueryFn:
+    """Pin ``spark.sql.session.timeZone=UTC`` before running a query fn.
+
+    The query surface DECLARES UTC semantics (module docstring: the
+    DuckDB oracle's timestamps are naive-UTC): ``date_trunc`` /
+    ``to_date`` bind the session zone at analysis, and timestamp
+    values RENDER in the session zone when the caller later collects —
+    so on a driver-owned session inheriting a non-UTC host zone every
+    time-bucketing gate row would shift against the oracle. The pin is
+    deliberately NOT restored: collection happens after this returns
+    (laziness), so a restore would un-pin the rendering half. This is
+    the documented contract of the gate surface, not a reader side
+    effect (sessions built via session.get_spark are already UTC;
+    library users calling operators/* directly are never affected).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_specs().items()}
+    return {name: _utc_pinned(spec.fn) for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:

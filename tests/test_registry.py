@@ -45,3 +45,24 @@ def test_rows_only_queries_are_documented_choices():
         "sample_stratified",
     }
     assert rows_only == expected, rows_only.symmetric_difference(expected)
+
+
+def test_queries_pin_utc_on_a_foreign_timezone_session(spark, sf_dir, duck):
+    """The query surface declares UTC semantics: a driver-owned
+    session inheriting a non-UTC host zone must still produce
+    oracle-matching results for time-bucketing queries (round-6
+    review: date_trunc binds the session zone at analysis AND
+    timestamps render in it at collect — both must be UTC)."""
+    from api_weather_kafka_clickhouse_spark.oracle import compare
+
+    tz_key = "spark.sql.session.timeZone"
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        fn = registry.queries()["time_bucket_hourly"]
+        df = fn(spark, sf_dir)
+        # the wrapper pinned the session for analysis and collection
+        assert spark.conf.get(tz_key) == "UTC"
+        r = compare(df, duck, registry.oracle_sql()["time_bucket_hourly"])
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+    finally:
+        spark.conf.set(tz_key, "UTC")
