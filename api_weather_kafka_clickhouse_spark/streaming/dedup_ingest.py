@@ -37,6 +37,11 @@ Dedup rule per new doc (deterministic):
 - a short doc is dropped if its md5 is already stored, or a
   smaller-id doc of the same batch shares it.
 
+Candidate generation is BOUNDED per band bucket (lsh_candidates):
+signatures are signed with ``cap=None`` for batch-independence, so
+the hot-bucket quadratic guard lives at the bucket join — all pairs
+for buckets of ≤ BAND_BUCKET_CAP members, hub/rank-capped above it.
+
 Replay correctness: a batch EXCLUDES its own store partitions from
 every dedup decision, so a partial first attempt can never
 self-match; re-running a batch id recomputes the same admission and
@@ -65,6 +70,7 @@ from ..operators.dedup import (
     minhash_bands,
     minhash_signatures,
 )
+from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
 from .store import append_partition, compact_tables, read_store
 
 SIG_SIM_THRESHOLD = 0.8
@@ -89,7 +95,11 @@ _read_store = read_store
 
 
 def dedup_ingest_batch(
-    batch: DataFrame, batch_id: int, store_dir: str, survivors_dir: str
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    survivors_dir: str,
+    bucket_cap: int = BAND_BUCKET_CAP,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup docs, index
     their signatures. Separated from the query wiring so tests (and a
@@ -131,16 +141,13 @@ def dedup_ingest_batch(
                 spark, os.path.join(store_dir, "shorts"), _SHORT_SCHEMA, exclude_batch=batch_id
             )
 
-            # candidates vs the store: band equi-join, then sig fetch
+            # candidates vs the store: bounded bucket join (see
+            # lsh_candidates — cap=None signing moved the hot-bucket
+            # quadratic guard from the shingle cut to the join), then
+            # sig fetch for the survivors' similarity estimate
             cand_old = (
-                bands.join(
-                    stored_bands.select(
-                        F.col("doc_id").alias("old_id"), "band_idx", "band_key"
-                    ),
-                    ["band_idx", "band_key"],
-                )
-                .select("doc_id", "old_id")
-                .distinct()
+                vs_store_pairs(bands, stored_bands, "doc_id", cap=bucket_cap)
+                .withColumnRenamed("new_id", "doc_id")
                 .join(sig.select("doc_id", F.col("sig").alias("new_sig")), "doc_id")
                 .join(
                     stored_sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("old_sig")),
@@ -152,13 +159,10 @@ def dedup_ingest_batch(
             ).select("doc_id")
 
             # candidates within the batch: keep the lowest id
-            ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-            bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
             cand_new = (
-                ba.join(bb, ["band_idx", "band_key"])
-                .filter(F.col("doc_a") < F.col("doc_b"))
-                .select("doc_a", "doc_b")
-                .distinct()
+                within_batch_pairs(bands, "doc_id", cap=bucket_cap)
+                .withColumnRenamed("id_a", "doc_a")
+                .withColumnRenamed("id_b", "doc_b")
                 .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
                 .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
             )
@@ -244,6 +248,7 @@ def start_dedup_ingest(
     store_dir: str,
     survivors_dir: str,
     checkpoint: str,
+    bucket_cap: int = BAND_BUCKET_CAP,
 ) -> StreamingQuery:
     """Wire the incremental dedup into a streaming query. The
     checkpoint + per-batch_id dynamic partition overwrite makes a
@@ -252,7 +257,7 @@ def start_dedup_ingest(
     deterministic batch body, same as sources/sink.write_fact_batch)."""
     return (
         docs_stream.writeStream.foreachBatch(
-            lambda df, bid: dedup_ingest_batch(df, bid, store_dir, survivors_dir)
+            lambda df, bid: dedup_ingest_batch(df, bid, store_dir, survivors_dir, bucket_cap)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

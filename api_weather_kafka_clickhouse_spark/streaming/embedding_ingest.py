@@ -57,6 +57,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.vectors import dot, norm
 from ..operators.similarity import _band_keys
+from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
 from .store import append_partition, compact_tables, read_store
 
 
@@ -87,6 +88,7 @@ def embedding_ingest_batch(
     store_dir: str,
     survivors_dir: str,
     threshold: float = EMB_SIM_THRESHOLD,
+    bucket_cap: int = BAND_BUCKET_CAP,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup vectors,
     index their band keys. Separated from the query wiring so tests
@@ -115,17 +117,12 @@ def embedding_ingest_batch(
                 spark, os.path.join(store_dir, "vecs"), _VEC_SCHEMA, exclude_batch=batch_id
             )
 
-            # candidates vs the store: band equi-join proposes ids,
-            # exact cosine on the re-attached vectors decides
+            # candidates vs the store: bounded bucket join proposes
+            # ids (see lsh_candidates for the hot-bucket guard), exact
+            # cosine on the re-attached vectors decides
             cand_old = (
-                bands.join(
-                    stored_bands.select(
-                        F.col("vec_id").alias("old_id"), "band_idx", "band_key"
-                    ),
-                    ["band_idx", "band_key"],
-                )
-                .select("vec_id", "old_id")
-                .distinct()
+                vs_store_pairs(bands, stored_bands, "vec_id", cap=bucket_cap)
+                .withColumnRenamed("new_id", "vec_id")
                 .join(vecs.select("vec_id", F.col("vec").alias("new_vec")), "vec_id")
                 .join(
                     stored_vecs.select(
@@ -139,13 +136,10 @@ def embedding_ingest_batch(
             ).select("vec_id")
 
             # candidates within the batch: keep the lowest id
-            ba = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_key")
-            bb = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_key")
             cand_new = (
-                ba.join(bb, ["band_idx", "band_key"])
-                .filter(F.col("vec_a") < F.col("vec_b"))
-                .select("vec_a", "vec_b")
-                .distinct()
+                within_batch_pairs(bands, "vec_id", cap=bucket_cap)
+                .withColumnRenamed("id_a", "vec_a")
+                .withColumnRenamed("id_b", "vec_b")
                 .join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")), "vec_a")
                 .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
             )
@@ -199,6 +193,7 @@ def start_embedding_ingest(
     survivors_dir: str,
     checkpoint: str,
     threshold: float = EMB_SIM_THRESHOLD,
+    bucket_cap: int = BAND_BUCKET_CAP,
 ) -> StreamingQuery:
     """Wire the incremental embedding dedup into a streaming query —
     checkpoint + per-batch_id dynamic partition overwrite makes a
@@ -206,7 +201,9 @@ def start_embedding_ingest(
     double-admitting (same contract as start_dedup_ingest)."""
     return (
         vecs_stream.writeStream.foreachBatch(
-            lambda df, bid: embedding_ingest_batch(df, bid, store_dir, survivors_dir, threshold)
+            lambda df, bid: embedding_ingest_batch(
+                df, bid, store_dir, survivors_dir, threshold, bucket_cap
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
