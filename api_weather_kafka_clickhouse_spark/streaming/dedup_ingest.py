@@ -71,9 +71,16 @@ from ..operators.dedup import (
     minhash_signatures,
 )
 from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
-from .store import append_partition, compact_tables, read_store
+from .store import append_partition, compact_tables, ensure_store_scheme, read_store
 
 SIG_SIM_THRESHOLD = 0.8
+
+# Identifies every parameter that makes stored signatures comparable
+# to new ones; bump whenever signing changes incompatibly (see
+# store.ensure_store_scheme). "nocap" records the round-6
+# batch-independent signing fix — a store of capped signatures must
+# fail loud, not silently miss near-dups across the boundary.
+SIG_SCHEME = "minhash64-bands16x4-shingle3-nocap"
 
 _SIG_SCHEMA = "doc_id bigint, sig array<bigint>"
 _BAND_SCHEMA = "doc_id bigint, band_idx int, band_key int"
@@ -107,6 +114,7 @@ def dedup_ingest_batch(
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    ensure_store_scheme(spark, store_dir, SIG_SCHEME, ("sigs", "bands", "shorts"))
 
     # collapse duplicate doc_ids deterministically before anything
     # else (see module docstring)

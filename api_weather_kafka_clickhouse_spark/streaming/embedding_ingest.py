@@ -58,7 +58,12 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.vectors import dot, norm
 from ..operators.similarity import _band_keys
 from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
-from .store import append_partition, compact_tables, read_store
+from .store import append_partition, compact_tables, ensure_store_scheme, read_store
+
+# Scheme record for ensure_store_scheme — band keys from a FIXED
+# 16-hyperplane SRP set over 64-dim vectors, exact-cosine admission;
+# a store written under different planes/dims must fail loud.
+VEC_SCHEME = "srp-planes16-dim64-cosine"
 
 
 def _safe_cosine(a, b):
@@ -99,6 +104,7 @@ def embedding_ingest_batch(
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    ensure_store_scheme(spark, store_dir, VEC_SCHEME, ("vecs", "bands"))
 
     w = Window.partitionBy("vec_id").orderBy("vec")
     vecs = (

@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 
 COMPACTED_BATCH_ID = -1
 
+# Written inside a compaction's __compact_tmp dir AFTER the parquet
+# job completes; its presence is what recovery trusts to distinguish
+# a complete tmp copy from a partial one. Underscore-prefixed, so
+# parquet scans of the table ignore it once tmp is renamed live.
+COMPACT_MARKER = "_COMPACT_DONE"
+
+# One scheme-identifier file per store ("_scheme"): stored artifacts
+# (signatures, band keys) are only comparable to new ones computed by
+# the SAME code parameters. A silent parameter change (e.g. the
+# round-5 capped->uncapped signing fix) would otherwise depress every
+# cross-boundary similarity estimate and re-admit near-dups with no
+# error; opening a store whose scheme differs must fail LOUD instead.
+SCHEME_FILE = "_scheme"
+
 
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FS API, so hdfs:///s3a://
@@ -93,19 +107,40 @@ def compact_tables(
     every row self-matches, the batch admits nothing, and its (empty)
     partition writes change no data.
 
-    Crash safety: the swap is rename-aside → rename-tmp-in →
-    delete-aside, so at every instant at least one COMPLETE copy of
-    the table exists under the live path, ``__compact_tmp``, or
-    ``__compact_old``; on entry any dangling state from a previous
-    crash is recovered first (tmp renamed into a missing live path, a
-    leftover aside copy deleted once the live path is complete).
+    Crash safety protocol (per table):
+
+    1. write the compacted copy to ``__compact_tmp``
+    2. create the ``_COMPACT_DONE`` marker INSIDE tmp — recovery
+       trusts a tmp copy only when the marker proves the parquet job
+       finished
+    3. rename live → ``__compact_old`` (aside)
+    4. rename tmp → live
+    5. delete aside (and the marker that travelled into live)
+
+    so at every instant at least one COMPLETE copy of the table
+    exists, and on entry any dangling state from a previous crash is
+    recovered first: a marker-trusted tmp is renamed into place, an
+    untrusted tmp remnant is discarded in favor of the live/aside
+    copy (or renamed in as a last resort when it is the only remnant
+    — the legacy pre-marker layout), and a leftover aside is deleted
+    once live is complete or restored when live is missing.
     Rerunning compaction after a crash at ANY step therefore
     converges with the index intact. A delete-old-then-rename
     ordering instead has a window where the table exists only in
     ``__compact_tmp`` and a rerun's existence check skips it — every
     later batch then reads an EMPTY store and silently re-admits
     near-dups of the entire history (the round-5 review finding this
-    module's ordering exists to prevent).
+    protocol exists to prevent).
+
+    Filesystem requirements: steps 3-4 assume ATOMIC directory rename
+    (POSIX, HDFS, ABFS). On an object store whose rename is
+    copy+delete (S3A), a crash mid-step-3 leaves partial copies under
+    BOTH live and aside — the marker lets recovery prefer the
+    complete tmp copy there, but a crash mid-step-4 interleaves tmp
+    and live file-by-file and is NOT distinguishable after the fact;
+    run compaction on an atomic-rename filesystem, or rely on
+    replay/rebuild instead of in-place compaction for object-store
+    deployments.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -117,21 +152,50 @@ def compact_tables(
         p_live = jvm.org.apache.hadoop.fs.Path(path)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
         p_aside = jvm.org.apache.hadoop.fs.Path(aside)
+        p_tmp_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(tmp, COMPACT_MARKER))
+        p_live_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(path, COMPACT_MARKER))
         fs = p_live.getFileSystem(conf)
 
-        # -- recovery of a previous crashed run, in dependency order --
-        # crash between rename-aside and rename-in: the only complete
-        # copy is tmp (aside holds the pre-compaction history; tmp is
-        # written from it, so tmp is the newer complete state)
-        if fs.exists(p_tmp) and not fs.exists(p_live):
-            if not fs.rename(p_tmp, p_live):
-                raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
-        # crash before delete-aside (live is complete) — or, with the
-        # branch above, the aside left from a rename-in crash
-        if fs.exists(p_aside) and fs.exists(p_live):
-            fs.delete(p_aside, True)
-        # a stale tmp beside a complete live table (crash between the
-        # tmp write and rename-aside) is simply overwritten below
+        # -- recovery of a previous crashed run (protocol above) --
+        if fs.exists(p_tmp):
+            if fs.exists(p_tmp_marker):  # tmp provably complete
+                if fs.exists(p_live) and fs.exists(p_aside):
+                    # only reachable when rename is non-atomic and the
+                    # crash hit mid-step-3: live and aside are both
+                    # partial remnants; tmp is the one complete copy
+                    fs.delete(p_live, True)
+                    if not fs.rename(p_tmp, p_live):
+                        raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
+                    fs.delete(p_aside, True)
+                elif not fs.exists(p_live):
+                    # crash between steps 3 and 4
+                    if not fs.rename(p_tmp, p_live):
+                        raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
+                    if fs.exists(p_aside):
+                        fs.delete(p_aside, True)
+                else:
+                    # live complete, crash between steps 2 and 3 —
+                    # discard tmp and recompact freshly below
+                    fs.delete(p_tmp, True)
+            else:  # tmp without marker: a partial write, UNLESS it is
+                # the only remnant (legacy pre-marker writer)
+                if fs.exists(p_live):
+                    fs.delete(p_tmp, True)
+                elif fs.exists(p_aside):
+                    fs.delete(p_tmp, True)
+                    if not fs.rename(p_aside, p_live):
+                        raise IOError(f"compact recovery: rename {aside} -> {path} failed")
+                else:
+                    if not fs.rename(p_tmp, p_live):
+                        raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
+        elif fs.exists(p_aside):
+            if fs.exists(p_live):
+                # crash between steps 4 and 5
+                fs.delete(p_aside, True)
+            else:
+                # defensive: a failed step-4 rename-back window
+                if not fs.rename(p_aside, p_live):
+                    raise IOError(f"compact recovery: rename {aside} -> {path} failed")
 
         if not fs_exists(spark, path):
             continue
@@ -142,6 +206,7 @@ def compact_tables(
             .partitionBy("ingest_batch")
             .parquet(tmp)
         )
+        fs.create(p_tmp_marker, True).close()  # step 2: tmp is complete
         # -- the swap; rename returns FALSE on failure (no throw) --
         if not fs.rename(p_live, p_aside):
             raise IOError(f"compact: rename {path} -> {aside} failed")
@@ -150,5 +215,51 @@ def compact_tables(
             fs.rename(p_aside, p_live)
             raise IOError(f"compact: rename {tmp} -> {path} failed")
         fs.delete(p_aside, True)
+        fs.delete(p_live_marker, False)  # housekeeping: marker travelled in
         rewritten += 1
     return rewritten
+
+
+def ensure_store_scheme(
+    spark: SparkSession, store_dir: str, scheme: str, tables: tuple[str, ...]
+) -> None:
+    """Fail LOUD when a store was written under different algorithm
+    parameters than the current code's.
+
+    ``scheme`` is a string identifying every parameter that makes
+    stored artifacts comparable to freshly-computed ones (permutation
+    count, banding shape, shingle policy, similarity kind...). A new
+    store records it in ``<store>/_scheme``; reopening checks it. A
+    mismatch — or a store holding data from before scheme versioning
+    existed — raises instead of silently admitting near-dups across
+    the parameter boundary (estimates between differently-computed
+    artifacts are biased low; the round-6 review's capped→uncapped
+    signing boundary is the motivating case). Recovery is a rebuild:
+    re-ingest the corpus (survivor files remain readable) into a
+    fresh store directory.
+    """
+    path = os.path.join(store_dir, SCHEME_FILE)
+    if fs_exists(spark, path):
+        rows = spark.read.text(path).collect()
+        found = "".join(r.value for r in rows).strip()
+        if found != scheme:
+            raise RuntimeError(
+                f"store {store_dir} was written with scheme {found!r} but the "
+                f"current code computes {scheme!r}; similarity estimates across "
+                "the boundary are invalid — rebuild the store by re-ingesting "
+                "into a fresh directory"
+            )
+        return
+    if any(fs_exists(spark, os.path.join(store_dir, t)) for t in tables):
+        raise RuntimeError(
+            f"store {store_dir} holds data but no {SCHEME_FILE} record (written "
+            "before scheme versioning); its artifacts cannot be assumed "
+            f"compatible with the current scheme {scheme!r} — rebuild the store "
+            "by re-ingesting into a fresh directory"
+        )
+    (
+        spark.createDataFrame([(scheme,)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

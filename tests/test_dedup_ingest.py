@@ -203,17 +203,59 @@ def test_compact_store_recovers_from_tmp_only_crash(spark, tmp_path):
 
 def test_compact_store_recovers_mid_swap_crash(spark, tmp_path):
     """Crash between rename-aside and rename-tmp-in: the live path is
-    missing, tmp holds the complete compacted copy, aside holds the
-    pre-compaction history. Recovery must prefer tmp (the newer
-    complete state) and clear the aside copy."""
+    missing, tmp holds the complete compacted copy (with its
+    _COMPACT_DONE marker — the new writer creates it right after the
+    tmp parquet job), aside holds the pre-compaction history.
+    Recovery must prefer the marker-trusted tmp and clear aside."""
     import os as _os
+    import pathlib
     import shutil
 
     store, out = _seed_store(spark, tmp_path, "midswap")
     for sub in ("sigs", "bands", "shorts"):
         p = _os.path.join(store, sub)
         shutil.copytree(p, p + "__compact_tmp")
+        pathlib.Path(p + "__compact_tmp", "_COMPACT_DONE").touch()
         shutil.move(p, p + "__compact_old")
+    assert dedup_ingest.compact_store(spark, store) == 3
+    _assert_store_intact(spark, store, out)
+
+
+def test_compact_store_recovers_unmarked_mid_swap_crash(spark, tmp_path):
+    """Same window but tmp carries NO marker (legacy pre-marker
+    writer, or a partial tmp write): recovery must fall back to the
+    complete aside copy instead of trusting tmp."""
+    import os as _os
+    import shutil
+
+    store, out = _seed_store(spark, tmp_path, "midswapleg")
+    for sub in ("sigs", "bands", "shorts"):
+        p = _os.path.join(store, sub)
+        shutil.copytree(p, p + "__compact_tmp")
+        shutil.move(p, p + "__compact_old")
+    assert dedup_ingest.compact_store(spark, store) == 3
+    _assert_store_intact(spark, store, out)
+
+
+def test_compact_store_prefers_marked_tmp_over_partial_live_and_aside(spark, tmp_path):
+    """The non-atomic-rename (object store) mid-step-3 state: live AND
+    aside both exist as PARTIAL remnants while tmp holds the one
+    complete, marker-trusted copy. The round-5 recovery deleted aside
+    and kept the partial live — silently truncating the index;
+    recovery must instead install tmp."""
+    import os as _os
+    import pathlib
+    import shutil
+
+    store, out = _seed_store(spark, tmp_path, "s3amid")
+    for sub in ("sigs", "bands", "shorts"):
+        p = _os.path.join(store, sub)
+        shutil.copytree(p, p + "__compact_tmp")
+        pathlib.Path(p + "__compact_tmp", "_COMPACT_DONE").touch()
+        # partial aside: the copy started; partial live: files deleted
+        _os.makedirs(p + "__compact_old")
+        for f in list(pathlib.Path(p).rglob("*.parquet")):
+            f.unlink()
     assert dedup_ingest.compact_store(spark, store) == 3
     _assert_store_intact(spark, store, out)
 
@@ -306,3 +348,46 @@ def test_compact_store_folds_partitions_and_dedup_still_works(spark, tmp_path):
     )
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 6}
     assert {r.doc_id for r in spark.read.parquet(store + "/sigs").collect()} == {1, 2, 6}
+
+
+def test_store_scheme_mismatch_fails_loud(spark, tmp_path):
+    """A store written under different signing parameters must refuse
+    to open: similarity estimates between artifacts of two schemes are
+    biased low, so near-dups across the boundary would be silently
+    re-admitted (the round-6 capped->uncapped boundary case)."""
+    import os as _os
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "survivors")
+    docs = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+    dedup_ingest.dedup_ingest_batch(docs, 0, store, out)
+    # the store records the current scheme...
+    scheme_dir = _os.path.join(store, "_scheme")
+    got = "".join(r.value for r in spark.read.text(scheme_dir).collect()).strip()
+    assert got == dedup_ingest.SIG_SCHEME
+    # ...and a code change to the scheme string refuses the old store
+    (
+        spark.createDataFrame([("minhash64-bands16x4-shingle3-CAPPED",)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(scheme_dir)
+    )
+    with pytest.raises(RuntimeError, match="scheme"):
+        dedup_ingest.dedup_ingest_batch(docs, 1, store, out)
+
+
+def test_preversioning_store_with_data_fails_loud(spark, tmp_path):
+    """A store holding table data but no _scheme record (written
+    before versioning existed) cannot be assumed compatible — opening
+    it must raise, not silently miss near-dups."""
+    import os as _os
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    _os.makedirs(_os.path.join(store, "sigs"))
+    docs = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+    with pytest.raises(RuntimeError, match="scheme"):
+        dedup_ingest.dedup_ingest_batch(docs, 0, store, out := str(tmp_path / "sv"))
