@@ -649,3 +649,134 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t1, F.lit(PII_SSN)).cast("bigint").alias("n_ssns"),
         F.regexp_count(t2, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
     )
+
+
+SEG_TOKENS = 10
+
+
+@register(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(t[i*{SEG_TOKENS}+1 : i*{SEG_TOKENS}+{SEG_TOKENS}], ' ') AS seg
+      FROM toks, UNNEST(range(CAST(ceil(len(t) / {SEG_TOKENS}.0) AS BIGINT))) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segs, COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Corpus-wide segment-level exact dedup (the RefinedWeb/C4 "
+    "boilerplate-removal shape): split every document into fixed "
+    f"{SEG_TOKENS}-token segments, keep only the FIRST occurrence of "
+    "each distinct segment across the whole corpus (ordered by doc_id "
+    "then position), and reassemble the surviving text per document. "
+    "Near-identical documents therefore collapse to one full copy "
+    "plus small diffs, and viral boilerplate blocks survive exactly "
+    "once. All codegen built-ins: split/slice/posexplode, a "
+    "row_number over segments keyed on the segment text, and a "
+    "sorted-struct reassembly. At 100 TB the only shuffle partitions "
+    "by segment text (bounded ~segment-length keys); no UDFs.",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_dedup(load(spark, "documents", sf_dir))
+
+
+def segment_dedup(docs: DataFrame, seg_tokens: int = SEG_TOKENS) -> DataFrame:
+    """(doc_id, n_segs, n_kept, text_clean) over any (doc_id, text)
+    frame — the reusable kernel text_segment_dedup wraps: corpus-wide
+    keep-first dedup of fixed ``seg_tokens``-token segments."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    nseg = F.ceil(F.size("t") / F.lit(seg_tokens)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice("t", i * seg_tokens + 1, seg_tokens), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+# Per-source keep thresholds for the deterministic mixture resample:
+# compare a 2-hex-char md5 prefix of the doc key against the bound
+# ('g0' sorts above every hex digit => keep all; '80' = 128/256 = 50%;
+# '1a' = 26/256 ~ 10%). The salt decorrelates from split_train_holdout.
+MIX_SALT = ":mix"
+MIX_WEIGHTS = tuple(
+    (f"src{i}", "g0" if i < 5 else ("80" if i < 10 else "1a")) for i in range(20)
+)
+
+
+@register(
+    "sample_mixture_sources",
+    oracle=f"""
+    WITH w(source, thr) AS (
+      VALUES {", ".join(f"('{s}', '{t}')" for s, t in MIX_WEIGHTS)}
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN w USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 2) < w.thr
+    """,
+    doc="Deterministic domain-mixture resampling — the data-mixing "
+    "step of a pretraining pipeline: each source domain keeps a "
+    "target fraction of its documents (100% / 50% / 10% tiers here), "
+    "selected by comparing an md5 prefix of the salted doc key "
+    "against a per-source threshold. Same hash in every engine, so "
+    "the subset is reproducible across reruns, engines, and "
+    "partitionings, and adding documents never flips existing "
+    "membership (split_train_holdout's pattern, per-domain weights). "
+    "The weight table is a broadcast join against the fact scan — "
+    "one pass, no shuffle at any scale.",
+)
+def sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    wdf = spark.createDataFrame(list(MIX_WEIGHTS), "source string, thr string")
+    bucket = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(MIX_SALT))), 1, 2)
+    return (
+        d.join(F.broadcast(wdf), "source")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "source", "lang")
+    )

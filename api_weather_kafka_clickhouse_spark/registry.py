@@ -89,7 +89,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # unpivot_measures, round_robin_assign, limit_offset_page,
 # vector_stats, fuzzy_match_levenshtein, text_quality_by_lang,
 # text_lang_id, text_token_regex, text_sentence_udtf,
-# dedup_exact_hash.
+# dedup_exact_hash, plus the round-6 additions
+# text_segment_dedup and sample_mixture_sources.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
