@@ -807,6 +807,73 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         raise
 
 
+def merge_components(
+    labels: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Fold NEW near-dup pairs into an existing ``(doc_id,
+    canonical_id)`` clustering without re-running connected components
+    over the full corpus — the incremental maintenance step a
+    continuously-ingesting pipeline needs (dedup_ingest emits pairs
+    per micro-batch; re-clustering 100 TB per batch is not an option).
+
+    Correctness contract: if ``labels`` equals
+    ``connected_components(E1)`` then ``merge_components(labels, E2)``
+    equals ``connected_components(E1 ∪ E2)`` for any pair sets —
+    including pairs that introduce brand-new vertices (they enter as
+    their own canonical before contraction). Pinned by a property test
+    against full recompute on random graph splits.
+
+    Shape at scale: CONTRACT, don't recompute. Each new-pair endpoint
+    resolves to its current canonical (one equi-join against labels);
+    edges that fall inside one existing component vanish; the
+    surviving contracted edge set — O(new pairs), independent of
+    corpus size — goes through connected_components; and the resulting
+    old-canonical → new-canonical mapping broadcasts back onto labels
+    (the mapping is small, so the full-label update join is
+    broadcast-hash, no label shuffle). Only components actually
+    touched by new pairs change labels.
+    """
+    ends = (
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    # current canonical of every endpoint; unseen vertices are their
+    # own canonical (exactly how connected_components seeds labels)
+    cur = ends.join(labels, ends["id"] == labels["doc_id"], "left").select(
+        "id", F.coalesce("canonical_id", F.col("id")).alias("canon")
+    )
+    ca = cur.select(F.col("id").alias(src), F.col("canon").alias("canon_a"))
+    cb = cur.select(F.col("id").alias(dst), F.col("canon").alias("canon_b"))
+    contracted = (
+        pairs.join(ca, src)
+        .join(cb, dst)
+        .filter(F.col("canon_a") != F.col("canon_b"))
+        .select("canon_a", "canon_b")
+        .distinct()
+    )
+    # CC over the contracted graph: O(new pairs) vertices/edges
+    mapping = connected_components(contracted, "canon_a", "canon_b").select(
+        F.col("doc_id").alias("old_canon"), F.col("canonical_id").alias("new_canon")
+    )
+    updated = labels.join(
+        F.broadcast(mapping), labels["canonical_id"] == mapping["old_canon"], "left"
+    ).select(
+        "doc_id", F.coalesce("new_canon", F.col("canonical_id")).alias("canonical_id")
+    )
+    # endpoints not present in labels yet (new vertices) — their
+    # canonical is the (possibly remapped) canon they resolved to
+    fresh = (
+        cur.join(labels, cur["id"] == labels["doc_id"], "left_anti")
+        .join(F.broadcast(mapping), cur["canon"] == mapping["old_canon"], "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("new_canon", F.col("canon")).alias("canonical_id"),
+        )
+    )
+    return updated.unionByName(fresh)
+
+
 @register(
     "dedup_cluster_canonical",
     oracle=f"""

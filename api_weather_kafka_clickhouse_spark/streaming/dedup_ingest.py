@@ -107,10 +107,22 @@ def dedup_ingest_batch(
     store_dir: str,
     survivors_dir: str,
     bucket_cap: int = BAND_BUCKET_CAP,
+    pairs_dir: str | None = None,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup docs, index
     their signatures. Separated from the query wiring so tests (and a
-    batch backfill) can drive it directly."""
+    batch backfill) can drive it directly.
+
+    ``pairs_dir`` (optional): also log one (dropped_id, kept_id, kind)
+    row per dedup decision — the provenance a training pipeline needs
+    ("which kept doc shadows mine") and the incremental edge feed for
+    ``operators.dedup.merge_components`` cluster maintenance. kept_id
+    is the doc the drop decision compared against; it may itself have
+    been dropped by another rule in the same batch (a chain), so
+    consumers wanting a canonical representative should close the
+    pairs transitively (merge_components does). Replay-idempotent via
+    the same per-batch partition overwrite as every other output.
+    """
     from pyspark.sql import Window
 
     spark = batch.sparkSession
@@ -162,9 +174,10 @@ def dedup_ingest_batch(
                     "old_id",
                 )
             )
-            dropped_vs_store = cand_old.filter(
+            pairs_vs_store = cand_old.filter(
                 _estimated_sim("new_sig", "old_sig") >= SIG_SIM_THRESHOLD
-            ).select("doc_id")
+            ).select("doc_id", "old_id")
+            dropped_vs_store = pairs_vs_store.select("doc_id")
 
             # candidates within the batch: keep the lowest id
             cand_new = (
@@ -174,9 +187,10 @@ def dedup_ingest_batch(
                 .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
                 .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
             )
-            dropped_in_batch = cand_new.filter(
+            pairs_in_batch = cand_new.filter(
                 _estimated_sim("sig_a", "sig_b") >= SIG_SIM_THRESHOLD
-            ).select(F.col("doc_b").alias("doc_id"))
+            ).select("doc_a", "doc_b")
+            dropped_in_batch = pairs_in_batch.select(F.col("doc_b").alias("doc_id"))
 
             # docs too short to shingle: exact md5 dedup vs the shorts
             # store and within the batch (keep-lowest id per digest)
@@ -186,17 +200,24 @@ def dedup_ingest_batch(
                 .persist()
             )
             try:
-                dropped_short_vs_store = shorts.join(
-                    stored_shorts.select(F.col("text_md5").alias("old_md5")),
+                short_pairs_vs_store = shorts.join(
+                    stored_shorts.select(
+                        F.col("doc_id").alias("old_id"), F.col("text_md5").alias("old_md5")
+                    ),
                     shorts["text_md5"] == F.col("old_md5"),
-                    "left_semi",
-                ).select("doc_id")
+                ).select("doc_id", "old_id")
+                dropped_short_vs_store = short_pairs_vs_store.select("doc_id").distinct()
                 sw = Window.partitionBy("text_md5").orderBy("doc_id")
-                dropped_short_in_batch = (
-                    shorts.select("doc_id", "text_md5", F.row_number().over(sw).alias("_rn"))
+                short_pairs_in_batch = (
+                    shorts.select(
+                        "doc_id",
+                        F.row_number().over(sw).alias("_rn"),
+                        F.min("doc_id").over(Window.partitionBy("text_md5")).alias("kept"),
+                    )
                     .filter(F.col("_rn") > 1)
-                    .select("doc_id")
+                    .select("doc_id", "kept")
                 )
+                dropped_short_in_batch = short_pairs_in_batch.select("doc_id")
 
                 dropped = (
                     dropped_vs_store.unionByName(dropped_in_batch)
@@ -243,6 +264,25 @@ def dedup_ingest_batch(
                     shorts.join(written, "doc_id", "left_semi"),
                     os.path.join(store_dir, "shorts"),
                 )
+                if pairs_dir is not None:
+                    # safe to evaluate AFTER the store writes: every
+                    # stored_* read excludes this batch's partitions,
+                    # and docs/sig/shorts are still persisted here
+                    def _p(df, a, b, kind):
+                        return df.select(
+                            F.col(a).alias("dropped_id"),
+                            F.col(b).alias("kept_id"),
+                            F.lit(kind).alias("kind"),
+                        )
+
+                    pairs = (
+                        _p(pairs_vs_store, "doc_id", "old_id", "neardup_store")
+                        .unionByName(_p(pairs_in_batch, "doc_b", "doc_a", "neardup_batch"))
+                        .unionByName(_p(short_pairs_vs_store, "doc_id", "old_id", "short_store"))
+                        .unionByName(_p(short_pairs_in_batch, "doc_id", "kept", "short_batch"))
+                        .distinct()
+                    )
+                    _append(pairs, pairs_dir)
             finally:
                 shorts.unpersist()
         finally:
@@ -257,6 +297,7 @@ def start_dedup_ingest(
     survivors_dir: str,
     checkpoint: str,
     bucket_cap: int = BAND_BUCKET_CAP,
+    pairs_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire the incremental dedup into a streaming query. The
     checkpoint + per-batch_id dynamic partition overwrite makes a
@@ -265,7 +306,9 @@ def start_dedup_ingest(
     deterministic batch body, same as sources/sink.write_fact_batch)."""
     return (
         docs_stream.writeStream.foreachBatch(
-            lambda df, bid: dedup_ingest_batch(df, bid, store_dir, survivors_dir, bucket_cap)
+            lambda df, bid: dedup_ingest_batch(
+                df, bid, store_dir, survivors_dir, bucket_cap, pairs_dir
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

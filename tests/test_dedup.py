@@ -219,3 +219,61 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_merge_components_equals_full_recompute_on_random_splits(spark):
+    """Incremental contract: labels = CC(E1), then
+    merge_components(labels, E2) == CC(E1 u E2) — for random graphs
+    randomly split so E2 carries both edges between already-clustered
+    components and brand-new vertices."""
+    import random
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        n_vertices, n_edges = 50, 40
+        edges = list(
+            {
+                (a, b)
+                for _ in range(n_edges)
+                for a in [rng.randrange(n_vertices)]
+                for b in [rng.randrange(n_vertices)]
+                if a != b
+            }
+        )
+        rng.shuffle(edges)
+        cut = len(edges) // 2
+        e1, e2 = edges[:cut], edges[cut:]
+        df1 = spark.createDataFrame(e1, "doc_a bigint, doc_b bigint")
+        df2 = spark.createDataFrame(e2, "doc_a bigint, doc_b bigint")
+        dfall = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+        labels = dedup.connected_components(df1)
+        merged = {
+            (r.doc_id, r.canonical_id)
+            for r in dedup.merge_components(labels, df2).collect()
+        }
+        full = {
+            (r.doc_id, r.canonical_id)
+            for r in dedup.connected_components(dfall).collect()
+        }
+        assert merged == full, f"seed {seed}: {sorted(merged ^ full)}"
+
+
+def test_merge_components_noop_and_new_vertex_edges(spark):
+    """Degenerate shapes: pairs entirely inside one existing component
+    change nothing; a pair of two brand-new vertices starts its own
+    component."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id bigint, canonical_id bigint"
+    )
+    inside = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    got = {(r.doc_id, r.canonical_id) for r in dedup.merge_components(labels, inside).collect()}
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
+
+    new_pair = spark.createDataFrame([(20, 21)], "doc_a bigint, doc_b bigint")
+    got = {(r.doc_id, r.canonical_id) for r in dedup.merge_components(labels, new_pair).collect()}
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5), (20, 20), (21, 20)}
+
+    bridge = spark.createDataFrame([(2, 6)], "doc_a bigint, doc_b bigint")
+    got = {(r.doc_id, r.canonical_id) for r in dedup.merge_components(labels, bridge).collect()}
+    assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from api_weather_kafka_clickhouse_spark.streaming import dedup_ingest
 
 BASE = (
@@ -391,3 +393,59 @@ def test_preversioning_store_with_data_fails_loud(spark, tmp_path):
     docs = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
     with pytest.raises(RuntimeError, match="scheme"):
         dedup_ingest.dedup_ingest_batch(docs, 0, store, out := str(tmp_path / "sv"))
+
+
+def test_pairs_log_records_provenance_and_feeds_merge_components(spark, tmp_path):
+    """pairs_dir logs one (dropped_id, kept_id, kind) row per dedup
+    decision, replay-idempotently; merge_components over the logged
+    pairs reconstructs the cluster structure incrementally."""
+    from api_weather_kafka_clickhouse_spark.operators import dedup as dedup_ops
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "surv")
+    pairs = str(tmp_path / "pairs")
+
+    b0 = _mk(spark, [(1, BASE), (3, "hi there")])
+    dedup_ingest.dedup_ingest_batch(b0, 0, store, out, pairs_dir=pairs)
+    b1 = _mk(
+        spark,
+        [
+            (2, BASE + " indeed"),      # near-dup of stored 1
+            (4, DISTINCT),              # admitted
+            (5, DISTINCT + " also"),    # near-dup of 4 within batch
+            (6, "hi there"),            # exact short dup of stored 3
+            (7, "tiny doc"),            # admitted short
+            (8, "tiny doc"),            # short dup of 7 within batch
+        ],
+    )
+    dedup_ingest.dedup_ingest_batch(b1, 1, store, out, pairs_dir=pairs)
+
+    def read_pairs():
+        return {
+            (r.dropped_id, r.kept_id, r.kind)
+            for r in spark.read.parquet(pairs).collect()
+        }
+
+    expected = {
+        (2, 1, "neardup_store"),
+        (5, 4, "neardup_batch"),
+        (6, 3, "short_store"),
+        (8, 7, "short_batch"),
+    }
+    assert read_pairs() == expected
+
+    # replaying batch 1 overwrites its pairs partition with the same rows
+    dedup_ingest.dedup_ingest_batch(b1, 1, store, out, pairs_dir=pairs)
+    assert read_pairs() == expected
+
+    # incremental clustering over the logged pairs: start from an
+    # empty labeling, fold the pair log in
+    empty = spark.createDataFrame([], "doc_id bigint, canonical_id bigint")
+    edge_df = spark.read.parquet(pairs).select(
+        F.col("dropped_id").alias("doc_a"), F.col("kept_id").alias("doc_b")
+    )
+    labels = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup_ops.merge_components(empty, edge_df).collect()
+    }
+    assert labels == {(1, 1), (2, 1), (4, 4), (5, 4), (3, 3), (6, 3), (7, 7), (8, 7)}
