@@ -94,6 +94,7 @@ def embedding_ingest_batch(
     survivors_dir: str,
     threshold: float = EMB_SIM_THRESHOLD,
     bucket_cap: int = BAND_BUCKET_CAP,
+    pairs_dir: str | None = None,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup vectors,
     index their band keys. Separated from the query wiring so tests
@@ -137,9 +138,10 @@ def embedding_ingest_batch(
                     "old_id",
                 )
             )
-            dropped_vs_store = cand_old.filter(
+            pairs_vs_store = cand_old.filter(
                 _safe_cosine(F.col("new_vec"), F.col("old_vec")) >= threshold
-            ).select("vec_id")
+            ).select("vec_id", "old_id")
+            dropped_vs_store = pairs_vs_store.select("vec_id")
 
             # candidates within the batch: keep the lowest id
             cand_new = (
@@ -149,9 +151,10 @@ def embedding_ingest_batch(
                 .join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")), "vec_a")
                 .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")), "vec_b")
             )
-            dropped_in_batch = cand_new.filter(
+            pairs_in_batch = cand_new.filter(
                 _safe_cosine(F.col("va"), F.col("vb")) >= threshold
-            ).select(F.col("vec_b").alias("vec_id"))
+            ).select("vec_a", "vec_b")
+            dropped_in_batch = pairs_in_batch.select(F.col("vec_b").alias("vec_id"))
 
             dropped = (
                 dropped_vs_store.unionByName(dropped_in_batch)
@@ -187,6 +190,28 @@ def embedding_ingest_batch(
                 os.path.join(store_dir, "bands"),
                 batch_id,
             )
+            if pairs_dir is not None:
+                # evaluation-order safe: stored_* reads exclude this
+                # batch's partitions; vecs/bands are still persisted.
+                # kept_id may itself be dropped within the batch (a
+                # chain) — merge_components closes the transitivity,
+                # same contract as dedup_ingest's pairs log.
+                pairs = (
+                    pairs_vs_store.select(
+                        F.col("vec_id").alias("dropped_id"),
+                        F.col("old_id").alias("kept_id"),
+                        F.lit("cos_store").alias("kind"),
+                    )
+                    .unionByName(
+                        pairs_in_batch.select(
+                            F.col("vec_b").alias("dropped_id"),
+                            F.col("vec_a").alias("kept_id"),
+                            F.lit("cos_batch").alias("kind"),
+                        )
+                    )
+                    .distinct()
+                )
+                append_partition(pairs, pairs_dir, batch_id)
         finally:
             bands.unpersist()
     finally:
@@ -200,6 +225,7 @@ def start_embedding_ingest(
     checkpoint: str,
     threshold: float = EMB_SIM_THRESHOLD,
     bucket_cap: int = BAND_BUCKET_CAP,
+    pairs_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire the incremental embedding dedup into a streaming query —
     checkpoint + per-batch_id dynamic partition overwrite makes a
@@ -208,7 +234,7 @@ def start_embedding_ingest(
     return (
         vecs_stream.writeStream.foreachBatch(
             lambda df, bid: embedding_ingest_batch(
-                df, bid, store_dir, survivors_dir, threshold, bucket_cap
+                df, bid, store_dir, survivors_dir, threshold, bucket_cap, pairs_dir
             )
         )
         .option("checkpointLocation", checkpoint)

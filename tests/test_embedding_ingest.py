@@ -202,3 +202,44 @@ def test_embedding_compact_store_and_crash_recovery(spark, tmp_path):
     )
     ids = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert 8 not in ids and 9 in ids, ids
+
+
+def test_embedding_pairs_log_and_incremental_clusters(spark, tmp_path):
+    """pairs_dir logs (dropped_id, kept_id, kind) per drop decision,
+    replay-idempotently, and merge_components folds the logged edges
+    into an incremental clustering — the vector twin of the text
+    ingest's provenance contract."""
+    from pyspark.sql import functions as F
+
+    from api_weather_kafka_clickhouse_spark.operators import dedup as dedup_ops
+
+    store = str(tmp_path / "estore_p")
+    out = str(tmp_path / "esurv_p")
+    pairs = str(tmp_path / "epairs")
+    embedding_ingest.embedding_ingest_batch(
+        _mk(spark, [(1, V1), (2, V2)]), 0, store, out, pairs_dir=pairs
+    )
+    b1 = _mk(spark, [(3, _near(V1)), (4, V3), (5, _near(V3))])
+    embedding_ingest.embedding_ingest_batch(b1, 1, store, out, pairs_dir=pairs)
+
+    def read_pairs():
+        return {
+            (r.dropped_id, r.kept_id, r.kind)
+            for r in spark.read.parquet(pairs).collect()
+        }
+
+    expected = {(3, 1, "cos_store"), (5, 4, "cos_batch")}
+    assert read_pairs() == expected
+    # replay rewrites the same rows
+    embedding_ingest.embedding_ingest_batch(b1, 1, store, out, pairs_dir=pairs)
+    assert read_pairs() == expected
+
+    empty = spark.createDataFrame([], "doc_id bigint, canonical_id bigint")
+    edges = spark.read.parquet(pairs).select(
+        F.col("dropped_id").alias("doc_a"), F.col("kept_id").alias("doc_b")
+    )
+    labels = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup_ops.merge_components(empty, edges).collect()
+    }
+    assert labels == {(1, 1), (3, 1), (4, 4), (5, 4)}
