@@ -744,7 +744,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             .persist()
         )
         big_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-        prev_sum = labels.agg(big_sum).collect()[0][0]
+        # No pre-loop sum job: on a non-empty SYMMETRIZED graph round 1
+        # always lowers some label (for any edge, one endpoint is the
+        # larger id and receives a smaller neighbor label), so a
+        # baseline scan could never trigger an earlier exit — it was
+        # one pure-overhead driver job per call. prev_sum=None compares
+        # unequal to every round-1 sum; the empty graph yields
+        # cur_sum=None (sum over zero rows) and converges immediately.
+        prev_sum = None
 
         converged = False
         iter_ckpt_path: str | None = None
@@ -774,11 +781,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             cur_sum = new_labels.agg(big_sum).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if cur_sum == prev_sum:
+            if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
                 converged = True
                 break
             prev_sum = cur_sum
-        if not converged and prev_sum is not None:
+        if not converged:
             raise RuntimeError(
                 f"connected_components did not converge in {CC_MAX_ITERATIONS} iterations"
             )
