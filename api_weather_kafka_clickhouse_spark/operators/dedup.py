@@ -677,13 +677,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cluster canonicalization (connected components) -----------------
 
 CC_MAX_ITERATIONS = 50
-# Truncate label lineage every k rounds: labels appears TWICE in each
-# round's plan (its own union branch + the edge join), so the logical
-# plan DOUBLES per iteration — by round ~40 plan construction alone
-# OOMs the driver (found by the union-find property test on a
-# long-chain random graph). A storage checkpoint resets the plan to a
-# file scan; 2^6 plan nodes between checkpoints is harmless.
-CC_CHECKPOINT_EVERY = 6
+# Truncate label lineage every k rounds: labels appears THREE times in
+# each round's plan (its union branch, the edge join, and both sides
+# of the pointer-doubling self-join), so the logical plan TRIPLES per
+# iteration — unbounded, plan construction/analysis alone OOMs the
+# driver (originally found by the union-find property test; the
+# doubling branch made even a 9-round chain spend minutes in analysis
+# at k=6). A storage checkpoint resets the plan to a file scan; 3^2
+# plan nodes between checkpoints keeps analysis trivial, and the
+# rotated label snapshots are O(V) ids — small next to the per-round
+# shuffle the algorithm already pays.
+CC_CHECKPOINT_EVERY = 2
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
@@ -698,18 +702,26 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     this operator closes the transitive gap the way production
     pipelines do between candidate generation and survivor choice).
 
-    Shape per iteration: one equi-join (edges ⋈ labels on src) + one
-    map-side-combined min aggregate — the standard iterative Spark CC
-    (GraphFrames' default algorithm is the same label propagation).
-    Labels only ever decrease, so sum(label) is a monotone convergence
-    metric: one scalar aggregate per round decides the fixpoint, no
-    row-level old-vs-new comparison join. The sum accumulates in
-    DECIMAL(38,0) — at 1e10+ vertices with large ids a bigint sum
-    would overflow (throw under ANSI; silently wrap otherwise, where
-    a wrap coinciding across rounds could falsely signal
-    convergence). Iterations are bounded by the component diameter
-    (tiny for near-dup clusters — boilerplate families are dense, not
-    chains); CC_MAX_ITERATIONS is a runaway guard, not a tuning knob.
+    Shape per iteration: one equi-join (edges ⋈ labels on src), one
+    labels self-join (pointer doubling), one map-side-combined min
+    aggregate. Plain neighbor propagation converges in O(diameter)
+    rounds — fine for dense boilerplate families, a cliff for
+    CHAIN-shaped components (a versioned document each revision
+    near-dup to the next: a 2 000-link chain would blow the iteration
+    guard). The doubling term label(label(v)) forwards each vertex to
+    its representative's representative, so reach doubles per round
+    and convergence is O(log diameter) — the standard fix (pointer
+    jumping / hash-to-min, Kiveris et al.'s star operations are the
+    same idea). Labels only ever decrease (both terms yield ids from
+    the vertex's own component), so sum(label) stays a monotone
+    convergence metric: one scalar aggregate per round decides the
+    fixpoint, no row-level old-vs-new comparison join. The sum
+    accumulates in DECIMAL(38,0) — at 1e10+ vertices with large ids a
+    bigint sum would overflow (throw under ANSI; silently wrap
+    otherwise, where a wrap coinciding across rounds could falsely
+    signal convergence). CC_MAX_ITERATIONS=50 is a runaway guard, not
+    a tuning knob: with doubling it covers any graph that fits in
+    storage (diameter 2^49).
 
     ``pairs`` is persisted while the symmetrized edge list is
     storage-checkpointed (the union embeds the pair plan TWICE — an
@@ -759,8 +771,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             nbr_min = edges.join(labels, edges.e_src == labels.doc_id).select(
                 F.col("e_dst").alias("doc_id"), "label"
             )
-            new_labels = labels.unionByName(nbr_min).groupBy("doc_id").agg(
-                F.min("label").alias("label")
+            # pointer doubling: v also adopts label(label(v)) — one
+            # self-join of the (persisted) labels; turns O(diameter)
+            # rounds into O(log diameter) on chain-shaped components
+            lab_of_lab = labels.join(
+                labels.select(F.col("doc_id").alias("_l"), F.col("label").alias("_ll")),
+                labels["label"] == F.col("_l"),
+            ).select("doc_id", F.col("_ll").alias("label"))
+            new_labels = (
+                labels.unionByName(nbr_min)
+                .unionByName(lab_of_lab)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
             )
             if (it + 1) % CC_CHECKPOINT_EVERY == 0:
                 # lineage reset (see CC_CHECKPOINT_EVERY) — the write

@@ -277,3 +277,19 @@ def test_merge_components_noop_and_new_vertex_edges(spark):
     bridge = spark.createDataFrame([(2, 6)], "doc_a bigint, doc_b bigint")
     got = {(r.doc_id, r.canonical_id) for r in dedup.merge_components(labels, bridge).collect()}
     assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 2000-link chain has diameter 2000 — plain neighbor
+    propagation needs 2000 rounds and blows the 50-iteration guard;
+    the pointer-doubling term must converge it in O(log n) rounds
+    with every vertex on the chain minimum."""
+    n = 2001
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
