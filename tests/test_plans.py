@@ -197,3 +197,25 @@ def test_fact_scan_prunes_unused_columns(spark, sf_dir):
     schemas = checks.scan_read_schema(df)
     joined = ";".join(schemas)
     assert "l_extendedprice" not in joined and "l_comment" not in joined
+
+
+def test_segment_dedup_plan_shape(spark, sf_dir):
+    """Round-6 corpus operators: the keep-first rank must plan as a
+    map-side WindowGroupLimit (rank<=1 pushed below the exchange) and
+    the operator stays cartesian-free."""
+    df = SPECS["text_segment_dedup"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "keep-first rank should push map-side"
+    assert not checks.has_cartesian(df)
+    # both branches scan only (doc_id, text) of the documents table
+    assert all("lang" not in s and "source" not in s for s in checks.scan_read_schema(df)), (
+        checks.scan_read_schema(df)
+    )
+
+
+def test_mixture_sampling_broadcasts_weights_no_fact_shuffle(spark, sf_dir):
+    """The per-source weight table must broadcast — the documents scan
+    is filtered in place, never shuffled for the join."""
+    df = SPECS["sample_mixture_sources"].fn(spark, sf_dir)
+    assert checks.has_broadcast_join(df), "weight table should broadcast"
+    assert checks.shuffle_count(df) == 0, checks.simple_plan(df)

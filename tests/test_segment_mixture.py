@@ -72,3 +72,44 @@ def test_mixture_weights_cover_all_sources_and_tiers(spark, sf_dir):
     all_t0 = {r.doc_id for r in d.filter(d.source.isin(tier0)).collect()}
     kept_t0 = {r.doc_id for r in fn(spark, sf_dir).collect() if r.source in tier0}
     assert kept_t0 == all_t0
+
+
+# -- property checks: segment dedup invariants on random corpora -----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=14).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_segment_dedup_invariants_on_random_corpora(spark, texts):
+    """For ANY corpus: (1) every document appears in the output;
+    (2) n_kept <= n_segs; (3) total kept across the corpus equals the
+    number of DISTINCT segments (each survives exactly once);
+    (4) the lowest doc_id loses nothing except its own internal
+    repeats; (5) each text_clean is a subsequence of the original
+    segmentation."""
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in segment_dedup(docs, seg_tokens=3).collect()}
+    assert set(rows) == set(range(len(texts)))
+
+    def seglist(t):
+        w = t.split(" ")
+        return [" ".join(w[i : i + 3]) for i in range(0, len(w), 3)]
+
+    all_segs = [s for t in texts for s in seglist(t)]
+    assert sum(r.n_kept for r in rows.values()) == len(set(all_segs))
+    for i, t in enumerate(texts):
+        r = rows[i]
+        assert r.n_segs == len(seglist(t))
+        assert r.n_kept <= r.n_segs
+        # kept text is a subsequence of the original segmentation
+        kept = r.text_clean.split(" ") if r.text_clean else []
+        orig_iter = iter(t.split(" "))
+        assert all(w in orig_iter for w in kept) or kept == []
+    # doc 0 keeps one copy of each of its distinct segments
+    segs0 = seglist(texts[0])
+    assert rows[0].n_kept == len(set(segs0))
