@@ -46,6 +46,7 @@ HEADLINE = [
     "text_token_stats",
     "text_bigram_topk",
     "text_tfidf_topk",
+    "text_segment_dedup",  # round-6: corpus-wide segment dedup + reassembly
     "corpus_clean_pipeline",
     "mm_feature_extract",
 ]
