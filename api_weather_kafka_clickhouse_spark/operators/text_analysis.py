@@ -780,3 +780,45 @@ def sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thr"))
         .select("doc_id", "source", "lang")
     )
+
+
+STRATUM_SAMPLE_K = 10
+STRATUM_SALT = ":strat"
+
+
+@register(
+    "sample_fixed_per_stratum",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{STRATUM_SALT}'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRATUM_SAMPLE_K}
+    """,
+    doc="Engine-stable fixed-size sample per stratum (eval-set "
+    f"construction): exactly {STRATUM_SAMPLE_K} documents per "
+    "language, chosen by ranking on a salted md5 of the doc key — a "
+    "deterministic uniform draw that every engine, rerun, and "
+    "partitioning reproduces bit-for-bit (sample_stratified's "
+    "Bernoulli twin is engine-RNG-specific and size-approximate; "
+    "this is the exact-k, cross-engine shape). The rank plans as a "
+    "map-side WindowGroupLimit: each task keeps its local top-k per "
+    "stratum before the exchange, so the shuffle carries "
+    "O(strata x k x tasks) rows, not the corpus.",
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    rk_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(STRATUM_SALT)))
+    w = Window.partitionBy("lang").orderBy(rk_key, "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_SAMPLE_K)
+        .select("doc_id", "lang", "source")
+    )

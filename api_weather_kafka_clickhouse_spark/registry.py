@@ -90,7 +90,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # vector_stats, fuzzy_match_levenshtein, text_quality_by_lang,
 # text_lang_id, text_token_regex, text_sentence_udtf,
 # dedup_exact_hash, plus the round-6 additions
-# text_segment_dedup and sample_mixture_sources.
+# text_segment_dedup, sample_mixture_sources, and
+# sample_fixed_per_stratum.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
