@@ -1,0 +1,303 @@
+"""Corpus-quality / curation operators (SURVEY.md §2-D4 extension):
+Gopher-style rule filtering, sliding-window chunking, weighted
+document sampling, and token-distribution entropy.
+
+No reference counterpart — these are the standard curation steps of a
+pretraining-data pipeline (quality gates -> chunking -> mixture
+sampling), built 100-TB-first: every operator is a single scan with
+codegen built-ins (split / higher-order filter / slice / md5), the
+only shuffles are small final aggregates, and the sampling operator is
+a pure per-row filter with zero shuffle at any scale.
+
+Determinism: ratios are single IEEE divisions of exact integers
+(bit-identical across engines); the entropy operator bridges the one
+genuinely float-unfriendly aggregate (a sum of logs, whose value
+depends on summation order) through per-term rounding + exact DECIMAL
+summation so the result is combine-order independent — see
+text_unigram_entropy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, stopword_hits, tokens
+from ..registry import register
+from ..tables import load
+
+_SW_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+# --- Gopher-style quality rules --------------------------------------
+
+# Thresholds follow the published Gopher rules (Rae et al. 2021,
+# "Scaling Language Models", App. A1.1) with the word-count floor kept
+# at 50: documents failing ANY rule are flagged keep=0. On the
+# synthetic corpus the symbol/alpha rules pass trivially (no '#', no
+# '...', all-alphabetic tokens) — crafted fixtures in
+# tests/test_corpus_quality.py exercise their failure sides.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _occurrences(text: F.Column, needle: str) -> F.Column:
+    """# of occurrences of `needle` via length arithmetic (codegen)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    n_stop, keep) — the reusable kernel text_gopher_quality wraps."""
+    t = F.col(text_col)
+    w = tokens(text_col)
+    nw = F.size(w)
+    mean_len = (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / nw).alias(
+        "mean_word_len"
+    )
+    n_sym = _occurrences(t, "#") + _occurrences(t, "...")
+    symbol_ratio = (n_sym.cast("double") / nw).alias("symbol_ratio")
+    n_alpha = F.size(F.filter(w, lambda tok: tok.rlike("[A-Za-z]")))
+    alpha_ratio = (n_alpha.cast("double") / nw).alias("alpha_ratio")
+    n_stop = stopword_hits(text_col).cast("bigint").alias("n_stop")
+    out = docs.select(
+        "doc_id",
+        nw.cast("bigint").alias("n_words"),
+        mean_len,
+        symbol_ratio,
+        alpha_ratio,
+        n_stop,
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_ratio") > GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+                  AS DOUBLE)
+               / len(string_split(text, ' ')) AS symbol_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS alpha_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN {_SW_SQL})) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           symbol_ratio, alpha_ratio, n_stop,
+           CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+                AND mean_word_len >= {GOPHER_MIN_MEAN_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}
+                AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+                AND alpha_ratio > {GOPHER_MIN_ALPHA_RATIO}
+                AND n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+    FROM m
+    """,
+    doc="Gopher-style document quality rules (word-count band, mean "
+    "word length band, symbol-to-word ratio, alphabetic-word ratio, "
+    "stopword floor) with per-rule metrics and an all-rules keep "
+    "flag. Pure codegen scan — length arithmetic + one higher-order "
+    "filter, no UDFs, no shuffle; ratios are single IEEE divisions "
+    "of exact integers so both engines agree bit-for-bit.",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality(load(spark, "documents", sf_dir))
+
+
+# --- sliding-window chunking -----------------------------------------
+
+CHUNK_TOKENS = 40  # window W
+CHUNK_STRIDE = 30  # stride S (overlap W - S = 10 tokens)
+
+
+def chunk_overlap(
+    docs: DataFrame, window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text): fixed-window
+    sliding chunks, chunk i covering tokens [i*S+1, i*S+W]; the last
+    chunk starts at the smallest i*S with i*S + W >= n so every token
+    is covered and trailing chunks may be short. Context-window
+    chunking for training/embedding pipelines; array slicing stays in
+    codegen, one row per chunk, no shuffle."""
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    n = F.size("t")
+    # 1 + ceil(max(n - W, 0) / S), in exact integer arithmetic
+    nc = (
+        F.lit(1) + F.floor((F.greatest(n - window, F.lit(0)) + (stride - 1)) / F.lit(stride))
+    ).cast("int")
+    return toks.select(
+        "doc_id",
+        n.alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nc - 1),
+                lambda i: F.array_join(F.slice("t", i * stride + 1, window), " "),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(window), F.col("_n") - F.col("chunk_idx") * stride)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, len(t) - i * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(t[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM toks, UNNEST(range(
+      1 + CAST(floor((greatest(len(t) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})
+                     / {CHUNK_STRIDE}.0) AS BIGINT))) AS u(i)
+    """,
+    doc=f"Sliding-window chunking: {CHUNK_TOKENS}-token chunks at "
+    f"stride {CHUNK_STRIDE} ({CHUNK_TOKENS - CHUNK_STRIDE}-token "
+    "overlap), every token covered, trailing chunk short. The "
+    "context-window preparation step for training and embedding "
+    "pipelines; slice/transform/posexplode codegen, zero shuffle.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_overlap(load(spark, "documents", sf_dir))
+
+
+# --- deterministic weighted sampling ---------------------------------
+
+WEIGHT_SCALE = 400  # p = min(1, n_chars / 400): corpus spans 48..553 chars
+WSAMPLE_SALT = ":wsample"
+
+
+def sample_weighted(docs: DataFrame, scale: int = WEIGHT_SCALE) -> DataFrame:
+    """Deterministic weighted Bernoulli (Poisson) sample: include each
+    document with probability p = min(1, n_chars/scale), decided by
+    comparing an 8-hex-char md5 prefix of the salted doc key against
+    printf('%08x', min(p * 2^32, 2^32 - 1)). p*2^32 multiplies an
+    exact division by a power of two, so the threshold is
+    bit-identical in every engine; membership is a pure string
+    compare (p=1 documents carry a deterministic 2^-32 miss chance
+    from the clamp — the price of an 8-char fixed-width compare). Emits inv_p (the
+    Horvitz-Thompson reweighting factor 1/p) so downstream statistics
+    over the sample stay unbiased. Zero shuffle at any scale."""
+    p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / scale)
+    # clamp to 0xffffffff: p=1 would format as 9 hex chars ('100000000')
+    # and break the 8-char lexicographic compare; the clamp costs p=1
+    # docs a 2^-32 deterministic miss chance, identical in both engines
+    thr = F.format_string(
+        "%08x", F.least(F.floor(p * F.lit(4294967296.0)), F.lit(4294967295.0)).cast("bigint")
+    )
+    u8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(WSAMPLE_SALT))), 1, 8
+    )
+    return (
+        docs.withColumn("_p", p)
+        .filter(u8 < thr)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.col("_p").alias("p"),
+            (F.lit(1.0) / F.col("_p")).alias("inv_p"),
+        )
+    )
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source, n_chars,
+             least(1.0, CAST(n_chars AS DOUBLE) / {WEIGHT_SCALE}) AS p
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, p, 1.0 / p AS inv_p
+    FROM m
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{WSAMPLE_SALT}'), 1, 8)
+          < printf('%08x', CAST(least(floor(p * 4294967296.0), 4294967295.0) AS BIGINT))
+    """,
+    doc="Deterministic weighted Bernoulli sampling with "
+    "Horvitz-Thompson reweighting: inclusion probability proportional "
+    "to document length (capped at 1), membership decided by an md5 "
+    "prefix vs a %08x-formatted threshold — reproducible across "
+    "engines, reruns, and partitionings, and adding documents never "
+    "flips existing membership. A pure filter: no shuffle, no state, "
+    "100 TB-safe by construction.",
+)
+def sample_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_weighted(load(spark, "documents", sf_dir))
+
+
+# --- token-distribution entropy --------------------------------------
+
+
+@register(
+    "text_unigram_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6))) AS s
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 4) AS entropy
+    FROM agg
+    """,
+    doc="Per-document unigram (token-distribution) entropy in nats — "
+    "the low-entropy gate that catches keyword-stuffing / repeated-"
+    "token spam that length and stopword rules miss. entropy = ln(n) "
+    "- sum(c*ln(c))/n over token counts c. The log-sum is the one "
+    "float-unfriendly aggregate here (its double value depends on "
+    "combine order), so each term is rounded to 6 decimals and summed "
+    "as exact DECIMAL — combine-order independent, engine-portable — "
+    "then the final value rounds to 4. Explode + two map-side-"
+    "combining aggregates; shuffles only (doc_id, token) counts.",
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    cnt = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.round(F.col("c") * F.log("c"), 6).cast("decimal(28,6)")).alias("s"),
+    )
+    ent = F.round(F.log("n_tokens") - F.col("s").cast("double") / F.col("n_tokens"), 4)
+    return agg.select("doc_id", "n_tokens", "n_distinct", ent.alias("entropy"))

@@ -212,6 +212,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         aggregations,
+        corpus_quality,
         dedup,
         joins,
         multimodal,
