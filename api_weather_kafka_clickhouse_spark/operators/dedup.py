@@ -294,6 +294,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eager_release(out, "jaccard_pairs", e)
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAINMENT_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e0 AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), hot AS (
+      SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) > 1000
+    ), e AS (
+      SELECT * FROM e0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(pairs.inter * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = pairs.doc_a
+    JOIN sz sb ON sb.doc_id = pairs.doc_b
+    WHERE pairs.inter * 1.0 / least(sa.n, sb.n) >= 0.9
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    doc="Shingle-set CONTAINMENT >= 0.9 (intersection over the "
+    "smaller set) — the asymmetric near-dup measure that catches a "
+    "short document embedded verbatim in a longer one, which Jaccard "
+    "misses because the union is dominated by the longer side "
+    "(quote-farm and wrapper-page dedup). Same inverted-index "
+    "equi-join shape and DF cap as dedup_ngram_jaccard; only the "
+    "final similarity expression differs, so the scale story is "
+    "identical: shuffles carry 8-byte shingle keys, never O(n^2).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
+    ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = _shingle_sizes(e)
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("inter") / F.least("na", "nb")
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+    return eager_release(out, "containment_pairs", e)
+
+
 # --- MinHash + LSH ---------------------------------------------------
 
 N_PERM = 64

@@ -293,3 +293,27 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
+    """A short doc embedded verbatim in a much longer one has high
+    containment but low Jaccard — the asymmetric measure must flag it
+    while the symmetric one does not; a genuinely unrelated doc stays
+    unflagged by both."""
+    short = " ".join(f"inner{i}" for i in range(20))
+    long_ = short + " " + " ".join(f"outer{i}" for i in range(200))
+    other = " ".join(f"alien{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id bigint, text string"
+    )
+    sf = str(tmp_path / "contain")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    cont = _pairs(dedup.dedup_containment(spark, sf))
+    jac = _pairs(dedup.dedup_ngram_jaccard(spark, sf))
+    assert (1, 2) in cont, cont
+    assert (1, 2) not in jac, jac
+    assert all(3 not in p for p in cont | jac)
