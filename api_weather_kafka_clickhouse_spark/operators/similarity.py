@@ -203,3 +203,111 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "nbr_id", "cos_sim", "rank")
     )
+
+
+# --- distributed Lloyd k-means ---------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+_DIM = 64
+
+
+def _assign_udf(centroids: list[list[float]]) -> F.Column:
+    """(vec double[]) -> nearest-centroid index (squared L2, ties to
+    the lowest index). One Arrow batch -> numpy (n x d) @ (d x k)
+    matmul per task — the same vectorized shape as _band_keys; the
+    32-or-64 higher-order-fn folds this replaces run interpreted."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = np.array(centroids)  # k x d
+        m = np.stack(vecs.to_numpy())  # n x d
+        # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c); np.argmin
+        # takes the first (lowest-index) minimum, so ties are
+        # deterministic
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit_assign(
+    vecs: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = _DIM
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Distributed Lloyd iterations over an (id, vec) frame.
+
+    Returns (assignments DataFrame (id, cluster), final centroids,
+    per-iteration within-cluster SSE history). Deterministic end to
+    end: initial centroids are the k lowest-id vectors, assignment
+    ties break to the lowest cluster index, and empty clusters keep
+    their previous centroid.
+
+    Scale shape: each iteration is one scan of the corpus — a
+    vectorized assignment UDF plus a groupBy(cluster) with dim
+    codegen'd avg aggregates (map-side partial sums: k x dim doubles
+    per task on the wire, the minhash_signatures trick). Only the
+    k x dim centroid matrix and one SSE scalar ever reach the driver
+    per iteration — the sanctioned CC-style convergence traffic, no
+    .collect() of data rows. The cluster assignment is the building
+    block of SemDeDup-style curation (dedup/diversify within cells)
+    and of IVF index builds (sim_ivf_label probes such cells).
+    """
+    id_col, vec_col = vecs.columns[0], vecs.columns[1]
+    v = F.col(vec_col)
+    init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [list(r[0]) for r in init_rows]
+    assigned = None
+    sse_hist: list[float] = []
+    sumsq = sum((v[i] * v[i] for i in range(dim)), F.lit(0.0))
+    for _ in range(iters):
+        assigned = vecs.withColumn("cluster", _assign_udf(centroids)(v))
+        # ONE aggregation job per iteration: per-cluster counts,
+        # per-dimension means, and the sum of squared norms — enough
+        # to update centroids AND reconstruct the within-cluster SSE
+        # under the just-used centroids driver-side:
+        #   SSE_c = sum||x||^2 - 2 n_c c.mean_c + n_c ||c||^2
+        stats = (
+            assigned.select(
+                "cluster",
+                sumsq.alias("ss"),
+                *[v[i].alias(f"x{i}") for i in range(dim)],
+            )
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("ss").alias("ss"),
+                *[F.avg(f"x{i}").alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new_c = list(centroids)  # empty clusters keep previous centroid
+        sse = 0.0
+        for r in stats:
+            c = np.array(centroids[r["cluster"]])
+            mean = np.array([r[f"m{i}"] for i in range(dim)])
+            sse += r["ss"] - 2.0 * r["n"] * float(c @ mean) + r["n"] * float(c @ c)
+            new_c[r["cluster"]] = list(mean)
+        sse_hist.append(sse)
+        centroids = new_c
+    return assigned.select(id_col, "cluster"), centroids, sse_hist
+
+
+@register(
+    "embedding_kmeans",
+    oracle=None,  # iterative float argmin; verified vs a numpy Lloyd
+    # reference and via monotone-SSE/determinism properties in
+    # tests/test_kmeans.py
+    doc=f"Distributed Lloyd k-means (k={KMEANS_K}, {KMEANS_ITERS} "
+    "iterations, deterministic lowest-id init) assigning every "
+    "embedding to a cluster — the partitioning step of SemDeDup-style "
+    "semantic dedup and of IVF ANN index builds. Each iteration scans "
+    "the corpus once: vectorized numpy assignment UDF + one map-side-"
+    "combined groupBy carrying k x 64 partial sums; only the centroid "
+    "matrix returns to the driver per iteration.",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    vecs = e.select("vec_id", to_double("embedding").alias("vec"))
+    assigned, _, _ = kmeans_fit_assign(vecs)
+    return assigned

@@ -43,6 +43,7 @@ def test_rows_only_queries_are_documented_choices():
         "sim_ann_lsh",
         "sim_ivf_label",
         "sample_stratified",
+        "embedding_kmeans",
     }
     assert rows_only == expected, rows_only.symmetric_difference(expected)
 
