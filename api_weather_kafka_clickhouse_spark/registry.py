@@ -90,8 +90,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # vector_stats, fuzzy_match_levenshtein, text_quality_by_lang,
 # text_lang_id, text_token_regex, text_sentence_udtf,
 # dedup_exact_hash, plus the round-6 additions
-# text_segment_dedup, sample_mixture_sources, and
-# sample_fixed_per_stratum.
+# text_segment_dedup, sample_mixture_sources,
+# sample_fixed_per_stratum, and the round-6 session-3 batch:
+# text_gopher_quality, text_chunk_overlap, sample_weighted,
+# text_unigram_entropy, dedup_containment.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
