@@ -822,3 +822,78 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STRATUM_SAMPLE_K)
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), model AS (
+      SELECT gram, count(*) AS c2 FROM bg GROUP BY gram
+    ), uni AS (
+      SELECT string_split(gram, ' ')[1] AS w1, count(*) AS c1
+      FROM bg GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ), terms AS (
+      SELECT bg.doc_id,
+             CAST(round(ln(CAST(uni.c1 + v.v AS DOUBLE) / (model.c2 + 1)), 6)
+                  AS DECIMAL(28,6)) AS t
+      FROM bg
+      JOIN model USING (gram)
+      JOIN uni ON uni.w1 = string_split(bg.gram, ' ')[1]
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(t) AS DOUBLE) / count(*), 4) AS nll
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Perplexity-style LM quality score computed entirely "
+    "in-engine (the KenLM-filter analog): train an add-one-smoothed "
+    "bigram model on the corpus itself, then score each document by "
+    "its mean negative log-likelihood nll = mean(-ln p(w2|w1)) with "
+    "p = (C(w1,w2)+1)/(C(w1)+V). High nll = improbable token "
+    "sequences (gibberish / shuffled text); low = formulaic. All "
+    "counts are exact integers; the per-bigram -ln p term is one "
+    "division + one ln, rounded to 6 and summed as exact DECIMAL so "
+    "the aggregate is combine-order independent (the "
+    "text_unigram_entropy bridging). Scale: the bigram table feeds "
+    "model counts, context counts, and the scoring join — three "
+    "map-side-combined aggregates/equi-joins on gram/context keys; "
+    "V is the sanctioned one-row scalar broadcast (tfidf's shape).",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    d = load(spark, "documents", sf_dir)
+    # bigram occurrences feed THREE plan branches (model counts,
+    # context counts, the scoring join) — cache once, release at end
+    bg = _token_ngrams(d, 2).persist()
+    model = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        bg.select(F.substring_index("gram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = d.select(F.explode(tokens("text")).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    term = F.round(
+        F.log((F.col("c1") + F.col("v")).cast("double") / (F.col("c2") + 1)), 6
+    ).cast("decimal(28,6)")
+    terms = (
+        bg.withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(model, "gram")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", term.alias("t"))
+    )
+    out = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 4).alias("nll"),
+    )
+    return eager_release(out, "bigram_lm_score", bg)

@@ -144,3 +144,23 @@ def test_scan_only_operators_have_zero_shuffles(spark, sf_dir):
     for name in ("text_gopher_quality", "text_chunk_overlap", "sample_weighted"):
         df = specs[name].fn(spark, sf_dir)
         assert checks.shuffle_count(df) == 0, (name, checks.simple_plan(df))
+
+
+def test_bigram_lm_score_ranks_gibberish_above_formulaic(spark, tmp_path):
+    """In a corpus of one repeated formula plus one doc of
+    never-repeated bigrams, the LM must assign the gibberish doc the
+    highest mean negative log-likelihood."""
+    import os
+
+    from api_weather_kafka_clickhouse_spark.registry import all_specs
+
+    formula = " ".join("alpha beta gamma delta" for _ in range(10))
+    rows = [(i, formula, 0, "s") for i in range(10)]
+    rows.append((99, " ".join(f"uniq{j} tok{j}x" for j in range(20)), 0, "s"))
+    sf = str(tmp_path / "lm")
+    os.makedirs(sf, exist_ok=True)
+    _docs(spark, rows).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {r["doc_id"]: r["nll"] for r in all_specs()["text_bigram_lm_score"].fn(spark, sf).collect()}
+    assert max(out, key=out.get) == 99, out
+    assert out[99] > out[0] + 1.0
