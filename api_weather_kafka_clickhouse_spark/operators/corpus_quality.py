@@ -52,38 +52,58 @@ def _occurrences(text: F.Column, needle: str) -> F.Column:
     )
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
-    n_stop, keep) — the reusable kernel text_gopher_quality wraps."""
+def _gopher_metrics(text_col: str) -> dict[str, F.Column]:
+    """The rule metrics as raw column expressions — one source of
+    truth for the metrics query, the keep flag, and the streaming
+    filter, so the thresholds can never drift between them."""
     t = F.col(text_col)
     w = tokens(text_col)
     nw = F.size(w)
-    mean_len = (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / nw).alias(
-        "mean_word_len"
-    )
     n_sym = _occurrences(t, "#") + _occurrences(t, "...")
-    symbol_ratio = (n_sym.cast("double") / nw).alias("symbol_ratio")
     n_alpha = F.size(F.filter(w, lambda tok: tok.rlike("[A-Za-z]")))
-    alpha_ratio = (n_alpha.cast("double") / nw).alias("alpha_ratio")
-    n_stop = stopword_hits(text_col).cast("bigint").alias("n_stop")
-    out = docs.select(
+    return {
+        "n_words": nw.cast("bigint"),
+        "mean_word_len": F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / nw,
+        "symbol_ratio": n_sym.cast("double") / nw,
+        "alpha_ratio": n_alpha.cast("double") / nw,
+        "n_stop": stopword_hits(text_col).cast("bigint"),
+    }
+
+
+def gopher_keep(text_col: str = "text") -> F.Column:
+    """Boolean all-rules-pass column over a raw text column. Pure
+    codegen — works identically on batch and STREAMING DataFrames, so
+    an ingest pipeline gates quality with ``docs.filter(gopher_keep())``
+    before the dedup index ever sees a row (tested in
+    tests/test_dedup_ingest.py)."""
+    m = _gopher_metrics(text_col)
+    return (
+        (m["n_words"] >= GOPHER_MIN_WORDS)
+        & (m["n_words"] <= GOPHER_MAX_WORDS)
+        & (m["mean_word_len"] >= GOPHER_MIN_MEAN_LEN)
+        & (m["mean_word_len"] <= GOPHER_MAX_MEAN_LEN)
+        & (m["symbol_ratio"] < GOPHER_MAX_SYMBOL_RATIO)
+        & (m["alpha_ratio"] > GOPHER_MIN_ALPHA_RATIO)
+        & (m["n_stop"] >= GOPHER_MIN_STOPWORDS)
+    )
+
+
+def gopher_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only documents passing every Gopher rule, all original
+    columns intact — the composable quality gate for batch pipelines
+    and streaming ingest alike."""
+    return docs.filter(gopher_keep(text_col))
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    n_stop, keep) — the reusable kernel text_gopher_quality wraps."""
+    m = _gopher_metrics(text_col)
+    return docs.select(
         "doc_id",
-        nw.cast("bigint").alias("n_words"),
-        mean_len,
-        symbol_ratio,
-        alpha_ratio,
-        n_stop,
+        *[c.alias(name) for name, c in m.items()],
+        gopher_keep(text_col).cast("int").alias("keep"),
     )
-    keep = (
-        (F.col("n_words") >= GOPHER_MIN_WORDS)
-        & (F.col("n_words") <= GOPHER_MAX_WORDS)
-        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
-        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
-        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("alpha_ratio") > GOPHER_MIN_ALPHA_RATIO)
-        & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
-    )
-    return out.withColumn("keep", keep.cast("int"))
 
 
 @register(

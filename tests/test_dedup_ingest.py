@@ -449,3 +449,39 @@ def test_pairs_log_records_provenance_and_feeds_merge_components(spark, tmp_path
         for r in dedup_ops.merge_components(empty, edge_df).collect()
     }
     assert labels == {(1, 1), (2, 1), (4, 4), (5, 4), (3, 3), (6, 3), (7, 7), (8, 7)}
+
+
+def test_quality_gate_composes_with_streaming_ingest(spark, tmp_path):
+    """gopher_keep is pure codegen, so the quality gate is a plain
+    .filter on the STREAMING frame in front of the dedup index: junk
+    never reaches the store, near-dups among quality docs still drop."""
+    from api_weather_kafka_clickhouse_spark.operators.corpus_quality import gopher_filter
+
+    good = " ".join(f"alpha{i % 7} beta gamma the of wordy" for i in range(10))  # 60 tokens
+    junk = " ".join("12345 67890" for _ in range(30))  # fails alpha ratio
+    d = tmp_path / "qg_in"
+    d.mkdir()
+    store = str(tmp_path / "qg_store")
+    out = str(tmp_path / "qg_out")
+    ckpt = str(tmp_path / "qg_ckpt")
+
+    _write_docs(d / "b0.json", [(1, good), (2, junk)])
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    q = (
+        gopher_filter(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: dedup_ingest.dedup_ingest_batch(df, bid, store, out)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # near-dup of the good doc AND more junk in a later batch
+    _write_docs(d / "b1.json", [(3, good + " indeed"), (4, junk + " 000")])
+    q.processAllAvailable()
+    q.stop()
+
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert survivors == {1}, survivors
+    sigs = spark.read.parquet(store + "/sigs")
+    assert {r.doc_id for r in sigs.collect()} == {1}
