@@ -93,7 +93,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_segment_dedup, sample_mixture_sources,
 # sample_fixed_per_stratum, and the round-6 session-3 batch:
 # text_gopher_quality, text_chunk_overlap, sample_weighted,
-# text_unigram_entropy, dedup_containment.
+# text_unigram_entropy, dedup_containment, text_bigram_lm_score,
+# plus the session-4 batch: decontaminate_bloom, split_leakage_free.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
@@ -214,6 +215,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         aggregations,
+        bloom,
         corpus_quality,
         dedup,
         joins,
