@@ -1083,3 +1083,56 @@ _EMB_PAIR_SQL = """
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
     return connected_components(pairs, src="vec_a", dst="vec_b")
+
+
+@register(
+    "split_leakage_free",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}
+    ), edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM jp
+      UNION ALL
+      SELECT doc_b, doc_a FROM jp
+    ), reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    ), labels AS (
+      SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(l.canonical_id, d.doc_id) AS group_id,
+           CASE WHEN substr(md5(CAST(COALESCE(l.canonical_id, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """,
+    doc="Leakage-free train/holdout split: hash the near-dup CLUSTER "
+    "canonical (not the doc_id), so every member of a transitive "
+    "near-dup component lands in the same split — the guard against "
+    "train/eval contamination that split_train_holdout's per-doc hash "
+    "cannot give (a near-copy of a holdout doc in train IS leakage). "
+    "Composition: MinHash-LSH pairs -> connected components -> "
+    "md5-threshold on the canonical id ('cd' = ~80% train, the "
+    "split_train_holdout convention). Unclustered docs are their own "
+    "canonical via a left join + coalesce; the labels side is the "
+    "(small) clustered subset, so AQE broadcasts it. The oracle "
+    "recomputes the pair graph brute-force, closes it with a "
+    "recursive CTE, and applies the same hash rule — grouping AND "
+    "assignment are hash-checked end to end.",
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_cluster_canonical(spark, sf_dir)
+    d = load(spark, "documents", sf_dir)
+    group_id = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    bucket = F.substring(F.md5(group_id.cast("string")), 1, 2)
+    return (
+        d.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            group_id.alias("group_id"),
+            F.when(bucket < "cd", "train").otherwise("holdout").alias("split"),
+        )
+    )

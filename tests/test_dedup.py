@@ -317,3 +317,34 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
     assert (1, 2) in cont, cont
     assert (1, 2) not in jac, jac
     assert all(3 not in p for p in cont | jac)
+
+
+def test_split_leakage_free_coassigns_clusters(spark, sf_dir):
+    """Every member of a near-dup component gets its component's split,
+    and the operator actually moves docs relative to the naive per-doc
+    hash (the leakage case it exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from api_weather_kafka_clickhouse_spark.operators.dedup import (
+        dedup_cluster_canonical,
+        split_leakage_free,
+    )
+
+    out = split_leakage_free(spark, sf_dir)
+    labels = dedup_cluster_canonical(spark, sf_dir)
+    j = out.join(labels, "doc_id").collect()
+    assert len(j) > 0
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    moved = 0
+    for r in j:
+        # member split == canonical's split (co-assignment)
+        assert r["split"] == split_of[r["canonical_id"]], r
+        assert r["group_id"] == r["canonical_id"]
+        naive = "train" if __import__("hashlib").md5(
+            str(r["doc_id"]).encode()
+        ).hexdigest()[:2] < "cd" else "holdout"
+        if naive != r["split"]:
+            moved += 1
+    # at least one clustered doc was re-homed vs the naive hash --
+    # i.e. the operator prevents a real leakage case on this corpus
+    assert moved > 0
