@@ -293,6 +293,66 @@ def kmeans_fit_assign(
     return assigned.select(id_col, "cluster"), centroids, sse_hist
 
 
+IVF_PROBES = 3
+IVF_TRAIN_ITERS = 2
+
+
+@register(
+    "sim_ivf_kmeans",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    doc=f"IVF ANN with a TRAINED coarse quantizer: Lloyd k-means "
+    f"(k={KMEANS_K}, {IVF_TRAIN_ITERS} iterations) learns the cells "
+    "instead of borrowing the label column (sim_ivf_label), queries "
+    f"probe the {IVF_PROBES} nearest centroids by the same squared-L2 "
+    "metric the assignment used, and candidates re-rank exactly. This "
+    "is the real FAISS-style IVF build: at 100 TB the training pass "
+    "is a few corpus scans (map-side-combined k x 64 partial sums), "
+    "the index write is one repartition by cell, and each query then "
+    "reads probes/k of the data. Trained cells track the actual "
+    "density — measured recall beats the label-cell variant at equal "
+    "probe budget on the synthetic corpus (see tests/test_similarity.py).",
+)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    vecs = e.select("vec_id", to_double("embedding").alias("vec"))
+    assigned, centroids, _ = kmeans_fit_assign(vecs, iters=IVF_TRAIN_ITERS)
+    corpus = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("vec").alias("nbr_vec")).join(
+        assigned.select(F.col("vec_id").alias("nbr_id"), F.col("cluster").alias("cell")),
+        "nbr_id",
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    # probe ranking uses the SAME metric as the Lloyd assignment
+    # (squared L2), so a probed cell is exactly where near neighbors
+    # were binned; k x N_QUERIES rows -> the fold stays trivial
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
+    probed = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= IVF_PROBES)
+        .select("query_id", "q_vec", "cell")
+    )
+    cand = corpus.join(F.broadcast(probed), "cell").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "nbr_id", "cos_sim", "rank")
+    )
+
+
 @register(
     "embedding_kmeans",
     oracle=None,  # iterative float argmin; verified vs a numpy Lloyd

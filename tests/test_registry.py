@@ -42,6 +42,7 @@ def test_rows_only_queries_are_documented_choices():
         "dedup_embedding_lsh",
         "sim_ann_lsh",
         "sim_ivf_label",
+        "sim_ivf_kmeans",
         "sample_stratified",
         "embedding_kmeans",
     }
