@@ -485,3 +485,46 @@ def test_quality_gate_composes_with_streaming_ingest(spark, tmp_path):
     assert survivors == {1}, survivors
     sigs = spark.read.parquet(store + "/sigs")
     assert {r.doc_id for r in sigs.collect()} == {1}
+
+
+def test_decontam_gate_composes_with_streaming_ingest(spark, tmp_path):
+    """decontam_keep is pure codegen too, so the full curation chain
+    quality -> decontamination -> dedup runs as plain filters in front
+    of the streaming index: a doc sharing a 4-gram with the eval suite
+    never reaches the store; clean near-dups still drop."""
+    from api_weather_kafka_clickhouse_spark.operators.bloom import (
+        build_bloom_bits,
+        decontam_filter,
+    )
+
+    eval_grams = spark.createDataFrame([("secret eval question four",)], "gram string")
+    bits = build_bloom_bits(eval_grams)
+
+    clean = " ".join(f"alpha{i % 7} beta gamma the of wordy" for i in range(10))
+    leaked = clean + " secret eval question four"
+    d = tmp_path / "dc_in"
+    d.mkdir()
+    store = str(tmp_path / "dc_store")
+    out = str(tmp_path / "dc_out")
+    ckpt = str(tmp_path / "dc_ckpt")
+
+    _write_docs(d / "b0.json", [(1, clean), (2, leaked)])
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    q = (
+        decontam_filter(stream, bits)
+        .writeStream.foreachBatch(
+            lambda df, bid: dedup_ingest.dedup_ingest_batch(df, bid, store, out)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # later batch: a near-dup of the clean doc and another leaked doc
+    _write_docs(d / "b1.json", [(3, clean + " indeed"), (4, "x y " + leaked)])
+    q.processAllAvailable()
+    q.stop()
+
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert survivors == {1}, survivors
+    sigs = spark.read.parquet(store + "/sigs")
+    assert {r.doc_id for r in sigs.collect()} == {1}
