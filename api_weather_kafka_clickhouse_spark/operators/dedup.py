@@ -1085,6 +1085,66 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="vec_a", dst="vec_b")
 
 
+SEMDEDUP_PROBES = 2  # cells per vector; r=2 measured 0.81 pair
+# recall at ~4x the single-cell candidate cost on the synthetic
+# corpus (r=1: 0.33 — the 0.42-cos contract pairs are only moderately
+# similar, so single cells split them; production SemDeDup thresholds
+# of 0.95+ co-cluster far more readily)
+
+
+@register(
+    "dedup_semdedup",
+    oracle=None,  # k-means cells are float-iterative -> rows-only;
+    # subset-of-exact + pair recall asserted in tests/test_dedup.py
+    doc="SemDeDup-style semantic dedup, the 100 TB path for embedding "
+    f"near-dups: k-means cells (k=8, multi-probe r={SEMDEDUP_PROBES}) restrict "
+    "the pair search to same-cell candidates, exact cosine >= 0.42 "
+    "verifies them, connected components pick one survivor per "
+    "transitive group. Every emitted pair is exact (the cells only "
+    "bound recall), so the dropped set is always a SUBSET of the "
+    "exact O(n^2) operator's — semantic dedup never over-deletes. "
+    "Scale shape: candidate cost is sum(n_cell^2) over r-replicated "
+    "cells instead of n^2; cells come from a few map-side-combined "
+    "training scans and one narrow explode (no window, no global "
+    "shuffle beyond the cell equi-join), and k grows with the corpus "
+    "to hold cell sizes constant.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine, to_double
+    from .similarity import _assign_topr_udf, kmeans_fit_assign
+
+    e = load(spark, "embeddings", sf_dir).select("vec_id", to_double("embedding").alias("vec"))
+    _, centroids, _ = kmeans_fit_assign(e, iters=2)
+    # multi-probe assignment: one vectorized scan -> r cells per
+    # vector, exploded WITHOUT the vector payload (ids+cell ints on
+    # the candidate join wire, the dedup_embedding_lsh convention)
+    cells = e.select(
+        "vec_id", F.explode(_assign_topr_udf(centroids, SEMDEDUP_PROBES)(F.col("vec"))).alias("cell")
+    ).persist()
+    ca = cells.select(F.col("vec_id").alias("vec_a"), "cell")
+    cb = cells.select(F.col("vec_id").alias("vec_b"), "cell")
+    cand = (
+        ca.join(cb, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.42)
+        .select("vec_a", "vec_b")
+    )
+    pairs = eager_release(pairs, "semdedup_pairs", cells)
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    dropped = labels.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return e.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
 @register(
     "split_leakage_free",
     oracle=f"""

@@ -232,6 +232,23 @@ def _assign_udf(centroids: list[list[float]]) -> F.Column:
     return assign
 
 
+def _assign_topr_udf(centroids: list[list[float]], r: int) -> F.Column:
+    """(vec double[]) -> the r nearest centroid indices (squared L2,
+    stable order so ties are deterministic). Same vectorized one-scan
+    shape as _assign_udf; feeds multi-probe cell assignment."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = np.array(centroids)  # k x d
+        m = np.stack(vecs.to_numpy())  # n x d
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :r].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign
+
+
 def kmeans_fit_assign(
     vecs: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = _DIM
 ) -> tuple[DataFrame, list[list[float]], list[float]]:

@@ -40,6 +40,7 @@ def test_rows_only_queries_are_documented_choices():
         "agg_approx_percentile",
         "dedup_simhash",
         "dedup_embedding_lsh",
+        "dedup_semdedup",
         "sim_ann_lsh",
         "sim_ivf_label",
         "sim_ivf_kmeans",
