@@ -47,6 +47,7 @@ HEADLINE = [
     "text_bigram_topk",
     "text_tfidf_topk",
     "text_segment_dedup",  # round-6: corpus-wide segment dedup + reassembly
+    "decontaminate_bloom",  # round-6: zero-shuffle Bloom decontamination
     "corpus_clean_pipeline",
     "mm_feature_extract",
 ]
