@@ -220,6 +220,7 @@ def _ensure_loaded() -> None:
         dedup,
         joins,
         multimodal,
+        quality_model,
         relational,
         relational2,
         relational3,

@@ -46,15 +46,20 @@ def test_bitset_build_deterministic_and_bounded(spark, sf_dir):
     b1 = eval_bloom_bits(spark, sf_dir)
     b2 = eval_bloom_bits(spark, sf_dir)
     assert b1 == b2
-    assert len(b1) == BLOOM_M // 64
-    n_set = sum(bin(w & ((1 << 64) - 1)).count("1") for w in b1)
+    assert len(b1) == BLOOM_M // 8  # bytes
+    n_set = sum(bin(b).count("1") for b in b1)
     assert 0 < n_set <= BLOOM_M
 
 
-def test_corpus_side_plan_is_shuffle_free(spark, sf_dir):
+def test_corpus_side_plan_shape(spark, sf_dir):
+    """No gram join anywhere: membership is a codegen filter on the
+    one-Literal bitset, so the only corpus-sized exchange is the gram
+    window (shared with the exact operator); the flagged-doc metadata
+    join broadcasts."""
     df = decontaminate_bloom(spark, sf_dir)
-    assert checks.shuffle_count(df) == 0
+    assert checks.shuffle_count(df) <= 2
     assert not checks.has_cartesian(df)
+    assert checks.has_broadcast_join(df)  # metadata joins the small hit set
 
 
 def test_hit_count_exact_on_crafted_grams(spark):

@@ -46,6 +46,7 @@ def test_rows_only_queries_are_documented_choices():
         "sim_ivf_kmeans",
         "sample_stratified",
         "embedding_kmeans",
+        "quality_classifier_score",
     }
     assert rows_only == expected, rows_only.symmetric_difference(expected)
 
