@@ -41,6 +41,7 @@ def test_rows_only_queries_are_documented_choices():
         "dedup_simhash",
         "dedup_embedding_lsh",
         "dedup_semdedup",
+        "mm_phash_signatures",
         "sim_ann_lsh",
         "sim_ivf_label",
         "sim_ivf_kmeans",
