@@ -313,6 +313,104 @@ def time_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_interpolate_linear",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+      FROM events GROUP BY 1, 2
+    ), ext AS (
+      SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY event_type
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM ext
+    ), j AS (
+      SELECT s.event_type, CAST(s.bucket AS TIMESTAMP) AS bucket, b.vsum,
+             coalesce(b.n, 0) AS n
+      FROM spine s
+      LEFT JOIN b ON b.event_type = s.event_type AND b.bucket = s.bucket
+    ), w AS (
+      SELECT event_type, bucket, n, vsum,
+             last_value(vsum IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(vsum IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN vsum IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN vsum IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT event_type, bucket, n,
+           round(CASE
+             WHEN vsum IS NOT NULL THEN vsum
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch(bucket)::BIGINT - epoch(pt)::BIGINT AS DOUBLE)
+                     / CAST(epoch(nt)::BIGINT - epoch(pt)::BIGINT AS DOUBLE))
+           END, 6) AS v_interp
+    FROM w
+    """,
+    doc="Hourly resample with LINEAR interpolation across gaps — the "
+    "time-series companion to time_resample_gapfill's forward fill: "
+    "empty buckets get pv + (nv - pv) * dt_frac from the nearest "
+    "non-null neighbors on each side (exact integer second "
+    "arithmetic for the fraction, so Spark and the oracle compute "
+    "bit-identical doubles; edges clamp to the available side). Two "
+    "running windows over the spine (one per direction), same "
+    "per-key linear cost as the gapfill at 100 TB.",
+)
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("vsum"),
+    )
+    ext = b.groupBy("event_type").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = ext.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    j = spine.join(b, ["event_type", "bucket"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("vsum").isNotNull(), F.col("bucket"))
+    pv = F.last("vsum", ignorenulls=True).over(wp)
+    nv = F.first("vsum", ignorenulls=True).over(wn)
+    pt = F.last(marked, ignorenulls=True).over(wp)
+    nt = F.first(marked, ignorenulls=True).over(wn)
+    frac = (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(pt)).cast("double") / (
+        F.unix_timestamp(nt) - F.unix_timestamp(pt)
+    ).cast("double")
+    interp = (
+        F.when(F.col("vsum").isNotNull(), F.col("vsum"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(interp, 6).alias("v_interp"),
+    )
+
+
+@register(
     "round_robin_assign",
     oracle="""
     SELECT n_name,

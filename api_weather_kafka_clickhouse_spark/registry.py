@@ -94,7 +94,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # sample_fixed_per_stratum, and the round-6 session-3 batch:
 # text_gopher_quality, text_chunk_overlap, sample_weighted,
 # text_unigram_entropy, dedup_containment, text_bigram_lm_score,
-# plus the session-4 batch: decontaminate_bloom, split_leakage_free.
+# plus the session-4 batch: decontaminate_bloom, split_leakage_free,
+# time_interpolate_linear.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
