@@ -16,7 +16,7 @@ exact-distinct shuffle of every value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import money
@@ -468,3 +468,33 @@ def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m["n"] * m["sxx"] - m["sx"] * m["sx"]) * (m["n"] * m["syy"] - m["sy"] * m["sy"])
     )
     return m.select("event_type", "n", F.round(corr, 6).alias("corr_vk"))
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(n * 1.0 / (SELECT sum(n) FROM c), 6) AS share
+    FROM c
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+    doc="Hot-key skew diagnosis: the heaviest 20 keys with their row "
+    "share — what you run BEFORE choosing salting (agg_salted_skew) "
+    "or an AQE skew-join threshold on a new 100 TB input. One "
+    "map-side-combined count per key; the share denominator is a "
+    "window total over the (small) per-key count table, not a second "
+    "corpus scan; top-k via a bounded sort of that same small table.",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        c.withColumn("share", F.round(F.col("n") / total, 6))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+    )

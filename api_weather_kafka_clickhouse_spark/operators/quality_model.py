@@ -130,3 +130,48 @@ def quality_lr_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_lr_score(load(spark, "documents", sf_dir))
+
+
+WQ_SALT = "#qws1"
+WQ_FLOOR = 0.05
+
+
+def sample_by_quality(scored: DataFrame) -> DataFrame:
+    """Quality-weighted Bernoulli sample over (doc_id, quality_prob)
+    with Horvitz-Thompson reweighting — sample_weighted's md5-threshold
+    kernel driven by the LEARNED quality score instead of a length
+    proxy: high-quality docs are kept with p ~ quality_prob, junk is
+    downsampled but keeps a floored trace presence (p >= 0.05) so
+    inv_p stays bounded and no stratum silently disappears. Pure
+    filter, zero shuffle after the score column exists."""
+    p = F.greatest(F.col("quality_prob"), F.lit(WQ_FLOOR))
+    thr = F.format_string(
+        "%08x", F.least(F.floor(p * F.lit(4294967296.0)), F.lit(4294967295.0)).cast("bigint")
+    )
+    u8 = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(WQ_SALT))), 1, 8)
+    return (
+        scored.withColumn("_p", p)
+        .filter(u8 < thr)
+        .select(
+            "doc_id",
+            "quality_prob",
+            F.col("_p").alias("p"),
+            (F.lit(1.0) / F.col("_p")).alias("inv_p"),
+        )
+    )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=None,  # the inclusion probability comes from the trained
+    # scorer (rows-only like it); kernel determinism + quality
+    # correlation pinned in tests/test_quality_model.py
+    doc="Quality-aware corpus subsampling: the learned quality_prob "
+    "drives sample_weighted's deterministic md5-threshold Bernoulli "
+    "kernel, with Horvitz-Thompson inv_p so downstream statistics "
+    "stay unbiased — the 'train more on better data' curation step "
+    "of published pipelines, as one zero-shuffle filter over the "
+    "scored corpus.",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_by_quality(quality_lr_score(load(spark, "documents", sf_dir)))

@@ -63,3 +63,37 @@ def test_crafted_junk_scores_below_clean(spark):
     clean_mean = sum(out[i] for i in range(10)) / 10
     junk_mean = sum(v for k, v in out.items() if k >= 100) / 30
     assert clean_mean > junk_mean
+
+
+def test_quality_weighted_sampling(spark, sf_dir):
+    """Deterministic kernel + quality correlation: two runs agree
+    exactly, kept docs skew high-quality, and inv_p is bounded by the
+    probability floor."""
+    from api_weather_kafka_clickhouse_spark.operators.quality_model import (
+        WQ_FLOOR,
+        sample_by_quality,
+        sample_quality_weighted,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    d = load(spark, "documents", sf_dir)
+    scored = quality_lr_score(d).persist()
+    try:
+        a = {r.doc_id for r in sample_by_quality(scored).collect()}
+        b = {r.doc_id for r in sample_by_quality(scored).collect()}
+        assert a == b
+        rows = scored.collect()
+        kept_rate_hi = sum(1 for r in rows if r.quality_prob >= 0.5 and r.doc_id in a) / max(
+            1, sum(1 for r in rows if r.quality_prob >= 0.5)
+        )
+        kept_rate_lo = sum(1 for r in rows if r.quality_prob < 0.5 and r.doc_id in a) / max(
+            1, sum(1 for r in rows if r.quality_prob < 0.5)
+        )
+        assert kept_rate_hi > kept_rate_lo
+        for r in sample_by_quality(scored).collect():
+            assert r.inv_p <= 1.0 / WQ_FLOOR + 1e-9
+            assert r.p >= WQ_FLOOR
+    finally:
+        scored.unpersist()
+    # registered query runs end to end (training included)
+    assert sample_quality_weighted(spark, sf_dir).count() > 0

@@ -48,6 +48,7 @@ def test_rows_only_queries_are_documented_choices():
         "sample_stratified",
         "embedding_kmeans",
         "quality_classifier_score",
+        "sample_quality_weighted",
     }
     assert rows_only == expected, rows_only.symmetric_difference(expected)
 
