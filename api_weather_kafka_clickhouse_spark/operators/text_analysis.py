@@ -897,3 +897,48 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 4).alias("nll"),
     )
     return eager_release(out, "bigram_lm_score", bg)
+
+
+TOPK_PER_SOURCE = 5
+
+
+@register(
+    "sample_topk_quality_per_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0
+             * (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                               t -> t IN {_SW_SQL})) AS DOUBLE)
+                          / len(string_split(text, ' ')) > 0.05
+                     THEN 1.0 ELSE 0.5 END) AS q
+      FROM documents
+    )
+    SELECT doc_id, source, round(q, 6) AS q, rk
+    FROM (
+      SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOPK_PER_SOURCE}
+    """,
+    doc=f"Best-k-per-domain curation: the top {TOPK_PER_SOURCE} "
+    "documents of every source by the deterministic quality heuristic "
+    "(ties to lowest doc_id) — the 'keep the best of each domain' "
+    "selection step of a pretraining mix, as one windowed rank. The "
+    "plan is the map-side WindowGroupLimit shape (each task keeps k "
+    "rows per group before the exchange), so at 100 TB the shuffle "
+    "carries at most k x n_sources x n_tasks rows, not the corpus.",
+)
+def sample_topk_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    q = quality_score("text")
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", q.alias("q"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_SOURCE)
+        .select("doc_id", "source", F.round("q", 6).alias("q"), "rk")
+    )

@@ -219,3 +219,31 @@ def test_mixture_sampling_broadcasts_weights_no_fact_shuffle(spark, sf_dir):
     df = SPECS["sample_mixture_sources"].fn(spark, sf_dir)
     assert checks.has_broadcast_join(df), "weight table should broadcast"
     assert checks.shuffle_count(df) == 0, checks.simple_plan(df)
+
+
+def test_topk_quality_per_source_plan_shape(spark, sf_dir):
+    """Session-4: the per-source top-k must plan as a map-side
+    WindowGroupLimit (each task keeps k rows per group before the
+    exchange) and scan only the columns it uses."""
+    df = SPECS["sample_topk_quality_per_source"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert not checks.has_cartesian(df)
+    assert all("lang" not in s and "n_chars" not in s for s in checks.scan_read_schema(df))
+
+
+def test_sim_ivf_kmeans_plan_shape(spark, sf_dir):
+    """The probed-cells and query sides must broadcast: the corpus is
+    filtered by the broadcast cell list, never shuffled corpus-wide
+    for the candidate join."""
+    df = SPECS["sim_ivf_kmeans"].fn(spark, sf_dir)
+    assert checks.has_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_skew_profile_partial_aggregation(spark, sf_dir):
+    """Per-key counts must map-side combine; the window total runs
+    over the (small) aggregated table, not the events scan."""
+    df = SPECS["skew_key_profile"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(df) >= 1
+    assert all("value" not in s and "props" not in s for s in checks.scan_read_schema(df))
