@@ -16,7 +16,7 @@ exact-distinct shuffle of every value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import money
@@ -485,16 +485,19 @@ def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Hot-key skew diagnosis: the heaviest 20 keys with their row "
     "share — what you run BEFORE choosing salting (agg_salted_skew) "
     "or an AQE skew-join threshold on a new 100 TB input. One "
-    "map-side-combined count per key; the share denominator is a "
-    "window total over the (small) per-key count table, not a second "
-    "corpus scan; top-k via a bounded sort of that same small table.",
+    "map-side-combined count per key; top-k via TakeOrdered over the "
+    "per-key table; the share denominator joins in as the sanctioned "
+    "one-row scalar broadcast (a Window.partitionBy() total would "
+    "drag every distinct key into a single task — on exactly the "
+    "billions-of-keys input this operator exists to diagnose).",
 )
 def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
     c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
+    total = c.agg(F.sum("n").alias("_total"))
     return (
-        c.withColumn("share", F.round(F.col("n") / total, 6))
-        .orderBy(F.col("n").desc(), "user_id")
+        c.orderBy(F.col("n").desc(), "user_id")
         .limit(20)
+        .crossJoin(F.broadcast(total))
+        .select("user_id", "n", F.round(F.col("n") / F.col("_total"), 6).alias("share"))
     )

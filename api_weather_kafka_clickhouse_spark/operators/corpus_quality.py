@@ -217,30 +217,35 @@ WEIGHT_SCALE = 400  # p = min(1, n_chars / 400): corpus spans 48..553 chars
 WSAMPLE_SALT = ":wsample"
 
 
-def sample_weighted(docs: DataFrame, scale: int = WEIGHT_SCALE) -> DataFrame:
-    """Deterministic weighted Bernoulli (Poisson) sample: include each
-    document with probability p = min(1, n_chars/scale), decided by
-    comparing an 8-hex-char md5 prefix of the salted doc key against
+def bernoulli_keep(p, key, salt: str):
+    """THE deterministic weighted-Bernoulli membership kernel, shared
+    by every sampler (length-weighted here, quality-weighted in
+    quality_model): include a row with probability ``p`` by comparing
+    an 8-hex-char md5 prefix of the salted key against
     printf('%08x', min(p * 2^32, 2^32 - 1)). p*2^32 multiplies an
     exact division by a power of two, so the threshold is
     bit-identical in every engine; membership is a pure string
-    compare (p=1 documents carry a deterministic 2^-32 miss chance
-    from the clamp — the price of an 8-char fixed-width compare). Emits inv_p (the
-    Horvitz-Thompson reweighting factor 1/p) so downstream statistics
-    over the sample stay unbiased. Zero shuffle at any scale."""
-    p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / scale)
-    # clamp to 0xffffffff: p=1 would format as 9 hex chars ('100000000')
-    # and break the 8-char lexicographic compare; the clamp costs p=1
-    # docs a 2^-32 deterministic miss chance, identical in both engines
+    compare. The 0xffffffff clamp matters: p=1 would format as 9 hex
+    chars ('100000000') and break the 8-char lexicographic compare —
+    the clamp costs p=1 rows a deterministic 2^-32 miss chance,
+    identical in both engines. Pure codegen, zero shuffle."""
     thr = F.format_string(
         "%08x", F.least(F.floor(p * F.lit(4294967296.0)), F.lit(4294967295.0)).cast("bigint")
     )
-    u8 = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(WSAMPLE_SALT))), 1, 8
-    )
+    u8 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    return u8 < thr
+
+
+def sample_weighted(docs: DataFrame, scale: int = WEIGHT_SCALE) -> DataFrame:
+    """Deterministic weighted Bernoulli (Poisson) sample: include each
+    document with probability p = min(1, n_chars/scale) via the shared
+    ``bernoulli_keep`` kernel. Emits inv_p (the Horvitz-Thompson
+    reweighting factor 1/p) so downstream statistics over the sample
+    stay unbiased. Zero shuffle at any scale."""
+    p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / scale)
     return (
         docs.withColumn("_p", p)
-        .filter(u8 < thr)
+        .filter(bernoulli_keep(F.col("_p"), F.col("doc_id"), WSAMPLE_SALT))
         .select(
             "doc_id",
             "source",

@@ -1183,16 +1183,18 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment are hash-checked end to end.",
 )
 def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical attachment via the ONE shared helper (unlabeled docs
+    # are their own canonical, small labels side broadcasts) — the
+    # same lookup the streaming cluster store serves
+    from ..streaming.cluster_store import canonicalize
+
     labels = dedup_cluster_canonical(spark, sf_dir)
     d = load(spark, "documents", sf_dir)
-    group_id = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
-    bucket = F.substring(F.md5(group_id.cast("string")), 1, 2)
-    return (
-        d.join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            group_id.alias("group_id"),
-            F.when(bucket < "cd", "train").otherwise("holdout").alias("split"),
-        )
+    labeled = canonicalize(d.select("doc_id", "lang"), labels)
+    bucket = F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2)
+    return labeled.select(
+        "doc_id",
+        "lang",
+        F.col("canonical_id").alias("group_id"),
+        F.when(bucket < "cd", "train").otherwise("holdout").alias("split"),
     )

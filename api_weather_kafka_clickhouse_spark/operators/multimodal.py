@@ -269,7 +269,7 @@ def phash_pairs(sigs: DataFrame) -> DataFrame:
     "fingerprints from the (stand-in) decoder via mapInPandas — one "
     "16-byte row per payload regardless of media size, the index a "
     "100 TB image-dedup writes once and joins forever. Pair "
-    "generation (mm_dedup_phash) applies the SimHash pigeonhole "
+    "generation (phash_pairs) applies the SimHash pigeonhole "
     "band join: 4 x 16-bit bands propose, bit_count(xor) <= 3 "
     "verifies, with PERFECT recall at that radius by pigeonhole. On "
     "the synthetic corpus the byte-positional stand-in only closes "
@@ -279,11 +279,3 @@ def phash_pairs(sigs: DataFrame) -> DataFrame:
 )
 def mm_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_signatures(binary_table(spark, sf_dir))
-
-
-def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup payload pairs over the corpus (library kernel; see
-    mm_phash_signatures' docstring for why the registered query is
-    the signature stage)."""
-    sigs = phash_signatures(binary_table(spark, sf_dir))
-    return phash_pairs(sigs)

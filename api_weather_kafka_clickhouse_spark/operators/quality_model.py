@@ -21,7 +21,7 @@ once and the 25 iterations scan it, not the text.
 Rows-only for the driver (float gradient sums are combine-order
 dependent across engines); pytest pins monotone loss decrease,
 rule-class separation, and crafted junk-vs-clean ordering
-(tests/test_corpus_quality.py).
+(tests/test_quality_model.py).
 """
 
 from __future__ import annotations
@@ -142,16 +142,17 @@ def sample_by_quality(scored: DataFrame) -> DataFrame:
     kernel driven by the LEARNED quality score instead of a length
     proxy: high-quality docs are kept with p ~ quality_prob, junk is
     downsampled but keeps a floored trace presence (p >= 0.05) so
-    inv_p stays bounded and no stratum silently disappears. Pure
-    filter, zero shuffle after the score column exists."""
+    inv_p stays bounded and no stratum silently disappears. Membership
+    comes from corpus_quality.bernoulli_keep — ONE kernel for every
+    deterministic sampler, so the 0xffffffff-clamp subtlety lives in
+    one place. Pure filter, zero shuffle after the score column
+    exists."""
+    from .corpus_quality import bernoulli_keep
+
     p = F.greatest(F.col("quality_prob"), F.lit(WQ_FLOOR))
-    thr = F.format_string(
-        "%08x", F.least(F.floor(p * F.lit(4294967296.0)), F.lit(4294967295.0)).cast("bigint")
-    )
-    u8 = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(WQ_SALT))), 1, 8)
     return (
         scored.withColumn("_p", p)
-        .filter(u8 < thr)
+        .filter(bernoulli_keep(F.col("_p"), F.col("doc_id"), WQ_SALT))
         .select(
             "doc_id",
             "quality_prob",

@@ -16,8 +16,11 @@ tmp-marker swap shared with the cluster-label store; assignments land
 as replay-idempotent per-batch partitions
 (``store.append_partition``). Mini-batch updates are NOT idempotent,
 so the table carries the last applied batch_id and a replayed batch
-(same id after a foreachBatch retry) only rewrites its assignment
-partition — the centroid state is untouched.
+(same id after a foreachBatch retry) is a no-op once the swap has
+committed — its assignment partition is already complete, and
+recomputing it against the advanced centroids would relabel boundary
+vectors; a crash BEFORE the swap replays from unchanged state and
+rewrites an identical partition.
 
 Determinism: cold-start centroids are the k lowest-id vectors of the
 first batch (the batch trainer's convention); assignment ties break to
@@ -79,11 +82,20 @@ def centroid_ingest_batch(
 ) -> None:
     """Assign ``batch`` (vec_id, vec) to the stored centroids, append
     the assignments as this batch's partition, and advance the
-    centroids by the mini-batch rule — skipping the centroid update
-    (but still rewriting the assignment partition) when ``batch_id``
-    was already applied."""
+    centroids by the mini-batch rule. An already-applied ``batch_id``
+    (foreachBatch replay after the swap committed) is a complete
+    no-op: its assignment partition is already on disk and was
+    computed with the pre-update centroids."""
     spark = batch.sparkSession
     state = read_centroid_state(spark, store_dir)
+    if state is not None and batch_id <= state[2]:
+        # foreachBatch replay of an already-applied batch. The
+        # assignment partition from the first attempt is complete
+        # (append always finishes before the swap that advanced
+        # applied), and recomputing it here would use the
+        # POST-update centroids — rewriting boundary vectors' labels
+        # and desyncing them from the lifetime counts. Nothing to do.
+        return
     if state is None:
         init = batch.orderBy("vec_id").limit(k).select("vec").collect()
         if not init:
@@ -92,19 +104,16 @@ def centroid_ingest_batch(
         while len(cents) < k:  # degenerate first batch (< k rows)
             cents.append(list(cents[-1]))
         counts = [0] * k
-        applied = -1
     else:
-        cents, counts, applied = state
+        cents, counts, _ = state
 
     assigned = batch.withColumn("cluster", _assign_udf(cents)(F.col("vec")))
     append_partition(
         assigned.select("vec_id", "cluster"), os.path.join(store_dir, "assign"), batch_id
     )
-
-    if batch_id <= applied:
-        return  # foreachBatch replay: assignment partition rewritten
-        # above (idempotent); the non-idempotent centroid step is not
-        # reapplied
+    # a crash between the append above and the swap below leaves
+    # applied < batch_id, so the replay re-runs from here with the
+    # UNCHANGED centroids and rewrites an identical partition
 
     v = F.col("vec")
     stats = (

@@ -82,16 +82,25 @@ def test_replay_does_not_reapply_centroid_update(spark, tmp_path):
     CS.centroid_ingest_batch(b0, 0, store, k=3, dim=DIM)
     CS.centroid_ingest_batch(b1, 1, store, k=3, dim=DIM)
     before = CS.read_centroid_state(spark, store)
+    labels_before = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(os.path.join(store, "assign")).collect()
+    }
     CS.centroid_ingest_batch(b1, 1, store, k=3, dim=DIM)  # replay
     after = CS.read_centroid_state(spark, store)
     assert before[1] == after[1]  # counts unchanged
     assert before[2] == after[2] == 1
     for a, b in zip(before[0], after[0]):
         assert a == b
-    # and the assignment partition is still there (rewritten, not
-    # doubled)
-    assign = spark.read.parquet(os.path.join(store, "assign"))
-    assert assign.count() == b0.count() + b1.count()
+    # the replay is a complete no-op: the assignment partition is NOT
+    # recomputed (doing so would use the post-update centroids and
+    # relabel boundary vectors — the round-6 review finding)
+    labels_after = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(os.path.join(store, "assign")).collect()
+    }
+    assert labels_after == labels_before
+    assert len(labels_after) == b0.count() + b1.count()
 
 
 def test_swap_crash_recovery(spark, tmp_path):
