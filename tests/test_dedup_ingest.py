@@ -528,3 +528,65 @@ def test_decontam_gate_composes_with_streaming_ingest(spark, tmp_path):
     assert survivors == {1}, survivors
     sigs = spark.read.parquet(store + "/sigs")
     assert {r.doc_id for r in sigs.collect()} == {1}
+
+
+def test_full_curation_chain_streaming(spark, tmp_path):
+    """Capstone composition: quality gate -> decontamination gate ->
+    incremental near-dup dedup -> cluster-label store, all on ONE
+    streaming frame. Junk and leaked docs never reach the index,
+    near-dups among surviving docs drop with provenance pairs, and
+    the label store resolves every dropped doc to its kept canonical."""
+    from api_weather_kafka_clickhouse_spark.operators.bloom import (
+        build_bloom_bits,
+        decontam_filter,
+    )
+    from api_weather_kafka_clickhouse_spark.operators.corpus_quality import gopher_filter
+    from api_weather_kafka_clickhouse_spark.streaming import cluster_store
+    from pyspark.sql import functions as F
+
+    eval_grams = spark.createDataFrame([("held out eval sequence",)], "gram string")
+    bits = build_bloom_bits(eval_grams)
+
+    clean = " ".join(f"alpha{i % 7} beta gamma the of wordy" for i in range(10))
+    junk = " ".join("12345 67890" for _ in range(30))  # fails gopher
+    leaked = clean + " held out eval sequence"  # fails decontam
+
+    d = tmp_path / "fc_in"
+    d.mkdir()
+    store = str(tmp_path / "fc_store")
+    out = str(tmp_path / "fc_out")
+    ckpt = str(tmp_path / "fc_ckpt")
+    pairs = str(tmp_path / "fc_pairs")
+    labels = str(tmp_path / "fc_labels")
+
+    _write_docs(d / "b0.json", [(1, clean), (2, junk), (3, leaked)])
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    gated = decontam_filter(gopher_filter(stream), bits)
+    q = (
+        gated.writeStream.foreachBatch(
+            lambda df, bid: dedup_ingest.dedup_ingest_batch(df, bid, store, out, pairs_dir=pairs)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 1: a near-dup of the clean doc plus another clean doc
+    other = " ".join(f"omega{i % 5} psi chi the of texty" for i in range(10))
+    _write_docs(d / "b1.json", [(4, clean + " indeed"), (5, other)])
+    q.processAllAvailable()
+    q.stop()
+
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert survivors == {1, 5}, survivors
+
+    # fold the provenance pairs into the label store and resolve
+    pair_df = spark.read.parquet(pairs).select(
+        F.col("dropped_id").alias("doc_a"), F.col("kept_id").alias("doc_b")
+    )
+    cluster_store.update_labels(spark, labels, pair_df)
+    lab = cluster_store.read_labels(spark, labels)
+    resolved = cluster_store.canonicalize(
+        spark.createDataFrame([(1,), (4,), (5,)], "doc_id bigint"), lab
+    )
+    canon = {r.doc_id: r.canonical_id for r in resolved.collect()}
+    assert canon == {1: 1, 4: 1, 5: 5}
