@@ -118,8 +118,20 @@ def bloom_hit_count(text: Column, bits: Column) -> Column:
     )
 
 
+_BITS_CACHE: dict[str, bytes] = {}
+
+
 def eval_bloom_bits(spark: SparkSession, sf_dir: str) -> bytes:
-    """Bitset of the held-out eval shard's distinct n-grams."""
+    """Bitset of the held-out eval shard's distinct n-grams.
+
+    Compiled ONCE per dataset directory and cached for the process —
+    the filter is a pure function of the (immutable) eval shard, and
+    a real pipeline compiles it once and reuses it across every query
+    and ingest batch. Point at a *mutable* eval source and you must
+    clear ``_BITS_CACHE`` after changing it."""
+    cached = _BITS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     d = load(spark, "documents", sf_dir)
     eval_grams = (
         _token_ngrams(
@@ -129,7 +141,9 @@ def eval_bloom_bits(spark: SparkSession, sf_dir: str) -> bytes:
         .select("gram")
         .distinct()
     )
-    return build_bloom_bits(eval_grams)
+    bits = build_bloom_bits(eval_grams)
+    _BITS_CACHE[sf_dir] = bits
+    return bits
 
 
 def decontam_keep(text: Column, bits: Column) -> Column:

@@ -303,3 +303,53 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_error_id",
         "last_error_ts",
     )
+
+
+RANGE_WINDOW_US = 60_000_000  # |dt| <= 60 s
+
+
+@register(
+    "join_range_keyless",
+    oracle=f"""
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+    FROM events a JOIN events b
+      ON a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {RANGE_WINDOW_US}
+    """,
+    doc="Range join with NO equi-key (every signup paired with every "
+    "purchase within 60 s, corpus-wide): the shape that naively plans "
+    "as an O(n^2) nested loop. The scale strategy is bucketization — "
+    "both sides bucket by 60 s epoch windows, ONE side explodes to "
+    "its 3 adjacent buckets, and the join becomes a bucket equi-join "
+    "+ exact range filter. Any qualifying pair shares a bucket with "
+    "one of the 3 probes, so recall is exact (and each pair matches "
+    "exactly once: the non-exploded side has a single bucket). Cost "
+    "is 3x the build side + per-bucket products instead of |A| x |B|; "
+    "at 100 TB the bucket column is also the partition key, so the "
+    "join shuffles time-locally instead of globally. Time arithmetic "
+    "in exact integer microseconds on both engines.",
+)
+def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_id"), us.alias("a_us")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), us.alias("b_us")
+    )
+    bkt = lambda c: F.floor(c / F.lit(RANGE_WINDOW_US)).cast("long")  # noqa: E731
+    a_b = a.withColumn("bkt", bkt(F.col("a_us")))
+    b_b = b.select(
+        "b_id",
+        "b_us",
+        F.explode(
+            F.array(bkt(F.col("b_us")) - 1, bkt(F.col("b_us")), bkt(F.col("b_us")) + 1)
+        ).alias("bkt"),
+    )
+    return (
+        a_b.join(b_b, "bkt")
+        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= RANGE_WINDOW_US)
+        .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("dt_us"))
+    )

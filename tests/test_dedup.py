@@ -373,3 +373,50 @@ def test_semdedup_never_over_deletes_and_recall(spark, sf_dir):
     # of the exact drops (pair recall 0.81 measured; dropped-set
     # recall is at least as favorable because clusters overlap)
     assert len(sem_dropped) >= 0.6 * len(exact_dropped)
+
+
+def test_range_keyless_boundary_semantics(spark):
+    """Bucketization recall at the edges: a pair exactly at the 60 s
+    boundary is kept, 60 s + 1 us is dropped, and pairs that straddle
+    a bucket boundary are found exactly once."""
+    import datetime as dt
+
+    from api_weather_kafka_clickhouse_spark.operators import joins as J
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 59, 999999)
+    rows = [
+        (1, "signup", base),
+        # exactly 60 s later (kept), crossing the minute bucket edge
+        (2, "purchase", base + dt.timedelta(seconds=60)),
+        # 60 s + 1 us (dropped)
+        (3, "purchase", base + dt.timedelta(seconds=60, microseconds=1)),
+        # same instant (kept; dt 0)
+        (4, "purchase", base),
+    ]
+    e = spark.createDataFrame(rows, "event_id bigint, event_type string, ts timestamp")
+
+    us = F.unix_micros(F.col("ts"))
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_id"), us.alias("a_us")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), us.alias("b_us")
+    )
+    bkt = lambda c: F.floor(c / F.lit(J.RANGE_WINDOW_US)).cast("long")  # noqa: E731
+    a_b = a.withColumn("bkt", bkt(F.col("a_us")))
+    b_b = b.select(
+        "b_id",
+        "b_us",
+        F.explode(
+            F.array(bkt(F.col("b_us")) - 1, bkt(F.col("b_us")), bkt(F.col("b_us")) + 1)
+        ).alias("bkt"),
+    )
+    out = (
+        a_b.join(b_b, "bkt")
+        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= J.RANGE_WINDOW_US)
+        .select("a_id", "b_id")
+        .collect()
+    )
+    pairs = sorted((r.a_id, r.b_id) for r in out)
+    assert pairs == [(1, 2), (1, 4)], pairs  # each exactly once

@@ -247,3 +247,11 @@ def test_skew_profile_partial_aggregation(spark, sf_dir):
     df = SPECS["skew_key_profile"].fn(spark, sf_dir)
     assert checks.partial_aggregate_count(df) >= 1
     assert all("value" not in s and "props" not in s for s in checks.scan_read_schema(df))
+
+
+def test_range_keyless_join_is_bucketed_not_nested_loop(spark, sf_dir):
+    """The keyless range join must plan as a bucket equi-join (hash or
+    sort-merge), never a nested loop over the full sides."""
+    df = SPECS["join_range_keyless"].fn(spark, sf_dir)
+    assert not checks.has_cartesian(df)
+    assert checks.unbounded_nested_loop_count(df) == 0
