@@ -501,3 +501,81 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("user_id", "n", F.round(F.col("n") / F.col("_total"), 6).alias("share"))
     )
+
+
+CMS_W = 1024  # buckets per row
+CMS_D = 4  # hash rows (disjoint 8-hex windows of one md5)
+
+
+@register(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), exploded AS (
+      SELECT user_id, s.s AS s,
+             ('0x' || substr(h, 1 + 8 * s.s, 8))::BIGINT % {CMS_W} AS bucket
+      FROM keyed, (SELECT unnest([{", ".join(str(s) for s in range(CMS_D))}]) AS s) s
+    ), sketch AS (
+      SELECT s, bucket, count(*) AS cnt FROM exploded GROUP BY s, bucket
+    ), truth AS (
+      SELECT user_id, count(*) AS n_true FROM events GROUP BY user_id
+      ORDER BY n_true DESC, user_id LIMIT 20
+    ), probes AS (
+      SELECT t.user_id, t.n_true, s.s AS s,
+             ('0x' || substr(md5(CAST(t.user_id AS VARCHAR)), 1 + 8 * s.s, 8))::BIGINT
+               % {CMS_W} AS bucket
+      FROM truth t, (SELECT unnest([{", ".join(str(s) for s in range(CMS_D))}]) AS s) s
+    )
+    SELECT p.user_id, any_value(p.n_true) AS n_true, min(sk.cnt) AS n_est
+    FROM probes p JOIN sketch sk ON sk.s = p.s AND sk.bucket = p.bucket
+    GROUP BY p.user_id
+    """,
+    doc=f"Count-min-sketch heavy hitters, fully oracle-checked: the "
+    f"sketch is a {CMS_D} x {CMS_W} counter table built as a real "
+    "distributed aggregate (each row explodes to its D md5-window "
+    "buckets, one map-side-combined groupBy), and each candidate "
+    "key's estimate is the min over its D probe cells. Because the "
+    "hash spec is md5 windows (the Bloom-filter trick), estimates — "
+    "collisions included — are bit-identical in DuckDB, so a sketch "
+    "that is normally only statistically testable gets a hash-checked "
+    "gate row. The output pairs true counts with estimates for the "
+    "top-20 keys; CMS guarantees n_est >= n_true (pinned in pytest). "
+    "At 100 TB the sketch stays D x W counters regardless of key "
+    "cardinality — the streaming/mergeable alternative to an exact "
+    "per-key count when keys number in the billions.",
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    digest = F.md5(F.col("user_id").cast("string"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                (F.conv(F.substring(digest, 1 + 8 * s, 8), 16, 10).cast("long") % CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for s in range(CMS_D)
+        ]
+    )
+    sketch = (
+        e.select(F.explode(buckets).alias("b"))
+        .select("b.s", "b.bucket")
+        .groupBy("s", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.col("n_true").desc(), "user_id")
+        .limit(20)
+    )
+    probes = truth.select("user_id", "n_true", F.explode(buckets).alias("b")).select(
+        "user_id", "n_true", "b.s", "b.bucket"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["s", "bucket"])
+        .groupBy("user_id")
+        .agg(F.any_value("n_true").alias("n_true"), F.min("cnt").alias("n_est"))
+    )

@@ -25,3 +25,18 @@ def test_hll_estimates_within_bounds(spark, sf_dir):
     assert abs(out["ALL"] - exact_all) / exact_all < 0.05, (out["ALL"], exact_all)
     # the merged estimate must reflect the union, not the sum of parts
     assert out["ALL"] < sum(v for k, v in out.items() if k != "ALL")
+
+
+def test_cms_estimates_never_undercount(spark, sf_dir):
+    """The count-min guarantee: every estimate >= the true count, and
+    with 4x1024 cells on this key cardinality most top keys estimate
+    exactly."""
+    from api_weather_kafka_clickhouse_spark.operators.aggregations import (
+        agg_heavy_hitters_cms,
+    )
+
+    rows = agg_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_est >= r.n_true for r in rows)
+    exact = sum(1 for r in rows if r.n_est == r.n_true)
+    assert exact >= len(rows) // 2, (exact, len(rows))
