@@ -507,6 +507,44 @@ CMS_W = 1024  # buckets per row
 CMS_D = 4  # hash rows (disjoint 8-hex windows of one md5)
 
 
+def _cms_buckets(key) -> F.Column:
+    """array<struct<s,bucket>> of a key's D probe cells (md5 windows)."""
+    digest = F.md5(key.cast("string"))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                (F.conv(F.substring(digest, 1 + 8 * s, 8), 16, 10).cast("long") % CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for s in range(CMS_D)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """(s, bucket, cnt) counter table over ``df[key]`` — one
+    map-side-combined aggregate. Sketches are MERGEABLE: union two
+    sketch tables and groupBy(s, bucket).sum(cnt) IS the sketch of
+    the concatenated inputs (tested), which is what lets shards /
+    micro-batches sketch independently and fold later."""
+    return (
+        df.select(F.explode(_cms_buckets(F.col(key))).alias("b"))
+        .select("b.s", "b.bucket")
+        .groupBy("s", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Fold independently-built sketch tables into one."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("s", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 @register(
     "agg_heavy_hitters_cms",
     oracle=f"""
@@ -547,24 +585,8 @@ CMS_D = 4  # hash rows (disjoint 8-hex windows of one md5)
 )
 def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
-    digest = F.md5(F.col("user_id").cast("string"))
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                (F.conv(F.substring(digest, 1 + 8 * s, 8), 16, 10).cast("long") % CMS_W).alias(
-                    "bucket"
-                ),
-            )
-            for s in range(CMS_D)
-        ]
-    )
-    sketch = (
-        e.select(F.explode(buckets).alias("b"))
-        .select("b.s", "b.bucket")
-        .groupBy("s", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    buckets = _cms_buckets(F.col("user_id"))
+    sketch = cms_sketch(e, "user_id")
     truth = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_true"))

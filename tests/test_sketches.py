@@ -40,3 +40,25 @@ def test_cms_estimates_never_undercount(spark, sf_dir):
     assert all(r.n_est >= r.n_true for r in rows)
     exact = sum(1 for r in rows if r.n_est == r.n_true)
     assert exact >= len(rows) // 2, (exact, len(rows))
+
+
+def test_cms_sketches_merge_exactly(spark, sf_dir):
+    """Mergeability — the property that makes CMS the streaming /
+    sharded path: sketch two disjoint halves independently, fold with
+    cms_merge, and every counter equals the whole-corpus sketch."""
+    from api_weather_kafka_clickhouse_spark.operators.aggregations import (
+        cms_merge,
+        cms_sketch,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, "events", sf_dir)
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    half_b = e.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        (r.s, r.bucket): r.cnt
+        for r in cms_merge(cms_sketch(half_a, "user_id"), cms_sketch(half_b, "user_id")).collect()
+    }
+    whole = {(r.s, r.bucket): r.cnt for r in cms_sketch(e, "user_id").collect()}
+    assert merged == whole
