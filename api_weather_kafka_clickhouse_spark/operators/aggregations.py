@@ -508,17 +508,16 @@ CMS_D = 4  # hash rows (disjoint 8-hex windows of one md5)
 
 
 def _cms_buckets(key) -> F.Column:
-    """array<struct<s,bucket>> of a key's D probe cells (md5 windows)."""
-    digest = F.md5(key.cast("string"))
+    """array<struct<s,bucket>> of a key's D probe cells — the shared
+    md5-window hash kernel (functions/hashing.py), same spec as the
+    Bloom filter's bit positions."""
+    from ..functions.hashing import md5_window_positions
+
+    positions = md5_window_positions(key.cast("string"), CMS_D, CMS_W)
     return F.array(
         *[
-            F.struct(
-                F.lit(s).alias("s"),
-                (F.conv(F.substring(digest, 1 + 8 * s, 8), 16, 10).cast("long") % CMS_W).alias(
-                    "bucket"
-                ),
-            )
-            for s in range(CMS_D)
+            F.struct(F.lit(s).alias("s"), pos.alias("bucket"))
+            for s, pos in enumerate(positions)
         ]
     )
 
@@ -539,6 +538,8 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Fold independently-built sketch tables into one."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

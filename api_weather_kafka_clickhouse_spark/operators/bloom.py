@@ -45,17 +45,12 @@ BLOOM_K = 3  # probes per gram (disjoint 8-hex windows of one md5)
 
 
 def bloom_positions(gram: Column) -> list[Column]:
-    """The k bit positions of a gram: k disjoint 8-hex windows of ONE
-    md5 digest (128 bits >> k x 17 needed), each as an integer mod m.
-    One hash per gram instead of k — measured 3x cheaper in the
-    interpreted HOF path, and codegen CSEs the shared md5 anyway.
-    DuckDB computes the identical value as
-    ``('0x' || substr(md5(gram), 1+8s, 8))::BIGINT % m``."""
-    digest = F.md5(gram)
-    return [
-        F.conv(F.substring(digest, 1 + 8 * s, 8), 16, 10).cast("long") % F.lit(BLOOM_M)
-        for s in range(BLOOM_K)
-    ]
+    """The k bit positions of a gram — the shared md5-window hash
+    kernel (see functions/hashing.py for the spec and its DuckDB
+    mirror)."""
+    from ..functions.hashing import md5_window_positions
+
+    return md5_window_positions(gram, BLOOM_K, BLOOM_M)
 
 
 def build_bloom_bits(grams: DataFrame, gram_col: str = "gram") -> bytes:

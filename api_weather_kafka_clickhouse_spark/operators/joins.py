@@ -339,7 +339,14 @@ def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("b_id"), us.alias("b_us")
     )
-    bkt = lambda c: F.floor(c / F.lit(RANGE_WINDOW_US)).cast("long")  # noqa: E731
+    return range_join_keyless(a, b)
+
+
+def range_join_keyless(a: DataFrame, b: DataFrame, window_us: int = RANGE_WINDOW_US) -> DataFrame:
+    """The bucketized kernel over (a_id, a_us) x (b_id, b_us) — called
+    by the registered operator AND the boundary-semantics test, so the
+    test exercises the real implementation."""
+    bkt = lambda c: F.floor(c / F.lit(window_us)).cast("long")  # noqa: E731
     a_b = a.withColumn("bkt", bkt(F.col("a_us")))
     b_b = b.select(
         "b_id",
@@ -350,6 +357,6 @@ def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a_b.join(b_b, "bkt")
-        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= RANGE_WINDOW_US)
+        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= window_us)
         .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("dt_us"))
     )

@@ -43,7 +43,12 @@ def test_bloom_superset_of_exact(spark, sf_dir):
 
 
 def test_bitset_build_deterministic_and_bounded(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators import bloom as B
+
     b1 = eval_bloom_bits(spark, sf_dir)
+    # determinism must be asserted against a FRESH distributed build,
+    # not the per-dataset cache (which would compare b1 to itself)
+    B._BITS_CACHE.clear()
     b2 = eval_bloom_bits(spark, sf_dir)
     assert b1 == b2
     assert len(b1) == BLOOM_M // 8  # bytes

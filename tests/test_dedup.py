@@ -403,20 +403,6 @@ def test_range_keyless_boundary_semantics(spark):
     b = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("b_id"), us.alias("b_us")
     )
-    bkt = lambda c: F.floor(c / F.lit(J.RANGE_WINDOW_US)).cast("long")  # noqa: E731
-    a_b = a.withColumn("bkt", bkt(F.col("a_us")))
-    b_b = b.select(
-        "b_id",
-        "b_us",
-        F.explode(
-            F.array(bkt(F.col("b_us")) - 1, bkt(F.col("b_us")), bkt(F.col("b_us")) + 1)
-        ).alias("bkt"),
-    )
-    out = (
-        a_b.join(b_b, "bkt")
-        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= J.RANGE_WINDOW_US)
-        .select("a_id", "b_id")
-        .collect()
-    )
+    out = J.range_join_keyless(a, b).select("a_id", "b_id").collect()
     pairs = sorted((r.a_id, r.b_id) for r in out)
     assert pairs == [(1, 2), (1, 4)], pairs  # each exactly once

@@ -86,9 +86,12 @@ def test_ivf_index_materialization_prunes_partitions(spark, sf_dir, tmp_path):
     idx = spark.read.parquet(idx_path)
     probed = idx.filter(F.col("cluster").isin([0, 3]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    # partition pruning: the scan's partition filters carry the probe
-    # predicate, and the row count equals exactly the two cells
-    assert "PartitionFilters" in plan and "cluster" in plan
+    # partition pruning: the probe predicate must sit INSIDE the
+    # scan's PartitionFilters bracket (an empty 'PartitionFilters: []'
+    # plus 'cluster=' path segments would pass a bare substring check)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan[:2000]
     by_cell = {r["cluster"]: r["n"] for r in
                idx.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert probed.count() == by_cell.get(0, 0) + by_cell.get(3, 0)
