@@ -602,3 +602,50 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.any_value("n_true").alias("n_true"), F.min("cnt").alias("n_est"))
     )
+
+
+ZSCORE_SQ_THRESHOLD = 6.25  # |z| > 2.5
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.s1 / s.n) * (e.value - s.s1 / s.n)
+                 / ((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS z2
+    FROM events e JOIN s USING (event_type)
+    WHERE (e.value - s.s1 / s.n) * (e.value - s.s1 / s.n)
+          / ((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) > {ZSCORE_SQ_THRESHOLD}
+    """,
+    doc="Per-key z-score anomaly flagging (|z| > 2.5): the monitoring "
+    "query every ingestion pipeline runs over its metrics. Mean and "
+    "variance come from exact decimal moment sums (one map-side-"
+    "combined aggregate per key, the stats_moments convention), the "
+    "tiny per-key stats table BROADCASTS back onto the event scan, "
+    "and the comparison uses z-SQUARED so no sqrt enters the checked "
+    "expression — every op is +,-,*,/ on exact inputs, bit-identical "
+    "across engines. Two scans of events, zero corpus shuffles.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    dev = F.col("value") - F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z2 = dev * dev / var
+    return (
+        j.filter(z2 > ZSCORE_SQ_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round(z2, 6).alias("z2"))
+    )
