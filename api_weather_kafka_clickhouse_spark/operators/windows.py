@@ -297,3 +297,66 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
+
+
+MOVZ_FRAME = 10  # compare each value to its 10 preceding samples
+MOVZ_MIN_N = 5  # require a populated history before judging
+MOVZ_SQ_THRESHOLD = 6.25  # |z| > 2.5
+
+
+@register(
+    "window_moving_zscore",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER f AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS s2
+      FROM events
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {MOVZ_FRAME} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round((value - s1 / n) * (value - s1 / n)
+                 / ((s2 - s1 * s1 / n) / (n - 1)), 6) AS z2
+    FROM w
+    WHERE n >= {MOVZ_MIN_N}
+      AND (s2 - s1 * s1 / n) / (n - 1) > 0
+      AND (value - s1 / n) * (value - s1 / n)
+          / ((s2 - s1 * s1 / n) / (n - 1)) > {MOVZ_SQ_THRESHOLD}
+    """,
+    doc="Rolling-window anomaly detection: each event judged against "
+    f"its own {MOVZ_FRAME} PRECEDING samples (excluding itself) per "
+    "user — the streaming-shaped twin of events_anomaly_zscore's "
+    "global stats. Framed moment sums over exact decimals keep the "
+    "windowed mean/variance combine-order independent; the |z| > 2.5 "
+    "test uses z-squared so no sqrt enters the checked expression; "
+    "frames order by (ts, event_id) for a total order. One shuffle "
+    "on the key, one window pass — per-key linear at any scale, and "
+    "the frame bound caps per-row state exactly like a streaming "
+    "implementation would.",
+)
+def window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MOVZ_FRAME, -1)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum(v).over(f).cast("double").alias("s1"),
+        F.sum(v * v).over(f).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    dev = F.col("value") - F.col("s1") / F.col("n")
+    z2 = dev * dev / var
+    return (
+        w.filter((F.col("n") >= MOVZ_MIN_N) & (var > 0) & (z2 > MOVZ_SQ_THRESHOLD))
+        .select("event_id", "user_id", "value", F.round(z2, 6).alias("z2"))
+    )

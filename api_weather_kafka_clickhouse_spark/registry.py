@@ -97,7 +97,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # plus the session-4 batch: decontaminate_bloom, split_leakage_free,
 # time_interpolate_linear, skew_key_profile,
 # sample_topk_quality_per_source, join_range_keyless,
-# agg_heavy_hitters_cms, events_anomaly_zscore.
+# agg_heavy_hitters_cms, events_anomaly_zscore, window_moving_zscore.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H analytical shapes (agg/join/subquery depth)
     "q1_pricing_summary",
