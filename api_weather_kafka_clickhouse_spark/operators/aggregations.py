@@ -621,7 +621,9 @@ ZSCORE_SQ_THRESHOLD = 6.25  # |z| > 2.5
            round((e.value - s.s1 / s.n) * (e.value - s.s1 / s.n)
                  / ((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS z2
     FROM events e JOIN s USING (event_type)
-    WHERE (e.value - s.s1 / s.n) * (e.value - s.s1 / s.n)
+    WHERE s.n > 1
+      AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
+      AND (e.value - s.s1 / s.n) * (e.value - s.s1 / s.n)
           / ((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) > {ZSCORE_SQ_THRESHOLD}
     """,
     doc="Per-key z-score anomaly flagging (|z| > 2.5): the monitoring "
@@ -645,7 +647,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("value") - F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     z2 = dev * dev / var
+    # n>1 / var>0 guard (mirrors window_moving_zscore): without it a
+    # single-row or zero-variance key divides by zero — Spark yields
+    # NULL (row dropped) but an IEEE-float engine yields NaN, which
+    # DuckDB orders ABOVE the threshold, so the engines would diverge.
     return (
-        j.filter(z2 > ZSCORE_SQ_THRESHOLD)
+        j.filter((F.col("n") > 1) & (var > 0) & (z2 > ZSCORE_SQ_THRESHOLD))
         .select("event_id", "event_type", "value", F.round(z2, 6).alias("z2"))
     )

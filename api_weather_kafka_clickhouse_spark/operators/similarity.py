@@ -332,10 +332,15 @@ IVF_TRAIN_ITERS = 2
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir)
     vecs = e.select("vec_id", to_double("embedding").alias("vec"))
-    assigned, centroids, _ = kmeans_fit_assign(vecs, iters=IVF_TRAIN_ITERS)
-    corpus = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("vec").alias("nbr_vec")).join(
-        assigned.select(F.col("vec_id").alias("nbr_id"), F.col("cluster").alias("cell")),
-        "nbr_id",
+    _, centroids, _ = kmeans_fit_assign(vecs, iters=IVF_TRAIN_ITERS)
+    # Bin the corpus against the FINAL centroids (not the last Lloyd
+    # assignment, which was made against the pre-update centroids):
+    # probes rank by the same final centroids, so a probed cell is
+    # exactly where near neighbors were binned.
+    corpus = vecs.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("nbr_vec"),
+        _assign_udf(centroids)(F.col("vec")).alias("cell"),
     )
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],

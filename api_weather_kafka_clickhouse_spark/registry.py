@@ -82,86 +82,88 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_oracle_parity.py (the replica that has predicted the
 # driver gate bit-for-bit five rounds running).
 #
-# Round-7 rotation plan (the final batch — after it every
-# oracle-checked query has had at least one driver row):
-# q8/q11/q13/q16/q20/q21, remaining scalar batteries and
-# aggregation shapes, conditional_case, distinct_projection,
-# unpivot_measures, round_robin_assign, limit_offset_page,
-# vector_stats, fuzzy_match_levenshtein, text_quality_by_lang,
-# text_lang_id, text_token_regex, text_sentence_udtf,
-# dedup_exact_hash, plus the round-6 additions
-# text_segment_dedup, sample_mixture_sources,
-# sample_fixed_per_stratum, and the round-6 session-3 batch:
-# text_gopher_quality, text_chunk_overlap, sample_weighted,
-# text_unigram_entropy, dedup_containment, text_bigram_lm_score,
-# plus the session-4 batch: decontaminate_bloom, split_leakage_free,
-# time_interpolate_linear, skew_key_profile,
-# sample_topk_quality_per_source, join_range_keyless,
-# agg_heavy_hitters_cms, events_anomaly_zscore, window_moving_zscore.
+# Round-7 rotation (round 4, the FINAL batch, executed): the union of
+# CORRECTNESS_r01..r06 keys shows exactly 45 registered queries with
+# no driver row ever (36 oracle-checked + 9 rows-only by design) —
+# fewer than the 54 the r6 plan estimated because q4/q6/q10/q11/q14/
+# q19/q21 and several scalar/relational shapes were gated in r5's
+# rotation. All 45 fit the 50 slots at once, joined by 5 multi-round-
+# green anchors (q1, flagship join, minhash LSH, funnel, set ops) so
+# the TPC-H/join/dedup/behavioral/relational families each keep a
+# previously-validated gate row. After this round EVERY registered
+# query has >= 1 driver CORRECTNESS row; rotated-out queries remain
+# oracle-verified locally in tests/test_oracle_parity.py (the replica
+# that has predicted the driver gate bit-for-bit six rounds running).
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H analytical shapes (agg/join/subquery depth)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_volume_customer",
-    "q7_volume_shipping",  # r6 rotation: first driver row
-    "q12_shipmode_priority",  # r6 rotation: first driver row
-    "q15_top_supplier",  # r6 rotation: first driver row
-    "q17_small_quantity_revenue",  # r6 rotation: first driver row
-    "q22_global_sales_opportunity",  # r6 rotation: first driver row
+    # --- round-7 rotation (round 4, the FINAL batch): all 45 queries
+    # with no driver CORRECTNESS row ever (36 oracle-checked + 9
+    # rows-only by design), plus 5 previously-gated anchors so every
+    # remaining §2 family keeps a gate row. After this round every
+    # registered query has had >= 1 driver row.
+    # TPC-H analytical shapes
+    "q1_pricing_summary",  # anchor (gated r1-r6)
+    "q8_market_share",  # r7 rotation: first driver row
+    "q13_customer_distribution",  # r7 rotation: first driver row
+    "q16_supplier_count_by_part",  # r7 rotation: first driver row
+    "q20_excess_stock_suppliers",  # r7 rotation: first driver row
     # joins
-    "join_flagship_revenue",
-    "join_broadcast_region",
-    "join_interval_pairs",
-    "join_asof",
-    "join_cross_small",  # r6 rotation: first driver row
+    "join_flagship_revenue",  # anchor (gated r1-r6)
+    "join_range_keyless",  # r7 rotation: first driver row
     # window functions
-    "window_topk_per_group",
-    "window_distribution",
-    "sessionize",
-    "window_first_last_nth",  # r6 rotation: first driver row
+    "window_range_numeric",  # r7 rotation: first driver row
+    "window_moving_zscore",  # r7 rotation: first driver row
     # aggregation battery
-    "agg_groupby_having",
-    "agg_stats_moments",
-    "agg_collect_sorted",
-    "agg_salted_skew",
-    "agg_cube",  # r6 rotation: first driver row
+    "agg_grouping_levels",  # r7 rotation: first driver row
+    "agg_boolean",  # r7 rotation: first driver row
+    "agg_bitwise",  # r7 rotation: first driver row
+    "agg_value_histogram",  # r7 rotation: first driver row
+    "agg_heavy_hitters_cms",  # r7 rotation: first driver row
+    "agg_hll_sketch_merge",  # r7 rotation: first driver row (rows-only)
+    "skew_key_profile",  # r7 rotation: first driver row
+    "events_anomaly_zscore",  # r7 rotation: first driver row
     # behavioral analytics
-    "funnel_stages",
+    "funnel_stages",  # anchor (gated r3-r6)
     # text analysis / corpus prep
-    "text_token_stats",
-    "text_bigram_topk",
-    "text_tfidf_topk",
-    "text_pii_scrub",  # r6 rotation: first driver row (new in r5)
-    # similarity search (exact baseline; ANN variants are rows-only)
-    "sim_topk_bruteforce",
-    # deduplication / corpus cleaning
-    "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "corpus_clean_pipeline",
-    "dedup_cluster_canonical",  # r6 rotation: first driver row (new in r5)
-    "dedup_survivors_transitive",  # r6 rotation: first driver row (new in r5)
-    "dedup_embedding_clusters",  # r6 rotation: first driver row (new in r5)
+    "text_lang_id",  # r7 rotation: first driver row
+    "text_quality_by_lang",  # r7 rotation: first driver row
+    "text_token_regex",  # r7 rotation: first driver row
+    "text_sentence_udtf",  # r7 rotation: first driver row
+    "text_gopher_quality",  # r7 rotation: first driver row
+    "text_chunk_overlap",  # r7 rotation: first driver row
+    "text_unigram_entropy",  # r7 rotation: first driver row
+    "text_bigram_lm_score",  # r7 rotation: first driver row
+    "text_segment_dedup",  # r7 rotation: first driver row
+    # sampling / data mixing
+    "sample_weighted",  # r7 rotation: first driver row
+    "sample_mixture_sources",  # r7 rotation: first driver row
+    "sample_fixed_per_stratum",  # r7 rotation: first driver row
+    "sample_topk_quality_per_source",  # r7 rotation: first driver row
+    "sample_stratified",  # r7 rotation: first driver row (rows-only)
+    "sample_quality_weighted",  # r7 rotation: first driver row (rows-only)
+    # deduplication / decontamination
+    "dedup_minhash_lsh",  # anchor (gated r1-r6)
+    "dedup_containment",  # r7 rotation: first driver row
+    "decontaminate_bloom",  # r7 rotation: first driver row
+    "dedup_semdedup",  # r7 rotation: first driver row (rows-only)
+    # ML data prep / quality
+    "split_leakage_free",  # r7 rotation: first driver row
+    "quality_classifier_score",  # r7 rotation: first driver row (rows-only)
     # record linkage
-    "fuzzy_match_blocked",
+    "fuzzy_match_levenshtein",  # r7 rotation: first driver row
     # multimodal
-    "mm_feature_extract",
-    "mm_frame_sample",
+    "mm_phash_signatures",  # r7 rotation: first driver row (rows-only)
     # time series
-    "time_resample_gapfill",
-    "time_ewma_per_key",  # r6 rotation: first driver row
-    # ML data prep
-    "split_train_holdout",  # r6 rotation: first driver row
+    "time_interpolate_linear",  # r7 rotation: first driver row
+    # similarity search / clustering
+    "sim_ann_lsh",  # r7 rotation: first driver row (rows-only)
+    "sim_ivf_label",  # r7 rotation: first driver row (rows-only)
+    "sim_ivf_kmeans",  # r7 rotation: first driver row (rows-only)
+    "embedding_kmeans",  # r7 rotation: first driver row (rows-only)
     # core relational / scalar
-    "filter_project",
-    "sort_limit_topk",
-    "set_ops",
-    "in_subquery",
-    "events_json_extract",
-    "time_bucket_hourly",
-    "scalar_strings",  # r6 rotation: first driver row
-    "scalar_dates",  # r6 rotation: first driver row
+    "set_ops",  # anchor (gated r1-r6)
+    "scalar_nulls",  # r7 rotation: first driver row
+    "scalar_strings3",  # r7 rotation: first driver row
+    "scalar_arrays_maps",  # r7 rotation: first driver row
 )
 
 

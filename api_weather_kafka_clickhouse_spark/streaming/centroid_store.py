@@ -47,9 +47,57 @@ KM_DIM = 64
 _CENTROID_SCHEMA = "cluster int, centroid array<double>, n bigint, batch_id bigint"
 ASSIGN_SCHEMA = "vec_id bigint, cluster int"
 
+# Stream-run identity marker ("_stream_run"): foreachBatch batch ids
+# are only monotone WITHIN one checkpoint lineage. If the checkpoint
+# is deleted/recreated while the store directory is kept, ids restart
+# at 0 and the `batch_id <= applied` replay guard would silently
+# no-op every new batch — all new data dropped with no error (the
+# round-6 review finding). The store therefore records the streaming
+# query id (stable across restarts of one checkpoint, fresh on a
+# recreated one) and refuses LOUD when a different run drives an
+# existing store: store_dir and checkpoint must live and die together.
+RUN_FILE = "_stream_run"
+
 
 def _centroids_path(store_dir: str) -> str:
     return os.path.join(store_dir, "centroids")
+
+
+def _verify_run(spark: SparkSession, store_dir: str, run_id: str | None, has_state: bool) -> None:
+    """Distinguish foreachBatch REPLAY (same run) from checkpoint
+    RESET (different run) before the batch-id guard runs. ``None``
+    (direct batch-API callers, no stream identity) keeps legacy
+    behavior. See RUN_FILE."""
+    if run_id is None:
+        return
+    path = os.path.join(store_dir, RUN_FILE)
+    if fs_exists(spark, path):
+        rows = spark.read.text(path).collect()
+        found = "".join(r.value for r in rows).strip()
+        if found != run_id:
+            raise RuntimeError(
+                f"centroid store {store_dir} was written by stream run {found!r} "
+                f"but this batch comes from run {run_id!r}: the checkpoint was "
+                "reset/recreated while the store was kept, so restarted batch "
+                "ids would silently no-op against the replay guard. store_dir "
+                "and checkpoint must live and die together — restore the "
+                "original checkpoint or rebuild the store in a fresh directory."
+            )
+        return
+    if has_state:
+        raise RuntimeError(
+            f"centroid store {store_dir} holds state but no {RUN_FILE} record; "
+            "it was not written by this stream (direct batch calls or a "
+            "pre-run-marker writer), so its applied batch id cannot be "
+            "compared to this run's ids — rebuild the store in a fresh "
+            "directory or drive it with the batch API."
+        )
+    (
+        spark.createDataFrame([(run_id,)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def read_centroid_state(
@@ -79,15 +127,21 @@ def centroid_ingest_batch(
     store_dir: str,
     k: int = KM_K,
     dim: int = KM_DIM,
+    run_id: str | None = None,
 ) -> None:
     """Assign ``batch`` (vec_id, vec) to the stored centroids, append
     the assignments as this batch's partition, and advance the
     centroids by the mini-batch rule. An already-applied ``batch_id``
     (foreachBatch replay after the swap committed) is a complete
     no-op: its assignment partition is already on disk and was
-    computed with the pre-update centroids."""
+    computed with the pre-update centroids. ``run_id`` (the streaming
+    query id, passed by start_centroid_ingest) makes that guard safe:
+    a batch id that regressed because the CHECKPOINT was recreated —
+    not because of a replay — raises instead of silently dropping
+    data (see RUN_FILE)."""
     spark = batch.sparkSession
     state = read_centroid_state(spark, store_dir)
+    _verify_run(spark, store_dir, run_id, has_state=state is not None)
     if state is not None and batch_id <= state[2]:
         # foreachBatch replay of an already-applied batch. The
         # assignment partition from the first attempt is complete
@@ -148,12 +202,31 @@ def start_centroid_ingest(
     dim: int = KM_DIM,
 ) -> StreamingQuery:
     """Wire the mini-batch trainer into a streaming query. The stream
-    must provide (vec_id, vec array<double>)."""
+    must provide (vec_id, vec array<double>). Each batch carries the
+    checkpoint's query id as its run identity so a recreated
+    checkpoint over a kept store fails loud instead of silently
+    no-opping (see RUN_FILE)."""
     return (
         vecs_stream.writeStream.foreachBatch(
-            lambda df, bid: centroid_ingest_batch(df, bid, store_dir, k, dim)
+            lambda df, bid: centroid_ingest_batch(
+                df, bid, store_dir, k, dim, run_id=_checkpoint_run_id(df.sparkSession, checkpoint)
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _checkpoint_run_id(spark: SparkSession, checkpoint: str) -> str | None:
+    """The streaming query id from ``<checkpoint>/metadata`` — written
+    by Spark at stream start, stable across restarts of the SAME
+    checkpoint, fresh when the checkpoint is recreated. Read through
+    the session (Hadoop FS), so remote checkpoints work."""
+    import json
+
+    path = os.path.join(checkpoint, "metadata")
+    if not fs_exists(spark, path):
+        return None
+    rows = spark.read.text(path).collect()
+    return str(json.loads("".join(r.value for r in rows))["id"])

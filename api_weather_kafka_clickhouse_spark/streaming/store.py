@@ -35,6 +35,45 @@ COMPACT_MARKER = "_COMPACT_DONE"
 SCHEME_FILE = "_scheme"
 
 
+# Filesystem schemes whose directory "rename" is client-side
+# copy+delete, not an atomic metadata operation. compact_tables'
+# crash-safety proof depends on steps 3-4 being atomic, so it refuses
+# these outright (see _require_atomic_rename).
+NONATOMIC_RENAME_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs"})
+
+
+def _fs_scheme(fs, path) -> str:  # noqa: ANN001 (JVM objects)
+    """The filesystem scheme ('file', 'hdfs', 's3a', ...) a path
+    resolves to. Separated out so tests can simulate an object store
+    without one."""
+    scheme = fs.getUri().getScheme()
+    return (scheme or "file").lower()
+
+
+def _require_atomic_rename(fs, path: str) -> None:  # noqa: ANN001
+    """Refuse to compact on a filesystem whose rename is copy+delete.
+
+    The swap protocol keeps one complete table copy at every instant
+    ONLY under atomic directory rename (POSIX, HDFS, ABFS): on S3A-
+    style stores a crash mid-rename interleaves two partial copies
+    file-by-file, which recovery cannot distinguish after the fact.
+    A silent best-effort here would risk the exact empty-store/
+    re-admit-history failure the protocol exists to prevent, so the
+    guard is in code, not prose. Object-store deployments should skip
+    in-place compaction and rebuild from replay instead.
+    """
+    scheme = _fs_scheme(fs, path)
+    if scheme in NONATOMIC_RENAME_SCHEMES:
+        raise RuntimeError(
+            f"compact_tables refused: {path} resolves to scheme {scheme!r}, "
+            "whose directory rename is copy+delete (non-atomic); a crash "
+            "mid-swap could leave two interleaved partial copies that "
+            "recovery cannot tell apart. Run compaction on an atomic-rename "
+            "filesystem (POSIX/HDFS/ABFS), or skip in-place compaction and "
+            "rebuild the store from replay for object-store deployments."
+        )
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FS API, so hdfs:///s3a://
     stores work identically to local paths (an os.path.isdir gate
@@ -137,10 +176,10 @@ def compact_tables(
     copy+delete (S3A), a crash mid-step-3 leaves partial copies under
     BOTH live and aside — the marker lets recovery prefer the
     complete tmp copy there, but a crash mid-step-4 interleaves tmp
-    and live file-by-file and is NOT distinguishable after the fact;
-    run compaction on an atomic-rename filesystem, or rely on
-    replay/rebuild instead of in-place compaction for object-store
-    deployments.
+    and live file-by-file and is NOT distinguishable after the fact.
+    The requirement is ENFORCED, not advisory: _require_atomic_rename
+    raises on known copy+delete schemes before any table is touched;
+    object-store deployments should rebuild from replay instead.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -155,6 +194,7 @@ def compact_tables(
         p_tmp_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(tmp, COMPACT_MARKER))
         p_live_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(path, COMPACT_MARKER))
         fs = p_live.getFileSystem(conf)
+        _require_atomic_rename(fs, path)
 
         # -- recovery of a previous crashed run (protocol above) --
         if fs.exists(p_tmp):
