@@ -50,6 +50,12 @@ HEADLINE = [
     "decontaminate_bloom",  # round-6: zero-shuffle Bloom decontamination
     "corpus_clean_pipeline",
     "mm_feature_extract",
+    # round-7: the heavy ML-shaped operators were invisible to the
+    # bench (a regression in the k-means aggregate or the multi-probe
+    # explode could slip through round-over-round) — headline them
+    "embedding_kmeans",  # iterative Lloyd: per-iteration agg cost
+    "dedup_semdedup",  # trained cells + multi-probe + exact verify + CC
+    "quality_classifier_score",  # in-engine GD training + scoring pass
 ]
 
 
