@@ -535,7 +535,12 @@ def test_full_curation_chain_streaming(spark, tmp_path):
     incremental near-dup dedup -> cluster-label store, all on ONE
     streaming frame. Junk and leaked docs never reach the index,
     near-dups among surviving docs drop with provenance pairs, and
-    the label store resolves every dropped doc to its kept canonical."""
+    the label store resolves every dropped doc to its kept canonical.
+
+    The PACKAGED version of this exact chain is
+    streaming/curation.py::start_curation_pipeline (the entry point a
+    user deploys; tests/test_curation.py drives it end to end) — this
+    test keeps the hand-wired composition as the reference semantics."""
     from api_weather_kafka_clickhouse_spark.operators.bloom import (
         build_bloom_bits,
         decontam_filter,
