@@ -85,6 +85,20 @@ _rng = random.Random(427)
 # deterministic pseudo-random hyperplanes, dim 64
 _PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(N_PLANES)]
 
+# The planes are plain Python literals, so the ENTIRE LSH is
+# SQL-expressible: repr() round-trips each double exactly into the
+# oracle, DuckDB's list_dot_product recomputes the projections, and
+# the band packing mirrors the UDF bit for bit. Float caveat (why
+# this is safe): numpy's BLAS matmul and DuckDB's sequential fold may
+# round dot products differently in the last ulp, but only the SIGN
+# enters a band key — a flip needs |dot| ~ 1e-13, vanishingly rare
+# for gaussian hyperplanes; the re-rank cosine is computed from raw
+# embeddings on both sides (bit-identical, proven by
+# sim_topk_bruteforce's gate history).
+_PLANES_SQL = ",".join(
+    f"({i}, [{','.join(repr(x) for x in p)}])" for i, p in enumerate(_PLANES)
+)
+
 
 def _band_keys(vec) -> F.Column:
     """Array of LSH_BANDS band keys; band j packs the sign bits of 4
@@ -118,12 +132,43 @@ def _band_keys(vec) -> F.Column:
 
 @register(
     "sim_ann_lsh",
-    oracle=None,  # approximate by design; recall vs brute force in tests
+    oracle=f"""
+    WITH planes(idx, plane) AS (VALUES {_PLANES_SQL}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    bits AS (
+      SELECT v.vec_id, p.idx,
+             CASE WHEN list_dot_product(v.emb, p.plane) > 0 THEN 1 ELSE 0 END AS bit
+      FROM v, planes p
+    ),
+    bands AS (
+      SELECT vec_id, idx // {N_PLANES // LSH_BANDS} AS band_idx,
+             CAST(sum(bit << (idx % {N_PLANES // LSH_BANDS})) AS INT) AS band_key
+      FROM bits GROUP BY vec_id, idx // {N_PLANES // LSH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+      FROM bands q JOIN bands c USING (band_idx, band_key)
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.nbr_id,
+             round(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos_sim
+      FROM cand JOIN v qe ON qe.vec_id = cand.query_id
+                JOIN v ce ON ce.vec_id = cand.nbr_id
+    )
+    SELECT query_id, nbr_id, cos_sim, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
     doc="ANN via sign-random-projection LSH, banded like MinHash: 32 "
     "hyperplane bits -> 8 bands x 4 bits; candidate iff some band "
     "matches exactly; exact cosine re-rank of candidates. At 100 TB "
     "the corpus is written bucketed by band keys once, and each query "
-    "probes only matching buckets instead of scanning the corpus.",
+    "probes only matching buckets instead of scanning the corpus. "
+    "Hash-checked against a full DuckDB mirror of the LSH (the "
+    "hyperplanes are literals — see _PLANES_SQL), upgraded from "
+    "rows-only in round 7.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_and_queries(spark, sf_dir)
@@ -156,13 +201,50 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_label",
-    oracle=None,  # approximate by design; recall vs brute force in tests
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (
+      SELECT label, list_value({", ".join(f"m{i}" for i in range(64))}) AS centroid FROM (
+        SELECT label, {", ".join(f"avg(emb[{i + 1}]) AS m{i}" for i in range(64))}
+        FROM v GROUP BY label)
+    ),
+    qc AS (
+      SELECT q.vec_id AS query_id, c.label,
+             list_cosine_similarity(q.emb, c.centroid) AS cell_sim
+      FROM v q, cent c WHERE q.vec_id < {N_QUERIES}
+    ),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, label) AS cr
+        FROM qc) WHERE cr <= 5
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS nbr_id
+      FROM probed p JOIN v c ON c.label = p.label
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.nbr_id,
+             round(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos_sim
+      FROM cand JOIN v qe ON qe.vec_id = cand.query_id
+                JOIN v ce ON ce.vec_id = cand.nbr_id
+    )
+    SELECT query_id, nbr_id, cos_sim, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
     doc="IVF-style ANN: coarse cells = per-label centroids, queries "
     "probe the 5 nearest cells, exact re-rank inside probed cells. "
     "The centroid build is one groupBy over the corpus; at 100 TB "
     "cells are the partition key, so a query reads probes/n_cells of "
     "the data. (On this near-random corpus cell quantization is weak "
-    "— measured recall ~0.5 at 5/10 cells; see tests.)",
+    "— measured recall ~0.5 at 5/10 cells; see tests.) Hash-checked "
+    "against a DuckDB mirror since round 7: centroids are plain "
+    "per-label averages, so the only cross-engine float risk is a "
+    "probe-rank flip between two cells whose cell_sim agree to the "
+    "last ulp — never observed, and the re-rank cosine is computed "
+    "from raw embeddings on both sides.",
 )
 def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir)
