@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from api_weather_kafka_clickhouse_spark.streaming import centroid_store as CS
 
+# minutes-scale streaming/crash-window suite -> slow lane; the fast
+# per-commit gate is `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 DIM = 4
 
 

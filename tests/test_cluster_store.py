@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 
 from api_weather_kafka_clickhouse_spark.operators import dedup
 from api_weather_kafka_clickhouse_spark.streaming import cluster_store
+import pytest
+
+# minutes-scale streaming/crash-window suite -> slow lane; the fast
+# per-commit gate is `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _mk_pairs(spark, rows):

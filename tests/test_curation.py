@@ -14,6 +14,10 @@ import pytest
 
 from api_weather_kafka_clickhouse_spark.streaming import curation
 
+# minutes-scale streaming/crash-window suite -> slow lane; the fast
+# per-commit gate is `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 CLEAN = " ".join(f"alpha{i % 7} beta gamma the of wordy" for i in range(10))
 JUNK = " ".join("12345 67890" for _ in range(30))  # fails gopher
 LEAKED = CLEAN + " held out eval sequence"  # fails decontam

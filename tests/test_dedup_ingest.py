@@ -6,9 +6,14 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from api_weather_kafka_clickhouse_spark.streaming import dedup_ingest
+
+# minutes-scale streaming/crash-window suite -> slow lane; the fast
+# per-commit gate is `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the query engine "

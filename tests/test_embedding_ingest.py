@@ -8,6 +8,11 @@ from __future__ import annotations
 import random
 
 from api_weather_kafka_clickhouse_spark.streaming import embedding_ingest
+import pytest
+
+# minutes-scale streaming/crash-window suite -> slow lane; the fast
+# per-commit gate is `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 _rng = random.Random(7)
 DIM = 64
