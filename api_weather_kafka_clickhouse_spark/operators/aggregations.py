@@ -655,3 +655,36 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter((F.col("n") > 1) & (var > 0) & (z2 > ZSCORE_SQ_THRESHOLD))
         .select("event_id", "event_type", "value", F.round(z2, 6).alias("z2"))
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per key (SQL-standard "
+    "percentile_cont semantics: rank (n-1)p, linear interpolation "
+    "between the two nearest order statistics — the same formula in "
+    "Spark's percentile() and DuckDB's quantile_cont, so the result "
+    "is hash-checkable unlike the HLL/KLL sketch twins). The exact "
+    "form needs the per-group values gathered (one shuffle on the "
+    "group key); it is the small-group companion of "
+    "agg_approx_percentile, whose fixed-size mergeable sketch is the "
+    "100 TB path when groups are huge.",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ],
+    )

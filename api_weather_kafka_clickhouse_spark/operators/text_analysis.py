@@ -942,3 +942,86 @@ def sample_topk_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rk") <= TOPK_PER_SOURCE)
         .select("doc_id", "source", F.round("q", 6).alias("q"), "rk")
     )
+
+
+K_FOLDS = 5
+KFOLD_SALT = ":kfold"
+
+
+@register(
+    "split_kfold",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{KFOLD_SALT}'), 1, 8))::BIGINT
+             % {K_FOLDS} AS fold
+    FROM documents
+    """,
+    doc=f"Deterministic {K_FOLDS}-fold assignment (cross-validation / "
+    "shard routing): fold = md5-window hash of the salted doc key mod "
+    "k — the same shared hash kernel as Bloom/CMS "
+    "(functions/hashing.py), so every engine, rerun, and partitioning "
+    "reproduces the folds bit-for-bit, and adding documents never "
+    "moves existing ones between folds (split_train_holdout's "
+    "stability property, k-way). Pure scan expression: zero shuffle "
+    "at any scale.",
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_window_positions
+
+    d = load(spark, "documents", sf_dir)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(KFOLD_SALT))
+    return d.select(
+        "doc_id", "lang", md5_window_positions(key, 1, K_FOLDS)[0].alias("fold")
+    )
+
+
+TEMP_ALPHA = 0.3  # w_i ∝ p_i^alpha — the multilingual-LM rebalancing
+# exponent (alpha=1 keeps the natural mix, alpha->0 approaches uniform)
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM s),
+    e AS (
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / total AS p,
+             pow(CAST(n_docs AS DOUBLE) / total, {TEMP_ALPHA}) AS pw
+      FROM s, tot
+    ),
+    z AS (SELECT CAST(sum(pw) AS DOUBLE) AS zsum FROM e)
+    SELECT source, n_docs,
+           round(p, 6) AS p_raw,
+           round(pw / zsum, 6) AS w_temp,
+           round((pw / zsum) / p, 6) AS boost
+    FROM e, z
+    """,
+    doc="Temperature-scaled source mixing weights — the standard "
+    "rebalancing step of a multi-source/multilingual pretraining mix: "
+    "each source's sampling weight is its corpus share raised to "
+    f"alpha={TEMP_ALPHA} and renormalized, so rare sources are "
+    "upsampled (boost > 1) and dominant ones damped. The output "
+    "weight table is what sample_weighted / sample_mixture_sources "
+    "consume as keep-thresholds. Cost shape: one map-side-combined "
+    "count per source plus two one-row scalar broadcasts (total and "
+    "normalizer) — the sanctioned tf-idf pattern; nothing scales "
+    "with corpus size after the first count.",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = s.agg(F.sum("n_docs").cast("double").alias("total"))
+    e = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_docs").cast("double") / F.col("total"))
+        .withColumn("pw", F.pow(F.col("p"), F.lit(TEMP_ALPHA)))
+    )
+    z = e.agg(F.sum("pw").cast("double").alias("zsum"))
+    return e.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("p", 6).alias("p_raw"),
+        F.round(F.col("pw") / F.col("zsum"), 6).alias("w_temp"),
+        F.round((F.col("pw") / F.col("zsum")) / F.col("p"), 6).alias("boost"),
+    )
