@@ -1198,3 +1198,74 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").alias("group_id"),
         F.when(bucket < "cd", "train").otherwise("holdout").alias("split"),
     )
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}
+    ), edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM jp
+      UNION ALL
+      SELECT doc_b, doc_a FROM jp
+    ), reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    ), labels AS (
+      SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+    ), g AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(l.canonical_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ), surv AS (
+      SELECT group_id, doc_id AS survivor_id FROM (
+        SELECT group_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY group_id ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM g
+      ) WHERE rk = 1
+    )
+    SELECT g.doc_id, g.group_id, s.survivor_id,
+           CAST(g.doc_id = s.survivor_id AS INT) AS kept
+    FROM g JOIN surv s USING (group_id)
+    """,
+    doc="Policy-based survivor selection — 'keep the most complete "
+    "copy': within each transitive near-dup cluster the survivor is "
+    "the LONGEST document (n_chars, tie -> lowest doc_id), not the "
+    "lowest id. This is the curation decision real pipelines make "
+    "when near-dups are truncated/extended variants of one another — "
+    "min-id keeps an arbitrary copy, keep-longest keeps the superset "
+    "text. Composition: MinHash-LSH pairs -> connected components -> "
+    "per-group argmax window; unclustered docs survive as their own "
+    "group (left join + coalesce, labels side small -> broadcast). "
+    "The window partitions by group_id over only |clustered|+|docs| "
+    "rows with a map-side WindowGroupLimit; no new corpus shuffle "
+    "beyond the CC machinery. The oracle recomputes pairs "
+    "brute-force, closes them with a recursive CTE, and applies the "
+    "same argmax rule — policy AND grouping are hash-checked.",
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.cluster_store import canonicalize
+
+    labels = dedup_cluster_canonical(spark, sf_dir)
+    d = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    g = canonicalize(d, labels).select(
+        "doc_id", "n_chars", F.col("canonical_id").alias("group_id")
+    )
+    w = Window.partitionBy("group_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    surv = (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("group_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return g.join(surv, "group_id").select(
+        "doc_id",
+        "group_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("kept"),
+    )
