@@ -255,3 +255,45 @@ def test_range_keyless_join_is_bucketed_not_nested_loop(spark, sf_dir):
     df = SPECS["join_range_keyless"].fn(spark, sf_dir)
     assert not checks.has_cartesian(df)
     assert checks.unbounded_nested_loop_count(df) == 0
+
+
+def test_bloom_prefilter_join_plan_shape(spark, sf_dir):
+    """Round-7: the Bloom membership probe must be a scan-side Filter
+    (whole-stage codegen, no join/exchange for membership); the only
+    joins are the dim build and the exact FP-removal semi-join, both
+    broadcast; the fact side never shuffles before the final agg."""
+    df = SPECS["join_bloom_prefilter"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    assert "getbit" in plan, "membership must be the codegen bitset probe"
+    # one partial-agg phase over the prefiltered fact rows
+    assert checks.partial_aggregate_count(df) >= 1
+
+
+def test_split_kfold_is_pure_scan(spark, sf_dir):
+    """Fold assignment is a scan expression: zero shuffles, zero
+    joins, and the scan reads only the projected columns."""
+    df = SPECS["split_kfold"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 0, checks.simple_plan(df)
+    assert all("text" not in s for s in checks.scan_read_schema(df))
+
+
+def test_sample_temperature_is_one_count_plus_scalars(spark, sf_dir):
+    """One map-side-combined count per source; the total and the
+    normalizer are one-row scalar broadcasts (the tf-idf pattern) —
+    no corpus-wide shuffle beyond the source aggregate, and the scan
+    reads only the source column."""
+    df = SPECS["sample_temperature"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(df) >= 1
+    assert not checks.unbounded_nested_loop_count(df)
+    assert all("text" not in s for s in checks.scan_read_schema(df))
+
+
+def test_percentile_exact_partial_phase(spark, sf_dir):
+    """Exact percentiles still plan with a partial aggregate phase
+    (Spark's percentile is an ImperativeAggregate with map-side
+    partials) and prune the events scan to the two used columns."""
+    df = SPECS["agg_percentile_exact"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(df) >= 1
+    assert all("props" not in s and "user_id" not in s for s in checks.scan_read_schema(df))
