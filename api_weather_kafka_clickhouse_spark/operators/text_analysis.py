@@ -975,8 +975,15 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEMP_ALPHA = 0.3  # w_i ∝ p_i^alpha — the multilingual-LM rebalancing
-# exponent (alpha=1 keeps the natural mix, alpha->0 approaches uniform)
+TEMP_ALPHA = 0.5  # w_i ∝ p_i^alpha — the multilingual-LM rebalancing
+# exponent (alpha=1 keeps the natural mix, alpha->0 approaches
+# uniform; T=2 i.e. alpha=1/2 is a common operating point). alpha is
+# pinned to 1/2 so the kernel is sqrt — IEEE-754 requires sqrt to be
+# CORRECTLY ROUNDED, so Spark (JVM) and DuckDB (libm) agree
+# bit-for-bit, unlike pow() which rule 4 of the determinism
+# discipline (SCALE.md) bans from checked queries. The remaining
+# cross-engine risk is only the 20-term normalizer sum's fold order,
+# absorbed by the final round(..., 6).
 
 
 @register(
@@ -987,7 +994,7 @@ TEMP_ALPHA = 0.3  # w_i ∝ p_i^alpha — the multilingual-LM rebalancing
     e AS (
       SELECT source, n_docs,
              CAST(n_docs AS DOUBLE) / total AS p,
-             pow(CAST(n_docs AS DOUBLE) / total, {TEMP_ALPHA}) AS pw
+             sqrt(CAST(n_docs AS DOUBLE) / total) AS pw
       FROM s, tot
     ),
     z AS (SELECT CAST(sum(pw) AS DOUBLE) AS zsum FROM e)
@@ -1000,7 +1007,8 @@ TEMP_ALPHA = 0.3  # w_i ∝ p_i^alpha — the multilingual-LM rebalancing
     doc="Temperature-scaled source mixing weights — the standard "
     "rebalancing step of a multi-source/multilingual pretraining mix: "
     "each source's sampling weight is its corpus share raised to "
-    f"alpha={TEMP_ALPHA} and renormalized, so rare sources are "
+    f"alpha={TEMP_ALPHA} (sqrt: correctly rounded in IEEE, engine-"
+    "agnostic) and renormalized, so rare sources are "
     "upsampled (boost > 1) and dominant ones damped. The output "
     "weight table is what sample_weighted / sample_mixture_sources "
     "consume as keep-thresholds. Cost shape: one map-side-combined "
@@ -1015,7 +1023,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         s.crossJoin(F.broadcast(tot))
         .withColumn("p", F.col("n_docs").cast("double") / F.col("total"))
-        .withColumn("pw", F.pow(F.col("p"), F.lit(TEMP_ALPHA)))
+        .withColumn("pw", F.sqrt(F.col("p")))  # alpha = 1/2, see TEMP_ALPHA
     )
     z = e.agg(F.sum("pw").cast("double").alias("zsum"))
     return e.crossJoin(F.broadcast(z)).select(
