@@ -326,3 +326,131 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ent = F.round(F.log("n_tokens") - F.col("s").cast("double") / F.col("n_tokens"), 4)
     return agg.select("doc_id", "n_tokens", "n_distinct", ent.alias("entropy"))
+
+
+_GOPHER_BOOL_SQL = f"""
+           len(string_split(text, ' ')) >= {GOPHER_MIN_WORDS}
+       AND len(string_split(text, ' ')) <= {GOPHER_MAX_WORDS}
+       AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) >= {GOPHER_MIN_MEAN_LEN}
+       AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) <= {GOPHER_MAX_MEAN_LEN}
+       AND CAST((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                AS DOUBLE)
+             / len(string_split(text, ' ')) < {GOPHER_MAX_SYMBOL_RATIO}
+       AND CAST(len(list_filter(string_split(text, ' '),
+                                t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+             / len(string_split(text, ' ')) > {GOPHER_MIN_ALPHA_RATIO}
+       AND len(list_filter(string_split(text, ' '),
+                           t -> t IN {_SW_SQL})) >= {GOPHER_MIN_STOPWORDS}
+"""
+
+
+def _curation_funnel_oracle() -> str:
+    from .bloom import BLOOM_K, BLOOM_M
+    from .text_analysis import DECONTAM_EVAL_SOURCE, DECONTAM_NGRAM
+
+    member = " AND ".join(
+        f"('0x' || substr(md5(gram), {1 + 8 * s}, 8))::BIGINT % {BLOOM_M}"
+        " IN (SELECT pos FROM eval_pos)"
+        for s in range(BLOOM_K)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE source <> '{DECONTAM_EVAL_SOURCE}'
+    ), m AS (
+      SELECT doc_id, text, ({_GOPHER_BOOL_SQL}) AS g FROM corpus
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM m WHERE g
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - {DECONTAM_NGRAM - 1}),
+                    i -> list_aggregate(t[i:i+{DECONTAM_NGRAM - 1}], 'string_agg', ' ')))
+               AS gram
+      FROM tok
+    ), eval_pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(g.gram), 1 + 8 * s.s, 8))::BIGINT % {BLOOM_M} AS pos
+      FROM (
+        SELECT DISTINCT
+               unnest(list_transform(generate_series(1, len(t) - {DECONTAM_NGRAM - 1}),
+                      i -> list_aggregate(t[i:i+{DECONTAM_NGRAM - 1}], 'string_agg', ' ')))
+                 AS gram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE source = '{DECONTAM_EVAL_SOURCE}')
+      ) g,
+      (SELECT unnest([{", ".join(str(s) for s in range(BLOOM_K))}]) AS s) s
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM grams WHERE {member}
+    ), clean AS (
+      SELECT doc_id, text FROM m
+      WHERE g AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), survivors AS (
+      SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+    )
+    SELECT 'total' AS stage, 0 AS stage_idx, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+    UNION ALL
+    SELECT 'gopher_pass', 1, CAST(count(*) AS BIGINT) FROM m WHERE g
+    UNION ALL
+    SELECT 'decontam_pass', 2, CAST(count(*) AS BIGINT) FROM clean
+    UNION ALL
+    SELECT 'dedup_survivors', 3, CAST(count(*) AS BIGINT) FROM survivors
+    """
+
+
+@register(
+    "curation_funnel",
+    oracle=_curation_funnel_oracle(),
+    doc="Stage-count funnel of the packaged curation pipeline "
+    "(streaming/curation.py): corpus -> Gopher quality gate -> Bloom "
+    "decontamination gate -> exact dedup survivors, one count per "
+    "stage — the monitoring report an operator watches to see where "
+    "documents die. Engine side is ONE corpus scan computing both "
+    "gate flags in codegen (the bitset membership short-circuits on "
+    "the first contaminated gram), then an md5-digest groupBy of the "
+    "tiny clean subset; the four counts are scalar aggregates. The "
+    "oracle recomputes every gate from first principles — including "
+    "the Bloom's deterministic false positives via the shared "
+    "md5-window spec — so the whole composed pipeline is hash-checked "
+    "end to end, not just its pieces.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .bloom import _bits_literal, decontam_keep, eval_bloom_bits
+    from .text_analysis import DECONTAM_EVAL_SOURCE
+
+    d = load(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("source") != DECONTAM_EVAL_SOURCE).select("doc_id", "text")
+    bits = _bits_literal(eval_bloom_bits(spark, sf_dir))
+    flagged = corpus.select(
+        "doc_id",
+        "text",
+        gopher_keep("text").alias("g"),
+        decontam_keep(F.col("text"), bits).alias("dk"),
+    ).persist()
+    try:
+        counts = flagged.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("g").cast("bigint")).alias("gopher_pass"),
+            F.sum((F.col("g") & F.col("dk")).cast("bigint")).alias("decontam_pass"),
+        )
+        survivors = (
+            flagged.filter(F.col("g") & F.col("dk"))
+            .groupBy(F.md5("text"))
+            .agg(F.min("doc_id"))
+            .agg(F.count(F.lit(1)).alias("dedup_survivors"))
+        )
+        row = counts.crossJoin(survivors).collect()[0]
+        out = spark.createDataFrame(
+            [
+                ("total", 0, row["total"]),
+                ("gopher_pass", 1, row["gopher_pass"]),
+                ("decontam_pass", 2, row["decontam_pass"]),
+                ("dedup_survivors", 3, row["dedup_survivors"]),
+            ],
+            "stage string, stage_idx bigint, n_docs bigint",
+        )
+        return out
+    finally:
+        flagged.unpersist()
