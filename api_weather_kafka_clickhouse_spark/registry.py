@@ -90,10 +90,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # rotation. All 45 fit the 50 slots at once, joined by 5 multi-round-
 # green anchors (q1, flagship join, minhash LSH, funnel, set ops) so
 # the TPC-H/join/dedup/behavioral/relational families each keep a
-# previously-validated gate row. After this round EVERY registered
-# query has >= 1 driver CORRECTNESS row; rotated-out queries remain
-# oracle-verified locally in tests/test_oracle_parity.py (the replica
-# that has predicted the driver gate bit-for-bit six rounds running).
+# previously-validated gate row. After this round every query
+# registered BEFORE the r7 rotation has >= 1 driver CORRECTNESS row;
+# rotated-out queries remain oracle-verified locally in
+# tests/test_oracle_parity.py (the replica that has predicted the
+# driver gate bit-for-bit six rounds running).
+#
+# Round-8 rotation plan: swap redundant green slots for the six
+# operators ADDED in round 7 after the rotation was pinned —
+# join_bloom_prefilter, agg_percentile_exact, split_kfold,
+# sample_temperature, dedup_keep_longest, curation_funnel (all six
+# oracle-checked, green in the local replica at sf0.001+sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 rotation (round 4, the FINAL batch): all 45 queries
     # with no driver CORRECTNESS row ever (36 oracle-checked + 9
