@@ -688,3 +688,81 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.25, 0.50, 0.75, 0.90)
         ],
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_n
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY count(*) DESC, o_orderstatus
+             ) AS rk
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rk = 1
+    """,
+    doc="Deterministic MODE per group (most frequent value, ties to "
+    "the smallest value — Spark's mode() leaves ties unspecified, so "
+    "the operator builds it from count + row_number instead): the "
+    "two-level aggregate shape. Level 1 is a map-side-combined "
+    "count over (group, value) — the only pass over the data; the "
+    "argmax window then runs on the tiny aggregated table with a "
+    "WindowGroupLimit. At 100 TB the wire carries one row per "
+    "DISTINCT (group, value), never the corpus.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir)
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("n").desc(), "o_orderstatus")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+@register(
+    "events_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+    doc="Latest state per key — CDC/upsert compaction (the "
+    "ReplacingMergeTree-style 'current snapshot' every event store "
+    "materializes): argmax by (ts, event_id) via a WindowGroupLimit-"
+    "planned row_number, so each task keeps ONE row per key before "
+    "the exchange and the shuffle carries O(keys x tasks) rows, not "
+    "the event history. The event_id tiebreak makes same-timestamp "
+    "deliveries deterministic across engines and reruns.",
+)
+def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
