@@ -738,7 +738,8 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT user_id, event_id, event_type, value,
              row_number() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               PARTITION BY user_id
+               ORDER BY ts DESC NULLS LAST, event_id DESC
              ) AS rk
       FROM events
     ) WHERE rk = 1
@@ -755,7 +756,12 @@ def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # NULLS LAST pinned on both sides: engines default differently for
+    # DESC null placement, and a never-stamped event must not shadow
+    # real state
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc()
+    )
     return (
         e.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

@@ -96,10 +96,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_oracle_parity.py (the replica that has predicted the
 # driver gate bit-for-bit six rounds running).
 #
-# Round-8 rotation plan: swap redundant green slots for the six
+# Round-8 rotation plan: swap redundant green slots for the eight
 # operators ADDED in round 7 after the rotation was pinned —
 # join_bloom_prefilter, agg_percentile_exact, split_kfold,
-# sample_temperature, dedup_keep_longest, curation_funnel (all six
+# sample_temperature, dedup_keep_longest, curation_funnel,
+# agg_mode_per_group, events_latest_per_key (all eight
 # oracle-checked, green in the local replica at sf0.001+sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 rotation (round 4, the FINAL batch): all 45 queries
