@@ -297,3 +297,15 @@ def test_percentile_exact_partial_phase(spark, sf_dir):
     df = SPECS["agg_percentile_exact"].fn(spark, sf_dir)
     assert checks.partial_aggregate_count(df) >= 1
     assert all("props" not in s and "user_id" not in s for s in checks.scan_read_schema(df))
+
+
+def test_mode_and_latest_are_group_limited(spark, sf_dir):
+    """Both round-7 argmax operators must shuffle reduced data: mode
+    aggregates (group, value) counts map-side first; latest-state
+    plans its row_number as a map-side WindowGroupLimit so each task
+    forwards one row per key, and neither reads unused columns."""
+    mode = SPECS["agg_mode_per_group"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(mode) >= 1
+    latest = SPECS["events_latest_per_key"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in checks.formatted_plan(latest)
+    assert all("props" not in s for s in checks.scan_read_schema(latest))
