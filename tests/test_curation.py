@@ -123,3 +123,35 @@ def test_no_decontam_when_neither_given(spark, tmp_path):
             spark, base, spark.createDataFrame([(3,)], "doc_id bigint")
         )
         assert resolved.collect()[0].canonical_id == 1
+
+
+def test_curate_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics: re-running a batch id must leave
+    survivors AND the label store unchanged (dedup partitions
+    overwrite themselves; merge_components of already-folded pairs is
+    a no-op) — the crash window between the dedup write and the label
+    swap heals on replay."""
+    from api_weather_kafka_clickhouse_spark.operators.bloom import build_bloom_bits
+    from api_weather_kafka_clickhouse_spark.streaming.cluster_store import read_labels
+
+    base = str(tmp_path / "cur_replay")
+    dirs = curation.curation_dirs(base)
+    bits = build_bloom_bits(_eval_grams(spark))
+    b0 = spark.createDataFrame([(1, CLEAN), (2, JUNK)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame(
+        [(4, CLEAN + " indeed"), (5, OTHER)], "doc_id bigint, text string"
+    )
+    curation.curate_batch(b0, 0, dirs, bits)
+    curation.curate_batch(b1, 1, dirs, bits)
+    surv_before = {r.doc_id for r in curation.read_survivors(spark, base).collect()}
+    labels_before = {
+        (r.doc_id, r.canonical_id) for r in read_labels(spark, dirs["labels"]).collect()
+    }
+    curation.curate_batch(b1, 1, dirs, bits)  # replay
+    surv_after = {r.doc_id for r in curation.read_survivors(spark, base).collect()}
+    labels_after = {
+        (r.doc_id, r.canonical_id) for r in read_labels(spark, dirs["labels"]).collect()
+    }
+    assert surv_after == surv_before == {1, 5}
+    assert labels_after == labels_before
+    assert (4, 1) in labels_after
