@@ -84,38 +84,41 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #
 # Round-7 rotation (round 4, the FINAL batch, executed): the union of
 # CORRECTNESS_r01..r06 keys shows exactly 45 registered queries with
-# no driver row ever (36 oracle-checked + 9 rows-only by design) —
+# no driver row ever (35 oracle-checked + 10 rows-only by design; 8
+# rows-only after this round's sim_ann_lsh/sim_ivf_label oracle
+# upgrades) —
 # fewer than the 54 the r6 plan estimated because q4/q6/q10/q11/q14/
 # q19/q21 and several scalar/relational shapes were gated in r5's
-# rotation. All 45 fit the 50 slots at once, joined by 5 multi-round-
-# green anchors (q1, flagship join, minhash LSH, funnel, set ops) so
-# the TPC-H/join/dedup/behavioral/relational families each keep a
-# previously-validated gate row. After this round every query
+# rotation. All 45 fit the 50 slots at once. Two multi-round-green
+# anchors (funnel_stages, set_ops) keep the behavioral and set-op
+# families — whose ONLY members they are — driver-visible; the other
+# three slots gate three operators ADDED this round (curation_funnel,
+# join_bloom_prefilter, dedup_keep_longest), since every other family
+# already keeps first-time rows from the 45. After this round every query
 # registered BEFORE the r7 rotation has >= 1 driver CORRECTNESS row;
 # rotated-out queries remain oracle-verified locally in
 # tests/test_oracle_parity.py (the replica that has predicted the
 # driver gate bit-for-bit six rounds running).
 #
-# Round-8 rotation plan: swap redundant green slots for the eight
-# operators ADDED in round 7 after the rotation was pinned —
-# join_bloom_prefilter, agg_percentile_exact, split_kfold,
-# sample_temperature, dedup_keep_longest, curation_funnel,
-# agg_mode_per_group, events_latest_per_key (all eight
-# oracle-checked, green in the local replica at sf0.001+sf0.01).
+# Round-8 rotation plan: swap redundant green slots for the five
+# round-7 additions not gated in r7 — agg_percentile_exact,
+# split_kfold, sample_temperature, agg_mode_per_group,
+# events_latest_per_key (all oracle-checked, green in the local
+# replica at sf0.001+sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 rotation (round 4, the FINAL batch): all 45 queries
-    # with no driver CORRECTNESS row ever (36 oracle-checked + 9
-    # rows-only by design), plus 5 previously-gated anchors so every
-    # remaining §2 family keeps a gate row. After this round every
-    # registered query has had >= 1 driver row.
+    # with no driver CORRECTNESS row ever (8 rows-only by design
+    # after the r7 oracle upgrades), 2 previously-gated family anchors
+    # (funnel_stages, set_ops), and 3 same-round additions — 48
+    # first-time driver rows this round.
     # TPC-H analytical shapes
-    "q1_pricing_summary",  # anchor (gated r1-r6)
+    "curation_funnel",  # r7 addition, gated same round (TPC-H keeps 4 first-time rows)
     "q8_market_share",  # r7 rotation: first driver row
     "q13_customer_distribution",  # r7 rotation: first driver row
     "q16_supplier_count_by_part",  # r7 rotation: first driver row
     "q20_excess_stock_suppliers",  # r7 rotation: first driver row
     # joins
-    "join_flagship_revenue",  # anchor (gated r1-r6)
+    "join_bloom_prefilter",  # r7 addition, gated same round
     "join_range_keyless",  # r7 rotation: first driver row
     # window functions
     "window_range_numeric",  # r7 rotation: first driver row
@@ -149,7 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified",  # r7 rotation: first driver row (rows-only)
     "sample_quality_weighted",  # r7 rotation: first driver row (rows-only)
     # deduplication / decontamination
-    "dedup_minhash_lsh",  # anchor (gated r1-r6)
+    "dedup_keep_longest",  # r7 addition, gated same round
     "dedup_containment",  # r7 rotation: first driver row
     "decontaminate_bloom",  # r7 rotation: first driver row
     "dedup_semdedup",  # r7 rotation: first driver row (rows-only)
