@@ -407,10 +407,12 @@ def _curation_funnel_oracle() -> str:
     "(streaming/curation.py): corpus -> Gopher quality gate -> Bloom "
     "decontamination gate -> exact dedup survivors, one count per "
     "stage — the monitoring report an operator watches to see where "
-    "documents die. Engine side is ONE corpus scan computing both "
-    "gate flags in codegen (the bitset membership short-circuits on "
-    "the first contaminated gram), then an md5-digest groupBy of the "
-    "tiny clean subset; the four counts are scalar aggregates. The "
+    "documents die. Engine side: one scan computes both gate flags "
+    "in codegen (the bitset membership short-circuits on the first "
+    "contaminated gram) and folds the three gate counts map-side "
+    "into ONE row unpivoted with stack; a second scan dedups the "
+    "clean subset by md5 digest. Fully lazy — no persist (caching a "
+    "100 TB flagged frame would be wrong), no driver collect. The "
     "oracle recomputes every gate from first principles — including "
     "the Bloom's deterministic false positives via the shared "
     "md5-window spec — so the whole composed pipeline is hash-checked "
@@ -428,29 +430,28 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         gopher_keep("text").alias("g"),
         decontam_keep(F.col("text"), bits).alias("dk"),
-    ).persist()
-    try:
-        counts = flagged.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.col("g").cast("bigint")).alias("gopher_pass"),
-            F.sum((F.col("g") & F.col("dk")).cast("bigint")).alias("decontam_pass"),
+    )
+    # fully lazy: the three gate counts come from ONE scan (a single
+    # aggregate row unpivoted with stack), the dedup count from a
+    # second scan of the clean subset — no persist (caching a 100 TB
+    # flagged frame would be wrong) and no driver collect
+    gate_counts = flagged.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("g").cast("bigint")).alias("gopher_pass"),
+        F.sum((F.col("g") & F.col("dk")).cast("bigint")).alias("decontam_pass"),
+    ).selectExpr(
+        "stack(3, 'total', 0L, total,"
+        " 'gopher_pass', 1L, gopher_pass,"
+        " 'decontam_pass', 2L, decontam_pass) AS (stage, stage_idx, n_docs)"
+    )
+    survivors = (
+        flagged.filter(F.col("g") & F.col("dk"))
+        .groupBy(F.md5("text"))
+        .agg(F.min("doc_id"))
+        .agg(
+            F.lit("dedup_survivors").alias("stage"),
+            F.lit(3).cast("bigint").alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
-        survivors = (
-            flagged.filter(F.col("g") & F.col("dk"))
-            .groupBy(F.md5("text"))
-            .agg(F.min("doc_id"))
-            .agg(F.count(F.lit(1)).alias("dedup_survivors"))
-        )
-        row = counts.crossJoin(survivors).collect()[0]
-        out = spark.createDataFrame(
-            [
-                ("total", 0, row["total"]),
-                ("gopher_pass", 1, row["gopher_pass"]),
-                ("decontam_pass", 2, row["decontam_pass"]),
-                ("dedup_survivors", 3, row["dedup_survivors"]),
-            ],
-            "stage string, stage_idx bigint, n_docs bigint",
-        )
-        return out
-    finally:
-        flagged.unpersist()
+    )
+    return gate_counts.unionByName(survivors)
