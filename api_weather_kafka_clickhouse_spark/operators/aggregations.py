@@ -772,3 +772,52 @@ def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "events_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ), t AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n_trans,
+           round(CAST(t.n_trans AS DOUBLE) / tot.n_from, 6) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+    doc="Behavioral path analysis: first-order Markov transition "
+    "matrix over each user's event sequence — which event follows "
+    "which, with conditional probabilities. One lag window per user "
+    "(shuffle on user_id, the sessionize exchange), then counts "
+    "collapse to the tiny (from, to) matrix; the row-normalizer is a "
+    "broadcast join against per-from totals. The (ts, event_id) "
+    "ordering tiebreak makes sequences deterministic across engines.",
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n_trans").cast("bigint").alias("n_from"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans").cast("double") / F.col("n_from"), 6).alias("p"),
+    )

@@ -1033,3 +1033,62 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pw") / F.col("zsum"), 6).alias("w_temp"),
         F.round((F.col("pw") / F.col("zsum")) / F.col("p"), 6).alias("boost"),
     )
+
+
+VOCAB_TOP_K = 500
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+        FROM tok GROUP BY t
+      ) WHERE rk <= {VOCAB_TOP_K}
+    ), per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_in_vocab
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_in_vocab,
+           round(CAST(n_in_vocab AS DOUBLE) / n_tokens, 6) AS coverage
+    FROM per
+    """,
+    doc=f"Vocabulary coverage / OOV rate per document against the "
+    f"corpus top-{VOCAB_TOP_K} token vocabulary — the tokenizer-fit "
+    "diagnostic a pretraining pipeline runs before committing to a "
+    "vocab. The vocabulary build is one map-side-combined token "
+    "count collapsed by a TakeOrderedAndProject heap (never a global "
+    "sort; the (count DESC, token) tiebreak makes the boundary "
+    "deterministic), then the tiny vocab BROADCASTS back onto the "
+    "exploded-token scan and coverage folds per doc in one "
+    "aggregate. Nothing but the token explode touches corpus scale.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(VOCAB_TOP_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).cast("bigint").alias("n_in_vocab"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        F.round(F.col("n_in_vocab").cast("double") / F.col("n_tokens"), 6).alias("coverage"),
+    )

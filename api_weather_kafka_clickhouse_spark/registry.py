@@ -100,10 +100,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_oracle_parity.py (the replica that has predicted the
 # driver gate bit-for-bit six rounds running).
 #
-# Round-8 rotation plan: swap redundant green slots for the five
+# Round-8 rotation plan: swap redundant green slots for the seven
 # round-7 additions not gated in r7 — agg_percentile_exact,
 # split_kfold, sample_temperature, agg_mode_per_group,
-# events_latest_per_key (all oracle-checked, green in the local
+# events_latest_per_key, events_path_transitions,
+# text_vocab_coverage (all oracle-checked, green in the local
 # replica at sf0.001+sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 rotation (round 4, the FINAL batch): all 45 queries
