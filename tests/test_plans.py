@@ -309,3 +309,18 @@ def test_mode_and_latest_are_group_limited(spark, sf_dir):
     latest = SPECS["events_latest_per_key"].fn(spark, sf_dir)
     assert "WindowGroupLimit" in checks.formatted_plan(latest)
     assert all("props" not in s for s in checks.scan_read_schema(latest))
+
+
+def test_vocab_coverage_and_transitions_plan_shape(spark, sf_dir):
+    """The vocab build must collapse through a TakeOrderedAndProject
+    heap (never a global sort) and broadcast the vocab back; the
+    transition matrix must aggregate with a partial phase and
+    broadcast its row-normalizer."""
+    vc = SPECS["text_vocab_coverage"].fn(spark, sf_dir)
+    plan = checks.simple_plan(vc)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert checks.has_broadcast_join(vc)
+    tr = SPECS["events_path_transitions"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(tr) >= 1
+    assert checks.has_broadcast_join(tr)
+    assert all("props" not in s and "value" not in s for s in checks.scan_read_schema(tr))
