@@ -155,3 +155,45 @@ def test_curate_batch_replay_is_idempotent(spark, tmp_path):
     assert surv_after == surv_before == {1, 5}
     assert labels_after == labels_before
     assert (4, 1) in labels_after
+
+
+def test_crash_between_dedup_and_label_fold_heals_on_replay(spark, tmp_path):
+    """The curate_batch crash window: the dedup stage committed its
+    partitions (store/survivors/pairs) but the process died BEFORE
+    the label fold. The foreachBatch replay re-runs the whole batch —
+    dedup rewrites identical partitions, the pairs re-read, and the
+    fold lands — so the label store converges to the same state as a
+    crash-free run."""
+    from api_weather_kafka_clickhouse_spark.operators.bloom import build_bloom_bits
+    from api_weather_kafka_clickhouse_spark.streaming import dedup_ingest
+    from api_weather_kafka_clickhouse_spark.streaming.cluster_store import read_labels
+
+    bits = build_bloom_bits(_eval_grams(spark))
+    b0 = spark.createDataFrame([(1, CLEAN)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame(
+        [(4, CLEAN + " indeed"), (5, OTHER)], "doc_id bigint, text string"
+    )
+
+    # crash-free reference run
+    ref = curation.curation_dirs(str(tmp_path / "ref"))
+    curation.curate_batch(b0, 0, ref, bits)
+    curation.curate_batch(b1, 1, ref, bits)
+    want = {(r.doc_id, r.canonical_id) for r in read_labels(spark, ref["labels"]).collect()}
+
+    # crashed run: batch 1's dedup stage committed, fold never ran
+    crash = curation.curation_dirs(str(tmp_path / "crash"))
+    curation.curate_batch(b0, 0, crash, bits)
+    from api_weather_kafka_clickhouse_spark.operators.corpus_quality import gopher_filter
+    from api_weather_kafka_clickhouse_spark.operators.bloom import decontam_filter
+
+    dedup_ingest.dedup_ingest_batch(
+        decontam_filter(gopher_filter(b1), bits), 1, crash["store"], crash["survivors"],
+        pairs_dir=crash["pairs"],
+    )
+    assert {(r.doc_id, r.canonical_id) for r in read_labels(spark, crash["labels"]).collect()} != want
+
+    curation.curate_batch(b1, 1, crash, bits)  # the foreachBatch replay
+    got = {(r.doc_id, r.canonical_id) for r in read_labels(spark, crash["labels"]).collect()}
+    surv = {r.doc_id for r in curation.read_survivors(spark, str(tmp_path / "crash")).collect()}
+    assert got == want and (4, 1) in got
+    assert surv == {1, 5}
