@@ -691,16 +691,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_lsh_oracle() -> str:
+    """Full DuckDB mirror of the SRP banding (round-7 upgrade from
+    rows-only): the hyperplanes are Python literals, so the oracle
+    recomputes the band keys with list_dot_product and reproduces the
+    candidate set exactly — the recall<1 operating point is part of
+    the CHECKED contract, not a reason to skip checking. Only SIGN
+    bits enter band keys (sign flips need |dot| ~ 1e-13), and the
+    verify cosine is computed from raw embeddings on both sides."""
+    from .similarity import _PLANES_SQL, LSH_BANDS, N_PLANES
+
+    bpb = N_PLANES // LSH_BANDS
+    return f"""
+    WITH planes(idx, plane) AS (VALUES {_PLANES_SQL}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    bits AS (
+      SELECT v.vec_id, p.idx,
+             CASE WHEN list_dot_product(v.emb, p.plane) > 0 THEN 1 ELSE 0 END AS bit
+      FROM v, planes p
+    ),
+    bands AS (
+      SELECT vec_id, idx // {bpb} AS band_idx,
+             CAST(sum(bit << (idx % {bpb})) AS INT) AS band_key
+      FROM bits GROUP BY vec_id, idx // {bpb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b,
+           round(list_cosine_similarity(va.emb, vb.emb), 6) AS cos_sim
+    FROM cand
+    JOIN v va ON va.vec_id = cand.vec_a
+    JOIN v vb ON vb.vec_id = cand.vec_b
+    WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.42
+    """
+
+
 @register(
     "dedup_embedding_lsh",
-    oracle=None,  # SRP recall < 1 by design -> rows-only; subset +
-    # recall vs the exact O(n^2) operator asserted in tests
+    oracle=_embedding_lsh_oracle(),
     doc="Embedding near-dup pairs, the 100 TB path: SRP-LSH band-key "
     "buckets (reusing similarity._band_keys' Arrow/numpy matmul) "
     "generate candidates, exact cosine >= 0.42 verifies them — every "
     "emitted pair is exact, recall is the banding operating point "
-    "(~0.8 at cos 0.42, higher for closer pairs). The exact twin "
-    "dedup_embedding_cosine is the oracle-checked baseline.",
+    "(~0.8 at cos 0.42, higher for closer pairs). Hash-checked since "
+    "round 7 against a full DuckDB mirror of the banding (the "
+    "hyperplanes are literals — see similarity._PLANES_SQL); the "
+    "exact twin dedup_embedding_cosine remains the recall baseline.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine, to_double

@@ -55,7 +55,8 @@ def test_rows_only_queries_are_documented_choices():
         "agg_hll_sketch_merge",
         "agg_approx_percentile",
         "dedup_simhash",
-        "dedup_embedding_lsh",
+        # dedup_embedding_lsh: upgraded to hash-checked in round 7
+        # (literal SRP hyperplanes mirrored in SQL, sim_ann_lsh-style)
         "dedup_semdedup",
         "mm_phash_signatures",
         # sim_ann_lsh / sim_ivf_label: upgraded to hash-checked in
