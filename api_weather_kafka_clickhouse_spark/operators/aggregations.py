@@ -780,7 +780,7 @@ def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_type,
              lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
              ) AS prev
       FROM events
     ), t AS (
@@ -807,7 +807,10 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST pinned on both sides (the events_latest_per_key
+    # convention): Spark ASC defaults nulls FIRST, DuckDB nulls LAST —
+    # a null-ts event would otherwise sequence differently per engine
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
     t = (
         seq.filter(F.col("prev").isNotNull())

@@ -435,10 +435,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate row unpivoted with stack), the dedup count from a
     # second scan of the clean subset — no persist (caching a 100 TB
     # flagged frame would be wrong) and no driver collect
+    # coalesce: SUM over zero rows is NULL, but the oracle's counts of
+    # an empty corpus are 0 — an all-eval-source documents table would
+    # otherwise hash-diverge ('None' vs '0')
+    zero = F.lit(0).cast("bigint")
     gate_counts = flagged.agg(
         F.count(F.lit(1)).alias("total"),
-        F.sum(F.col("g").cast("bigint")).alias("gopher_pass"),
-        F.sum((F.col("g") & F.col("dk")).cast("bigint")).alias("decontam_pass"),
+        F.coalesce(F.sum(F.col("g").cast("bigint")), zero).alias("gopher_pass"),
+        F.coalesce(F.sum((F.col("g") & F.col("dk")).cast("bigint")), zero).alias(
+            "decontam_pass"
+        ),
     ).selectExpr(
         "stack(3, 'total', 0L, total,"
         " 'gopher_pass', 1L, gopher_pass,"

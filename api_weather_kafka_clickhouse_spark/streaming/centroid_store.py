@@ -39,7 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.similarity import _assign_udf
 from .cluster_store import _recover, _swap_in
-from .store import append_partition, fs_exists
+from .store import append_partition, fs_exists, read_small_text
 
 KM_K = 8
 KM_DIM = 64
@@ -71,11 +71,16 @@ def _verify_run(spark: SparkSession, store_dir: str, run_id: str | None, has_sta
     if run_id is None:
         return
     path = os.path.join(store_dir, RUN_FILE)
-    if fs_exists(spark, path):
-        rows = spark.read.text(path).collect()
-        found = "".join(r.value for r in rows).strip()
-        if found != run_id:
-            raise RuntimeError(
+    found = read_small_text(spark, path)
+    found = found.strip() if found is not None else None
+    if found == run_id:
+        return
+    if found:
+        # a non-empty marker from a DIFFERENT run; an EMPTY marker
+        # (crash during the cold-start marker write, before any state
+        # existed) is indistinguishable from absent and falls through
+        # to the rewrite below instead of wedging the stream forever
+        raise RuntimeError(
                 f"centroid store {store_dir} was written by stream run {found!r} "
                 f"but this batch comes from run {run_id!r}: the checkpoint was "
                 "reset/recreated while the store was kept, so restarted batch "
@@ -83,7 +88,6 @@ def _verify_run(spark: SparkSession, store_dir: str, run_id: str | None, has_sta
                 "and checkpoint must live and die together — restore the "
                 "original checkpoint or rebuild the store in a fresh directory."
             )
-        return
     if has_state:
         raise RuntimeError(
             f"centroid store {store_dir} holds state but no {RUN_FILE} record; "
@@ -222,11 +226,14 @@ def _checkpoint_run_id(spark: SparkSession, checkpoint: str) -> str | None:
     """The streaming query id from ``<checkpoint>/metadata`` — written
     by Spark at stream start, stable across restarts of the SAME
     checkpoint, fresh when the checkpoint is recreated. Read through
-    the session (Hadoop FS), so remote checkpoints work."""
+    the Hadoop FS API directly (one driver-side file read, NO Spark
+    job — a per-batch job just to re-fetch ~50 bytes was measurable
+    overhead; a process-level cache would instead mask a checkpoint
+    recreated mid-process), so remote checkpoints work too."""
     import json
 
     path = os.path.join(checkpoint, "metadata")
-    if not fs_exists(spark, path):
+    text = read_small_text(spark, path)
+    if text is None:
         return None
-    rows = spark.read.text(path).collect()
-    return str(json.loads("".join(r.value for r in rows))["id"])
+    return str(json.loads(text)["id"])

@@ -31,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import merge_components
-from .store import COMPACT_MARKER, fs_exists
+from .store import COMPACT_MARKER, _require_atomic_rename, fs_exists
 
 _LABEL_SCHEMA = "doc_id bigint, canonical_id bigint"
 
@@ -89,8 +89,16 @@ def _recover(spark: SparkSession, path: str) -> None:
 def _swap_in(spark: SparkSession, path: str, df: DataFrame) -> None:
     """Write ``df`` to tmp (+ completion marker), then swap: the NEW
     labeling derives from the OLD table, so the old files must stay
-    readable until the tmp write has fully materialized."""
+    readable until the tmp write has fully materialized.
+
+    Like compact_tables, the crash-safety proof needs ATOMIC directory
+    rename: under copy+delete rename a crash mid-swap drains tmp
+    file-by-file while live fills, and recovery's "marker proves tmp
+    complete" premise no longer holds — so the same guard refuses
+    object-store schemes here too (the pipeline runs this swap every
+    micro-batch, not just at compaction points)."""
     fs, jvm, p_live = _jvm_paths(spark, path)
+    _require_atomic_rename(fs, path)
     tmp = path + "__swap_tmp"
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     p_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(tmp, COMPACT_MARKER))

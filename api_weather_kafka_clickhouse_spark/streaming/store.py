@@ -84,6 +84,41 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def read_small_text(spark: SparkSession, path: str) -> str | None:
+    """Driver-side read of a SMALL text file (or a directory of text
+    part files) through the Hadoop FS API — no Spark job. For
+    marker/metadata files only: launching a full job per micro-batch
+    to re-read ~50 bytes is measurable scheduling overhead. Returns
+    None when the path does not exist; concatenates part files in
+    name order (the layout spark.write.text produces)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    if fs.getFileStatus(p).isDirectory():
+        statuses = sorted(
+            (s for s in fs.listStatus(p) if s.isFile()),
+            key=lambda s: s.getPath().getName(),
+        )
+        files = [
+            s.getPath()
+            for s in statuses
+            if not s.getPath().getName().startswith(("_", "."))
+        ]
+    else:
+        files = [p]
+    out = []
+    for f in files:
+        stream = fs.open(f)
+        try:
+            out.append(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+        finally:
+            stream.close()
+    return "".join(out)
+
+
 def read_store(
     spark: SparkSession,
     path: str,
@@ -299,6 +334,78 @@ def ensure_store_scheme(
         )
     (
         spark.createDataFrame([(scheme,)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+# Stream-run identity marker ("_stream_run"): foreachBatch batch ids
+# are only monotone WITHIN one checkpoint lineage. If the checkpoint
+# is deleted/recreated while a store directory is kept, ids restart at
+# 0 — replay guards silently no-op new batches (the centroid store's
+# round-6 finding) and per-batch dynamic partition overwrites silently
+# REPLACE the old run's early partitions (the ingest stores' version
+# of the same bug). Every streaming wiring therefore records the
+# query id (stable across restarts of one checkpoint, fresh on a
+# recreated one) and refuses LOUD when a different run drives an
+# existing store: store_dir and checkpoint must live and die together.
+RUN_FILE = "_stream_run"
+
+
+def checkpoint_run_id(spark: SparkSession, checkpoint: str) -> str | None:
+    """The streaming query id from ``<checkpoint>/metadata`` — written
+    by Spark at stream start, stable across restarts of the SAME
+    checkpoint, fresh when the checkpoint is recreated. One
+    driver-side Hadoop FS read, no Spark job (and deliberately no
+    process-level cache — a cache would mask a checkpoint recreated
+    mid-process)."""
+    import json
+
+    text = read_small_text(spark, os.path.join(checkpoint, "metadata"))
+    if text is None:
+        return None
+    return str(json.loads(text)["id"])
+
+
+def verify_stream_run(
+    spark: SparkSession, store_dir: str, run_id: str | None, has_state: bool
+) -> None:
+    """Distinguish foreachBatch REPLAY (same run) from checkpoint
+    RESET (different run) before any batch-id/partition logic runs.
+    ``None`` (direct batch-API callers, no stream identity) keeps
+    legacy behavior. See RUN_FILE."""
+    if run_id is None:
+        return
+    path = os.path.join(store_dir, RUN_FILE)
+    found = read_small_text(spark, path)
+    found = found.strip() if found is not None else None
+    if found == run_id:
+        return
+    if found:
+        # a non-empty marker from a DIFFERENT run; an EMPTY marker
+        # (crash during the cold-start marker write, before any state
+        # existed) is indistinguishable from absent and falls through
+        # to the rewrite below instead of wedging the stream forever
+        raise RuntimeError(
+            f"store {store_dir} was written by stream run {found!r} but this "
+            f"batch comes from run {run_id!r}: the checkpoint was "
+            "reset/recreated while the store was kept, so restarted batch ids "
+            "would silently no-op replay guards and overwrite the old run's "
+            "partitions. store_dir and checkpoint must live and die together "
+            "— restore the original checkpoint or rebuild the store in a "
+            "fresh directory."
+        )
+    if has_state:
+        raise RuntimeError(
+            f"store {store_dir} holds state but no {RUN_FILE} record; it was "
+            "not written by this stream (direct batch calls or a "
+            "pre-run-marker writer), so its batch ids cannot be compared to "
+            "this run's — rebuild the store in a fresh directory or drive it "
+            "with the batch API."
+        )
+    (
+        spark.createDataFrame([(run_id,)], "value string")
         .coalesce(1)
         .write.mode("overwrite")
         .text(path)
