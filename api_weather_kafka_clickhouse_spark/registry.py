@@ -100,82 +100,90 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_oracle_parity.py (the replica that has predicted the
 # driver gate bit-for-bit six rounds running).
 #
-# Round-8 rotation plan: swap redundant green slots for the seven
-# round-7 additions not gated in r7 — agg_percentile_exact,
-# split_kfold, sample_temperature, agg_mode_per_group,
-# events_latest_per_key, events_path_transitions,
-# text_vocab_coverage (all oracle-checked, green in the local
-# replica at sf0.001+sf0.01).
+# Round-8 rotation (round 5, executed): the seven round-7 additions
+# that had no driver row after r7 (agg_percentile_exact, split_kfold,
+# sample_temperature, agg_mode_per_group, events_latest_per_key,
+# events_path_transitions, text_vocab_coverage — all oracle-checked,
+# green in the local replica) swapped in for seven r7-green
+# same-family-redundant slots (q13/q16 of 5 TPC-H rows,
+# agg_boolean/agg_bitwise of 8 agg rows, text_token_regex of 9 text
+# rows, sample_fixed_per_stratum/sample_topk_quality_per_source of 6
+# sampling rows). Every §2 family keeps >= 1 gate row; rotated-out
+# queries remain oracle-verified locally in
+# tests/test_oracle_parity.py (the replica that has predicted the
+# driver gate bit-for-bit seven rounds running). After this round
+# EVERY registered query has >= 1 driver CORRECTNESS row and the
+# rotation program ends; new queries added in r8+ queue below.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 rotation (round 4, the FINAL batch): all 45 queries
-    # with no driver CORRECTNESS row ever (8 rows-only by design
-    # after the r7 oracle upgrades), 2 previously-gated family anchors
-    # (funnel_stages, set_ops), and 3 same-round additions — 48
-    # first-time driver rows this round.
+    # --- round-8 rotation (round 5): the 7 never-gated round-7
+    # additions take redundant green slots; the other 43 slots carry
+    # over from r7 unchanged (they stay the freshest driver rows for
+    # their families).
     # TPC-H analytical shapes
-    "curation_funnel",  # r7 addition, gated same round (TPC-H keeps 4 first-time rows)
-    "q8_market_share",  # r7 rotation: first driver row
-    "q13_customer_distribution",  # r7 rotation: first driver row
-    "q16_supplier_count_by_part",  # r7 rotation: first driver row
-    "q20_excess_stock_suppliers",  # r7 rotation: first driver row
+    "curation_funnel",  # r7 addition, gated r7
+    "q8_market_share",  # gated r7
+    "q20_excess_stock_suppliers",  # gated r7
     # joins
-    "join_bloom_prefilter",  # r7 addition, gated same round
-    "join_range_keyless",  # r7 rotation: first driver row
+    "join_bloom_prefilter",  # r7 addition, gated r7
+    "join_range_keyless",  # gated r7
     # window functions
-    "window_range_numeric",  # r7 rotation: first driver row
-    "window_moving_zscore",  # r7 rotation: first driver row
+    "window_range_numeric",  # gated r7
+    "window_moving_zscore",  # gated r7
+    # event-stream windowing (r8 rotation: first driver rows)
+    "events_latest_per_key",  # r8 rotation: first driver row
+    "events_path_transitions",  # r8 rotation: first driver row
     # aggregation battery
-    "agg_grouping_levels",  # r7 rotation: first driver row
-    "agg_boolean",  # r7 rotation: first driver row
-    "agg_bitwise",  # r7 rotation: first driver row
-    "agg_value_histogram",  # r7 rotation: first driver row
-    "agg_heavy_hitters_cms",  # r7 rotation: first driver row
-    "agg_hll_sketch_merge",  # r7 rotation: first driver row (rows-only)
-    "skew_key_profile",  # r7 rotation: first driver row
-    "events_anomaly_zscore",  # r7 rotation: first driver row
+    "agg_grouping_levels",  # gated r7
+    "agg_percentile_exact",  # r8 rotation: first driver row
+    "agg_mode_per_group",  # r8 rotation: first driver row
+    "agg_value_histogram",  # gated r7
+    "agg_heavy_hitters_cms",  # gated r7
+    "agg_hll_sketch_merge",  # gated r7 (rows-only)
+    "skew_key_profile",  # gated r7
+    "events_anomaly_zscore",  # gated r7
     # behavioral analytics
-    "funnel_stages",  # anchor (gated r3-r6)
+    "funnel_stages",  # anchor (gated r3-r7)
     # text analysis / corpus prep
-    "text_lang_id",  # r7 rotation: first driver row
-    "text_quality_by_lang",  # r7 rotation: first driver row
-    "text_token_regex",  # r7 rotation: first driver row
-    "text_sentence_udtf",  # r7 rotation: first driver row
-    "text_gopher_quality",  # r7 rotation: first driver row
-    "text_chunk_overlap",  # r7 rotation: first driver row
-    "text_unigram_entropy",  # r7 rotation: first driver row
-    "text_bigram_lm_score",  # r7 rotation: first driver row
-    "text_segment_dedup",  # r7 rotation: first driver row
-    # sampling / data mixing
-    "sample_weighted",  # r7 rotation: first driver row
-    "sample_mixture_sources",  # r7 rotation: first driver row
-    "sample_fixed_per_stratum",  # r7 rotation: first driver row
-    "sample_topk_quality_per_source",  # r7 rotation: first driver row
-    "sample_stratified",  # r7 rotation: first driver row (rows-only)
-    "sample_quality_weighted",  # r7 rotation: first driver row (rows-only)
+    "text_lang_id",  # gated r7
+    "text_quality_by_lang",  # gated r7
+    "text_vocab_coverage",  # r8 rotation: first driver row
+    "text_sentence_udtf",  # gated r7
+    "text_gopher_quality",  # gated r7
+    "text_chunk_overlap",  # gated r7
+    "text_unigram_entropy",  # gated r7
+    "text_bigram_lm_score",  # gated r7
+    "text_segment_dedup",  # gated r7
+    # sampling / data mixing / splits
+    "sample_weighted",  # gated r7
+    "sample_mixture_sources",  # gated r7
+    "sample_temperature",  # r8 rotation: first driver row
+    "split_kfold",  # r8 rotation: first driver row
+    "sample_stratified",  # gated r7 (rows-only)
+    "sample_quality_weighted",  # gated r7 (rows-only)
     # deduplication / decontamination
-    "dedup_keep_longest",  # r7 addition, gated same round
-    "dedup_containment",  # r7 rotation: first driver row
-    "decontaminate_bloom",  # r7 rotation: first driver row
-    "dedup_semdedup",  # r7 rotation: first driver row (rows-only)
+    "dedup_keep_longest",  # r7 addition, gated r7
+    "dedup_containment",  # gated r7
+    "decontaminate_bloom",  # gated r7
+    "dedup_semdedup",  # gated r7 (rows-only)
     # ML data prep / quality
-    "split_leakage_free",  # r7 rotation: first driver row
-    "quality_classifier_score",  # r7 rotation: first driver row (rows-only)
+    "split_leakage_free",  # gated r7
+    "quality_classifier_score",  # gated r7 (rows-only)
     # record linkage
-    "fuzzy_match_levenshtein",  # r7 rotation: first driver row
+    "fuzzy_match_levenshtein",  # gated r7
     # multimodal
-    "mm_phash_signatures",  # r7 rotation: first driver row (rows-only)
+    "mm_phash_signatures",  # gated r7 (rows-only)
     # time series
-    "time_interpolate_linear",  # r7 rotation: first driver row
+    "time_interpolate_linear",  # gated r7
     # similarity search / clustering
-    "sim_ann_lsh",  # r7 rotation: first driver row (rows-only)
-    "sim_ivf_label",  # r7 rotation: first driver row (rows-only)
-    "sim_ivf_kmeans",  # r7 rotation: first driver row (rows-only)
-    "embedding_kmeans",  # r7 rotation: first driver row (rows-only)
+    "sim_ann_lsh",  # gated r7 (hash-checked since the r7 SRP-oracle upgrade)
+    "sim_ivf_label",  # gated r7 (hash-checked since the r7 SRP-oracle upgrade)
+    "sim_ivf_kmeans",  # gated r7 (rows-only)
+    "embedding_kmeans",  # gated r7 (rows-only)
     # core relational / scalar
-    "set_ops",  # anchor (gated r1-r6)
-    "scalar_nulls",  # r7 rotation: first driver row
-    "scalar_strings3",  # r7 rotation: first driver row
-    "scalar_arrays_maps",  # r7 rotation: first driver row
+    "set_ops",  # anchor (gated r1-r7)
+    "scalar_nulls",  # gated r7
+    "scalar_strings3",  # gated r7
+    "scalar_arrays_maps",  # gated r7
 )
 
 

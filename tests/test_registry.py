@@ -43,6 +43,21 @@ def test_priority_has_no_duplicates_and_exactly_50():
     assert len(set(registry._PRIORITY)) == 50
 
 
+def test_registry_totals_are_pinned():
+    """One source of truth for the inventory the round documents
+    (CHANGES/SURVEY/memory all cite these): a new registration must
+    update this pin in the same commit, so prose can never drift from
+    code (round-7 verdict item 6)."""
+    specs = registry.all_specs()
+    total = len(specs)
+    oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    assert (total, oracle, total - oracle) == (153, 142, 11), (
+        total,
+        oracle,
+        total - oracle,
+    )
+
+
 def test_rows_only_queries_are_documented_choices():
     """Every registered query without an oracle must be one of the
     known approximate/RNG-by-design operators — a new query landing
