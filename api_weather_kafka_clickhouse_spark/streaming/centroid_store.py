@@ -39,7 +39,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.similarity import _assign_udf
 from .cluster_store import _recover, _swap_in
-from .store import append_partition, fs_exists, read_small_text
+from .store import (
+    RUN_FILE,  # noqa: F401  (re-exported: tests and callers reference it here)
+    append_partition,
+    checkpoint_run_id,
+    fs_exists,
+    verify_stream_run,
+)
 
 KM_K = 8
 KM_DIM = 64
@@ -47,61 +53,9 @@ KM_DIM = 64
 _CENTROID_SCHEMA = "cluster int, centroid array<double>, n bigint, batch_id bigint"
 ASSIGN_SCHEMA = "vec_id bigint, cluster int"
 
-# Stream-run identity marker ("_stream_run"): foreachBatch batch ids
-# are only monotone WITHIN one checkpoint lineage. If the checkpoint
-# is deleted/recreated while the store directory is kept, ids restart
-# at 0 and the `batch_id <= applied` replay guard would silently
-# no-op every new batch — all new data dropped with no error (the
-# round-6 review finding). The store therefore records the streaming
-# query id (stable across restarts of one checkpoint, fresh on a
-# recreated one) and refuses LOUD when a different run drives an
-# existing store: store_dir and checkpoint must live and die together.
-RUN_FILE = "_stream_run"
-
 
 def _centroids_path(store_dir: str) -> str:
     return os.path.join(store_dir, "centroids")
-
-
-def _verify_run(spark: SparkSession, store_dir: str, run_id: str | None, has_state: bool) -> None:
-    """Distinguish foreachBatch REPLAY (same run) from checkpoint
-    RESET (different run) before the batch-id guard runs. ``None``
-    (direct batch-API callers, no stream identity) keeps legacy
-    behavior. See RUN_FILE."""
-    if run_id is None:
-        return
-    path = os.path.join(store_dir, RUN_FILE)
-    found = read_small_text(spark, path)
-    found = found.strip() if found is not None else None
-    if found == run_id:
-        return
-    if found:
-        # a non-empty marker from a DIFFERENT run; an EMPTY marker
-        # (crash during the cold-start marker write, before any state
-        # existed) is indistinguishable from absent and falls through
-        # to the rewrite below instead of wedging the stream forever
-        raise RuntimeError(
-                f"centroid store {store_dir} was written by stream run {found!r} "
-                f"but this batch comes from run {run_id!r}: the checkpoint was "
-                "reset/recreated while the store was kept, so restarted batch "
-                "ids would silently no-op against the replay guard. store_dir "
-                "and checkpoint must live and die together — restore the "
-                "original checkpoint or rebuild the store in a fresh directory."
-            )
-    if has_state:
-        raise RuntimeError(
-            f"centroid store {store_dir} holds state but no {RUN_FILE} record; "
-            "it was not written by this stream (direct batch calls or a "
-            "pre-run-marker writer), so its applied batch id cannot be "
-            "compared to this run's ids — rebuild the store in a fresh "
-            "directory or drive it with the batch API."
-        )
-    (
-        spark.createDataFrame([(run_id,)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(path)
-    )
 
 
 def read_centroid_state(
@@ -145,7 +99,7 @@ def centroid_ingest_batch(
     data (see RUN_FILE)."""
     spark = batch.sparkSession
     state = read_centroid_state(spark, store_dir)
-    _verify_run(spark, store_dir, run_id, has_state=state is not None)
+    verify_stream_run(spark, store_dir, run_id, has_state=state is not None)
     if state is not None and batch_id <= state[2]:
         # foreachBatch replay of an already-applied batch. The
         # assignment partition from the first attempt is complete
@@ -213,27 +167,10 @@ def start_centroid_ingest(
     return (
         vecs_stream.writeStream.foreachBatch(
             lambda df, bid: centroid_ingest_batch(
-                df, bid, store_dir, k, dim, run_id=_checkpoint_run_id(df.sparkSession, checkpoint)
+                df, bid, store_dir, k, dim, run_id=checkpoint_run_id(df.sparkSession, checkpoint)
             )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-
-
-def _checkpoint_run_id(spark: SparkSession, checkpoint: str) -> str | None:
-    """The streaming query id from ``<checkpoint>/metadata`` — written
-    by Spark at stream start, stable across restarts of the SAME
-    checkpoint, fresh when the checkpoint is recreated. Read through
-    the Hadoop FS API directly (one driver-side file read, NO Spark
-    job — a per-batch job just to re-fetch ~50 bytes was measurable
-    overhead; a process-level cache would instead mask a checkpoint
-    recreated mid-process), so remote checkpoints work too."""
-    import json
-
-    path = os.path.join(checkpoint, "metadata")
-    text = read_small_text(spark, path)
-    if text is None:
-        return None
-    return str(json.loads(text)["id"])

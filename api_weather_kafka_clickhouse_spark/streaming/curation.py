@@ -21,7 +21,10 @@ partition overwrites (replay rewrites, never double-admits); the label
 store swap is crash-safe (tmp + marker + rename). Folding labels
 per-batch is IDEMPOTENT — merge_components of already-folded pairs is
 a no-op — so a foreachBatch retry that re-folds the same pairs
-converges to the same labeling.
+converges to the same labeling. The stream threads its checkpoint's
+query id into every batch, so a recreated checkpoint over a kept
+store refuses loud instead of silently overwriting the old run's
+partitions (see store.RUN_FILE).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from ..operators.bloom import build_bloom_bits, decontam_filter
 from ..operators.corpus_quality import gopher_filter
 from .cluster_store import canonicalize, read_labels, update_labels
 from .dedup_ingest import BAND_BUCKET_CAP, dedup_ingest_batch
-from .store import fs_exists, read_store
+from .store import checkpoint_run_id, fs_exists, read_store
 
 
 def curation_dirs(base_dir: str) -> dict[str, str]:
@@ -57,9 +60,14 @@ def curate_batch(
     bloom_bits: bytes | None,
     text_col: str = "text",
     bucket_cap: int = BAND_BUCKET_CAP,
+    run_id: str | None = None,
 ) -> None:
     """foreachBatch body: gate -> dedup -> fold labels. Exposed so a
-    batch backfill can drive the identical code path the stream runs."""
+    batch backfill can drive the identical code path the stream runs.
+    ``run_id`` (the streaming query id, threaded by
+    start_curation_pipeline) makes a recreated checkpoint over a kept
+    store refuse loud before any partition write (see store.RUN_FILE);
+    ``None`` keeps the direct-batch/backfill behavior."""
     gated = gopher_filter(batch, text_col)
     if bloom_bits is not None:
         gated = decontam_filter(gated, bloom_bits, text_col)
@@ -70,17 +78,21 @@ def curate_batch(
         dirs["survivors"],
         bucket_cap=bucket_cap,
         pairs_dir=dirs["pairs"],
+        run_id=run_id,
     )
     spark = batch.sparkSession
     # fold ONLY this batch's provenance pairs into the label store —
-    # an incremental contraction, never a recluster of the corpus
-    pairs = read_store(
-        spark,
-        dirs["pairs"],
-        "dropped_id bigint, kept_id bigint, kind string",
-        only_batch=batch_id,
-    ).select(F.col("dropped_id").alias("doc_a"), F.col("kept_id").alias("doc_b"))
-    if pairs.limit(1).count():
+    # an incremental contraction, never a recluster of the corpus.
+    # Whether the batch produced pairs is read off the partition
+    # listing (dynamic overwrite writes no ingest_batch=N dir for an
+    # empty frame): one driver-side FS stat, no per-batch Spark job.
+    if fs_exists(spark, os.path.join(dirs["pairs"], f"ingest_batch={batch_id}")):
+        pairs = read_store(
+            spark,
+            dirs["pairs"],
+            "dropped_id bigint, kept_id bigint, kind string",
+            only_batch=batch_id,
+        ).select(F.col("dropped_id").alias("doc_a"), F.col("kept_id").alias("doc_b"))
         update_labels(spark, dirs["labels"], pairs)
 
 
@@ -108,7 +120,15 @@ def start_curation_pipeline(
     dirs = curation_dirs(base_dir)
     return (
         docs_stream.writeStream.foreachBatch(
-            lambda df, bid: curate_batch(df, bid, dirs, bits, text_col, bucket_cap)
+            lambda df, bid: curate_batch(
+                df,
+                bid,
+                dirs,
+                bits,
+                text_col,
+                bucket_cap,
+                run_id=checkpoint_run_id(df.sparkSession, dirs["checkpoint"]),
+            )
         )
         .option("checkpointLocation", dirs["checkpoint"])
         .trigger(availableNow=True)

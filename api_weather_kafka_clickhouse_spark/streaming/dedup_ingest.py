@@ -71,7 +71,14 @@ from ..operators.dedup import (
     minhash_signatures,
 )
 from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
-from .store import append_partition, compact_tables, ensure_store_scheme, read_store
+from .store import (
+    append_partition,
+    checkpoint_run_id,
+    compact_tables,
+    ensure_store_scheme,
+    read_store,
+    verify_scheme_store_run,
+)
 
 SIG_SIM_THRESHOLD = 0.8
 
@@ -108,10 +115,15 @@ def dedup_ingest_batch(
     survivors_dir: str,
     bucket_cap: int = BAND_BUCKET_CAP,
     pairs_dir: str | None = None,
+    run_id: str | None = None,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup docs, index
     their signatures. Separated from the query wiring so tests (and a
-    batch backfill) can drive it directly.
+    batch backfill) can drive it directly. ``run_id`` (the streaming
+    query id, passed by start_dedup_ingest) rejects a recreated
+    checkpoint over a kept store BEFORE any partition write — without
+    it restarted batch ids would silently overwrite the old run's
+    early partitions (see store.RUN_FILE).
 
     ``pairs_dir`` (optional): also log one (dropped_id, kept_id, kind)
     row per dedup decision — the provenance a training pipeline needs
@@ -126,6 +138,7 @@ def dedup_ingest_batch(
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    verify_scheme_store_run(spark, store_dir, run_id)
     ensure_store_scheme(spark, store_dir, SIG_SCHEME, ("sigs", "bands", "shorts"))
 
     # collapse duplicate doc_ids deterministically before anything
@@ -307,7 +320,13 @@ def start_dedup_ingest(
     return (
         docs_stream.writeStream.foreachBatch(
             lambda df, bid: dedup_ingest_batch(
-                df, bid, store_dir, survivors_dir, bucket_cap, pairs_dir
+                df,
+                bid,
+                store_dir,
+                survivors_dir,
+                bucket_cap,
+                pairs_dir,
+                run_id=checkpoint_run_id(df.sparkSession, checkpoint),
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -58,7 +58,14 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.vectors import dot, norm
 from ..operators.similarity import _band_keys
 from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
-from .store import append_partition, compact_tables, ensure_store_scheme, read_store
+from .store import (
+    append_partition,
+    checkpoint_run_id,
+    compact_tables,
+    ensure_store_scheme,
+    read_store,
+    verify_scheme_store_run,
+)
 
 # Scheme record for ensure_store_scheme — band keys from a FIXED
 # 16-hyperplane SRP set over 64-dim vectors, exact-cosine admission;
@@ -95,16 +102,20 @@ def embedding_ingest_batch(
     threshold: float = EMB_SIM_THRESHOLD,
     bucket_cap: int = BAND_BUCKET_CAP,
     pairs_dir: str | None = None,
+    run_id: str | None = None,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup vectors,
     index their band keys. Separated from the query wiring so tests
-    (and a batch backfill) can drive it directly.
+    (and a batch backfill) can drive it directly. ``run_id`` rejects a
+    recreated checkpoint over a kept store before any write (see
+    store.RUN_FILE).
 
     ``batch`` needs columns (vec_id bigint, vec array<double>).
     """
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    verify_scheme_store_run(spark, store_dir, run_id)
     ensure_store_scheme(spark, store_dir, VEC_SCHEME, ("vecs", "bands"))
 
     w = Window.partitionBy("vec_id").orderBy("vec")
@@ -234,7 +245,14 @@ def start_embedding_ingest(
     return (
         vecs_stream.writeStream.foreachBatch(
             lambda df, bid: embedding_ingest_batch(
-                df, bid, store_dir, survivors_dir, threshold, bucket_cap, pairs_dir
+                df,
+                bid,
+                store_dir,
+                survivors_dir,
+                threshold,
+                bucket_cap,
+                pairs_dir,
+                run_id=checkpoint_run_id(df.sparkSession, checkpoint),
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -40,7 +40,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.text_analysis import SEG_TOKENS
-from .store import append_partition, compact_tables, ensure_store_scheme, read_store
+from .store import (
+    append_partition,
+    checkpoint_run_id,
+    compact_tables,
+    ensure_store_scheme,
+    read_store,
+    verify_scheme_store_run,
+)
 
 SEG_SCHEME = f"segdedup-xxhash64-w{SEG_TOKENS}"
 _SEG_SCHEMA = "seg_hash bigint"
@@ -69,11 +76,15 @@ def segment_ingest_batch(
     store_dir: str,
     out_dir: str,
     seg_tokens: int = SEG_TOKENS,
+    run_id: str | None = None,
 ) -> None:
     """foreachBatch body: rewrite the batch's docs minus already-seen
     segments, index the first-seen segment hashes. ``batch`` needs
-    (doc_id bigint, text string)."""
+    (doc_id bigint, text string). ``run_id`` rejects a recreated
+    checkpoint over a kept store before any write (see
+    store.RUN_FILE)."""
     spark = batch.sparkSession
+    verify_scheme_store_run(spark, store_dir, run_id)
     ensure_store_scheme(spark, store_dir, SEG_SCHEME, ("segs",))
 
     w = Window.partitionBy("doc_id").orderBy("text")
@@ -151,7 +162,14 @@ def start_segment_ingest(
     exactly-once contract as the other ingest modules."""
     return (
         docs_stream.writeStream.foreachBatch(
-            lambda df, bid: segment_ingest_batch(df, bid, store_dir, out_dir, seg_tokens)
+            lambda df, bid: segment_ingest_batch(
+                df,
+                bid,
+                store_dir,
+                out_dir,
+                seg_tokens,
+                run_id=checkpoint_run_id(df.sparkSession, checkpoint),
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

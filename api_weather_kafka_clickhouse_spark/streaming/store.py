@@ -346,10 +346,12 @@ def ensure_store_scheme(
 # 0 — replay guards silently no-op new batches (the centroid store's
 # round-6 finding) and per-batch dynamic partition overwrites silently
 # REPLACE the old run's early partitions (the ingest stores' version
-# of the same bug). Every streaming wiring therefore records the
-# query id (stable across restarts of one checkpoint, fresh on a
-# recreated one) and refuses LOUD when a different run drives an
-# existing store: store_dir and checkpoint must live and die together.
+# of the same bug). Every streaming wiring (centroid, dedup,
+# embedding, segment, and the composed curation pipeline) therefore
+# records the query id (stable across restarts of one checkpoint,
+# fresh on a recreated one) and refuses LOUD when a different run
+# drives an existing store: store_dir and checkpoint must live and
+# die together.
 RUN_FILE = "_stream_run"
 
 
@@ -409,4 +411,20 @@ def verify_stream_run(
         .coalesce(1)
         .write.mode("overwrite")
         .text(path)
+    )
+
+
+def verify_scheme_store_run(spark: SparkSession, store_dir: str, run_id: str | None) -> None:
+    """verify_stream_run for the scheme-versioned ingest stores
+    (dedup/embedding/segment and the curation chain): ``has_state``
+    derives from the SCHEME_FILE record, which every such store writes
+    on first touch — so a store built by direct batch calls (no run
+    marker, scheme present) driven later by a stream refuses, exactly
+    like the centroid store's explicit-state variant. Must run BEFORE
+    ensure_store_scheme writes the record for a cold store."""
+    verify_stream_run(
+        spark,
+        store_dir,
+        run_id,
+        has_state=fs_exists(spark, os.path.join(store_dir, SCHEME_FILE)),
     )
