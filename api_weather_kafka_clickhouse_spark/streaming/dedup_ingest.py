@@ -187,9 +187,15 @@ def dedup_ingest_batch(
                     "old_id",
                 )
             )
-            pairs_vs_store = cand_old.filter(
-                _estimated_sim("new_sig", "old_sig") >= SIG_SIM_THRESHOLD
-            ).select("doc_id", "old_id")
+            # persisted: the decided pair sets (ids only, tiny) feed
+            # BOTH the dropped-set/survivors write and the provenance
+            # pairs log — without the cache the expensive candidate
+            # join + sim filter would run twice per batch
+            pairs_vs_store = (
+                cand_old.filter(_estimated_sim("new_sig", "old_sig") >= SIG_SIM_THRESHOLD)
+                .select("doc_id", "old_id")
+                .persist()
+            )
             dropped_vs_store = pairs_vs_store.select("doc_id")
 
             # candidates within the batch: keep the lowest id
@@ -200,9 +206,11 @@ def dedup_ingest_batch(
                 .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
                 .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
             )
-            pairs_in_batch = cand_new.filter(
-                _estimated_sim("sig_a", "sig_b") >= SIG_SIM_THRESHOLD
-            ).select("doc_a", "doc_b")
+            pairs_in_batch = (
+                cand_new.filter(_estimated_sim("sig_a", "sig_b") >= SIG_SIM_THRESHOLD)
+                .select("doc_a", "doc_b")
+                .persist()
+            )
             dropped_in_batch = pairs_in_batch.select(F.col("doc_b").alias("doc_id"))
 
             # docs too short to shingle: exact md5 dedup vs the shorts
@@ -297,6 +305,8 @@ def dedup_ingest_batch(
                     )
                     _append(pairs, pairs_dir)
             finally:
+                pairs_vs_store.unpersist()
+                pairs_in_batch.unpersist()
                 shorts.unpersist()
         finally:
             sig.unpersist()

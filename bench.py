@@ -64,6 +64,35 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_curation_backfill(spark) -> list[float]:
+    """One-shot curate_batch backfill (gopher -> dedup ingest -> label
+    fold) over the documents table — the deployable curation chain's
+    wall-time, tracked round-over-round the way curation_funnel tracks
+    its stage counts. Each run writes a FRESH store (the chain is a
+    stateful ingest; re-driving a populated store would measure the
+    replay path, not the backfill)."""
+    import shutil
+    import tempfile
+
+    from api_weather_kafka_clickhouse_spark.streaming.curation import (
+        curate_batch,
+        curation_dirs,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    docs = load(spark, "documents", SF_DIR).select("doc_id", "text")
+    runs: list[float] = []
+    for _ in range(3):
+        base = tempfile.mkdtemp(prefix="bench_curation_")
+        try:
+            t0 = time.perf_counter()
+            curate_batch(docs, 0, curation_dirs(base), None)
+            runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return runs
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = registry.queries()
@@ -77,8 +106,12 @@ def main() -> None:
     # overstated dedup_minhash_lsh by 2.2× when both runs landed slow;
     # the minimum of three runs tracks the query's actual cost
     timings: dict[str, float] = {}
+    # all three raw runs per query travel in the JSON ("runs"), so a
+    # future reader can separate host drift (all runs slow) from a
+    # real regression (best run slow) without a worktree A/B
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             # time the CALLABLE too, not just the final materialize:
             # multi-consumer operators storage-checkpoint intermediate
@@ -87,12 +120,18 @@ def main() -> None:
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             _materialize(df)
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 3))
             # defensive: no operator persists anymore (stage checkpoints
             # replaced operator-scope caches), but keep later timings
             # isolated from anything a future query might cache
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        all_runs[name] = runs
+        timings[name] = min(runs)
+
+    # the composed curation chain, benched as a backfill into a fresh
+    # store (not in HEADLINE: it is an ingest pipeline, not a query)
+    all_runs["curation_backfill"] = _time_curation_backfill(spark)
+    timings["curation_backfill"] = min(all_runs["curation_backfill"])
 
     # best-effort: an env-overridden SF_DIR without an 'sf<num>'
     # suffix must not crash AFTER the whole benchmark ran — the one
@@ -102,6 +141,10 @@ def main() -> None:
         sf: float | str = float(tail)
     except ValueError:
         sf = SF_DIR
+    try:
+        load_avg: list[float] | None = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
     print(
         json.dumps(
             {
@@ -109,6 +152,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "load_avg": load_avg,
                 "sf": sf,
             }
         )
