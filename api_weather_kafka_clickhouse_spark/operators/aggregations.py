@@ -202,35 +202,78 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_custs_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderstatus, approx_custs, exact_custs, n_rows) — per-status
+    HLL sketch estimates, the union-merged ALL row, and the exact
+    distinct counts beside them. The kernel agg_hll_sketch_merge and
+    tests/test_sketches.py share; the exact column exists for the
+    bound checks, not the production shape (at 100 TB you store the
+    sketches and never recount)."""
+    o = load(spark, "orders", sf_dir)
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_group = per_status.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").alias("approx_custs"),
+        "exact_custs",
+        "n_rows",
+    )
+    merged_sk = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    exact_all = o.agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    merged = merged_sk.crossJoin(exact_all).select(
+        F.lit("ALL").alias("o_orderstatus"), "approx_custs", "exact_custs", "n_rows"
+    )
+    return per_group.unionByName(merged)
+
+
 @register(
     "agg_hll_sketch_merge",
-    oracle=None,  # sketch-based by design -> rows-only; error bound
-    # vs exact distinct asserted in tests/test_sketches.py
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_3pct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL' AS o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_3pct
+    FROM orders
+    """,
     doc="HLL sketches as first-class mergeable data (Datasketches "
     "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-group "
     "sketches are built in one pass, then UNIONED into a global "
     "estimate without rescanning — the 100 TB pattern where per-"
     "shard/per-day sketches are stored once and any rollup "
     "(regional, monthly, global) is a cheap sketch merge instead of "
-    "a distinct recount over raw data.",
+    "a distinct recount over raw data. Hash-checked via a bounds "
+    "oracle (round-7 verdict item 5): the raw estimate is engine-"
+    "specific so it cannot be hash-compared, but 'estimate within 3% "
+    "of the exact distinct' IS SQL-expressible — the query emits the "
+    "exact counts plus a within_3pct flag (default lgConfigK=12 has "
+    "~0.8% standard error, so 3% is >3 sigma), and any sketch "
+    "regression flips the flag and fails the driver's value hash. "
+    "The exact-count column is the oracle harness, not the "
+    "production shape — see hll_custs_estimates.",
 )
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, "orders", sf_dir)
-    per_status = o.groupBy("o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    per_group = per_status.select(
+    est = hll_custs_estimates(spark, sf_dir)
+    return est.select(
         "o_orderstatus",
-        F.hll_sketch_estimate("sk").alias("approx_custs"),
+        "exact_custs",
         "n_rows",
+        (
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            <= F.lit(0.03) * F.col("exact_custs")
+        ).alias("within_3pct"),
     )
-    merged = per_status.agg(
-        F.lit("ALL").alias("o_orderstatus"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"),
-        F.sum("n_rows").alias("n_rows"),
-    )
-    return per_group.unionByName(merged)
 
 
 @register(

@@ -138,7 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_mode_per_group",  # r8 rotation: first driver row
     "agg_value_histogram",  # gated r7
     "agg_heavy_hitters_cms",  # gated r7
-    "agg_hll_sketch_merge",  # gated r7 (rows-only)
+    "agg_hll_sketch_merge",  # gated r7 (hash-checked since the r8 bounds-oracle upgrade)
     "skew_key_profile",  # gated r7
     "events_anomaly_zscore",  # gated r7
     # behavioral analytics

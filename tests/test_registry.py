@@ -51,7 +51,7 @@ def test_registry_totals_are_pinned():
     specs = registry.all_specs()
     total = len(specs)
     oracle = sum(1 for s in specs.values() if s.oracle is not None)
-    assert (total, oracle, total - oracle) == (153, 142, 11), (
+    assert (total, oracle, total - oracle) == (153, 143, 10), (
         total,
         oracle,
         total - oracle,
@@ -67,7 +67,8 @@ def test_rows_only_queries_are_documented_choices():
     rows_only = {n for n, s in specs.items() if s.oracle is None}
     expected = {
         "agg_approx_distinct",
-        "agg_hll_sketch_merge",
+        # agg_hll_sketch_merge: upgraded to hash-checked in round 8
+        # (bounds oracle: exact distinct + within_3pct flag)
         "agg_approx_percentile",
         "dedup_simhash",
         # dedup_embedding_lsh: upgraded to hash-checked in round 7

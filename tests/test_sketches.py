@@ -5,26 +5,28 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from api_weather_kafka_clickhouse_spark.operators.aggregations import agg_hll_sketch_merge
-from api_weather_kafka_clickhouse_spark.tables import load
+from api_weather_kafka_clickhouse_spark.operators.aggregations import (
+    agg_hll_sketch_merge,
+    hll_custs_estimates,
+)
 
 
 def test_hll_estimates_within_bounds(spark, sf_dir):
-    out = {r.o_orderstatus: r.approx_custs for r in agg_hll_sketch_merge(spark, sf_dir).collect()}
-    o = load(spark, "orders", sf_dir)
-    exact_per = {
-        r.o_orderstatus: r.n
-        for r in o.groupBy("o_orderstatus")
-        .agg(F.countDistinct("o_custkey").alias("n"))
-        .collect()
-    }
-    exact_all = o.select("o_custkey").distinct().count()
+    rows = {r.o_orderstatus: r for r in hll_custs_estimates(spark, sf_dir).collect()}
     # default lgConfigK=12 -> relative standard error ~1.6%; allow 5%
-    for status, exact in exact_per.items():
-        assert abs(out[status] - exact) / exact < 0.05, (status, out[status], exact)
-    assert abs(out["ALL"] - exact_all) / exact_all < 0.05, (out["ALL"], exact_all)
+    for status, r in rows.items():
+        assert abs(r.approx_custs - r.exact_custs) / r.exact_custs < 0.05, (
+            status,
+            r.approx_custs,
+            r.exact_custs,
+        )
     # the merged estimate must reflect the union, not the sum of parts
-    assert out["ALL"] < sum(v for k, v in out.items() if k != "ALL")
+    approx = {k: r.approx_custs for k, r in rows.items()}
+    assert approx["ALL"] < sum(v for k, v in approx.items() if k != "ALL")
+    # and the registered bounds query (the driver's hash surface)
+    # reports every group inside its 3% gate
+    flags = agg_hll_sketch_merge(spark, sf_dir).collect()
+    assert flags and all(r.within_3pct for r in flags)
 
 
 def test_cms_estimates_never_undercount(spark, sf_dir):
