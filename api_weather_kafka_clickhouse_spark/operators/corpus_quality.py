@@ -461,3 +461,104 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gate_counts.unionByName(survivors)
+
+
+@register(
+    "quality_tiers_decile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT quantile_cont(n_tokens, 0.1) AS b1, quantile_cont(n_tokens, 0.2) AS b2,
+             quantile_cont(n_tokens, 0.3) AS b3, quantile_cont(n_tokens, 0.4) AS b4,
+             quantile_cont(n_tokens, 0.5) AS b5, quantile_cont(n_tokens, 0.6) AS b6,
+             quantile_cont(n_tokens, 0.7) AS b7, quantile_cont(n_tokens, 0.8) AS b8,
+             quantile_cont(n_tokens, 0.9) AS b9
+      FROM t
+    ), tiered AS (
+      SELECT doc_id, source, n_tokens,
+             1 + CAST(n_tokens > b1 AS INT) + CAST(n_tokens > b2 AS INT)
+               + CAST(n_tokens > b3 AS INT) + CAST(n_tokens > b4 AS INT)
+               + CAST(n_tokens > b5 AS INT) + CAST(n_tokens > b6 AS INT)
+               + CAST(n_tokens > b7 AS INT) + CAST(n_tokens > b8 AS INT)
+               + CAST(n_tokens > b9 AS INT) AS tier
+      FROM t, b
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tiered GROUP BY tier
+    """,
+    doc="Curriculum quality tiering: bucket the corpus into deciles "
+    "of a quality signal (token count here; any scored column slots "
+    "in) and report per-tier volume — the table a data-mixing or "
+    "curriculum-ordering step consumes. Deliberately NOT ntile(): a "
+    "global ntile plans as a single-partition window (a scale-killer "
+    "at 100 TB). Instead the nine decile BOUNDARIES come from one "
+    "exact-percentile aggregate (nine doubles in a one-row broadcast "
+    "— Spark's percentile() and DuckDB's quantile_cont share the "
+    "SQL-standard interpolation formula, so the cut points are "
+    "bit-identical), and each doc buckets itself with nine codegen "
+    "comparisons: one scan + one tiny broadcast + one map-side "
+    "combined aggregate, no global sort. Boundary ties resolve "
+    "identically on both engines because the comparisons run on the "
+    "same IEEE doubles.",
+)
+def quality_tiers_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    t = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+    b = t.agg(
+        *[
+            F.percentile("n_tokens", F.lit(p / 10)).alias(f"b{p}")
+            for p in range(1, 10)
+        ]
+    )
+    tier = F.lit(1)
+    for p in range(1, 10):
+        tier = tier + (F.col("n_tokens") > F.col(f"b{p}")).cast("int")
+    return (
+        t.crossJoin(F.broadcast(b))
+        .select("doc_id", "source", "n_tokens", tier.alias("tier"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus-health observability: per-source exact-duplicate rate "
+    "(1 - distinct-digest share) — the dashboard number a curation "
+    "team watches per crawl/source before deciding dedup budgets. "
+    "Complements dedup_exact_hash (which RETURNS the deduped rows): "
+    "this is the monitoring aggregate. One map-side-combined "
+    "count-distinct over (source, md5) — digests shuffle, text never "
+    "does; at 100 TB swap the exact distinct for the HLL sketch "
+    "(agg_hll_sketch_merge's pattern) when per-source cardinalities "
+    "stop fitting the agg hash table.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    uniq = F.countDistinct(F.md5("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        uniq.alias("n_unique"),
+        F.round(F.lit(1.0) - uniq.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )

@@ -1098,3 +1098,38 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_vocab",
         F.round(F.col("n_in_vocab").cast("double") / F.col("n_tokens"), 6).alias("coverage"),
     )
+
+
+@register(
+    "split_temporal_embargo",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+    doc="Temporal train/test split with an embargo gap — the "
+    "leakage-free split for time-ordered data (market bars, user "
+    "events, crawl snapshots): everything before the cut trains, a "
+    "fixed embargo window after the cut is EXCLUDED from both sides "
+    "(rows whose features/labels straddle the boundary would leak "
+    "future information into training), and the rest tests. "
+    "Complements split_leakage_free (group-disjoint) and split_kfold "
+    "(hash-mod-k): those protect against entity leakage, this "
+    "against look-ahead. One scan, zero shuffle, a codegen CASE — "
+    "embarrassingly parallel at any scale; the timestamp literals "
+    "compare identically on both engines under the UTC session pin.",
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    test_from = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") < test_from, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -114,6 +114,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # driver gate bit-for-bit seven rounds running). After this round
 # EVERY registered query has >= 1 driver CORRECTNESS row and the
 # rotation program ends; new queries added in r8+ queue below.
+#
+# Round-9 rotation queue (oracle-checked r8 additions with no driver
+# row yet): quality_tiers_decile, dedup_rate_by_source,
+# split_temporal_embargo, embedding_quantize_int8 — swap them in for
+# same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry

@@ -1,0 +1,172 @@
+"""Round-8 operator semantics + plan shapes: quality tiering without
+a global sort, per-source dup-rate math, temporal embargo boundaries,
+int8 quantization error bounds, and the bucketed co-located join
+demonstration (shuffle-free equi-join via bucketing — the 100 TB
+pattern SCALE.md documents)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_weather_kafka_clickhouse_spark import registry
+from api_weather_kafka_clickhouse_spark.plans import checks
+from api_weather_kafka_clickhouse_spark.tables import load
+
+SPECS = registry.all_specs()
+
+
+# ------------------------------------------------ quality_tiers_decile
+
+
+def test_quality_tiers_cover_corpus_and_order_by_tokens(spark, sf_dir):
+    rows = {r.tier: r for r in SPECS["quality_tiers_decile"].fn(spark, sf_dir).collect()}
+    total = load(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows.values()) == total  # a partition of the corpus
+    tiers = sorted(rows)
+    assert tiers[0] >= 1 and tiers[-1] <= 10
+    # tiers are ordered by the quality signal: each tier's max token
+    # count never exceeds the next tier's min
+    for lo, hi in zip(tiers, tiers[1:]):
+        assert rows[lo].max_tokens <= rows[hi].min_tokens, (lo, hi)
+
+
+def test_quality_tiers_plan_has_no_global_sort(spark, sf_dir):
+    """The whole point vs ntile(): boundaries broadcast, docs bucket
+    themselves — no single-partition window, no global sort."""
+    df = SPECS["quality_tiers_decile"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "Window" not in plan, "tiering must not plan a window"
+    # the 9 boundaries attach as a one-row scalar broadcast (the
+    # sanctioned tf-idf pattern), never an unbounded nested loop
+    assert not checks.unbounded_nested_loop_count(df)
+    assert checks.partial_aggregate_count(df) >= 1
+
+
+# ------------------------------------------------ dedup_rate_by_source
+
+
+def test_dup_rate_matches_direct_distinct(spark, sf_dir):
+    out = {r.source: r for r in SPECS["dedup_rate_by_source"].fn(spark, sf_dir).collect()}
+    d = load(spark, "documents", sf_dir)
+    direct = {
+        r.source: (r.n, r.u)
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("text").alias("u"))
+        .collect()
+    }
+    for src, (n, u) in direct.items():
+        assert out[src].n_docs == n and out[src].n_unique == u
+        assert out[src].dup_rate == pytest.approx(1 - u / n, abs=1e-6)
+
+
+# ---------------------------------------------- split_temporal_embargo
+
+
+def test_temporal_embargo_boundaries(spark, sf_dir):
+    df = SPECS["split_temporal_embargo"].fn(spark, sf_dir)
+    e = load(spark, "events", sf_dir).select("event_id", "ts")
+    joined = df.join(e, "event_id")
+    bad = joined.filter(
+        ((F.col("split") == "train") & (F.col("ts") >= "2024-01-22"))
+        | (
+            (F.col("split") == "embargo")
+            & ((F.col("ts") < "2024-01-22") | (F.col("ts") >= "2024-01-24"))
+        )
+        | ((F.col("split") == "test") & (F.col("ts") < "2024-01-24"))
+    )
+    assert bad.count() == 0
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "embargo", "test"}  # all three non-empty
+    assert sum(counts.values()) == e.count()
+
+
+def test_temporal_embargo_is_pure_scan(spark, sf_dir):
+    df = SPECS["split_temporal_embargo"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 0
+    assert all("props" not in s for s in checks.scan_read_schema(df))
+
+
+# --------------------------------------------- embedding_quantize_int8
+
+
+def test_quantize_int8_reconstruction_error_bound(spark, sf_dir):
+    """Dequantized values must sit within half a quantization step of
+    the originals (|x - code/scale| <= 0.5/scale), codes within
+    [-127, 127]."""
+    out = SPECS["embedding_quantize_int8"].fn(spark, sf_dir).limit(50).collect()
+    orig = {
+        r.vec_id: list(r.embedding)
+        for r in load(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id").isin([r.vec_id for r in out]))
+        .collect()
+    }
+    assert out
+    for r in out:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        assert max(abs(c) for c in codes) == 127  # max element saturates
+        scale = r.scale_q
+        for x, c in zip(orig[r.vec_id], codes):
+            assert abs(x - c / scale) <= 0.5 / scale + 1e-9, (r.vec_id, x, c)
+
+
+def test_quantize_int8_is_shuffle_free(spark, sf_dir):
+    df = SPECS["embedding_quantize_int8"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 0
+    assert all("label" not in s for s in checks.scan_read_schema(df))
+
+
+# ------------------------------------------- bucketed co-located join
+
+
+def test_bucketed_join_plans_without_shuffle(spark, sf_dir, tmp_path):
+    """The 100 TB co-location pattern: two tables bucketed+sorted on
+    the join key equi-join with ZERO exchanges — the physical proof
+    behind SCALE.md's bucketing guidance. (The registered query
+    battery reads driver parquet, which cannot carry bucket metadata,
+    so this lives as a plan test over warehouse tables.)"""
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    spark.sql("CREATE DATABASE IF NOT EXISTS r8bucket")
+    try:
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("r8bucket.orders_b")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("r8bucket.lineitem_b")
+        )
+        ob = spark.table("r8bucket.orders_b")
+        lb = spark.table("r8bucket.lineitem_b")
+        # pin the sort-merge path: at test scale AQE would broadcast
+        # the tiny side, hiding exactly the shuffle this test proves
+        # bucketing removes (at 100 TB neither side broadcasts)
+        bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(bcast_key)
+        spark.conf.set(bcast_key, "-1")
+        try:
+            joined = ob.join(
+                lb, ob["o_orderkey"] == lb["l_orderkey"]
+            ).groupBy("o_custkey").agg(F.sum("l_quantity").alias("qty"))
+            # bucket join: the join itself introduces no exchange; the
+            # only shuffle is the final groupBy on a different key
+            n_shuffles = checks.shuffle_count(joined)
+            assert n_shuffles <= 1, checks.formatted_plan(joined)
+            assert "SortMergeJoin" in checks.formatted_plan(joined)
+            # and it still computes the right thing
+            expected = (
+                o.join(li, o["o_orderkey"] == li["l_orderkey"])
+                .groupBy("o_custkey")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+            assert joined.count() == expected.count()
+        finally:
+            spark.conf.set(bcast_key, prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS r8bucket CASCADE")
