@@ -419,3 +419,64 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+JOIN_SALT_WAYS = 16
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_status,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, d.n_status,
+           round(CAST(o.o_totalprice AS DOUBLE) - d.avg_price, 6) AS price_delta
+    FROM orders o JOIN dim d USING (o_orderstatus)
+    """,
+    doc="Salted skew JOIN — the join-side twin of agg_salted_skew, "
+    "over the same genuinely skewed key (o_orderstatus: 3 values, one "
+    "holding ~half the table). A plain shuffle join on the skew key "
+    "sends half the fact table to ONE reducer; here the dim side is "
+    f"replicated {JOIN_SALT_WAYS}x (one row per salt — trivially "
+    "cheap, the dim is per-key aggregates) and each fact row carries "
+    "salt = hash(unique key) mod ways, so the join shuffles on "
+    "(key, salt) and the hot key's rows spread over "
+    f"{JOIN_SALT_WAYS} reducers. Results are EXACTLY the plain join "
+    "(the oracle is the unsalted SQL): salting changes partitioning, "
+    "never matching. A merge hint pins the sort-merge path because "
+    "at test scale the replicated dim would be broadcast — which is "
+    "the RIGHT plan when the dim fits memory; manual salting is for "
+    "the cases AQE's skew handling cannot reach: dims too big to "
+    "broadcast, streaming state joins, or engines without runtime "
+    "re-planning.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    n = F.count(F.lit(1))
+    dim = o.groupBy("o_orderstatus").agg(
+        n.alias("n_status"),
+        (F.sum(money("o_totalprice")).cast("double") / n).alias("avg_price"),
+    )
+    salts = spark.range(JOIN_SALT_WAYS).select(F.col("id").cast("int").alias("salt"))
+    salted_dim = dim.crossJoin(salts)
+    fact = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(JOIN_SALT_WAYS)).cast("int").alias("salt"),
+    )
+    return (
+        fact.join(salted_dim.hint("merge"), ["o_orderstatus", "salt"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "n_status",
+            F.round(F.col("o_totalprice").cast("double") - F.col("avg_price"), 6).alias(
+                "price_delta"
+            ),
+        )
+    )

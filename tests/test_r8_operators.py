@@ -170,3 +170,26 @@ def test_bucketed_join_plans_without_shuffle(spark, sf_dir, tmp_path):
             spark.conf.set(bcast_key, prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS r8bucket CASCADE")
+
+
+# ------------------------------------------------------ join_salted_skew
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
+    """The whole point: the join exchange hash-partitions on BOTH the
+    skew key and the salt (spreading the hot key), and the merge hint
+    holds the sort-merge path against the tiny replicated dim."""
+    df = SPECS["join_salted_skew"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("o_orderstatus" in p and "salt" in p for p in parts), parts
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting changes partitioning, never matching: row count equals
+    the fact table (every order matches its status row exactly once)."""
+    df = SPECS["join_salted_skew"].fn(spark, sf_dir)
+    assert df.count() == load(spark, "orders", sf_dir).count()
