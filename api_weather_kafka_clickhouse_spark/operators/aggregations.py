@@ -867,3 +867,114 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.round(F.col("n_trans").cast("double") / F.col("n_from"), 6).alias("p"),
     )
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day,
+           CAST((SELECT count(DISTINCT d1.user_id) FROM d d1
+                 WHERE d1.day = days.day) AS BIGINT) AS dau,
+           CAST((SELECT count(DISTINCT d7.user_id) FROM d d7
+                 WHERE d7.day BETWEEN days.day - 6 AND days.day) AS BIGINT) AS dau7
+    FROM days
+    """,
+    doc="Daily active users plus the 7-day rolling distinct count — "
+    "the engagement dashboard pair. Rolling DISTINCT cannot use a "
+    "running-sum window (distinct does not decompose), and the naive "
+    "day-range self-join is quadratic in window length x days; the "
+    "scale shape used here is CONTRIBUTION EXPLODE: each (day, user) "
+    "pair emits one row per window it belongs to (a fixed 7x fanout "
+    "of the already-deduped day-user table, NOT of raw events), and "
+    "each window day counts distinct users — linear in the data with "
+    "a constant factor of the window length, map-side combined. The "
+    "DuckDB oracle states the same semantics as correlated "
+    "range-subqueries (fine at oracle scale, the quadratic shape the "
+    "operator avoids).",
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("wday"), "user_id")
+    dau7 = contrib.groupBy("wday").agg(F.countDistinct("user_id").alias("dau7"))
+    # inner join on actual event days: window days past the last
+    # event day exist only in the contribution table, not the output
+    return dau.join(dau7, dau["day"] == dau7["wday"]).select("day", "dau", "dau7")
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts) - epoch_us(v.t_view)) AS lat_us
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS conv_rate,
+           round(quantile_cont(lat_us, 0.50), 6) AS p50_lat_us,
+           round(quantile_cont(lat_us, 0.90), 6) AS p90_lat_us
+    FROM c
+    """,
+    doc="Funnel time-to-convert: per user, the latency from first "
+    "'view' to the first 'purchase' at-or-after it, summarized as "
+    "conversion rate + exact latency percentiles — the companion "
+    "metric to funnel_stages (which counts WHO converts; this "
+    "measures HOW FAST). Latencies are integer microsecond "
+    "differences (unix_micros / epoch_us — exact on both engines, no "
+    "interval-to-double drift); the percentile is the SQL-standard "
+    "interpolated form shared by Spark percentile() and DuckDB "
+    "quantile_cont. Cost shape: two filtered map-side-combined "
+    "min-aggregates keyed on user + one equi-join on user_id; the "
+    "final summary is a one-row reduce. The min() over the "
+    "conditional join is the argmin shape — no per-user event arrays "
+    "anywhere.",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts") - F.unix_micros("t_view")).alias("lat_us"))
+    )
+    n_view = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        c.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("lat_us", F.lit(0.50)), 6).alias("p50_lat_us"),
+            F.round(F.percentile("lat_us", F.lit(0.90)), 6).alias("p90_lat_us"),
+        )
+        .crossJoin(F.broadcast(n_view))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_viewers"), 6
+            ).alias("conv_rate"),
+            "p50_lat_us",
+            "p90_lat_us",
+        )
+    )

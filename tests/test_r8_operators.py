@@ -193,3 +193,40 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     the fact table (every order matches its status row exactly once)."""
     df = SPECS["join_salted_skew"].fn(spark, sf_dir)
     assert df.count() == load(spark, "orders", sf_dir).count()
+
+
+# -------------------------------- events_rolling_dau / conversion latency
+
+
+def test_rolling_dau_window_semantics(spark, sf_dir):
+    """dau7 must equal the direct 'distinct users in [d-6, d]' count
+    for every day, and dau <= dau7 always."""
+    rows = {r.day: r for r in SPECS["events_rolling_dau"].fn(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir)
+    d = e.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id").distinct()
+    pairs = {(r.day, r.user_id) for r in d.collect()}
+    days = sorted({p[0] for p in pairs})
+    assert set(rows) == set(days)
+    import datetime
+
+    for day in days:
+        direct = {
+            u for (dd, u) in pairs if day - datetime.timedelta(days=6) <= dd <= day
+        }
+        assert rows[day].dau7 == len(direct), day
+        assert rows[day].dau <= rows[day].dau7
+
+
+def test_conversion_latency_nonnegative_and_bounded(spark, sf_dir):
+    r = SPECS["events_conversion_latency"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r.n_converted <= r.n_viewers
+    assert 0 < r.conv_rate <= 1
+    assert 0 <= r.p50_lat_us <= r.p90_lat_us
+
+
+def test_rolling_dau_plan_is_linear_not_range_join(spark, sf_dir):
+    """The contribution explode must aggregate with partial combine
+    and never plan a nested-loop range join."""
+    df = SPECS["events_rolling_dau"].fn(spark, sf_dir)
+    assert checks.partial_aggregate_count(df) >= 1
+    assert not checks.unbounded_nested_loop_count(df)
