@@ -1308,3 +1308,55 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survivor_id",
         (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("kept"),
     )
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}
+    ), edges AS (
+      SELECT doc_a AS e_src, doc_b AS e_dst FROM jp
+      UNION ALL
+      SELECT doc_b, doc_a FROM jp
+    ), reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    ), labels AS (
+      SELECT id AS doc_id, min(r) AS c FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT c, count(*) AS csize FROM labels GROUP BY c
+    ), w AS (
+      SELECT l.doc_id, s.csize FROM labels l JOIN sizes s USING (c)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(w.csize, 1) AS BIGINT) AS cluster_size,
+           round(1.0 / coalesce(w.csize, 1), 6) AS weight
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    """,
+    doc="Soft dedup: instead of DROPPING near-duplicates, every "
+    "document keeps a sampling weight of 1/|its transitive near-dup "
+    "cluster| (singletons weigh 1.0) — duplicated mass is neutralized "
+    "in expectation while rare phrasings inside a cluster stay "
+    "reachable, the modern alternative to hard dedup for pretraining "
+    "mixes (SoftDeDup-style). Reuses the LSH pair graph + "
+    "pointer-doubling connected components of "
+    "dedup_cluster_canonical; cluster sizes are one count over the "
+    "|clustered docs| label table and attach to the corpus with an "
+    "ids-only left join (AQE broadcasts it when the dup fraction is "
+    "low). The weights plug directly into sample_weighted's "
+    "Horvitz-Thompson machinery. Oracle: the same recursive-CTE "
+    "closure extended with per-component counts.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_cluster_canonical(spark, sf_dir)
+    sizes = labels.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("csize"))
+    w = labels.join(sizes, "canonical_id").select("doc_id", "csize")
+    d = load(spark, "documents", sf_dir)
+    csize = F.coalesce(F.col("csize"), F.lit(1))
+    return d.join(w, "doc_id", "left").select(
+        "doc_id",
+        csize.cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / csize, 6).alias("weight"),
+    )

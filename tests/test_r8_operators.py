@@ -230,3 +230,32 @@ def test_rolling_dau_plan_is_linear_not_range_join(spark, sf_dir):
     df = SPECS["events_rolling_dau"].fn(spark, sf_dir)
     assert checks.partial_aggregate_count(df) >= 1
     assert not checks.unbounded_nested_loop_count(df)
+
+
+# ------------------------------------------------- dedup_soft_weights
+
+
+def test_soft_weights_mass_and_consistency(spark, sf_dir):
+    """Weights must satisfy the SoftDeDup invariant: each cluster
+    contributes total weight exactly 1.0 (csize * 1/csize), singleton
+    docs weigh 1.0, and cluster membership matches the hard-dedup
+    labels."""
+    out = SPECS["dedup_soft_weights"].fn(spark, sf_dir)
+    rows = out.collect()
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in SPECS["dedup_cluster_canonical"].fn(spark, sf_dir).collect()
+    }
+    import collections
+
+    csize = collections.Counter(labels.values())
+    for r in rows:
+        if r.doc_id in labels:
+            assert r.cluster_size == csize[labels[r.doc_id]], r
+        else:
+            assert r.cluster_size == 1 and r.weight == 1.0, r
+    # expected total mass = number of distinct "information units"
+    n_clusters = len(csize)
+    n_singletons = sum(1 for r in rows if r.doc_id not in labels)
+    total_w = sum(r.weight for r in rows)
+    assert total_w == pytest.approx(n_clusters + n_singletons, abs=1e-3)
