@@ -978,3 +978,53 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_lat_us",
         )
     )
+
+
+@register(
+    "events_user_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d
+    ), streaks AS (
+      SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: per-user consecutive-day activity streaks "
+    "(the canonical engagement/retention analytic). The island key is "
+    "day minus the per-user day rank — constant within a consecutive "
+    "run, distinct across gaps — so streaks fall out of two ordinary "
+    "aggregates with NO self-join and NO per-user arrays. Cost shape: "
+    "one dedup shuffle on (user, day), one per-user window over "
+    "already-small groups (days per user, not events), two map-side "
+    "combined aggregates; integers end to end, hash-exact on both "
+    "engines.",
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    d = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_streak"),
+    )

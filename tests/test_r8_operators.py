@@ -259,3 +259,33 @@ def test_soft_weights_mass_and_consistency(spark, sf_dir):
     n_singletons = sum(1 for r in rows if r.doc_id not in labels)
     total_w = sum(r.weight for r in rows)
     assert total_w == pytest.approx(n_clusters + n_singletons, abs=1e-3)
+
+
+# ------------------------------------------------ events_user_streaks
+
+
+def test_user_streaks_vs_python_reference(spark, sf_dir):
+    """Island arithmetic checked against a direct python streak scan
+    for every user."""
+    out = {r.user_id: r for r in SPECS["events_user_streaks"].fn(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir)
+    d = e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
+    by_user = {}
+    for r in d.collect():
+        by_user.setdefault(r.user_id, set()).add(r.day)
+    import datetime
+
+    one = datetime.timedelta(days=1)
+    for uid, days in by_user.items():
+        streaks = []
+        for day in sorted(days):
+            if streaks and day - one in days:
+                continue  # not a streak start
+            ln, cur = 1, day
+            while cur + one in days:
+                ln, cur = ln + 1, cur + one
+            streaks.append(ln)
+        r = out[uid]
+        assert r.n_active_days == len(days)
+        assert r.n_streaks == len(streaks)
+        assert r.max_streak == max(streaks)
