@@ -562,3 +562,59 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniq.alias("n_unique"),
         F.round(F.lit(1.0) - uniq.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+EPOCH_SCALE = 200  # w = n_chars / 200: corpus spans ~0.24..2.8 epochs
+EPOCH_SALT = ":epochs"
+
+
+@register(
+    "sample_epochs_materialize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) / {EPOCH_SCALE} AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, w,
+             CAST(floor(w) AS BIGINT)
+             + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '{EPOCH_SALT}'), 1, 8)
+                         < printf('%08x', CAST(least(floor((w - floor(w)) * 4294967296.0),
+                                                     4294967295.0) AS BIGINT))
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM m
+    )
+    SELECT doc_id, source, round(w, 6) AS w, n_copies,
+           unnest(generate_series(1, CAST(n_copies AS INT))) AS copy_idx
+    FROM c WHERE n_copies >= 1
+    """,
+    doc="Materialize fractional-epoch upsampling: a mixing weight "
+    "w > 1 (temperature boost, quality boost) cannot be realized by "
+    "keep/drop sampling — the doc must appear floor(w) times plus one "
+    "more with probability frac(w), so the realized epoch count is "
+    "unbiased (E[copies] = w exactly). The fractional coin is the "
+    "shared deterministic bernoulli_keep kernel (md5-prefix vs "
+    "%08x threshold — reproducible across engines/reruns/partition- "
+    "ings), and the copies materialize via explode(sequence(1, n)) — "
+    "per-row fanout bounded by w, no shuffle, no state; downstream "
+    "shuffles see copy_idx so repeated copies stay distinguishable "
+    "(deterministic-shuffle and packing steps need that). The "
+    "keep/drop twin for w <= 1 is sample_weighted; this is the w > 1 "
+    "half of realizing a sample_temperature mix.",
+)
+def sample_epochs_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    w = F.col("n_chars").cast("double") / EPOCH_SCALE
+    frac = w - F.floor(w)
+    n_copies = F.floor(w).cast("bigint") + bernoulli_keep(
+        frac, F.col("doc_id"), EPOCH_SALT
+    ).cast("bigint")
+    c = d.select("doc_id", "source", F.round(w, 6).alias("w"), n_copies.alias("n_copies"))
+    # the >= 1 filter is semantic AND load-bearing: Spark's
+    # sequence(1, 0) would generate a DESCENDING [1, 0], not empty
+    return c.filter(F.col("n_copies") >= 1).select(
+        "doc_id",
+        "source",
+        "w",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias("copy_idx"),
+    )

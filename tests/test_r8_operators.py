@@ -289,3 +289,35 @@ def test_user_streaks_vs_python_reference(spark, sf_dir):
         assert r.n_active_days == len(days)
         assert r.n_streaks == len(streaks)
         assert r.max_streak == max(streaks)
+
+
+# -------------------------------------------- sample_epochs_materialize
+
+
+def test_epoch_materialization_copy_counts(spark, sf_dir):
+    """Copies per doc = floor(w) or floor(w)+1, copy_idx is dense
+    1..n, and the realized mean epoch count sits near E[copies] = w
+    over the corpus."""
+    rows = SPECS["sample_epochs_materialize"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    total_copies = 0
+    for doc, rs in by_doc.items():
+        n = rs[0].n_copies
+        assert len(rs) == n
+        assert sorted(r.copy_idx for r in rs) == list(range(1, n + 1))
+        w = rs[0].w
+        assert n in (int(w), int(w) + 1), (doc, w, n)
+        total_copies += n
+    d = load(spark, "documents", sf_dir)
+    expected = d.agg(F.sum(F.col("n_chars").cast("double") / 200)).collect()[0][0]
+    # deterministic coin, so the realization is fixed; tolerance is
+    # the Bernoulli-sum concentration, generous at corpus size
+    assert abs(total_copies - expected) / expected < 0.05
+
+
+def test_epoch_materialization_is_shuffle_free(spark, sf_dir):
+    df = SPECS["sample_epochs_materialize"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 0
+    assert all("text" not in s for s in checks.scan_read_schema(df))
