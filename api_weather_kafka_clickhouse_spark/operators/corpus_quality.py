@@ -618,3 +618,80 @@ def sample_epochs_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias("copy_idx"),
     )
+
+
+@register(
+    "text_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ), obs AS (
+      SELECT source, t, count(*) AS o FROM tok GROUP BY source, t
+    ), ns AS (
+      SELECT source, CAST(sum(o) AS BIGINT) AS n_s,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM obs GROUP BY source
+    ), nt AS (
+      SELECT t, CAST(sum(o) AS BIGINT) AS n_t FROM obs GROUP BY t
+    ), grand AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM nt
+    ), cells AS (
+      SELECT obs.source,
+             round((obs.o - (CAST(ns.n_s AS DOUBLE) * nt.n_t) / grand.n)
+                   * (obs.o - (CAST(ns.n_s AS DOUBLE) * nt.n_t) / grand.n)
+                   / ((CAST(ns.n_s AS DOUBLE) * nt.n_t) / grand.n)
+                   - (CAST(ns.n_s AS DOUBLE) * nt.n_t) / grand.n, 6) AS term
+      FROM obs JOIN ns USING (source) JOIN nt USING (t), grand
+    )
+    SELECT c.source, ns.n_s AS n_tokens, ns.n_distinct,
+           round(CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) + ns.n_s, 3)
+             AS chi2
+    FROM cells c JOIN ns ON c.source = ns.source
+    GROUP BY c.source, ns.n_s, ns.n_distinct
+    """,
+    doc="Domain-shift detection: per-source chi-square divergence of "
+    "the token distribution from the corpus-wide one — the monitoring "
+    "stat that flags a crawl/source whose language drifted (spam "
+    "influx, template change) before it pollutes a training mix. "
+    "Identity used: summing (obs-exp)^2/exp over ALL tokens equals "
+    "n_s + sum over PRESENT cells of ((obs-exp)^2/exp - exp), so "
+    "absent cells never materialize — the cell table stays "
+    "|distinct (source, token)| not |sources| x |vocab|. Rational "
+    "arithmetic only (no ln — chi-square instead of KL for exactly "
+    "this reason); per-cell terms rounded to 6 decimals and summed "
+    "as DECIMAL (the unigram-entropy bridge) so the reduction order "
+    "can never change the hash. Cost shape: two map-side-combined "
+    "counts, one join shuffled on token, one tiny broadcast each for "
+    "per-source totals and the grand total.",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    obs = (
+        d.select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ns = obs.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    nt = obs.groupBy("t").agg(F.sum("o").cast("bigint").alias("n_t"))
+    grand = nt.agg(F.sum("n_t").cast("bigint").alias("n"))
+    exp = (F.col("n_s").cast("double") * F.col("n_t")) / F.col("n")
+    diff = F.col("o") - exp
+    cells = (
+        obs.join(F.broadcast(ns.select("source", "n_s")), "source")
+        .join(nt, "t")
+        .crossJoin(F.broadcast(grand))
+        .select("source", F.round(diff * diff / exp - exp, 6).alias("term"))
+    )
+    return (
+        cells.groupBy("source")
+        .agg(F.sum(F.col("term").cast("decimal(28,6)")).alias("_s"))
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_distinct",
+            F.round(F.col("_s").cast("double") + F.col("n_s"), 3).alias("chi2"),
+        )
+    )

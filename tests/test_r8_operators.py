@@ -321,3 +321,34 @@ def test_epoch_materialization_is_shuffle_free(spark, sf_dir):
     df = SPECS["sample_epochs_materialize"].fn(spark, sf_dir)
     assert checks.shuffle_count(df) == 0
     assert all("text" not in s for s in checks.scan_read_schema(df))
+
+
+# -------------------------------------------- text_source_divergence
+
+
+def test_source_divergence_vs_scipy_free_reference(spark, sf_dir):
+    """chi2 recomputed directly in python over the full contingency
+    table (including absent cells) — validates the analytic
+    absent-cell folding."""
+    out = {r.source: r for r in SPECS["text_source_divergence"].fn(spark, sf_dir).collect()}
+    d = load(spark, "documents", sf_dir).select("source", "text").collect()
+    import collections
+
+    obs = collections.Counter()
+    for r in d:
+        for t in r.text.split(" "):
+            obs[(r.source, t)] += 1
+    n_s = collections.Counter()
+    n_t = collections.Counter()
+    for (s, t), o in obs.items():
+        n_s[s] += o
+        n_t[t] += o
+    grand = sum(n_s.values())
+    for s in n_s:
+        chi2 = 0.0
+        for t, nt in n_t.items():
+            exp = n_s[s] * nt / grand
+            o = obs.get((s, t), 0)
+            chi2 += (o - exp) ** 2 / exp
+        assert out[s].chi2 == pytest.approx(chi2, rel=1e-3), s
+        assert out[s].n_tokens == n_s[s]
