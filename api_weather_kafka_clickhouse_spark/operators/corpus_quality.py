@@ -695,3 +695,79 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s").cast("double") + F.col("n_s"), 3).alias("chi2"),
         )
     )
+
+
+# Curriculum ordering: fixed difficulty-band thresholds (tokens) and
+# the hash salt that defines the within-stage permutation. The bucket
+# is the hash's first hex nibble, so ordering by (bucket, hash) is
+# the same total order as (hash) — which is what makes the two-level
+# rank provably equal to the oracle's global row_number.
+CURR_SALT = ":curr"
+CURR_T0, CURR_T1 = 40, 70
+
+
+@register(
+    "curriculum_rank_distributed",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '{CURR_SALT}') AS h,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ), s AS (
+      SELECT doc_id, h,
+             CASE WHEN nt < {CURR_T0} THEN 0
+                  WHEN nt < {CURR_T1} THEN 1 ELSE 2 END AS stage
+      FROM k
+    )
+    SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+           row_number() OVER (ORDER BY stage, h, doc_id) AS global_pos
+    FROM s
+    """,
+    doc="Global curriculum order (easy -> hard stages, deterministic "
+    "hash shuffle within each stage) materialized as an explicit "
+    "global_pos WITHOUT the single-partition window a global "
+    "row_number plans. Two-level distributed ranking: (1) rows get a "
+    "16-way bucket from the first hex nibble of their salted hash; "
+    "(2) per-(stage, bucket) counts — at most 3x16 rows — take one "
+    "metadata-sized cumsum to become bucket start offsets; (3) "
+    "row_number runs per (stage, bucket) — 48 bounded partitions "
+    "instead of 1 — and adds its bucket's offset. Because the bucket "
+    "is a prefix of the hash, (stage, bucket, hash) is the same "
+    "total order as (stage, hash), so the result is hash-identical "
+    "to the oracle's flat row_number. This is the pattern for "
+    "materializing ANY global training order at 100 TB; "
+    "shuffle_deterministic is the per-shard variant that skips the "
+    "offsets when positions only need to be unique within a file.",
+)
+def curriculum_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(CURR_SALT)))
+    nt = F.size(tokens("text"))
+    k = d.select(
+        "doc_id",
+        h.alias("h"),
+        F.when(nt < CURR_T0, 0).when(nt < CURR_T1, 1).otherwise(2).alias("stage"),
+    ).withColumn(
+        "bucket",
+        F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1,
+    )
+    counts = k.groupBy("stage", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # 48-row cumsum: bounded by stages x 16 nibbles, never by data
+    woff = Window.orderBy("stage", "bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "stage", "bucket", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off")
+    )
+    wrank = Window.partitionBy("stage", "bucket").orderBy("h", "doc_id")
+    return (
+        k.join(F.broadcast(offsets), ["stage", "bucket"])
+        .select(
+            "doc_id",
+            F.col("stage").cast("bigint").alias("stage"),
+            (F.col("off") + F.row_number().over(wrank)).alias("global_pos"),
+        )
+    )

@@ -1133,3 +1133,86 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# Token-budget mixture planning: Zipf-ish target weights derived from
+# the source index (integer floor-div, exact on every engine) and a
+# budget fixed at 60% of the corpus's total tokens. All planning
+# arithmetic stays in bigints; each output ratio is ONE final IEEE
+# division of exact integers, so the plan is bit-stable across
+# engines and partitionings.
+MIXPLAN_BUDGET_NUM, MIXPLAN_BUDGET_DEN = 6, 10
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail,
+             CAST(10000 // (CAST(substr(source, 4) AS BIGINT) + 1) AS BIGINT) AS raw
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(sum(avail) AS BIGINT) AS tot_avail,
+             CAST(sum(raw) AS BIGINT) AS sum_raw
+      FROM s
+    ), p AS (
+      SELECT source, avail, raw, sum_raw,
+             CAST(((({MIXPLAN_BUDGET_NUM} * tot_avail) // {MIXPLAN_BUDGET_DEN})
+                   * raw) // sum_raw AS BIGINT) AS desired
+      FROM s, t
+    )
+    SELECT source,
+           avail AS avail_tokens,
+           round(CAST(raw AS DOUBLE) / sum_raw, 6) AS weight,
+           desired AS desired_tokens,
+           round(least(1.0, CAST(desired AS DOUBLE) / avail), 6) AS sample_rate,
+           round(CAST(desired AS DOUBLE) / avail, 6) AS epochs,
+           desired > avail AS needs_upsampling
+    FROM p
+    """,
+    doc="Data-mixing feasibility planner: given per-source target "
+    "weights (Zipf-ish over the source index here; any weight table "
+    "slots in) and a total token budget (60% of the corpus), compute "
+    "each source's available tokens, its token allocation, the "
+    "sampling rate that realizes it, and the epoch multiplier where "
+    "the allocation exceeds availability (the upsampling signal a "
+    "mixture trainer needs). This is the planning step that FEEDS "
+    "sample_mixture_sources / sample_epochs_materialize their "
+    "per-source rates. Cost shape: one map-side-combined sum per "
+    "source (tiny group count), a one-row scalar reduce, one "
+    "broadcast back — a single corpus scan regardless of scale. "
+    "Integer floor-division end to end; each ratio is one IEEE "
+    "division of exact bigints.",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    s = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("bigint").alias("avail"))
+        .withColumn(
+            "raw",
+            F.expr("10000 div (CAST(substring(source, 4) AS BIGINT) + 1)"),
+        )
+    )
+    t = s.agg(
+        F.sum("avail").cast("bigint").alias("tot_avail"),
+        F.sum("raw").cast("bigint").alias("sum_raw"),
+    )
+    p = s.crossJoin(F.broadcast(t)).withColumn(
+        "desired",
+        F.expr(
+            f"((({MIXPLAN_BUDGET_NUM} * tot_avail) div {MIXPLAN_BUDGET_DEN})"
+            " * raw) div sum_raw"
+        ),
+    )
+    ratio = F.col("desired").cast("double") / F.col("avail")
+    return p.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.round(F.col("raw").cast("double") / F.col("sum_raw"), 6).alias("weight"),
+        F.col("desired").alias("desired_tokens"),
+        F.round(F.least(F.lit(1.0), ratio), 6).alias("sample_rate"),
+        F.round(ratio, 6).alias("epochs"),
+        (F.col("desired") > F.col("avail")).alias("needs_upsampling"),
+    )

@@ -120,8 +120,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # split_temporal_embargo, embedding_quantize_int8, join_salted_skew,
 # events_rolling_dau, events_conversion_latency, dedup_soft_weights,
 # events_user_streaks, sample_epochs_materialize,
-# text_source_divergence, agg_weighted_median — swap them in for
-# same-family-redundant green slots next round.
+# text_source_divergence, agg_weighted_median,
+# curriculum_rank_distributed, mixture_token_budget — swap them in
+# for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry
