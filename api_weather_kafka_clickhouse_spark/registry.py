@@ -121,8 +121,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # events_rolling_dau, events_conversion_latency, dedup_soft_weights,
 # events_user_streaks, sample_epochs_materialize,
 # text_source_divergence, agg_weighted_median,
-# curriculum_rank_distributed, mixture_token_budget — swap them in
-# for same-family-redundant green slots next round.
+# curriculum_rank_distributed, mixture_token_budget,
+# text_inverted_index — swap them in for same-family-redundant green
+# slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry

@@ -352,3 +352,38 @@ def test_source_divergence_vs_scipy_free_reference(spark, sf_dir):
             chi2 += (o - exp) ** 2 / exp
         assert out[s].chi2 == pytest.approx(chi2, rel=1e-3), s
         assert out[s].n_tokens == n_s[s]
+
+
+# --------------------------------------------- text_inverted_index
+
+
+def test_inverted_index_rank_limit_plan_and_postings_head(spark, sf_dir):
+    """Posting-list skew containment: the head is built through a
+    rank-limit window that Spark must execute as WindowGroupLimit
+    (<= K rows of state per token), and df/cf stay exact while the
+    materialized postings are capped."""
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        IDX_MIN_DF,
+        IDX_POSTINGS_CAP,
+    )
+
+    df = SPECS["text_inverted_index"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "rank-limit must push into the window"
+
+    out = {r.token: r for r in df.collect()}
+    assert out, "df>=MIN_DF tokens must exist at this SF"
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    import collections
+
+    postings = collections.defaultdict(set)
+    cf = collections.Counter()
+    for r in docs:
+        for t in r.text.split(" "):
+            postings[t].add(r.doc_id)
+            cf[t] += 1
+    for token, r in out.items():
+        assert r.df == len(postings[token]) and r.df >= IDX_MIN_DF
+        assert r.cf == cf[token]
+        head = [int(x) for x in r.postings_head.split(",")]
+        assert head == sorted(postings[token])[:IDX_POSTINGS_CAP]
