@@ -1,0 +1,104 @@
+"""Affinity analytics: market-basket pair mining and graph-shaped
+derivatives (co-occurrence counts, lift, triangle closure).
+
+No counterpart in the reference (its 550-LoC surface has no joins or
+aggregates, SURVEY.md §2-C); these extend the engine the way a
+warehouse user of the reference stack would via ClickHouse SQL.
+
+Scale strategy: the pair-generation self-join is keyed on the basket
+id (l_orderkey), so it is a co-partitioned equi-join whose fanout per
+basket is (basket size choose 2) — bounded by the schema (TPC-H
+baskets are <= 7 items), never by corpus size. Per-item counts are a
+map-side-combined aggregate whose result is dimension-sized, so it
+attaches back with a broadcast. Lift arithmetic stays in exact
+bigints until one final IEEE division, the cross-engine determinism
+rule every oracle-checked query here follows (registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+# Pairs below this basket-support are noise at sf scale; the filter
+# also bounds the result the driver hashes.
+PAIR_MIN_SUPPORT = 3
+
+
+@register(
+    "copurchase_pairs_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM b GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, c.l_partkey
+      HAVING count(*) >= {PAIR_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           round(CAST(n_ab * n_baskets AS DOUBLE)
+                 / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+    FROM pair, n
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    """,
+    doc="Market-basket affinity: for every part pair co-occurring in "
+    ">= MIN_SUPPORT orders, the co-occurrence count and lift "
+    "P(a,b)/(P(a)P(b)). Pair generation is a self-join on the basket "
+    "key — co-partitioned, per-basket fanout bounded by basket size "
+    "squared, so 100x the orders is 100x the work with no new "
+    "shuffle shape. Per-part counts are dimension-sized and attach "
+    "by broadcast; the basket total is a one-row broadcast scalar. "
+    "Lift is exact-bigint products with ONE final IEEE division, so "
+    "the value hashes identically across engines.",
+)
+def copurchase_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= PAIR_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

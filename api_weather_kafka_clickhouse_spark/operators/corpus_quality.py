@@ -771,3 +771,48 @@ def curriculum_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.row_number().over(wrank)).alias("global_pos"),
         )
     )
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+             AS pct_rank
+    FROM documents
+    """,
+    doc="Cross-source score normalization: each document's quality "
+    "signal (n_chars here; any per-doc score slots in) mapped to its "
+    "within-source percentile, making scores comparable ACROSS "
+    "sources before mixing — the step that stops one source's score "
+    "scale from dominating a blended quality threshold. The naive "
+    "percent_rank window partitioned by source sorts each source on "
+    "one reducer — a scale-killer when one crawl is 10% of a 100 TB "
+    "corpus. This implementation never windows over documents: it "
+    "builds the per-(source, value) histogram (dimension-sized), "
+    "takes ONE cumsum over that histogram, and broadcast-joins the "
+    "resulting rank offsets back to the scan. Because percent_rank "
+    "uses RANK (ties share), rank = 1 + count of strictly-smaller "
+    "values — exactly the histogram prefix sum — so the result is "
+    "hash-identical to the flat window oracle.",
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    hist = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    wsrc = Window.partitionBy("source")
+    wcum = wsrc.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = hist.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(wsrc).alias("n_src"),
+    )
+    pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        F.col("cum_before").cast("double") / (F.col("n_src") - 1)
+    )
+    return d.select("doc_id", "source", "n_chars").join(
+        F.broadcast(ranks.select("source", "n_chars", F.round(pr, 6).alias("pct_rank"))),
+        ["source", "n_chars"],
+    ).select("doc_id", "source", "n_chars", "pct_rank")

@@ -122,8 +122,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # events_user_streaks, sample_epochs_materialize,
 # text_source_divergence, agg_weighted_median,
 # curriculum_rank_distributed, mixture_token_budget,
-# text_inverted_index — swap them in for same-family-redundant green
-# slots next round.
+# text_inverted_index, copurchase_pairs_lift,
+# quality_quantile_normalize, layout_zorder_key — swap them in for
+# same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry
@@ -249,6 +250,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        affinity,
         aggregations,
         bloom,
         corpus_quality,

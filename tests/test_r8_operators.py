@@ -387,3 +387,75 @@ def test_inverted_index_rank_limit_plan_and_postings_head(spark, sf_dir):
         assert r.cf == cf[token]
         head = [int(x) for x in r.postings_head.split(",")]
         assert head == sorted(postings[token])[:IDX_POSTINGS_CAP]
+
+
+# -------------------------------------------- copurchase_pairs_lift
+
+
+def test_copurchase_lift_matches_direct_probability_math(spark, sf_dir):
+    out = SPECS["copurchase_pairs_lift"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "some pair must clear MIN_SUPPORT"
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
+    baskets = {}
+    for r in li.collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_baskets = len(baskets)
+    import collections
+
+    item = collections.Counter()
+    pair = collections.Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    pair[(a, b)] += 1
+    for r in rows:
+        assert r.n_ab == pair[(r.part_a, r.part_b)]
+        assert (r.n_a, r.n_b) == (item[r.part_a], item[r.part_b])
+        assert r.lift == pytest.approx(
+            round(r.n_ab * n_baskets / (r.n_a * r.n_b), 6), abs=1e-9
+        )
+
+
+def test_copurchase_counts_attach_by_broadcast(spark, sf_dir):
+    df = SPECS["copurchase_pairs_lift"].fn(spark, sf_dir)
+    assert checks.has_broadcast_join(df)
+    assert not checks.unbounded_nested_loop_count(df)
+
+
+# ---------------------------------------- quality_quantile_normalize
+
+
+def test_quantile_normalize_equals_naive_window_and_avoids_doc_window(spark, sf_dir):
+    """Hash-equality vs the flat percent_rank window, and the plan
+    must window only over the histogram (broadcast join back)."""
+    from pyspark.sql import Window
+
+    out = SPECS["quality_quantile_normalize"].fn(spark, sf_dir)
+    d = load(spark, "documents", sf_dir)
+    naive = d.select(
+        "doc_id",
+        F.round(
+            F.percent_rank().over(Window.partitionBy("source").orderBy("n_chars")), 6
+        ).alias("want"),
+    )
+    joined = out.join(naive, "doc_id")
+    assert joined.filter(F.col("pct_rank") != F.col("want")).count() == 0
+    assert checks.has_broadcast_join(out)
+
+
+# ------------------------------------------------- layout_zorder_key
+
+
+def test_zorder_key_is_invertible_and_shuffle_free(spark, sf_dir):
+    df = SPECS["layout_zorder_key"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 0, "layout key must be scan-speed codegen"
+    for r in df.limit(200).collect():
+        p = s = 0
+        for i in range(16):
+            p |= ((r.zkey >> (2 * i)) & 1) << i
+            s |= ((r.zkey >> (2 * i + 1)) & 1) << i
+        assert (p, s) == (r.l_partkey & 0xFFFF, r.l_suppkey & 0xFFFF)
