@@ -1125,3 +1125,159 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("tot").cast("double") / 100).alias("total_weight"),
         )
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+             ) AS prev
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN prev IS NULL OR prev <> event_type
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM seq
+    ), grp AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(is_chg) OVER (
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+             ) AS BIGINT) AS version
+      FROM chg
+    ), island AS (
+      SELECT user_id, event_type AS state, version,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM grp GROUP BY user_id, event_type, version
+    )
+    SELECT user_id, state, version, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY version
+           ) AS valid_to,
+           n_events
+    FROM island
+    """,
+    doc="SCD Type-2 dimension build from a change stream: compress "
+    "each user's event-type sequence into versioned validity "
+    "intervals [valid_from, valid_to) with NULL valid_to marking the "
+    "current row — the CDC-to-warehouse materialization every "
+    "dimension pipeline needs. Gaps-and-islands via a change-flag "
+    "cumsum: lag() marks state changes, a running sum numbers the "
+    "islands, one aggregate collapses each island, lead() closes the "
+    "interval. All three windows and the aggregate share the SAME "
+    "partitioning key (user_id), so Spark plans ONE shuffle and "
+    "reuses the sort — per-user partitions are bounded by per-entity "
+    "history, never corpus size. (ts, event_id) total order makes "
+    "same-timestamp deliveries deterministic across engines.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    worder = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id")
+    )
+    chg = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("event_type").over(worder).isNull()
+            | (F.lag("event_type").over(worder) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_chg"),
+        "event_id",
+    )
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = chg.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_chg").over(wcum).cast("bigint").alias("version"),
+    )
+    island = grp.groupBy(
+        "user_id", F.col("event_type").alias("state"), "version"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wver = Window.partitionBy("user_id").orderBy("version")
+    return island.select(
+        "user_id",
+        "state",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(wver).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch_event_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch_type
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(value AS DOUBLE) AS revenue,
+           touch_event_id,
+           coalesce(touch_type, 'none') AS touch_type
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch conversion attribution: each purchase is credited "
+    "to the most recent preceding click/view by the same user — the "
+    "marketing-analytics join every event warehouse runs. One "
+    "last_value(IGNORE NULLS) window over (user, time) carries the "
+    "latest touch forward, so attribution is a single pass with NO "
+    "self-join and NO per-purchase range scan (the naive correlated "
+    "'max ts < purchase ts' subquery is quadratic per user). Both "
+    "touch columns share one window spec — one shuffle, one sort, "
+    "partitions bounded by per-user history. (ts, event_id) total "
+    "order pins same-timestamp behavior; purchases with no prior "
+    "touch surface as 'none' rather than vanishing.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("value").cast("double").alias("revenue"),
+        "touch_event_id",
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"),
+    )

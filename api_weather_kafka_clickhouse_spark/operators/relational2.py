@@ -620,3 +620,143 @@ def time_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (away from zero on ties) — a double landing on a 6th-decimal
     # midpoint would diverge (round-4 advice).
     return smoothed.withColumn("ewma", F.round(F.col("ewma"), 6))
+
+
+# --------------------------------------------------------------------
+# Column profiling: one declaration of the per-type min/max rendering
+# rule, rendered into both dialects, so the two engines cannot drift.
+# "num" renders through DECIMAL(18,2) because raw DOUBLE-to-string
+# formatting differs between JVM and DuckDB; bigint/date/varchar
+# casts are textually identical.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(CAST(min({name}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(max({name}) AS DECIMAL(18,2)) AS VARCHAR)"
+        elif kind == "date":
+            # timestamp-typed date column: render the DATE portion —
+            # raw timestamp-to-string fraction trimming differs
+            # between JVM and DuckDB
+            mn = f"CAST(CAST(min({name}) AS DATE) AS VARCHAR)"
+            mx = f"CAST(CAST(max({name}) AS DATE) AS VARCHAR)"
+        else:
+            mn = f"CAST(min({name}) AS VARCHAR)"
+            mx = f"CAST(max({name}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{name}' AS col_name,"
+            f" CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {name}) AS BIGINT) AS ndv,"
+            f" {mn} AS min_repr, {mx} AS max_repr FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_table_stats",
+    oracle=_profile_oracle(),
+    doc="Whole-table column profiler (the ANALYZE/data-quality scan): "
+    "per column, null count, exact distinct count, and min/max "
+    "rendered by a per-type rule shared between engines. The Spark "
+    "side is ONE scan: every column's measures run in a single agg "
+    "(Catalyst plans the multi-distinct via one Expand — each input "
+    "row fans to one group per distinct column, partially aggregated "
+    "map-side before the shuffle, so the exchange carries per-column "
+    "distinct candidates, not raw rows), and the single wide row is "
+    "unpivoted to per-column rows with stack(), never a driver "
+    "collect. At 100 TB the same shape holds; when exact NDV is not "
+    "required, swap countDistinct for approx_count_distinct (HLL) "
+    "and the Expand disappears — that variant is agg_approx_distinct. "
+    "The oracle writes the same measures as per-column UNION ALL "
+    "scans, which DuckDB plans its own way; results hash-identical.",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    aggs = []
+    for name, kind in _PROFILE_COLS:
+        c = F.col(name)
+        mn, mx = F.min(c), F.max(c)
+        if kind == "num":
+            mn = mn.cast("decimal(18,2)")
+            mx = mx.cast("decimal(18,2)")
+        elif kind == "date":
+            mn = mn.cast("date")
+            mx = mx.cast("date")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{name}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{name}"),
+            mn.cast("string").alias(f"mn_{name}"),
+            mx.cast("string").alias(f"mx_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', nn_{n}, nd_{n}, mn_{n}, mx_{n}" for n, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_nulls, ndv, min_repr, max_repr)"
+        )
+    )
+
+
+# M4 argmin/argmax ordinal: cents * 1e10 + event_id gives a unique
+# bigint whose min/max is (value, event_id)-lexicographic, making
+# min_by/arg_min tie-free on both engines. Assumes event_id < 1e10
+# and value >= 0 with 2-decimal cents — both properties of the events
+# schema; at larger id spaces widen the multiplier (int64 headroom:
+# 9.2e18).
+_M4_ORD_SPARK = "CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id"
+_M4_ORD_DUCK = "CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id"
+
+
+@register(
+    "time_downsample_m4",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(ts) AS ts_first,
+           max(ts) AS ts_last,
+           CAST(min(value) AS DOUBLE) AS v_min,
+           CAST(max(value) AS DOUBLE) AS v_max,
+           arg_min(event_id, {_M4_ORD_DUCK}) AS id_vmin,
+           arg_max(event_id, {_M4_ORD_DUCK}) AS id_vmax
+    FROM events
+    GROUP BY 1
+    """,
+    doc="M4 time-series downsampling: per hour bucket, the first/last "
+    "timestamps and the min/max values plus the ids of the extreme "
+    "points — the four points per pixel column that make a line "
+    "chart of billions of points render error-free (Jugel et al., "
+    "VLDB 2014). Pure per-bucket aggregation: one scan, map-side "
+    "partial min/max/min_by combine, shuffle carries one row per "
+    "(bucket x task) — the downsample every observability store "
+    "needs at 100 TB. Argmin/argmax are made tie-free by ordering on "
+    "a unique (cents, event_id) bigint ordinal, so both engines pick "
+    "the identical representative point.",
+)
+def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    ord_col = F.expr(_M4_ORD_SPARK)
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("ts").alias("ts_first"),
+            F.max("ts").alias("ts_last"),
+            F.min("value").cast("double").alias("v_min"),
+            F.max("value").cast("double").alias("v_max"),
+            F.min_by("event_id", ord_col).alias("id_vmin"),
+            F.max_by("event_id", ord_col).alias("id_vmax"),
+        )
+    )

@@ -123,8 +123,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_source_divergence, agg_weighted_median,
 # curriculum_rank_distributed, mixture_token_budget,
 # text_inverted_index, copurchase_pairs_lift,
-# quality_quantile_normalize, layout_zorder_key — swap them in for
-# same-family-redundant green slots next round.
+# quality_quantile_normalize, layout_zorder_key, graph_triangles,
+# scd2_intervals, events_attribution_last_touch, profile_table_stats,
+# time_downsample_m4 — swap them in for same-family-redundant green
+# slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry

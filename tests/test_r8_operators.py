@@ -459,3 +459,138 @@ def test_zorder_key_is_invertible_and_shuffle_free(spark, sf_dir):
             p |= ((r.zkey >> (2 * i)) & 1) << i
             s |= ((r.zkey >> (2 * i + 1)) & 1) << i
         assert (p, s) == (r.l_partkey & 0xFFFF, r.l_suppkey & 0xFFFF)
+
+
+# ------------------------------------------------------ graph_triangles
+
+
+def test_triangles_match_bruteforce_and_are_normalized(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.affinity import TRI_MIN_SUPPORT
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
+    baskets: dict[int, set[int]] = {}
+    for r in li.collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    import collections
+    import itertools
+
+    support = collections.Counter()
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    edges = {e for e, n in support.items() if n >= TRI_MIN_SUPPORT}
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = set()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            want.add(tuple(sorted((a, b, c))))
+    got = {(r.part_a, r.part_b, r.part_c) for r in SPECS["graph_triangles"].fn(spark, sf_dir).collect()}
+    assert all(a < b < c for a, b, c in got)
+    assert got == want
+
+
+def test_triangles_degree_table_broadcasts(spark, sf_dir):
+    df = SPECS["graph_triangles"].fn(spark, sf_dir)
+    assert checks.has_broadcast_join(df)
+    assert not checks.unbounded_nested_loop_count(df)
+
+
+# ------------------------------------------------------ scd2_intervals
+
+
+def test_scd2_intervals_tile_each_user_history(spark, sf_dir):
+    rows = SPECS["scd2_intervals"].fn(spark, sf_dir).collect()
+    e = load(spark, "events", sf_dir)
+    n_events = e.count()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert sum(r.n_events for r in rows) == n_events
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        # exactly one open (current) interval, and it is the last
+        opens = [r for r in ivs if r.valid_to is None]
+        assert opens == [ivs[-1]]
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur.valid_to == nxt.valid_from  # intervals tile, no gaps
+            assert cur.state != nxt.state  # islands are maximal
+
+
+def test_scd2_plan_shares_one_user_shuffle(spark, sf_dir):
+    df = SPECS["scd2_intervals"].fn(spark, sf_dir)
+    # windows + island agg all key on user_id: a single exchange
+    # (plus AQE reads) must suffice — per-user history never re-shuffles
+    assert checks.shuffle_count(df) <= 2
+
+
+# ------------------------------------- events_attribution_last_touch
+
+
+def test_attribution_matches_replayed_history(spark, sf_dir):
+    e = load(spark, "events", sf_dir).collect()
+    e.sort(key=lambda r: (r.user_id, r.ts, r.event_id))
+    want = {}
+    last_touch: dict[int, tuple] = {}
+    for r in e:
+        if r.event_type == "purchase":
+            tid, ttype = last_touch.get(r.user_id, (None, "none"))
+            want[r.event_id] = (tid, ttype)
+        if r.event_type in ("click", "view"):
+            last_touch[r.user_id] = (r.event_id, r.event_type)
+    out = SPECS["events_attribution_last_touch"].fn(spark, sf_dir).collect()
+    assert len(out) == len(want)
+    for r in out:
+        assert (r.touch_event_id, r.touch_type) == want[r.purchase_id], r
+
+
+# ----------------------------------------------- profile_table_stats
+
+
+def test_profile_stats_match_per_column_truth(spark, sf_dir):
+    out = {r.col_name: r for r in SPECS["profile_table_stats"].fn(spark, sf_dir).collect()}
+    o = load(spark, "orders", sf_dir)
+    assert set(out) == set(o.columns)
+    for col in o.columns:
+        truth_ndv = o.select(col).distinct().count()
+        truth_nulls = o.filter(F.col(col).isNull()).count()
+        assert (out[col].ndv, out[col].n_nulls) == (truth_ndv, truth_nulls), col
+    # spot value rendering: status is a plain string min/max
+    st = out["o_orderstatus"]
+    lo, hi = o.agg(F.min("o_orderstatus"), F.max("o_orderstatus")).first()
+    assert (st.min_repr, st.max_repr) == (lo, hi)
+
+
+def test_profile_stats_is_one_scan(spark, sf_dir):
+    plan = checks.formatted_plan(SPECS["profile_table_stats"].fn(spark, sf_dir))
+    # formatted mode prints each node twice (tree line + detail
+    # block), so ONE scan node == exactly 2 occurrences
+    assert plan.count("Scan parquet") == 2, "profiler must read the table once"
+
+
+# ------------------------------------------------ time_downsample_m4
+
+
+def test_m4_extremes_are_real_rows_with_deterministic_ties(spark, sf_dir):
+    e = load(spark, "events", sf_dir).collect()
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for r in e:
+        buckets[r.ts.replace(minute=0, second=0, microsecond=0)].append(r)
+    out = SPECS["time_downsample_m4"].fn(spark, sf_dir).collect()
+    assert len(out) == len(buckets)
+    for row in out:
+        rows = buckets[row.bucket]
+        assert row.n == len(rows)
+        assert row.ts_first == min(r.ts for r in rows)
+        assert row.ts_last == max(r.ts for r in rows)
+        vmin = min(r.value for r in rows)
+        vmax = max(r.value for r in rows)
+        assert (row.v_min, row.v_max) == (vmin, vmax)
+        # representative ids: min event_id among value-ties
+        assert row.id_vmin == min(r.event_id for r in rows if r.value == vmin)
+        assert row.id_vmax == min(r.event_id for r in rows if r.value == vmax)
