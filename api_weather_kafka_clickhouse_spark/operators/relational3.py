@@ -325,3 +325,118 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.expr(_Z_SPARK).cast("bigint").alias("zkey"),
     )
+
+
+@register(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev,
+             sum(revenue) OVER () AS total_rev,
+             row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rk
+      FROM rev
+    )
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue, rk,
+           round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+             AS cum_share
+    FROM ranked
+    WHERE CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.5
+    """,
+    doc="Pareto concentration: which parts make up the top half of "
+    "revenue, with each part's cumulative share — the 80/20 analysis "
+    "behind assortment and hot-key decisions (the output doubles as "
+    "the skew-key list a salting strategy would consume, cf. "
+    "join_salted_skew). The fact scan collapses FIRST into a "
+    "dimension-sized per-part aggregate (map-side combined); only "
+    "that reduced table enters the ordered cumulative window. The "
+    "global window IS a single-partition sort — acceptable precisely "
+    "because its input is the part dimension, not the fact table; at "
+    "100 TB of facts the window still sees only |parts| rows. "
+    "Decimal sums end to end, (revenue, partkey) total order, one "
+    "IEEE division at the edge.",
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    worder = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total_rev"),
+        F.row_number().over(worder).alias("rk"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    return ranked.filter(share <= 0.5).select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rk",
+        F.round(share, 6).alias("cum_share"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) + 1 AS BIGINT) AS n_orders,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6)
+             AS avg_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    doc="Inter-purchase cadence per customer (gap statistics between "
+    "consecutive orders): the recency/frequency signal behind churn "
+    "scoring and replenishment forecasts. One lag window per "
+    "customer — partitions are per-customer order counts, bounded by "
+    "entity history — then a map-side-combined aggregate on the same "
+    "key, so Catalyst reuses the window's exchange for the groupBy: "
+    "ONE shuffle total. Single-order customers (no gap) drop out "
+    "explicitly. Integer day arithmetic; one final IEEE division.",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap_days"),
+    )
+    return (
+        seq.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_orders"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_gap_days"),
+        )
+    )

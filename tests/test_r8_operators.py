@@ -594,3 +594,56 @@ def test_m4_extremes_are_real_rows_with_deterministic_ties(spark, sf_dir):
         # representative ids: min event_id among value-ties
         assert row.id_vmin == min(r.event_id for r in rows if r.value == vmin)
         assert row.id_vmax == min(r.event_id for r in rows if r.value == vmax)
+
+
+# ------------------------------------------------ pareto_revenue_share
+
+
+def test_pareto_shares_are_cumulative_and_stop_at_half(spark, sf_dir):
+    rows = sorted(
+        SPECS["pareto_revenue_share"].fn(spark, sf_dir).collect(), key=lambda r: r.rk
+    )
+    assert rows, "top-half set must be non-empty"
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.cum_share <= b.cum_share for a, b in zip(rows, rows[1:]))
+    assert all(a.revenue >= b.revenue for a, b in zip(rows, rows[1:]))
+    assert rows[-1].cum_share <= 0.5
+    # far fewer parts than the dimension carry half the revenue
+    n_parts = load(spark, "lineitem", sf_dir).select("l_partkey").distinct().count()
+    assert len(rows) < n_parts
+
+
+def test_pareto_window_runs_on_the_aggregate_not_the_facts(spark, sf_dir):
+    plan = checks.formatted_plan(SPECS["pareto_revenue_share"].fn(spark, sf_dir))
+    # partial aggregation must collapse facts before the global window
+    assert checks.partial_aggregate_count(
+        SPECS["pareto_revenue_share"].fn(spark, sf_dir)
+    ) >= 1
+    assert "Window" in plan
+
+
+# ------------------------------------------------ customer_order_gaps
+
+
+def test_order_gaps_match_replayed_per_customer_history(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).collect()
+    import collections
+
+    hist = collections.defaultdict(list)
+    for r in o:
+        hist[r.o_custkey].append((r.o_orderdate, r.o_orderkey))
+    want = {}
+    for cust, orders in hist.items():
+        if len(orders) < 2:
+            continue
+        orders.sort()
+        gaps = [
+            (b[0].date() - a[0].date()).days for a, b in zip(orders, orders[1:])
+        ]
+        want[cust] = (len(orders), max(gaps), round(sum(gaps) / len(gaps), 6))
+    out = SPECS["customer_order_gaps"].fn(spark, sf_dir).collect()
+    assert len(out) == len(want)
+    for r in out:
+        n, mx, avg = want[r.o_custkey]
+        assert (r.n_orders, r.max_gap_days) == (n, mx)
+        assert r.avg_gap_days == pytest.approx(avg, abs=1e-9)
