@@ -56,6 +56,9 @@ HEADLINE = [
     "embedding_kmeans",  # iterative Lloyd: per-iteration agg cost
     "dedup_semdedup",  # trained cells + multi-probe + exact verify + CC
     "quality_classifier_score",  # in-engine GD training + scoring pass
+    # round-8: the heaviest new join-shaped operator — basket
+    # self-join, degree orientation, wedge+closure joins
+    "graph_triangles",
 ]
 
 
