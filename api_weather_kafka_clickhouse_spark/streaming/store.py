@@ -167,11 +167,18 @@ def append_partition(df: DataFrame, path: str, batch_id: int) -> None:
 
 
 def compact_tables(
-    spark: SparkSession, store_dir: str, tables: tuple[tuple[str, str], ...]
+    spark: SparkSession,
+    store_dir: str,
+    tables: tuple[tuple[str, str], ...],
+    transform=None,
 ) -> int:
     """Fold each table's one-partition-per-batch history into a single
     ``ingest_batch=-1`` partition; returns how many tables were
-    rewritten.
+    rewritten. ``transform`` (optional, df -> df, schema-preserving)
+    is applied to each table's merged rows before the rewrite — the
+    hook summing/aggregating stores use to MERGE rows during
+    compaction (rollup_store) instead of carrying them verbatim; it
+    shares this function's crash protocol instead of duplicating it.
 
     MUST run at a QUIESCENT point: no in-flight batch, no pending
     replay (the swap below briefly moves the table aside, and a
@@ -275,6 +282,8 @@ def compact_tables(
         if not fs_exists(spark, path):
             continue
         df = read_store(spark, path, schema)
+        if transform is not None:
+            df = transform(df)
         (
             df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
             .write.mode("overwrite")
