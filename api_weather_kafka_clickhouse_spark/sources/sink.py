@@ -109,3 +109,93 @@ def jdbc_insert(df: DataFrame, url: str, table: str, properties: dict | None = N
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _leaf_partition_dirs(fs, jvm, base: str) -> list:  # noqa: ANN001 (JVM objects)
+    """Directories under ``base`` that directly hold data files — the
+    Hive leaf partitions, at any nesting depth (event_month=N, or
+    batch_id=N/event_month=M from write_fact_batch)."""
+    leaves = []
+    stack = [jvm.org.apache.hadoop.fs.Path(base)]
+    while stack:
+        p = stack.pop()
+        subdirs, has_data = [], False
+        for s in fs.listStatus(p):
+            name = s.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if s.isDirectory():
+                subdirs.append(s.getPath())
+            else:
+                has_data = True
+        if has_data:
+            leaves.append(p)
+        stack.extend(subdirs)
+    return leaves
+
+
+def optimize_fact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, int]:
+    """Background-merge parity (ClickHouse merges small MergeTree
+    parts into bigger sorted parts — SURVEY.md §3.3, delegated there;
+    owned HERE for the parquet warehouse): bin-pack each leaf
+    partition's files into ceil(bytes/target) files, re-sorted on the
+    table sort key so parquet min/max granule skipping (B5) holds in
+    the merged files. Returns {relative partition dir: files merged}
+    for every rewritten partition; partitions already at or under
+    their target file count are untouched (so a second call is a
+    no-op — merge idempotence).
+
+    Streaming appends land one file set per micro-batch (plus
+    speculative/task-retry fragments); without merging, a year of
+    5-minute batches is ~100k files per partition and scan planning
+    chokes on footers long before data volume matters. Per-partition
+    cost is one read+sort+write of that partition only.
+
+    Crash-safe via the shared tmp/marker/aside swap
+    (streaming/store.crash_safe_rewrite) — at every instant a
+    complete copy of the partition exists, interrupted runs converge
+    on re-invocation, and copy+delete-rename object stores are
+    refused. QUIESCENT POINT ONLY, like every in-place rewrite here:
+    no concurrent writer to the partition being merged.
+    """
+    import math
+
+    from ..streaming.store import crash_safe_rewrite
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return {}
+    # listStatus returns scheme-qualified paths ("file:/..."); qualify
+    # the base the same way so relative names slice correctly
+    base_q = fs.makeQualified(base).toString()
+    merged: dict[str, int] = {}
+    for leaf in _leaf_partition_dirs(fs, jvm, path):
+        files = [
+            s
+            for s in fs.listStatus(leaf)
+            if not s.isDirectory() and not s.getPath().getName().startswith(("_", "."))
+        ]
+        total = sum(s.getLen() for s in files)
+        target_n = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= target_n:
+            continue
+        leaf_str = leaf.toString()
+
+        def _write_merged(tmp: str, _leaf: str = leaf_str, _n: int = target_n) -> None:
+            (
+                spark.read.parquet(_leaf)
+                .coalesce(_n)
+                .sortWithinPartitions(*SORT_KEY)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        if crash_safe_rewrite(spark, leaf_str, _write_merged):
+            rel = leaf_str[len(base_q) :].lstrip("/")
+            merged[rel] = len(files)
+    return merged

@@ -223,85 +223,106 @@ def compact_tables(
     raises on known copy+delete schemes before any table is touched;
     object-store deployments should rebuild from replay instead.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     rewritten = 0
     for sub, schema in tables:
         path = os.path.join(store_dir, sub)
-        tmp = path + "__compact_tmp"
-        aside = path + "__compact_old"
-        p_live = jvm.org.apache.hadoop.fs.Path(path)
-        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        p_aside = jvm.org.apache.hadoop.fs.Path(aside)
-        p_tmp_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(tmp, COMPACT_MARKER))
-        p_live_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(path, COMPACT_MARKER))
-        fs = p_live.getFileSystem(conf)
-        _require_atomic_rename(fs, path)
 
-        # -- recovery of a previous crashed run (protocol above) --
-        if fs.exists(p_tmp):
-            if fs.exists(p_tmp_marker):  # tmp provably complete
-                if fs.exists(p_live) and fs.exists(p_aside):
-                    # only reachable when rename is non-atomic and the
-                    # crash hit mid-step-3: live and aside are both
-                    # partial remnants; tmp is the one complete copy
-                    fs.delete(p_live, True)
-                    if not fs.rename(p_tmp, p_live):
-                        raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
-                    fs.delete(p_aside, True)
-                elif not fs.exists(p_live):
-                    # crash between steps 3 and 4
-                    if not fs.rename(p_tmp, p_live):
-                        raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
-                    if fs.exists(p_aside):
-                        fs.delete(p_aside, True)
-                else:
-                    # live complete, crash between steps 2 and 3 —
-                    # discard tmp and recompact freshly below
-                    fs.delete(p_tmp, True)
-            else:  # tmp without marker: a partial write, UNLESS it is
-                # the only remnant (legacy pre-marker writer)
-                if fs.exists(p_live):
-                    fs.delete(p_tmp, True)
-                elif fs.exists(p_aside):
-                    fs.delete(p_tmp, True)
-                    if not fs.rename(p_aside, p_live):
-                        raise IOError(f"compact recovery: rename {aside} -> {path} failed")
-                else:
-                    if not fs.rename(p_tmp, p_live):
-                        raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
-        elif fs.exists(p_aside):
-            if fs.exists(p_live):
-                # crash between steps 4 and 5
+        def _write_compacted(tmp: str, _path: str = path, _schema: str = schema) -> None:
+            df = read_store(spark, _path, _schema)
+            if transform is not None:
+                df = transform(df)
+            (
+                df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(tmp)
+            )
+
+        if crash_safe_rewrite(spark, path, _write_compacted):
+            rewritten += 1
+    return rewritten
+
+
+def crash_safe_rewrite(spark: SparkSession, path: str, write_tmp) -> bool:
+    """Rewrite the directory at ``path`` in place via the
+    tmp → marker → aside → swap protocol whose steps, recovery cases,
+    and filesystem requirements are documented (and proven) in the
+    compact_tables docstring above. compact_tables delegates here;
+    sources/sink.optimize_fact shares the same protocol for warehouse
+    partition rewrites instead of duplicating it.
+
+    ``write_tmp(tmp_path)`` must produce the COMPLETE rewritten copy
+    at ``tmp_path`` before returning. Returns True when a rewrite
+    happened, False when ``path`` does not exist (after recovery of
+    any previous interrupted rewrite of the same path, so
+    re-invocation always converges)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = path + "__compact_tmp"
+    aside = path + "__compact_old"
+    p_live = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_aside = jvm.org.apache.hadoop.fs.Path(aside)
+    p_tmp_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(tmp, COMPACT_MARKER))
+    p_live_marker = jvm.org.apache.hadoop.fs.Path(os.path.join(path, COMPACT_MARKER))
+    fs = p_live.getFileSystem(conf)
+    _require_atomic_rename(fs, path)
+
+    # -- recovery of a previous crashed run (protocol above) --
+    if fs.exists(p_tmp):
+        if fs.exists(p_tmp_marker):  # tmp provably complete
+            if fs.exists(p_live) and fs.exists(p_aside):
+                # only reachable when rename is non-atomic and the
+                # crash hit mid-step-3: live and aside are both
+                # partial remnants; tmp is the one complete copy
+                fs.delete(p_live, True)
+                if not fs.rename(p_tmp, p_live):
+                    raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
                 fs.delete(p_aside, True)
+            elif not fs.exists(p_live):
+                # crash between steps 3 and 4
+                if not fs.rename(p_tmp, p_live):
+                    raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
+                if fs.exists(p_aside):
+                    fs.delete(p_aside, True)
             else:
-                # defensive: a failed step-4 rename-back window
+                # live complete, crash between steps 2 and 3 —
+                # discard tmp and recompact freshly below
+                fs.delete(p_tmp, True)
+        else:  # tmp without marker: a partial write, UNLESS it is
+            # the only remnant (legacy pre-marker writer)
+            if fs.exists(p_live):
+                fs.delete(p_tmp, True)
+            elif fs.exists(p_aside):
+                fs.delete(p_tmp, True)
                 if not fs.rename(p_aside, p_live):
                     raise IOError(f"compact recovery: rename {aside} -> {path} failed")
+            else:
+                if not fs.rename(p_tmp, p_live):
+                    raise IOError(f"compact recovery: rename {tmp} -> {path} failed")
+    elif fs.exists(p_aside):
+        if fs.exists(p_live):
+            # crash between steps 4 and 5
+            fs.delete(p_aside, True)
+        else:
+            # defensive: a failed step-4 rename-back window
+            if not fs.rename(p_aside, p_live):
+                raise IOError(f"compact recovery: rename {aside} -> {path} failed")
 
-        if not fs_exists(spark, path):
-            continue
-        df = read_store(spark, path, schema)
-        if transform is not None:
-            df = transform(df)
-        (
-            df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
-            .write.mode("overwrite")
-            .partitionBy("ingest_batch")
-            .parquet(tmp)
-        )
-        fs.create(p_tmp_marker, True).close()  # step 2: tmp is complete
-        # -- the swap; rename returns FALSE on failure (no throw) --
-        if not fs.rename(p_live, p_aside):
-            raise IOError(f"compact: rename {path} -> {aside} failed")
-        if not fs.rename(p_tmp, p_live):
-            # put the old table back so the store is never left missing
-            fs.rename(p_aside, p_live)
-            raise IOError(f"compact: rename {tmp} -> {path} failed")
-        fs.delete(p_aside, True)
-        fs.delete(p_live_marker, False)  # housekeeping: marker travelled in
-        rewritten += 1
-    return rewritten
+    if not fs_exists(spark, path):
+        return False
+    write_tmp(tmp)
+    fs.create(p_tmp_marker, True).close()  # step 2: tmp is complete
+    # -- the swap; rename returns FALSE on failure (no throw) --
+    if not fs.rename(p_live, p_aside):
+        raise IOError(f"compact: rename {path} -> {aside} failed")
+    if not fs.rename(p_tmp, p_live):
+        # put the old table back so the store is never left missing
+        fs.rename(p_aside, p_live)
+        raise IOError(f"compact: rename {tmp} -> {path} failed")
+    fs.delete(p_aside, True)
+    fs.delete(p_live_marker, False)  # housekeeping: marker travelled in
+    return True
 
 
 def ensure_store_scheme(

@@ -132,3 +132,50 @@ def test_pruning_survives_disabled_partition_type_inference(spark, tmp_path):
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def test_optimize_fact_merges_small_files_sorted_and_idempotent(spark, tmp_path):
+    """OPTIMIZE parity: fragmented partitions bin-pack into one sorted
+    file each, data survives byte-identical, second run is a no-op."""
+    import os
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            event_date=f"2024-0{m}-15",
+            city_name=f"city{i % 7}",
+            event_time=f"2024-0{m}-15 0{i % 10}:00:00",
+            temp=float(i),
+        )
+        for m in (1, 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    path = str(tmp_path / "wh_opt")
+    # fragment: 8 writer tasks per append, two appends -> ~16 files/month
+    sink.write_fact(df.repartition(8), path)
+    sink.write_fact(df.repartition(8), path)
+    before = sink.read_fact(spark, path).collect()
+
+    def files_in(month):
+        d = os.path.join(path, f"{sink.MONTH_COL}={month}")
+        return [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+
+    assert len(files_in(202401)) > 1
+    merged = sink.optimize_fact(spark, path, target_file_bytes=1 << 30)
+    assert set(merged) == {f"{sink.MONTH_COL}=202401", f"{sink.MONTH_COL}=202402"}
+    assert all(n > 1 for n in merged.values())
+    for month in (202401, 202402):
+        fl = files_in(month)
+        assert len(fl) == 1, fl
+        # the merged file is internally sorted on the table sort key
+        part = spark.read.parquet(os.path.join(path, f"{sink.MONTH_COL}={month}"))
+        got = part.select(*sink.SORT_KEY).collect()
+        assert got == sorted(got, key=lambda r: (r.event_date, r.city_name, r.event_time))
+    after = sink.read_fact(spark, path).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # already at target: second call rewrites nothing
+    assert sink.optimize_fact(spark, path, target_file_bytes=1 << 30) == {}
