@@ -136,3 +136,71 @@ def test_scd2_stream_wiring_and_run_guard(spark, tmp_path):
         q2.processAllAvailable()
     q2.stop()
     assert _interval_set(scd2_ingest.read_intervals(spark, store)) == got
+
+
+# ------------------------------------- property: fold == batch twin
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (user, state, ts-gap-seconds): gap 0 produces same-timestamp ties,
+# resolved by the (ts, event_id) total order on both sides
+_event = st.tuples(
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from(["A", "B", "C"]),
+    st.integers(min_value=0, max_value=5),
+)
+
+
+def _py_scd2(events):
+    """Pure-Python reference: per-user island compression of the
+    (ts, event_id)-ordered state sequence."""
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for eid, user, state, ts in sorted(events, key=lambda e: (e[3], e[0])):
+        per_user[user].append((state, ts))
+    out = set()
+    for user, seq in per_user.items():
+        islands = []
+        for state, ts in seq:
+            if islands and islands[-1][0] == state:
+                islands[-1][2] += 1
+            else:
+                islands.append([state, ts, 1])
+        for v, (state, first_ts, n) in enumerate(islands, start=1):
+            nxt = islands[v][1] if v < len(islands) else None
+            out.add((user, state, v, first_ts, nxt, n))
+    return out
+
+
+@given(
+    evs=st.lists(_event, min_size=1, max_size=25),
+    cuts=st.sets(st.integers(min_value=1, max_value=24), max_size=2),
+)
+@settings(
+    max_examples=8,  # each example folds 1-3 real Spark micro-batches
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_fold_equals_python_reference_for_any_history(spark, tmp_path_factory, evs, cuts):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, t = [], 0
+    for i, (user, state, gap) in enumerate(evs):
+        t += gap
+        rows.append((i, user, state, base + datetime.timedelta(seconds=t)))
+    store = str(tmp_path_factory.mktemp("scd2_prop") / "store")
+    bounds = sorted(c for c in cuts if c < len(rows))
+    slices = []
+    lo = 0
+    for b in [*bounds, len(rows)]:
+        if b > lo:
+            slices.append(rows[lo:b])
+            lo = b
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    for bid, chunk in enumerate(slices):
+        scd2_ingest.scd2_ingest_batch(spark.createDataFrame(chunk, schema), bid, store)
+    assert _interval_set(scd2_ingest.read_intervals(spark, store)) == _py_scd2(rows)
