@@ -189,16 +189,35 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate by design -> rows-only driver check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_3pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB cardinality "
     "path — fixed-size sketches merge map-side instead of shuffling "
-    "every distinct value. A pytest asserts <2% error vs exact.",
+    "every distinct value. Upgraded rows-only → hash-checked via the "
+    "bounds-oracle pattern (agg_hll_sketch_merge): the estimate is "
+    "engine-specific, but 'estimate within 3% of exact' is SQL-"
+    "expressible — at rsd=0.01 the flag sits >3 sigma inside the "
+    "bound, so any sketch regression flips it and fails the value "
+    "hash. The exact column is the oracle harness, not the "
+    "production shape; a pytest additionally pins <2% error.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.01)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.lit(0.03) * F.countDistinct("l_partkey")
+        ).alias("within_3pct"),
     )
 
 
