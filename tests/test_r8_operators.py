@@ -647,3 +647,52 @@ def test_order_gaps_match_replayed_per_customer_history(spark, sf_dir):
         n, mx, avg = want[r.o_custkey]
         assert (r.n_orders, r.max_gap_days) == (n, mx)
         assert r.avg_gap_days == pytest.approx(avg, abs=1e-9)
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
+    """The layout proof behind layout_zorder_key: range-partitioning
+    on zkey yields files whose parquet footer [min,max] prune point
+    probes on BOTH interleaved dimensions, where a single-column sort
+    prunes one dimension perfectly and the other not at all. Suppkey
+    pruning is the weaker side at this SF (suppkey spans ~7 bits vs
+    partkey's ~11, and the z-curve orders by the wider dim's high
+    bits first); with comparable cardinalities both prune ~sqrt."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = SPECS["layout_zorder_key"].fn(spark, "/root/testdata/sf0.01")
+    n_files = 64
+    layouts = {"partkey": "l_partkey", "zorder": "zkey"}
+    for name, col in layouts.items():
+        (
+            df.repartitionByRange(n_files, F.col(col))
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / name))
+        )
+
+    def files_hit(name, col, probe):
+        hit = total = 0
+        for f in glob.glob(str(tmp_path / name / "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                mn = s.min if mn is None else min(mn, s.min)
+                mx = s.max if mx is None else max(mx, s.max)
+            total += 1
+            hit += mn <= probe <= mx
+        return hit, total
+
+    for probe in (100, 500, 1500):
+        hit, total = files_hit("partkey", "l_partkey", probe)
+        assert hit <= 2, "single sort must prune its own dim"
+        hit, total = files_hit("zorder", "l_partkey", probe)
+        assert hit <= total // 8, (hit, total)  # z prunes partkey hard
+    for probe in (10, 42, 77):
+        hit, total = files_hit("partkey", "l_suppkey", probe)
+        assert hit == total, "single partkey sort cannot prune suppkey"
+        hit, total = files_hit("zorder", "l_suppkey", probe)
+        assert hit <= (total * 7) // 8, (hit, total)  # z still prunes suppkey
