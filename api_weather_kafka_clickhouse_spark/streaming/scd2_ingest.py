@@ -146,6 +146,10 @@ def scd2_ingest_batch(
                 <= F.struct(F.col("h_last_ts"), F.col("h_last_event_id"))
             )
         )
+        # persisted: the tagged batch feeds THREE writes below (late,
+        # closed, heads) — without the cache each action re-runs the
+        # head-store read and the classification join
+        tagged = tagged.persist()
         late = tagged.filter(is_late).select("event_id", "user_id", "event_type", "ts")
         ontime = tagged.filter(~is_late).select("event_id", "user_id", "event_type", "ts")
 
@@ -241,7 +245,10 @@ def scd2_ingest_batch(
         # past the first always have valid_from == first_ts, so the
         # lead of valid_from is exactly that
         wlead = Window.partitionBy("user_id").orderBy("idx")
-        adj = adj.withColumn("next_from", F.lead("valid_from").over(wlead))
+        # persisted: adj feeds both the closed-islands and new-heads
+        # writes; materializing it once stops the island windows from
+        # running twice
+        adj = adj.withColumn("next_from", F.lead("valid_from").over(wlead)).persist()
         closed_islands = adj.filter(F.col("next_from").isNotNull()).select(
             "user_id",
             "state",
@@ -261,13 +268,17 @@ def scd2_ingest_batch(
             F.lit(batch_id).cast("bigint").alias("seq"),
         )
 
-        append_partition(
-            closed_from_head.unionByName(closed_islands),
-            os.path.join(store_dir, "closed"),
-            batch_id,
-        )
-        append_partition(new_heads, os.path.join(store_dir, "heads"), batch_id)
-        append_partition(late, os.path.join(store_dir, "late"), batch_id)
+        try:
+            append_partition(
+                closed_from_head.unionByName(closed_islands),
+                os.path.join(store_dir, "closed"),
+                batch_id,
+            )
+            append_partition(new_heads, os.path.join(store_dir, "heads"), batch_id)
+            append_partition(late, os.path.join(store_dir, "late"), batch_id)
+        finally:
+            adj.unpersist()
+            tagged.unpersist()
     finally:
         heads.unpersist()
 

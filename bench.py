@@ -96,6 +96,46 @@ def _time_curation_backfill(spark) -> list[float]:
     return runs
 
 
+def _time_scd2_backfill(spark) -> list[float]:
+    """Four-batch SCD2 fold of the events table into a fresh store —
+    the incremental dimension-maintenance path's wall-time (batch
+    twin scd2_intervals is a registered query; this times the DELTA
+    machinery: head merge-on-read, island fold, three delta writes
+    per batch)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from api_weather_kafka_clickhouse_spark.streaming.scd2_ingest import (
+        scd2_ingest_batch,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    ev = load(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # contiguous event-id slices = in-(ts, event_id)-order batches in
+    # the generated data (asserted in tests/test_scd2_ingest.py)
+    bounds = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    cuts = [float("-inf"), *bounds, float("inf")]
+    batches = [
+        ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+        for lo, hi in zip(cuts, cuts[1:])
+    ]
+    runs: list[float] = []
+    for _ in range(3):
+        base = tempfile.mkdtemp(prefix="bench_scd2_")
+        try:
+            t0 = time.perf_counter()
+            for bid, b in enumerate(batches):
+                scd2_ingest_batch(b, bid, f"{base}/store")
+            runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return runs
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = registry.queries()
@@ -135,6 +175,8 @@ def main() -> None:
     # store (not in HEADLINE: it is an ingest pipeline, not a query)
     all_runs["curation_backfill"] = _time_curation_backfill(spark)
     timings["curation_backfill"] = min(all_runs["curation_backfill"])
+    all_runs["scd2_backfill"] = _time_scd2_backfill(spark)
+    timings["scd2_backfill"] = min(all_runs["scd2_backfill"])
 
     # best-effort: an env-overridden SF_DIR without an 'sf<num>'
     # suffix must not crash AFTER the whole benchmark ran — the one
