@@ -470,78 +470,221 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------
 
-SIMHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-exact for hamming<=3
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_HAMMING = 4
+# 5 bands (13+13+13+13+12 = 64 bits): pigeonhole-exact for hamming<=4
+# (any pair differing in <= 4 bits leaves >= 1 of 5 bands clean). The
+# radius is sized to the signal: at J~0.99 the per-bit flip
+# probability (~theta/pi ~ 0.045) puts E[hamming] ~ 2.9, sd ~ 1.7, so
+# radius 3 sat ON the mean and coin-flipped real near-dups; radius 4
+# captures ~1 sd above it. Narrower 12-13-bit band keys admit more
+# false candidates than 16-bit ones — the standard radius/candidate
+# trade — and every candidate still pays the exact hamming verify.
+_SIMHASH_BAND_BOUNDS = ((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+SIMHASH_BANDS = len(_SIMHASH_BAND_BOUNDS)
 
 
-def simhash_signatures(e: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded → (doc_id, sim: bigint) 64-bit SimHash.
+def _simhash_band_key(lo: str, hi: str, start: int, width: int, shr) -> str:
+    """Band-key bits [start, start+width) of the 64-bit signature,
+    extracted from its two non-negative 32-bit halves as pure
+    arithmetic (a half-crossing band combines via multiply-add, so no
+    shift ever meets a sign bit on either engine). ``shr`` renders a
+    right shift in the target dialect."""
+    mask = (1 << width) - 1
+    if start + width <= 32:
+        return f"(({shr(lo, start)}) & {mask})"
+    if start >= 32:
+        return f"(({shr(hi, start - 32)}) & {mask})"
+    lo_bits = 32 - start
+    hi_bits = width - lo_bits
+    return (
+        f"((({shr(lo, start)}) & {(1 << lo_bits) - 1}) + "
+        f"(({hi} & {(1 << hi_bits) - 1}) * {1 << lo_bits}))"
+    )
 
-    bit_k = 1 iff sum over shingles of ±1 (by bit k of xxhash64) > 0;
-    the shingle column from _shingles_exploded already IS xxhash64 of
-    the trigram, so it is used as the bit source directly.
+
+def simhash_md5_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) frame → (doc_id, sim_lo, sim_hi): a 64-bit
+    SimHash carried as TWO non-negative 32-bit halves.
+
+    bit_k = 1 iff sum over the doc's trigram shingles of ±1 (by bit k
+    of the shingle's hash) > 0. The bit source is two disjoint 8-hex
+    windows of ONE md5 digest per shingle — the shared cross-engine
+    kernel spec (functions/hashing.py) — so DuckDB reproduces every
+    signature bit-for-bit and dedup_simhash is hash-checked, not
+    rows-only (round-8 upgrade; the original xxhash64 bit source had
+    no DuckDB twin). Two halves instead of one packed bigint because
+    bit 63 would make the value negative and signed right-shift
+    semantics on negatives are exactly the kind of cross-engine edge
+    the determinism rules exist to avoid; halves stay in [0, 2^32).
+
     Same explode + groupBy codegen shape as minhash_signatures (HOF
     folds are interpreted and ~100x slower); 64 conditional-sum
     aggregates combine map-side, then one select packs the bits.
-    Bit 63 is set by adding -2^63 (two's complement) — the positive
-    literal would overflow ANSI bigint arithmetic.
     """
-    e = e.select("doc_id", F.col("shingle").alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{k}")
-        for k in range(64)
-    ]
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    e = (
+        t.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), t1, t2).alias("_sh"),
+            t2.alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        # TEXT shingles here (unlike _shingles_exploded's xxhash64):
+        # the md5 windows below must hash the same string both engines
+        # see. The DF-cap anti-join keys on the string instead of the
+        # 8-byte hash — same plan shape, slightly wider keys, only on
+        # this operator's path.
+        .select("doc_id", F.col("_sh").alias("shingle"))
+        .distinct()
+    )
+    e = _drop_hot_shingles(e, SHINGLE_DF_CAP)
+    digest = F.md5("shingle")
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    sums = []
+    for half, name in ((h1, "lo"), (h2, "hi")):
+        for k in range(32):
+            sums.append(
+                F.sum(
+                    F.when(F.shiftright(half, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"_b_{name}{k}")
+            )
     g = e.groupBy("doc_id").agg(*sums)
     zero = F.lit(0).cast("bigint")
-    bit_terms = [
-        F.when(F.col(f"_b{k}") > 0, F.lit(1 << k if k < 63 else -(1 << 63)).cast("bigint")).otherwise(
-            zero
+
+    def _pack(name: str):
+        total = zero
+        for k in range(32):
+            total = total + F.when(
+                F.col(f"_b_{name}{k}") > 0, F.lit(1 << k).cast("bigint")
+            ).otherwise(zero)
+        return total
+
+    return g.select("doc_id", _pack("lo").alias("sim_lo"), _pack("hi").alias("sim_hi"))
+
+
+def _simhash_oracle() -> str:
+    """The DuckDB twin of simhash_md5_signatures + banding, generated
+    from the same constants so the engines cannot drift."""
+    sums = []
+    for half, name in (("h1", "lo"), ("h2", "hi")):
+        for k in range(32):
+            sums.append(
+                f"sum(CASE WHEN ({half} >> {k}) & 1 = 1 THEN 1 ELSE -1 END)"
+                f" AS b_{name}{k}"
+            )
+    packs = {
+        name: " + ".join(
+            f"(CASE WHEN b_{name}{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32)
         )
-        for k in range(64)
-    ]
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return g.select("doc_id", sim.alias("sim"))
+        for name in ("lo", "hi")
+    }
+    ham = "bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi))"
+    duck_shr = lambda c, s: f"({c} >> {s})"  # noqa: E731
+    band_cases = " ".join(
+        f"WHEN {i} THEN {_simhash_band_key('sim_lo', 'sim_hi', st, w, duck_shr)}"
+        for i, (st, w) in enumerate(_SIMHASH_BAND_BOUNDS)
+    )
+    band_vals = ", ".join(f"({i})" for i in range(SIMHASH_BANDS))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e0 AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), hot AS (
+      SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP}
+    ), e AS (
+      SELECT * FROM e0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), hx AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+      FROM e
+    ), sums AS (
+      SELECT doc_id, {", ".join(sums)} FROM hx GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             CAST({packs["lo"]} AS BIGINT) AS sim_lo,
+             CAST({packs["hi"]} AS BIGINT) AS sim_hi
+      FROM sums
+    ), bands AS (
+      SELECT doc_id, sim_lo, sim_hi, band_idx,
+             CASE band_idx {band_cases}
+             END AS band_key
+      FROM sig, (VALUES {band_vals}) t(band_idx)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    WHERE {ham} <= {SIMHASH_MAX_HAMMING}
+    """
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 has no DuckDB twin -> rows-only; exactness
-    # vs in-Spark brute force is asserted in tests/test_dedup.py
-    doc="SimHash near-dup: pairs with hamming(simhash64) <= 3. The "
-    "4-band x 16-bit split is pigeonhole-EXACT for that radius (any "
-    "such pair shares a clean band), so banding is a pure speedup with "
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup: pairs with hamming(simhash64) <= 4. The "
+    "5-band split (13/13/13/13/12 bits) is pigeonhole-EXACT for that "
+    "radius (any such pair shares a clean band): a pure speedup with "
     "provably zero recall loss — verified against an in-Spark "
-    "brute-force cross join in tests.",
+    "brute-force cross join in tests AND hash-checked end to end: the "
+    "md5-window bit source (functions/hashing.py kernel) lets DuckDB "
+    "recompute every signature, band key, and hamming distance "
+    "bit-for-bit (upgraded from rows-only in round 8). The signature "
+    "is carried as two unsigned 32-bit halves so no shift ever "
+    "touches a sign bit on either engine.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _doc_shingles_exploded(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir)
     # the signature table feeds both sides of the band self-join —
-    # cache the (doc_id, sim) pairs so the 64-sum aggregate runs once;
-    # released via eager_release below
-    sigs = simhash_signatures(e).persist()
+    # cache it so the 64-sum aggregate runs once; released via
+    # eager_release below
+    sigs = simhash_md5_signatures(docs).persist()
+    spark_shr = lambda c, s: f"shiftright({c}, {s})"  # noqa: E731
     band_structs = F.array(
         *[
             F.struct(
-                F.lit(j).alias("band_idx"),
-                F.shiftright(F.col("sim"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+                F.lit(i).alias("band_idx"),
+                F.expr(
+                    _simhash_band_key("sim_lo", "sim_hi", st, w, spark_shr)
+                ).alias("band_key"),
             )
-            for j in range(SIMHASH_BANDS)
+            for i, (st, w) in enumerate(_SIMHASH_BAND_BOUNDS)
         ]
     )
-    bands = sigs.select("doc_id", "sim", F.explode(band_structs).alias("b")).select(
-        "doc_id", "sim", "b.band_idx", "b.band_key"
+    bands = sigs.select("doc_id", "sim_lo", "sim_hi", F.explode(band_structs).alias("b")).select(
+        "doc_id", "sim_lo", "sim_hi", "b.band_idx", "b.band_key"
     )
-    ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band_idx", "band_key")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band_idx", "band_key")
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_lo").alias("lo_a"),
+        F.col("sim_hi").alias("hi_a"),
+        "band_idx",
+        "band_key",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_lo").alias("lo_b"),
+        F.col("sim_hi").alias("hi_b"),
+        "band_idx",
+        "band_key",
+    )
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
     out = (
         ba.join(bb, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )

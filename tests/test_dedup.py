@@ -21,29 +21,47 @@ def test_minhash_lsh_matches_exact(spark, sf_dir):
 
 
 def test_simhash_banding_is_exact(spark, sf_dir):
-    """4x16-bit banding must find EXACTLY the hamming<=3 pairs
-    (pigeonhole) — compare against an in-Spark brute-force cross join."""
-    e = dedup._doc_shingles_exploded(spark, sf_dir)
-    sigs = dedup.simhash_signatures(e).cache()
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sa"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sb"))
+    """5-band banding must find EXACTLY the hamming<=SIMHASH_MAX_HAMMING
+    pairs (pigeonhole) — compare against an in-Spark brute-force cross
+    join over the same two-half signatures."""
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    sigs = dedup.simhash_md5_signatures(load(spark, "documents", sf_dir)).cache()
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim_lo").alias("la"), F.col("sim_hi").alias("ha")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim_lo").alias("lb"), F.col("sim_hi").alias("hb")
+    )
     brute = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
         .filter(F.col("hamming") <= dedup.SIMHASH_MAX_HAMMING)
     )
     assert _pairs(brute) == _pairs(dedup.dedup_simhash(spark, sf_dir))
+    # halves stay unsigned 32-bit: no shift ever touches a sign bit
+    bad = sigs.filter(
+        (F.col("sim_lo") < 0) | (F.col("sim_lo") > 0xFFFFFFFF)
+        | (F.col("sim_hi") < 0) | (F.col("sim_hi") > 0xFFFFFFFF)
+    )
+    assert bad.count() == 0
     sigs.unpersist()
 
 
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
-    """The ~0.99-Jaccard planted pairs should mostly land within
-    hamming<=3 — simhash must overlap heavily with the exact result."""
+    """The ~0.99-Jaccard planted pairs should mostly land within the
+    hamming radius — simhash must overlap heavily with the exact
+    result (radius 4: E[hamming] ~ 2.9 at this similarity, so the
+    radius sits ~1 sd above the mean; measured 0.86 on this corpus)."""
     exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
     simhash = _pairs(dedup.dedup_simhash(spark, sf_dir))
     assert len(exact) > 0
     recall = len(exact & simhash) / len(exact)
-    assert recall >= 0.6, f"simhash recall {recall:.2f} vs exact jaccard pairs"
+    assert recall >= 0.75, f"simhash recall {recall:.2f} vs exact jaccard pairs"
 
 
 def test_hot_shingle_cap_is_noop_on_testdata(spark, sf_dir):

@@ -51,7 +51,7 @@ def test_registry_totals_are_pinned():
     specs = registry.all_specs()
     total = len(specs)
     oracle = sum(1 for s in specs.values() if s.oracle is not None)
-    assert (total, oracle, total - oracle) == (178, 170, 8), (
+    assert (total, oracle, total - oracle) == (178, 171, 7), (
         total,
         oracle,
         total - oracle,
@@ -70,7 +70,9 @@ def test_rows_only_queries_are_documented_choices():
         # agg_approx_percentile: upgraded to hash-checked in round 8
         # (bounds oracles: exact harness columns + a sigma-margin
         # flag any correct sketch satisfies)
-        "dedup_simhash",
+        # dedup_simhash: upgraded to hash-checked in round 8 (md5
+        # window bit source replaces xxhash64 — DuckDB recomputes
+        # every signature bit)
         # dedup_embedding_lsh: upgraded to hash-checked in round 7
         # (literal SRP hyperplanes mirrored in SQL, sim_ann_lsh-style)
         "dedup_semdedup",
