@@ -157,9 +157,18 @@ def copurchase_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum subtraction.",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
     li = load(spark, "lineitem", sf_dir)
     b = li.select("l_orderkey", "l_partkey").distinct()
     a, c = b.alias("a"), b.alias("c")
+    # persisted: the edge list feeds the degree union (twice) and the
+    # orientation join, and the ORIENTED list feeds all three arms of
+    # the wedge+closure self-join — without staging, Catalyst plans
+    # the basket self-join (the expensive part) once per consumer,
+    # ~6x total (measured: 30 scans / 102 aggregates in the unstaged
+    # plan, zero ReusedExchange). Both lists are edge-sized (graph
+    # dimension), not fact-sized. Released via eager_release below.
     e0 = (
         a.join(
             c,
@@ -170,6 +179,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= TRI_MIN_SUPPORT)
         .select("u", "v")
+        .persist()
     )
     deg = (
         e0.select(F.col("u").alias("node"))
@@ -187,6 +197,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .persist()
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = e1.join(e2, F.col("e2.s") == F.col("e1.t")).join(
@@ -195,8 +206,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.least(F.col("e1.s"), F.col("e1.t"), F.col("e2.t"))
     hi = F.greatest(F.col("e1.s"), F.col("e1.t"), F.col("e2.t"))
-    return tri.select(
+    out = tri.select(
         lo.alias("part_a"),
         (F.col("e1.s") + F.col("e1.t") + F.col("e2.t") - lo - hi).alias("part_b"),
         hi.alias("part_c"),
     )
+    return eager_release(out, "triangles", e0, e)

@@ -493,9 +493,15 @@ def test_triangles_match_bruteforce_and_are_normalized(spark, sf_dir):
 
 
 def test_triangles_degree_table_broadcasts(spark, sf_dir):
-    df = SPECS["graph_triangles"].fn(spark, sf_dir)
-    assert checks.has_broadcast_join(df)
-    assert not checks.unbounded_nested_loop_count(df)
+    # lazy_plans: the operator stage-checkpoints its result (the
+    # oriented edge list feeds three join arms), so the composed plan
+    # is only inspectable unmaterialized
+    from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
+
+    with lazy_plans():
+        df = SPECS["graph_triangles"].fn(spark, sf_dir)
+        assert checks.has_broadcast_join(df)
+        assert not checks.unbounded_nested_loop_count(df)
 
 
 # ------------------------------------------------------ scd2_intervals
