@@ -69,8 +69,14 @@ TRI_MIN_SUPPORT = 2
     "the value hashes identically across engines.",
 )
 def copurchase_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
     li = load(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted: the deduped basket list feeds four consumers (basket
+    # count, item counts, both self-join sides) — unstaged, Catalyst
+    # replans the scan+distinct per consumer (5 scans, zero
+    # ReusedExchange). Released via eager_release below.
+    b = li.select("l_orderkey", "l_partkey").distinct().persist()
     n = b.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
     a, c = b.alias("a"), b.alias("c")
@@ -89,7 +95,7 @@ def copurchase_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
-    return (
+    out = (
         pair.crossJoin(F.broadcast(n))
         .join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
@@ -106,6 +112,7 @@ def copurchase_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    return eager_release(out, "copurchase_lift", b)
 
 
 @register(

@@ -421,9 +421,12 @@ def test_copurchase_lift_matches_direct_probability_math(spark, sf_dir):
 
 
 def test_copurchase_counts_attach_by_broadcast(spark, sf_dir):
-    df = SPECS["copurchase_pairs_lift"].fn(spark, sf_dir)
-    assert checks.has_broadcast_join(df)
-    assert not checks.unbounded_nested_loop_count(df)
+    from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
+
+    with lazy_plans():
+        df = SPECS["copurchase_pairs_lift"].fn(spark, sf_dir)
+        assert checks.has_broadcast_join(df)
+        assert not checks.unbounded_nested_loop_count(df)
 
 
 # ---------------------------------------- quality_quantile_normalize
