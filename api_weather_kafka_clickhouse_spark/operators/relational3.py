@@ -440,3 +440,227 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_days"),
         )
     )
+
+
+# The SCD2 timeline CTE shared verbatim by join_point_in_time's
+# oracle (the dimension side is exactly operators/aggregations.py::
+# scd2_intervals' oracle, minus the n_events harness column).
+_SCD2_CTE = """
+    seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+             ) AS prev
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN prev IS NULL OR prev <> event_type
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM seq
+    ), grp AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(is_chg) OVER (
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+             ) AS BIGINT) AS version
+      FROM chg
+    ), island AS (
+      SELECT user_id, event_type AS state, version,
+             min(ts) AS valid_from
+      FROM grp GROUP BY user_id, event_type, version
+    ), dim AS (
+      SELECT user_id, state, version, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY version
+             ) AS valid_to
+      FROM island
+    )
+"""
+
+
+@register(
+    "join_point_in_time",
+    oracle=f"""
+    WITH {_SCD2_CTE},
+    purch AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.value AS DOUBLE) AS revenue,
+           d.state AS state_at_purchase,
+           d.version AS dim_version
+    FROM purch p JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+    doc="Point-in-time (PIT) dimension join — the feature-store "
+    "operator: each fact row (purchase) joins the SCD2 dimension "
+    "version that was valid AT ITS OWN TIMESTAMP, never a later one "
+    "(the train-serve-skew bug PIT joins exist to prevent). The "
+    "dimension here is the scd2_intervals timeline derived from the "
+    "same event stream, so the composed query is self-contained and "
+    "fully hash-checked. Because SCD2 intervals TILE each user's "
+    "timeline, containment ([valid_from, valid_to)) matches exactly "
+    "one version per fact: the join is a plain user_id equi-join "
+    "whose per-user fanout is the user's version count, filtered by "
+    "the containment predicate — no window over facts, no range-join "
+    "explosion. Same-timestamp state flips produce zero-width "
+    "intervals that correctly match nothing. At 100 TB the dimension "
+    "side is the (small) interval store maintained incrementally by "
+    "streaming/scd2_ingest.py, not a recompute.",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    worder = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id")
+    )
+    prev = F.lag("event_type").over(worder)
+    grp = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+        )
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("version"),
+    )
+    island = grp.groupBy("user_id", F.col("event_type").alias("state"), "version").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wver = Window.partitionBy("user_id").orderBy("version")
+    dim = island.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(wver).alias("valid_to"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        purch.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("value").cast("double").alias("revenue"),
+            F.col("state").alias("state_at_purchase"),
+            F.col("version").alias("dim_version"),
+        )
+    )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts NULLS LAST, event_id) = 1
+             THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM firsts
+    """,
+    doc="Running COUNT(DISTINCT) per key — 'how many distinct event "
+    "types has this user produced so far' at every event. SQL forbids "
+    "DISTINCT inside window aggregates and the naive rewrite is a "
+    "per-row set recomputation (quadratic per partition); the "
+    "standard linear rewrite implemented here marks each (user, "
+    "type)'s FIRST occurrence with one row_number window, then a "
+    "plain running sum of the flags counts distinct-so-far exactly. "
+    "Two windows, both partitioned by user-derived keys, partitions "
+    "bounded by per-entity history; total order (ts, event_id) pins "
+    "ties across engines.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    wfirst = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id")
+    )
+    firsts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(wfirst) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return firsts.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(wrun).cast("bigint").alias("distinct_types_so_far"),
+    )
+
+
+@register(
+    "intervals_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ), pts AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv
+    ), delta AS (
+      SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM pts GROUP BY t
+    )
+    SELECT t, delta,
+           CAST(sum(delta) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS concurrent
+    FROM delta
+    """,
+    doc="Sweep-line interval concurrency: how many users' daily "
+    "activity spans [first event, last event) are open at every "
+    "breakpoint — the concurrent-sessions/peak-load gauge every "
+    "event platform reports. Interval algebra without interval "
+    "joins: each span contributes +1/-1 deltas, deltas GROUP to one "
+    "row per distinct timestamp (making the global cumsum's order "
+    "unique, hence hash-deterministic, with half-open semantics — an "
+    "end meeting a start at the same instant nets before the curve "
+    "is read), and ONE running sum over the breakpoint set yields "
+    "the curve. The facts collapse to dimension-sized spans (user x "
+    "day) before the single-partition window — the same 'window "
+    "only over the reduced set' rule as pareto_revenue_share; the "
+    "naive alternative, joining every interval against every "
+    "overlapping interval, is quadratic in concurrency.",
+)
+def intervals_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    iv = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    delta = pts.groupBy("t").agg(F.sum("d").cast("bigint").alias("delta"))
+    wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return delta.select(
+        "t", "delta", F.sum("delta").over(wrun).cast("bigint").alias("concurrent")
+    )

@@ -125,8 +125,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_inverted_index, copurchase_pairs_lift,
 # quality_quantile_normalize, layout_zorder_key, graph_triangles,
 # scd2_intervals, events_attribution_last_touch, profile_table_stats,
-# time_downsample_m4, pareto_revenue_share, customer_order_gaps —
-# swap them in for same-family-redundant green slots next round.
+# time_downsample_m4, pareto_revenue_share, customer_order_gaps,
+# join_point_in_time, window_running_distinct,
+# intervals_concurrency — swap them in for same-family-redundant
+# green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry

@@ -705,3 +705,71 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
         assert hit == total, "single partkey sort cannot prune suppkey"
         hit, total = files_hit("zorder", "l_suppkey", probe)
         assert hit <= (total * 7) // 8, (hit, total)  # z still prunes suppkey
+
+
+# ------------------------------------------------- join_point_in_time
+
+
+def test_pit_join_attributes_each_purchase_to_its_own_era(spark, sf_dir):
+    """Every purchase joins exactly one dimension version, the version
+    valid at the purchase timestamp (replay the per-user timeline)."""
+    out = SPECS["join_point_in_time"].fn(spark, sf_dir).collect()
+    e = load(spark, "events", sf_dir).collect()
+    e.sort(key=lambda r: (r.user_id, r.ts, r.event_id))
+    import collections
+
+    state_at = {}
+    cur = collections.defaultdict(lambda: (None, 0))  # user -> (state, version)
+    for r in e:
+        st, v = cur[r.user_id]
+        if st != r.event_type:
+            cur[r.user_id] = (r.event_type, v + 1)
+        if r.event_type == "purchase":
+            state_at[r.event_id] = cur[r.user_id]
+    assert len(out) == len(state_at)  # exactly one match per purchase
+    for r in out:
+        assert (r.state_at_purchase, r.dim_version) == state_at[r.purchase_id]
+
+
+# --------------------------------------------- window_running_distinct
+
+
+def test_running_distinct_counts_match_replay(spark, sf_dir):
+    out = {r.event_id: r.distinct_types_so_far for r in SPECS["window_running_distinct"].fn(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir).collect()
+    e.sort(key=lambda r: (r.user_id, r.ts, r.event_id))
+    import collections
+
+    seen = collections.defaultdict(set)
+    for r in e:
+        seen[r.user_id].add(r.event_type)
+        assert out[r.event_id] == len(seen[r.user_id]), r.event_id
+
+
+# ---------------------------------------------- intervals_concurrency
+
+
+def test_concurrency_curve_sweeps_to_zero_and_hits_true_peak(spark, sf_dir):
+    rows = sorted(SPECS["intervals_concurrency"].fn(spark, sf_dir).collect(), key=lambda r: r.t)
+    # cumulative consistency and the conservation law: the curve ends at 0
+    running = 0
+    peak = 0
+    for r in rows:
+        running += r.delta
+        assert r.concurrent == running
+        peak = max(peak, running)
+    assert running == 0
+    assert peak >= 1
+    # peak equals the true max overlap of the (user, day) spans
+    iv = (
+        load(spark, "events", sf_dir)
+        .groupBy("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .collect()
+    )
+    events = sorted([(r.s, 1) for r in iv] + [(r.e, -1) for r in iv])
+    want_peak, run = 0, 0
+    for _, d in events:
+        run += d
+        want_peak = max(want_peak, run)
+    assert peak == want_peak
