@@ -199,3 +199,77 @@ def optimize_fact(
             rel = leaf_str[len(base_q) :].lstrip("/")
             merged[rel] = len(files)
     return merged
+
+
+def delete_fact(spark: SparkSession, path: str, predicate) -> dict[str, int]:
+    """Targeted delete — ClickHouse ``ALTER TABLE ... DELETE`` /
+    MergeTree-mutation parity (the reference warehouse's retention and
+    GDPR-erasure path) for the parquet warehouse: rows matching
+    ``predicate`` (a Column, or SQL string) are removed by rewriting
+    ONLY the leaf partitions that contain matches. Returns
+    {relative partition dir: rows deleted}.
+
+    Two-phase, scan-bounded: phase 1 counts matches per partition in
+    one pruned scan (the predicate reaches the parquet footers, so
+    partitions the min/max stats exclude are never read); phase 2
+    rewrites just the matching partitions — read, anti-filter,
+    re-sort on the table sort key, write — through the shared
+    crash-safe tmp/marker/aside swap (streaming/store.
+    crash_safe_rewrite), so at every instant a complete copy of each
+    partition exists and interrupted runs converge on re-invocation.
+    Untouched partitions keep their files byte-identical — at 100 TB
+    a delete of one user's rows costs the partitions that user
+    touched, not a table rewrite. QUIESCENT POINT ONLY, like every
+    in-place rewrite here.
+
+    Deleting every row of a partition leaves an empty partition dir
+    (a valid zero-row parquet table), mirroring ClickHouse's empty
+    part rather than surprising readers with a vanished directory.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..streaming.store import crash_safe_rewrite
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return {}
+    base_q = fs.makeQualified(base).toString()
+    deleted: dict[str, int] = {}
+    for leaf in _leaf_partition_dirs(fs, jvm, path):
+        leaf_str = leaf.toString()
+        rel = fs.makeQualified(leaf).toString()[len(base_q) :].lstrip("/")
+        # a direct leaf read loses the Hive partition columns; re-derive
+        # them from the dir path so predicates like event_month = N
+        # resolve (they are constants per leaf), then drop them before
+        # writing back — the layout carries them
+        part_cols = [
+            seg.split("=", 1) for seg in rel.split("/") if "=" in seg
+        ]
+
+        def _with_parts(df: DataFrame) -> DataFrame:
+            for name, value in part_cols:
+                lit = F.lit(int(value)) if value.lstrip("-").isdigit() else F.lit(value)
+                df = df.withColumn(name, lit)
+            return df
+
+        n = _with_parts(spark.read.parquet(leaf_str)).filter(cond).count()
+        if n == 0:
+            continue
+
+        def _write_kept(tmp: str, _leaf: str = leaf_str) -> None:
+            (
+                _with_parts(spark.read.parquet(_leaf))
+                .filter(~cond)
+                .drop(*[name for name, _ in part_cols])
+                .sortWithinPartitions(*SORT_KEY)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        if crash_safe_rewrite(spark, leaf_str, _write_kept):
+            deleted[rel] = n
+    return deleted

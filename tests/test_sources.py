@@ -179,3 +179,54 @@ def test_optimize_fact_merges_small_files_sorted_and_idempotent(spark, tmp_path)
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     # already at target: second call rewrites nothing
     assert sink.optimize_fact(spark, path, target_file_bytes=1 << 30) == {}
+
+
+def test_delete_fact_rewrites_only_matching_partitions(spark, tmp_path):
+    """Mutation parity: rows matching the predicate disappear, only
+    partitions containing matches are rewritten (others stay
+    byte-identical), and an all-rows delete leaves a valid empty
+    partition."""
+    import os
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            event_date=f"2024-0{m}-15",
+            city_name=f"city{i % 5}",
+            event_time=f"2024-0{m}-15 0{i % 10}:00:00",
+            temp=float(i + 100 * m),
+        )
+        for m in (1, 2, 3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    path = str(tmp_path / "wh_del")
+    sink.write_fact(df, path)
+
+    def mtime(month):
+        d = os.path.join(path, f"{sink.MONTH_COL}={month}")
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    untouched_before = mtime(202403)
+    # delete one city's rows, present only in months 1 and 2 via temp
+    deleted = sink.delete_fact(
+        spark, path, (F.col("city_name") == "city2") & (F.col("temp") < 250)
+    )
+    assert set(deleted) == {f"{sink.MONTH_COL}=202401", f"{sink.MONTH_COL}=202402"}
+    assert all(n == 4 for n in deleted.values())
+    back = sink.read_fact(spark, path)
+    assert back.filter((F.col("city_name") == "city2") & (F.col("temp") < 250)).count() == 0
+    assert back.count() == 60 - 8
+    # the partition with no matches kept its files untouched
+    assert mtime(202403) == untouched_before
+    # re-run: nothing left to delete
+    assert sink.delete_fact(spark, path, (F.col("city_name") == "city2") & (F.col("temp") < 250)) == {}
+    # SQL-string predicates work and an all-rows delete empties the
+    # partition without removing it
+    deleted = sink.delete_fact(spark, path, f"{sink.MONTH_COL} = 202403")
+    assert deleted == {f"{sink.MONTH_COL}=202403": 20}
+    assert os.path.isdir(os.path.join(path, f"{sink.MONTH_COL}=202403"))
+    assert sink.read_fact(spark, path).count() == 32
