@@ -1300,3 +1300,98 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         "touch_event_id",
         F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"),
     )
+
+
+# Regression epoch origin: 2024-01-01 UTC. Centering x keeps every
+# decimal product inside tight precisions (documented per term below)
+# so BOTH engines' exact decimal arithmetic stays under the 38-digit
+# ceiling — uncentered epoch seconds squared would not.
+REGR_X0 = 1704067200
+
+
+@register(
+    "agg_regression_per_group",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 - {REGR_X0} AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events WHERE ts IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(6,0)) AS n,
+             CAST(sum(x) AS DECIMAL(12,0)) AS sx,
+             CAST(sum(yc) AS DECIMAL(10,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(16,0)) * yc) AS DECIMAL(16,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * x) AS DECIMAL(18,0)) AS sxx
+      FROM b GROUP BY event_type
+    )
+    , d AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd
+      FROM s
+    )
+    SELECT event_type, n,
+           round((nd * sxyd - sxd * syd)
+                 / (nd * sxxd - sxd * sxd) / 100, 12) AS slope_per_sec,
+           round((syd - (nd * sxyd - sxd * syd)
+                        / (nd * sxxd - sxd * sxd) * sxd)
+                 / nd / 100, 9) AS intercept_at_x0
+    FROM d
+    """,
+    doc="Per-group OLS trend (slope + intercept of value over time): "
+    "the drift detector behind 'is this metric creeping up'. regr_"
+    "slope exists in both engines but their float accumulation "
+    "orders differ, so instead the FIVE sufficient statistics (n, "
+    "Sx, Sy, Sxy, Sxx) are computed as exact decimals — x centered "
+    "on a fixed epoch origin and y bridged to integer cents so every "
+    "intermediate product provably fits tight decimal precisions on "
+    "both engines (x <= ~2.7e6 for a month, so Sxx <= 18 digits, "
+    "Sxy/Sxx stay exact) — and the closed form is "
+    "evaluated over those stats in DOUBLE with the IDENTICAL scalar "
+    "expression tree on both engines: IEEE arithmetic is "
+    "deterministic given identical inputs and operation order; only "
+    "aggregate reduction order varies, and the aggregates are exact. One map-side-combined aggregate per group; the classic "
+    "'aggregate sufficient statistics, finish on the reduced row' "
+    "shape that makes regression embarrassingly parallel at 100 TB.",
+)
+def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    b = e.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(REGR_X0)).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("yc"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("n"),
+        F.sum("x").cast("decimal(12,0)").alias("sx"),
+        F.sum("yc").cast("decimal(10,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(16,0)") * F.col("yc"))
+        .cast("decimal(16,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x"))
+        .cast("decimal(18,0)")
+        .alias("sxx"),
+    )
+    d = s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+    )
+    slope = (F.col("nd") * F.col("sxyd") - F.col("sxd") * F.col("syd")) / (
+        F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd")
+    )
+    return d.select(
+        "event_type",
+        "n",
+        F.round(slope / 100, 12).alias("slope_per_sec"),
+        F.round(
+            (F.col("syd") - slope * F.col("sxd")) / F.col("nd") / 100, 9
+        ).alias("intercept_at_x0"),
+    )

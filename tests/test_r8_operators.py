@@ -773,3 +773,28 @@ def test_concurrency_curve_sweeps_to_zero_and_hits_true_peak(spark, sf_dir):
         run += d
         want_peak = max(want_peak, run)
     assert peak == want_peak
+
+
+# --------------------------------------------- agg_regression_per_group
+
+
+def test_regression_matches_numpy_least_squares(spark, sf_dir):
+    import numpy as np
+
+    out = {r.event_type: r for r in SPECS["agg_regression_per_group"].fn(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull()).collect()
+    import collections
+
+    from api_weather_kafka_clickhouse_spark.operators.aggregations import REGR_X0
+
+    groups = collections.defaultdict(lambda: ([], []))
+    for r in e:
+        xs, ys = groups[r.event_type]
+        xs.append(int(r.ts.timestamp()) - REGR_X0)
+        ys.append(r.value)
+    assert set(out) == set(groups)
+    for t, (xs, ys) in groups.items():
+        slope, intercept = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)
+        assert out[t].n == len(xs)
+        assert out[t].slope_per_sec == pytest.approx(slope, rel=1e-6, abs=1e-12)
+        assert out[t].intercept_at_x0 == pytest.approx(intercept, rel=1e-6)

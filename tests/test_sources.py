@@ -230,3 +230,37 @@ def test_delete_fact_rewrites_only_matching_partitions(spark, tmp_path):
     assert deleted == {f"{sink.MONTH_COL}=202403": 20}
     assert os.path.isdir(os.path.join(path, f"{sink.MONTH_COL}=202403"))
     assert sink.read_fact(spark, path).count() == 32
+
+
+def test_optimize_fact_handles_nested_batch_layout(spark, tmp_path):
+    """write_fact_batch nests batch_id=N/event_month=M; the leaf
+    walker must find and merge those leaves too."""
+    import os
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            event_date="2024-01-15",
+            city_name=f"c{i % 3}",
+            event_time=f"2024-01-15 0{i % 10}:00:00",
+            temp=float(i),
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    path = str(tmp_path / "wh_nested")
+    sink.write_fact_batch(df.repartition(6), path, 0)
+    sink.write_fact_batch(df.repartition(6), path, 1)
+    before = sink.read_fact(spark, path).count()
+    merged = sink.optimize_fact(spark, path, target_file_bytes=1 << 30)
+    assert set(merged) == {
+        f"batch_id=0/{sink.MONTH_COL}=202401",
+        f"batch_id=1/{sink.MONTH_COL}=202401",
+    }
+    for b in (0, 1):
+        d = os.path.join(path, f"batch_id={b}", f"{sink.MONTH_COL}=202401")
+        assert len([f for f in os.listdir(d) if not f.startswith(("_", "."))]) == 1
+    assert sink.read_fact(spark, path).count() == before
