@@ -1395,3 +1395,74 @@ def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("syd") - slope * F.col("sxd")) / F.col("nd") / 100, 9
         ).alias("intercept_at_x0"),
     )
+
+
+FUNNEL_WINDOW_HOURS = 72
+
+
+@register(
+    "funnel_constrained_window",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s.t0
+        AND e.ts <= s.t0 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST(date_trunc('day', s.t0) AS DATE) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(c.user_id) AS BIGINT) AS n_converted,
+           round(CAST(count(c.user_id) AS DOUBLE) / count(*), 6)
+             AS conversion_rate
+    FROM s LEFT JOIN c ON c.user_id = s.user_id
+    GROUP BY CAST(date_trunc('day', s.t0) AS DATE)
+    """,
+    doc="Time-constrained funnel by cohort: of each day's first-time "
+    "signups, how many purchased WITHIN 72 hours of signing up — the "
+    "windowed-conversion metric product teams actually track "
+    "(unconstrained funnels — funnel_stages — count conversions that "
+    "took months as equal wins; latency percentiles — "
+    "events_conversion_latency — measure speed but not the bounded "
+    "rate). Two per-user min-aggregates (map-side combined), one "
+    "user-key equi-join with the window bound as a join-side "
+    "predicate — never a time-range join — then a dimension-sized "
+    "cohort rollup. Exact integer counts, one IEEE division.",
+)
+def funnel_constrained_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = (
+        s.join(purch, s["user_id"] == purch["p_user"])
+        .filter(
+            (F.col("p_ts") > F.col("t0"))
+            & (
+                F.col("p_ts")
+                <= F.col("t0") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+            )
+        )
+        .select(F.col("user_id").alias("c_user"))
+        .distinct()
+    )
+    return (
+        s.join(c, s["user_id"] == c["c_user"], "left")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("t0"))).alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.count("c_user").cast("bigint").alias("n_converted"),
+            F.round(
+                F.count("c_user").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+    )

@@ -127,8 +127,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # scd2_intervals, events_attribution_last_touch, profile_table_stats,
 # time_downsample_m4, pareto_revenue_share, customer_order_gaps,
 # join_point_in_time, window_running_distinct,
-# intervals_concurrency, agg_regression_per_group — swap them in
-# for same-family-redundant green slots next round.
+# intervals_concurrency, agg_regression_per_group,
+# funnel_constrained_window — swap them in for same-family-
+# redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry

@@ -798,3 +798,42 @@ def test_regression_matches_numpy_least_squares(spark, sf_dir):
         assert out[t].n == len(xs)
         assert out[t].slope_per_sec == pytest.approx(slope, rel=1e-6, abs=1e-12)
         assert out[t].intercept_at_x0 == pytest.approx(intercept, rel=1e-6)
+
+
+# ------------------------------------------- funnel_constrained_window
+
+
+def test_constrained_funnel_matches_replay_and_bounds(spark, sf_dir):
+    import collections
+    import datetime
+
+    from api_weather_kafka_clickhouse_spark.operators.aggregations import (
+        FUNNEL_WINDOW_HOURS,
+    )
+
+    e = load(spark, "events", sf_dir).collect()
+    t0 = {}
+    for r in sorted(e, key=lambda r: r.ts):
+        if r.event_type == "signup" and r.user_id not in t0:
+            t0[r.user_id] = r.ts
+    converted = set()
+    lim = datetime.timedelta(hours=FUNNEL_WINDOW_HOURS)
+    for r in e:
+        if (
+            r.event_type == "purchase"
+            and r.user_id in t0
+            and t0[r.user_id] < r.ts <= t0[r.user_id] + lim
+        ):
+            converted.add(r.user_id)
+    want = collections.Counter()
+    want_conv = collections.Counter()
+    for u, t in t0.items():
+        day = t.date()
+        want[day] += 1
+        if u in converted:
+            want_conv[day] += 1
+    out = SPECS["funnel_constrained_window"].fn(spark, sf_dir).collect()
+    assert {r.cohort_day: r.n_signups for r in out} == dict(want)
+    for r in out:
+        assert r.n_converted == want_conv[r.cohort_day]
+        assert 0.0 <= r.conversion_rate <= 1.0
