@@ -837,3 +837,26 @@ def test_constrained_funnel_matches_replay_and_bounds(spark, sf_dir):
     for r in out:
         assert r.n_converted == want_conv[r.cohort_day]
         assert 0.0 <= r.conversion_rate <= 1.0
+
+
+# --------------------------------------------- plan shapes, r8 windows
+
+
+def test_new_window_operators_plan_minimal_shuffles(spark, sf_dir):
+    """Pin the plan shapes the docstrings promise: attribution's two
+    IGNORE-NULLS columns share ONE window (one shuffle); scd2's three
+    windows + island aggregate reuse ONE user_id exchange; M4 is a
+    pure aggregate with a map-side partial."""
+    import re
+
+    df = SPECS["events_attribution_last_touch"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert checks.shuffle_count(df) == 1
+
+    df = SPECS["scd2_intervals"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 1, "all windows must reuse the user_id exchange"
+
+    df = SPECS["time_downsample_m4"].fn(spark, sf_dir)
+    assert checks.shuffle_count(df) == 1
+    assert checks.partial_aggregate_count(df) >= 1
