@@ -273,3 +273,50 @@ def delete_fact(spark: SparkSession, path: str, predicate) -> dict[str, int]:
         if crash_safe_rewrite(spark, leaf_str, _write_kept):
             deleted[rel] = n
     return deleted
+
+
+def upsert_fact(spark: SparkSession, path: str, updates: DataFrame, keys: tuple[str, ...]) -> dict[str, int]:
+    """MERGE INTO (upsert) for the parquet warehouse — the
+    ReplacingMergeTree write path: rows in ``updates`` REPLACE any
+    stored rows sharing their ``keys``, and new keys append. Returns
+    {relative partition dir: rows replaced} for the rewritten
+    partitions (the append itself lands via write_fact).
+
+    Deterministic two-step composition of the existing primitives:
+
+    1. DELETE the old versions — the incoming key set (collected:
+       bounded by the UPDATE batch, never the table; the same driver
+       budget as a Bloom build) becomes a predicate pushed at each
+       leaf scan, and only partitions containing matches rewrite
+       through the crash-safe swap (delete_fact).
+    2. APPEND the update rows month-partitioned and sort-keyed
+       (write_fact) — at most one file set per touched month, which
+       optimize_fact folds in at the next maintenance point.
+
+    Crash between the steps leaves keys deleted-but-not-yet-written:
+    re-running the SAME upsert converges (step 1 finds nothing, step
+    2 appends) — callers should re-run on failure, the standard
+    mutation-retry contract. For huge update batches where collecting
+    keys is unreasonable, land updates in their own partition and
+    let readers do argmax-per-key instead (events_latest_per_key is
+    the query-side twin; streaming/scd2_ingest the incremental one).
+    """
+    from functools import reduce
+
+    key_rows = [tuple(r) for r in updates.select(*keys).distinct().collect()]
+    if key_rows:
+        in_set = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda x, y: x & y,
+                    [F.col(k) == F.lit(v) for k, v in zip(keys, row)],
+                )
+                for row in key_rows
+            ],
+        )
+        replaced = delete_fact(spark, path, in_set)
+    else:
+        replaced = {}
+    write_fact(updates, path)
+    return replaced

@@ -264,3 +264,40 @@ def test_optimize_fact_handles_nested_batch_layout(spark, tmp_path):
         d = os.path.join(path, f"batch_id={b}", f"{sink.MONTH_COL}=202401")
         assert len([f for f in os.listdir(d) if not f.startswith(("_", "."))]) == 1
     assert sink.read_fact(spark, path).count() == before
+
+
+def test_upsert_fact_replaces_matching_keys_and_appends_new(spark, tmp_path):
+    from pyspark.sql import Row
+
+    def row(city, temp, d="2024-01-15"):
+        return Row(
+            event_date=d, city_name=city, event_time=f"{d} 01:00:00", temp=temp
+        )
+
+    def df(rows):
+        return spark.createDataFrame(rows).withColumn(
+            "event_date", F.col("event_date").cast("date")
+        )
+
+    path = str(tmp_path / "wh_ups")
+    sink.write_fact(df([row("a", 1.0), row("b", 2.0), row("c", 3.0, "2024-02-15")]), path)
+
+    replaced = sink.upsert_fact(
+        spark,
+        path,
+        df([row("a", 10.0), row("d", 4.0)]),
+        keys=("event_date", "city_name"),
+    )
+    # only the january partition held key matches
+    assert replaced == {f"{sink.MONTH_COL}=202401": 1}
+    got = {
+        (r.city_name, r.temp) for r in sink.read_fact(spark, path).collect()
+    }
+    assert got == {("a", 10.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)}
+    # re-running the same upsert converges (mutation-retry contract)
+    sink.upsert_fact(
+        spark, path, df([row("a", 10.0), row("d", 4.0)]), keys=("event_date", "city_name")
+    )
+    back = sink.read_fact(spark, path)
+    assert back.count() == 4
+    assert {(r.city_name, r.temp) for r in back.collect()} == got
