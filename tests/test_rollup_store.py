@@ -105,3 +105,71 @@ def test_rollup_stream_wiring(spark, tmp_path):
         (datetime.datetime(2024, 1, 1, 10, 0), "view", 2, 5.5),
         (datetime.datetime(2024, 1, 1, 11, 0), "click", 1, 1.0),
     }
+
+
+# --------------------------------------- property: merge == direct agg
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (hour 0-3, type A/B, cents) — coarse domains force key collisions
+# across batches so the merge path actually merges
+_ev = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["A", "B"]),
+    st.integers(min_value=-(10**6), max_value=10**6),
+)
+
+
+@given(
+    evs=st.lists(_ev, min_size=1, max_size=30),
+    perm=st.randoms(use_true_random=False),
+)
+@settings(
+    max_examples=6,  # each example folds real Spark micro-batches
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rollup_fold_is_batch_order_independent_and_exact(spark, tmp_path_factory, evs, perm):
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, h, 30),
+            1,
+            t,
+            c / 100.0,
+            "{}",
+        )
+        for i, (h, t, c) in enumerate(evs)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # random batch split AND random order within/among batches: the
+    # decimal partials must make the merged result identical to the
+    # direct aggregate regardless of fold order
+    shuffled = rows[:]
+    perm.shuffle(shuffled)
+    k = perm.randint(1, 3)
+    batches = [shuffled[i::k] for i in range(k)]
+    store = str(tmp_path_factory.mktemp("rollup_prop") / "store")
+    for bid, chunk in enumerate(batches):
+        if chunk:
+            rollup_store.rollup_ingest_batch(
+                spark.createDataFrame(chunk, schema), bid, store
+            )
+    got = _rollup_set(rollup_store.read_rollup(spark, store))
+    import collections
+    import decimal
+
+    agg = collections.defaultdict(lambda: [0, decimal.Decimal(0)])
+    for _, ts, _, t, v, _ in rows:
+        key = (ts.replace(minute=0), t)
+        agg[key][0] += 1
+        agg[key][1] += decimal.Decimal(f"{v:.2f}")
+    want = {(b, t, n, float(s)) for (b, t), (n, s) in agg.items()}
+    assert got == want
