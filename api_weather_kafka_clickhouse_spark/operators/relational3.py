@@ -664,3 +664,76 @@ def intervals_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.select(
         "t", "delta", F.sum("delta").over(wrun).cast("bigint").alias("concurrent")
     )
+
+
+# RFM rule thresholds: fixed absolute cutoffs near the corpus medians
+# (recency: ordered in the last ~20 months of the data window;
+# frequency: at/above the median order count; monetary: at/above the
+# median lifetime spend). Fixed rules — not data-dependent quantiles —
+# keep classification a pure scan-speed expression and segments
+# stable as data grows; the quantile-driven variant is
+# quality_tiers_decile's broadcast-boundary pattern.
+RFM_RECENT_AFTER = "2000-01-01"
+RFM_FREQ_MIN = 10
+RFM_MONEY_MIN = 2_500_000.0
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           last_order >= TIMESTAMP '{RFM_RECENT_AFTER} 00:00:00' AS recent,
+           n_orders >= {RFM_FREQ_MIN} AS frequent,
+           spend >= {RFM_MONEY_MIN} AS high_value,
+           n_orders,
+           CAST(spend AS DOUBLE) AS spend,
+           (CASE WHEN last_order >= TIMESTAMP '{RFM_RECENT_AFTER} 00:00:00'
+                 THEN 'R' ELSE '-' END)
+           || (CASE WHEN n_orders >= {RFM_FREQ_MIN} THEN 'F' ELSE '-' END)
+           || (CASE WHEN spend >= {RFM_MONEY_MIN} THEN 'M' ELSE '-' END)
+             AS segment
+    FROM per_cust
+    """,
+    doc="RFM segmentation (recency / frequency / monetary): every "
+    "customer classified into one of 8 segments by rule thresholds — "
+    "the standard CRM cut (champions = RFM, at-risk = --M, ...). One "
+    "map-side-combined aggregate per customer, then pure codegen "
+    "comparisons; spend accumulates in exact decimals so the "
+    "threshold can never flip on summation order. Completes the "
+    "customer-behavior family beside customer_order_gaps (cadence), "
+    "pareto_revenue_share (concentration), and retention_cohorts.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("spend"),
+    )
+    recent = F.col("last_order") >= F.lit(RFM_RECENT_AFTER).cast("timestamp")
+    frequent = F.col("n_orders") >= RFM_FREQ_MIN
+    high = F.col("spend") >= RFM_MONEY_MIN
+    seg = F.concat(
+        F.when(recent, F.lit("R")).otherwise(F.lit("-")),
+        F.when(frequent, F.lit("F")).otherwise(F.lit("-")),
+        F.when(high, F.lit("M")).otherwise(F.lit("-")),
+    )
+    return per_cust.select(
+        "o_custkey",
+        recent.alias("recent"),
+        frequent.alias("frequent"),
+        high.alias("high_value"),
+        "n_orders",
+        F.col("spend").cast("double").alias("spend"),
+        seg.alias("segment"),
+    )

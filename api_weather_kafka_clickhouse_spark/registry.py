@@ -128,8 +128,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # time_downsample_m4, pareto_revenue_share, customer_order_gaps,
 # join_point_in_time, window_running_distinct,
 # intervals_concurrency, agg_regression_per_group,
-# funnel_constrained_window — swap them in for same-family-
-# redundant green slots next round.
+# funnel_constrained_window, customer_rfm_segments — swap them in
+# for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
     # additions take redundant green slots; the other 43 slots carry

@@ -860,3 +860,27 @@ def test_new_window_operators_plan_minimal_shuffles(spark, sf_dir):
     df = SPECS["time_downsample_m4"].fn(spark, sf_dir)
     assert checks.shuffle_count(df) == 1
     assert checks.partial_aggregate_count(df) >= 1
+
+
+# ----------------------------------------------- customer_rfm_segments
+
+
+def test_rfm_segments_partition_customers_and_flags_agree(spark, sf_dir):
+    rows = SPECS["customer_rfm_segments"].fn(spark, sf_dir).collect()
+    n_cust = load(spark, "orders", sf_dir).select("o_custkey").distinct().count()
+    assert len(rows) == n_cust  # every customer, exactly once
+    for r in rows:
+        want = (
+            ("R" if r.recent else "-")
+            + ("F" if r.frequent else "-")
+            + ("M" if r.high_value else "-")
+        )
+        assert r.segment == want
+    assert len({r.segment for r in rows}) > 1, "thresholds must discriminate"
+
+
+def test_rfm_is_one_aggregate_no_window(spark, sf_dir):
+    df = SPECS["customer_rfm_segments"].fn(spark, sf_dir)
+    assert "Window" not in checks.formatted_plan(df)
+    assert checks.shuffle_count(df) == 1
+    assert checks.partial_aggregate_count(df) >= 1
