@@ -1,0 +1,514 @@
+"""Statistical-test battery: two-sample Kolmogorov-Smirnov, robust
+MAD outliers, Welch's t-test, and lag-1 autocorrelation.
+
+These are the monitoring/validation operators a data platform runs
+beside its pipelines (distribution-shift detection on ingested
+corpora, robust anomaly flags on metric streams, A/B-style mean
+comparison, temporal-structure checks). All four follow the repo's
+exact-sufficient-statistics discipline: everything that aggregates is
+exact (BIGINT / DECIMAL), and the closed-form statistic is evaluated
+over the reduced rows in DOUBLE with an IDENTICAL scalar expression
+tree on both engines, so the DuckDB oracle hash-checks values, not
+just shapes. Where a textbook formula would interpolate (the median),
+the DISCRETE lower median (an order statistic — a value actually in
+the data) is used instead, because an interpolated median's last-ulp
+float could differ between engines and flip a downstream filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+# Kolmogorov critical coefficient at alpha = 0.05 (two-sided).
+KS_C_ALPHA = 1.358
+
+
+@register(
+    "stats_ks_test",
+    oracle=f"""
+    WITH xs AS (SELECT DISTINCT n_chars AS x FROM documents),
+    srcs AS (SELECT source, count(*) AS n1 FROM documents GROUP BY source),
+    tot AS (SELECT count(*) AS big_n FROM documents),
+    hist AS (
+      SELECT source, n_chars AS x, count(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    gh AS (SELECT n_chars AS x, count(*) AS c FROM documents GROUP BY n_chars),
+    ct AS (
+      SELECT x, sum(c) OVER (
+        ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cumt FROM gh
+    ),
+    grid AS (SELECT s.source, s.n1, xs.x FROM srcs s CROSS JOIN xs),
+    g1 AS (
+      SELECT grid.source, grid.n1, grid.x, coalesce(h.c, 0) AS c
+      FROM grid LEFT JOIN hist h ON h.source = grid.source AND h.x = grid.x
+    ),
+    c1 AS (
+      SELECT source, n1, x, sum(c) OVER (
+        PARTITION BY source ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum1 FROM g1
+    ),
+    dn AS (
+      SELECT c1.source, c1.n1, t.big_n - c1.n1 AS n2,
+             abs(c1.cum1 * (t.big_n - c1.n1) - (ct.cumt - c1.cum1) * c1.n1)
+               AS d_num
+      FROM c1 JOIN ct ON ct.x = c1.x CROSS JOIN tot t
+    ),
+    m AS (
+      SELECT source, n1, n2, max(d_num) AS d_num
+      FROM dn GROUP BY source, n1, n2
+    )
+    SELECT source,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(CAST(d_num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 12) AS d_stat,
+           round({KS_C_ALPHA} * sqrt(CAST(n1 + n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 12) AS ks_crit,
+           (CAST(d_num AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            > {KS_C_ALPHA} * sqrt(CAST(n1 + n2 AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))) AS reject_h0
+    FROM m
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test of each source's document-"
+    "length distribution against the pooled rest — the distribution-"
+    "shift monitor a corpus pipeline runs per ingest batch (companion "
+    "to text_source_divergence's chi-square, which needs binning; KS "
+    "is binning-free). The sup|F1-F2| is evaluated at every pooled "
+    "distinct value with EXACT integer cumulative counts, and the "
+    "max is taken over the integer cross-product |c1*n2 - c2*n1| "
+    "(<= N^2, bigint-safe to N~3e9 per stratum) so no float enters "
+    "until the single final division — IEEE-identical on both "
+    "engines, hence hash-checkable including the alpha=0.05 "
+    "reject flag. Cost shape: ONE map-side-combined count over the "
+    "corpus builds the (source, value) histogram; every other input "
+    "(per-value totals, per-source totals, the evaluation grid) "
+    "derives from that persisted histogram, so the corpus is scanned "
+    "exactly once and every window runs on HISTOGRAM-sized data — at "
+    "100 TB the grid is still dimension-sized.",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    d = load(spark, "documents", sf_dir)
+    # The single corpus pass. Histogram-sized (|sources| x |distinct
+    # values|); persisted because four consumers derive from it —
+    # released via eager_release below.
+    hist = (
+        d.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gh = hist.groupBy("x").agg(F.sum("c").alias("c"))
+    # Global-ECDF window: single partition, but over the histogram
+    # (|distinct x| rows), not the corpus.
+    wt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ct = gh.select("x", F.sum("c").over(wt).alias("cumt"))
+    wg = Window.partitionBy()
+    srcs = (
+        hist.groupBy("source")
+        .agg(F.sum("c").alias("n1"))
+        .select("source", "n1", (F.sum("n1").over(wg) - F.col("n1")).alias("n2"))
+    )
+    xs = gh.select("x")
+    grid = xs.crossJoin(F.broadcast(srcs))
+    g1 = grid.join(F.broadcast(hist), ["source", "x"], "left").select(
+        "source", "n1", "n2", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w1 = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c1 = g1.select("source", "n1", "n2", "x", F.sum("c").over(w1).alias("cum1"))
+    dn = c1.join(F.broadcast(ct), "x").select(
+        "source",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1") * F.col("n2") - (F.col("cumt") - F.col("cum1")) * F.col("n1")
+        ).alias("d_num"),
+    )
+    m = dn.groupBy("source", "n1", "n2").agg(F.max("d_num").alias("d_num"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d_stat = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = F.lit(KS_C_ALPHA) * F.sqrt((F.col("n1") + F.col("n2")).cast("double") / (n1d * n2d))
+    out = m.select(
+        "source",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d_stat, 12).alias("d_stat"),
+        F.round(crit, 12).alias("ks_crit"),
+        (d_stat > crit).alias("reject_h0"),
+    )
+    return eager_release(out, "ks_test", hist)
+
+
+# Modified-z outlier threshold: |x - med| / MAD > 3.5 / 0.6745
+# (the 0.6745 is Phi^-1(0.75), scaling MAD to sigma for normal data).
+# Kept as the division expression on BOTH engines so the literal can
+# never be transcribed differently.
+MAD_Z_NUM = 3.5
+MAD_Z_DEN = 0.6745
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, event_type, value, n,
+             max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+               OVER (PARTITION BY event_type) AS med_raw
+      FROM r
+    ),
+    a AS (
+      SELECT event_id, event_type, value, n, med_raw,
+             abs(value - med_raw) AS absdev
+      FROM m
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY absdev, event_id
+             ) AS rn2
+      FROM a
+    ),
+    m2 AS (
+      SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN absdev END)
+               OVER (PARTITION BY event_type) AS mad_raw
+      FROM r2
+    )
+    SELECT event_id, event_type, value,
+           round(med_raw, 6) AS med,
+           round(mad_raw, 6) AS mad,
+           round(absdev / mad_raw, 6) AS mad_score
+    FROM m2
+    WHERE mad_raw > 0
+      AND absdev / mad_raw > {MAD_Z_NUM} / {MAD_Z_DEN}
+    """,
+    doc="Robust outlier detection via median absolute deviation — the "
+    "companion of events_anomaly_zscore for heavy-tailed metrics, "
+    "where the mean/stddev are themselves dragged by the outliers "
+    "they should flag. Both medians are the DISCRETE lower median "
+    "(the ceil(n/2)-th order statistic, tie-broken by event_id): a "
+    "value actually present in the data, identical on both engines "
+    "by construction — an interpolated median's last-ulp float could "
+    "flip the threshold filter for a boundary row and break the "
+    "hash. Cost shape: ZERO joins and ONE exchange — the median and "
+    "the MAD both attach to every row via max(CASE WHEN rn = k) over "
+    "the same event_type partition (a single non-null value per "
+    "partition, so max() is exact selection, not float arithmetic): "
+    "one hash-partition on the key, two in-partition sorts, four "
+    "window passes, all on the same co-partitioned data. The exact-"
+    "median form; at 100 TB with huge keys the approx-percentile "
+    "sketch is the scale path, this is the exact companion the "
+    "sketch is validated against.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # (n+1) div 2 is the discrete lower median's rank; max() over the
+    # partition of the single matching row broadcasts it to every row
+    # of the key without a join
+    m = r.select(
+        "event_id",
+        "event_type",
+        "value",
+        "n",
+        F.max(F.expr("CASE WHEN rn = (n + 1) div 2 THEN value END"))
+        .over(wn)
+        .alias("med_raw"),
+    )
+    a = m.select(
+        "event_id",
+        "event_type",
+        "value",
+        "n",
+        "med_raw",
+        F.abs(F.col("value") - F.col("med_raw")).alias("absdev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("absdev", "event_id")
+    r2 = a.withColumn("rn2", F.row_number().over(w2))
+    m2 = r2.withColumn(
+        "mad_raw",
+        F.max(F.expr("CASE WHEN rn2 = (n + 1) div 2 THEN absdev END")).over(wn),
+    )
+    score = F.col("absdev") / F.col("mad_raw")
+    return (
+        m2.filter(
+            (F.col("mad_raw") > 0) & (score > F.lit(MAD_Z_NUM) / F.lit(MAD_Z_DEN))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("med_raw"), 6).alias("med"),
+            F.round(F.col("mad_raw"), 6).alias("mad"),
+            F.round(score, 6).alias("mad_score"),
+        )
+    )
+
+
+@register(
+    "stats_ttest_welch",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(9,0)) AS n,
+             CAST(sum(yc) AS DECIMAL(20,0)) AS s1,
+             CAST(sum(CAST(yc AS DECIMAL(19,0)) * yc) AS DECIMAL(30,0)) AS s2
+      FROM b GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, n, s1, s2,
+             CAST(sum(n) OVER () AS DECIMAL(12,0)) AS tn,
+             CAST(sum(s1) OVER () AS DECIMAL(24,0)) AS ts1,
+             CAST(sum(s2) OVER () AS DECIMAL(34,0)) AS ts2
+      FROM g
+    ),
+    d AS (
+      SELECT event_type,
+             CAST(n AS BIGINT) AS n,
+             CAST(tn - n AS BIGINT) AS n_rest,
+             CAST(n AS DOUBLE) AS n1,
+             CAST(s1 AS DOUBLE) AS a1,
+             CAST(s2 AS DOUBLE) AS q1,
+             CAST(tn - n AS DOUBLE) AS n2,
+             CAST(ts1 - s1 AS DOUBLE) AS a2,
+             CAST(ts2 - s2 AS DOUBLE) AS q2
+      FROM t
+    ),
+    e AS (
+      SELECT event_type, n, n_rest, n1, n2,
+             a1 / n1 AS m1, a2 / n2 AS m2,
+             ((q1 - a1 * a1 / n1) / (n1 - 1)) / n1 AS w1,
+             ((q2 - a2 * a2 / n2) / (n2 - 1)) / n2 AS w2
+      FROM d
+    )
+    SELECT event_type, n, n_rest,
+           round((m1 - m2) / sqrt(w1 + w2), 9) AS t_welch,
+           round((w1 + w2) * (w1 + w2)
+                 / (w1 * w1 / (n1 - 1) + w2 * w2 / (n2 - 1)), 6) AS df_welch
+    FROM e
+    """,
+    doc="Welch's unequal-variance t-test of each group's mean metric "
+    "against the pooled rest — the A/B readout. The three sufficient "
+    "statistics per group (n, sum, sum-of-squares over integer "
+    "cents) are EXACT decimals with precisions sized for 1e12 rows "
+    "(s2 <= ~1e16 per row-pair at max |value| ~ 5e2 dollars; "
+    "DECIMAL(30,0) holds 1e12 of them); the complement group's stats "
+    "are derived by subtracting from totals computed as a GLOBAL "
+    "WINDOW over the already-reduced per-group rows — so the whole "
+    "test is ONE map-side-combined pass over the data, no second "
+    "scan branch and no join for the 'rest' side (a naive "
+    "cross-join-totals shape made Catalyst replan the scan). t and "
+    "the Welch-Satterthwaite df are then evaluated in DOUBLE with "
+    "the identical expression tree on both engines (squares written "
+    "as x*x, never pow(x,2) — libm pow need not equal the exact "
+    "product). t is scale-invariant so the cents bridge cancels.",
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    b = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("yc"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum("yc").cast("decimal(20,0)").alias("s1"),
+        F.sum(F.col("yc").cast("decimal(19,0)") * F.col("yc"))
+        .cast("decimal(30,0)")
+        .alias("s2"),
+    )
+    wg = Window.partitionBy()
+    t = g.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        F.sum("n").over(wg).cast("decimal(12,0)").alias("tn"),
+        F.sum("s1").over(wg).cast("decimal(24,0)").alias("ts1"),
+        F.sum("s2").over(wg).cast("decimal(34,0)").alias("ts2"),
+    )
+    d = t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("tn") - F.col("n")).cast("bigint").alias("n_rest"),
+        F.col("n").cast("double").alias("n1"),
+        F.col("s1").cast("double").alias("a1"),
+        F.col("s2").cast("double").alias("q1"),
+        (F.col("tn") - F.col("n")).cast("double").alias("n2"),
+        (F.col("ts1") - F.col("s1")).cast("double").alias("a2"),
+        (F.col("ts2") - F.col("s2")).cast("double").alias("q2"),
+    )
+    e = d.select(
+        "event_type",
+        "n",
+        "n_rest",
+        "n1",
+        "n2",
+        (F.col("a1") / F.col("n1")).alias("m1"),
+        (F.col("a2") / F.col("n2")).alias("m2"),
+        (
+            ((F.col("q1") - F.col("a1") * F.col("a1") / F.col("n1")) / (F.col("n1") - 1))
+            / F.col("n1")
+        ).alias("w1"),
+        (
+            ((F.col("q2") - F.col("a2") * F.col("a2") / F.col("n2")) / (F.col("n2") - 1))
+            / F.col("n2")
+        ).alias("w2"),
+    )
+    return e.select(
+        "event_type",
+        "n",
+        "n_rest",
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(F.col("w1") + F.col("w2")), 9
+        ).alias("t_welch"),
+        F.round(
+            (F.col("w1") + F.col("w2"))
+            * (F.col("w1") + F.col("w2"))
+            / (
+                F.col("w1") * F.col("w1") / (F.col("n1") - 1)
+                + F.col("w2") * F.col("w2") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "time_autocorr_lag1",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events WHERE ts IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, yc AS x,
+             lead(yc) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS y
+      FROM b
+    ),
+    q AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(9,0)) AS n,
+             CAST(sum(x) AS DECIMAL(20,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(20,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(30,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(30,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(30,0)) AS syy
+      FROM q GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    )
+    SELECT event_type, n_pairs,
+           round((nd * sxyd - sxd * syd)
+                 / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                 9) AS r1
+    FROM d
+    WHERE (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd) > 0
+    """,
+    doc="Lag-1 autocorrelation of the metric per series — 'is this "
+    "signal noise or does it have memory', the first diagnostic "
+    "before any forecasting model. Consecutive pairs come from ONE "
+    "lead() pass per series (ordered by ts with the event_id "
+    "tiebreak for same-timestamp determinism); the Pearson r over "
+    "pairs is then the sufficient-statistics shape: six exact-"
+    "decimal aggregates over integer cents (map-side combined), the "
+    "closed form evaluated in DOUBLE with the identical expression "
+    "tree on both engines, zero-variance series filtered on the "
+    "EXACT-derived doubles so both engines drop the same rows. The "
+    "series key here is low-cardinality, so the sort window range-"
+    "partitions; at 100 TB the same operator runs per (series, "
+    "time-chunk) with one boundary row handed across chunks.",
+)
+def time_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    b = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("yc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = b.select(
+        "event_type",
+        F.col("yc").alias("x"),
+        F.lead("yc").over(w).alias("y"),
+    )
+    q = p.filter(F.col("y").isNotNull())
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum("x").cast("decimal(20,0)").alias("sx"),
+        F.sum("y").cast("decimal(20,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(30,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(30,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(30,0)")
+        .alias("syy"),
+    )
+    d = s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    varx = F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd")
+    vary = F.col("nd") * F.col("syyd") - F.col("syd") * F.col("syd")
+    return (
+        d.filter(varx * vary > 0)
+        .select(
+            "event_type",
+            "n_pairs",
+            F.round(
+                (F.col("nd") * F.col("sxyd") - F.col("sxd") * F.col("syd"))
+                / F.sqrt(varx * vary),
+                9,
+            ).alias("r1"),
+        )
+    )

@@ -128,7 +128,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # time_downsample_m4, pareto_revenue_share, customer_order_gaps,
 # join_point_in_time, window_running_distinct,
 # intervals_concurrency, agg_regression_per_group,
-# funnel_constrained_window, customer_rfm_segments — swap them in
+# funnel_constrained_window, customer_rfm_segments,
+# stats_ks_test, events_anomaly_mad, stats_ttest_welch,
+# time_autocorr_lag1 — swap them in
 # for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
@@ -267,6 +269,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         similarity,
+        stats,
         tpch,
         text_analysis,
         windows,
