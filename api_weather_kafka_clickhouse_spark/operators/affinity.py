@@ -219,3 +219,114 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("part_c"),
     )
     return eager_release(out, "triangles", e0, e)
+
+
+# --- recursive hierarchy traversal -----------------------------------
+
+# Pointer doubling converges in O(log depth) rounds; a random
+# recursive tree's expected depth is ~e*ln(N) (~75 at 1e12 nodes), so
+# ~7 rounds cover any realistic corpus. 50 is a runaway guard.
+TREE_MAX_ITERATIONS = 50
+# Storage-checkpoint the pointer table every k rounds: the self-join
+# doubles the logical plan per round (same growth the CC loop hits,
+# dedup.py CC_CHECKPOINT_EVERY), and a checkpoint resets it to a scan.
+TREE_CHECKPOINT_EVERY = 2
+
+
+@register(
+    "graph_tree_depth",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT doc_id AS node,
+             CASE WHEN doc_id = 0 THEN NULL
+                  ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % doc_id
+             END AS parent
+      FROM documents
+    ),
+    anc AS (
+      SELECT node AS doc_id, node AS cur, 0 AS depth FROM p
+      UNION ALL
+      SELECT a.doc_id, pp.parent, a.depth + 1
+      FROM anc a JOIN p pp ON pp.node = a.cur AND pp.parent IS NOT NULL
+    )
+    SELECT a.doc_id, p.parent, CAST(max(a.depth) AS BIGINT) AS depth
+    FROM anc a JOIN p ON p.node = a.doc_id
+    GROUP BY a.doc_id, p.parent
+    """,
+    doc="Recursive hierarchy traversal — depth and parent of every "
+    "node in a tree, the WITH RECURSIVE query family (org charts, "
+    "BOM explosion, reply threads) that Spark SQL has no recursive "
+    "CTE for. The hierarchy is synthesized deterministically over "
+    "doc_id (parent(n) = md5win(n) mod n, the shared cross-engine "
+    "hash kernel, so parent < n — guaranteed acyclic, rooted at 0; "
+    "a random recursive tree, expected depth ~e*ln N), which lets "
+    "DuckDB verify the DISTRIBUTED algorithm against a true "
+    "recursive CTE bit-for-bit: exact integer ids and edge counts, "
+    "nothing float. Spark side is pointer doubling: each round joins "
+    "the ancestor table with itself (anc <- anc(anc), steps add), so "
+    "reach doubles per round and convergence is O(log depth) "
+    "equi-join rounds — ~7 at 1e12 nodes — with a root self-loop "
+    "(anc=0, step 0) absorbing finished walkers; one bounded scalar "
+    "(the unfinished count) reaches the driver per round, the same "
+    "contract as the CC loop. Each round shuffles O(N) 3-long rows; "
+    "the pointer table storage-checkpoints every 2 rounds so the "
+    "self-join's plan growth stays constant.",
+)
+def graph_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release, stage_checkpoint
+
+    d = load(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # parent < node by construction (h % node), so the graph is a
+    # tree rooted at doc_id 0; ids are contiguous from 0 (TESTDATA),
+    # so every parent exists. Persisted: consumed by the init table
+    # and the final output join; released via eager_release below.
+    p = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("bigint"))
+        .otherwise(h % F.col("doc_id"))
+        .alias("parent"),
+    ).persist()
+    a = p.select(
+        "node",
+        F.coalesce(F.col("parent"), F.lit(0)).alias("anc"),
+        F.when(F.col("node") == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("d"),
+    ).persist()
+    pending = a.filter(F.col("anc") != 0).count()
+    iters = 0
+    while pending > 0 and iters < TREE_MAX_ITERATIONS:
+        b = a.select(
+            F.col("node").alias("b_node"),
+            F.col("anc").alias("b_anc"),
+            F.col("d").alias("b_d"),
+        )
+        nxt = a.join(b, F.col("anc") == F.col("b_node")).select(
+            "node",
+            F.col("b_anc").alias("anc"),
+            (F.col("d") + F.col("b_d")).alias("d"),
+        )
+        iters += 1
+        if iters % TREE_CHECKPOINT_EVERY == 0:
+            nxt = stage_checkpoint(nxt, "tree_ptr")
+        nxt = nxt.persist()
+        # one job materializes the round AND returns the convergence
+        # scalar (no separate limit(1).count() probe)
+        pending = nxt.filter(F.col("anc") != 0).count()
+        a.unpersist()
+        a = nxt
+    if pending > 0:
+        a.unpersist()
+        p.unpersist()
+        raise RuntimeError(
+            f"tree depth did not converge in {TREE_MAX_ITERATIONS} rounds"
+        )
+    out = p.join(a.select("node", F.col("d").alias("depth")), "node").select(
+        F.col("node").alias("doc_id"), "parent", "depth"
+    )
+    return eager_release(out, "tree_depth", p, a)
