@@ -528,3 +528,127 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale_q"),
         F.array_join(F.transform(F.col("vd"), code), ",").alias("codes"),
     )
+
+
+# --- product quantization -------------------------------------------
+
+# PQ layout: 64 dims -> PQ_M subspaces of PQ_SUB dims, PQ_K codes per
+# subspace => 8 bytes per vector (32x smaller than float32). The
+# codebooks are FIXED deterministic integers (seeded PRNG, embedded as
+# literals in both engines) — this operator is the ENCODE path; a
+# data-trained codebook is the embedding_kmeans family's job and is
+# iterative-float by nature (rows-only). Quantizing inputs to int8
+# first (scale 127 — odd, so round() can never land on an exact .5
+# tie, same argument as embedding_quantize_int8) makes every distance
+# an EXACT integer, so the argmin with its code-index tiebreak is
+# bit-identical across engines and the whole encode is hash-checkable.
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 16
+PQ_SCALE = 127.0
+_pq_rng = random.Random(1427)
+_PQ_CB = [
+    [[_pq_rng.randint(-64, 63) for _ in range(PQ_SUB)] for _ in range(PQ_K)]
+    for _ in range(PQ_M)
+]
+
+
+def _pq_cb_values_sql() -> str:
+    rows = ", ".join(
+        f"({m}, {k}, {d}, {_PQ_CB[m][k][d]})"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+        for d in range(PQ_SUB)
+    )
+    return f"cb(m, k, d, val) AS (VALUES {rows})"
+
+
+@register(
+    "embedding_pq_int8",
+    oracle=f"""
+    WITH {_pq_cb_values_sql()},
+    v AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)
+             ) AS c
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, g.i - 1 AS dim, c[g.i] AS q
+      FROM v, generate_series(1, {PQ_M * PQ_SUB}) AS g(i)
+    ),
+    pd AS (
+      SELECT u.vec_id, cb.m, cb.k,
+             sum((u.q - cb.val) * (u.q - cb.val)) AS dist
+      FROM u JOIN cb ON cb.m = u.dim // {PQ_SUB} AND cb.d = u.dim % {PQ_SUB}
+      GROUP BY u.vec_id, cb.m, cb.k
+    ),
+    best AS (
+      SELECT vec_id, m, k, dist,
+             row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dist, k
+             ) AS rk
+      FROM pd
+    )
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS pq_codes,
+           CAST(sum(dist) AS BIGINT) AS sq_err
+    FROM best WHERE rk = 1
+    GROUP BY vec_id
+    """,
+    doc="Product-quantization encode: each embedding is int8-"
+    "quantized, split into 8 subspaces, and each subspace assigned "
+    "its nearest of 16 fixed integer codebook entries — 8 bytes per "
+    "vector, the memory layout ANN indexes (IVF-PQ) use to hold "
+    "billion-vector corpora in RAM. All distances are EXACT integers "
+    "(int8 inputs x integer codebooks), so the argmin (tie to the "
+    "lowest code id) hash-checks against DuckDB evaluating the same "
+    "codebook literals. Spark side is pure per-row codegen: the 16 "
+    "candidate (distance, code) structs per subspace collapse via "
+    "array_min's lexicographic struct order — no explode, no "
+    "shuffle, no UDF; the scan streams and the operator is "
+    "embarrassingly parallel at any scale. sq_err (the summed "
+    "residual) is the reconstruction-quality monitor a pipeline "
+    "tracks per batch.",
+)
+def embedding_pq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    c = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(PQ_SCALE)).cast("bigint"),
+    )
+    q = e.select("vec_id", c.alias("c"))
+    elems = [
+        [F.element_at(F.col("c"), m * PQ_SUB + d + 1) for d in range(PQ_SUB)]
+        for m in range(PQ_M)
+    ]
+    best = []
+    for m in range(PQ_M):
+        cands = F.array(
+            *[
+                F.struct(
+                    sum(
+                        (
+                            (elems[m][d] - F.lit(_PQ_CB[m][k][d]))
+                            * (elems[m][d] - F.lit(_PQ_CB[m][k][d]))
+                            for d in range(PQ_SUB)
+                        ),
+                        F.lit(0).cast("bigint"),
+                    ).alias("dist"),
+                    F.lit(k).cast("bigint").alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        best.append(F.array_min(cands))
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", *[b.getField("k").cast("string") for b in best]).alias(
+            "pq_codes"
+        ),
+        sum((b.getField("dist") for b in best), F.lit(0).cast("bigint")).alias(
+            "sq_err"
+        ),
+    )
