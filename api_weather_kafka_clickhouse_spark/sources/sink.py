@@ -320,3 +320,81 @@ def upsert_fact(spark: SparkSession, path: str, updates: DataFrame, keys: tuple[
         replaced = {}
     write_fact(updates, path)
     return replaced
+
+
+TTL_TRASH_SUFFIX = "__ttl_trash"
+
+
+def ttl_expire(spark: SparkSession, path: str, older_than: str) -> dict[str, object]:
+    """Retention TTL — ClickHouse ``TTL event_date + INTERVAL n DAY
+    DELETE`` parity (the reference warehouse ages out raw weather
+    events; MergeTree applies TTL by dropping whole parts when every
+    row qualifies and mutating only the boundary parts). Same split
+    here, because at 100 TB the difference is the whole cost model:
+
+    - month partitions STRICTLY older than the cutoff's month are
+      dropped wholesale — an atomic rename to a ``__ttl_trash`` aside
+      then a recursive delete, so a reader never lists a half-deleted
+      partition (DROP PARTITION parity; rename atomicity enforced by
+      the shared store guard, copy+delete object stores refused). No
+      data is read: retiring a year costs twelve directory renames.
+    - the single BOUNDARY month (cutoff falls inside it) gets a
+      row-level ``delete_fact`` with the month pinned in the
+      predicate, so only that month's partitions are scanned and
+      rewritten through the crash-safe swap.
+
+    Idempotent: re-running after any crash converges (leftover trash
+    asides are swept first, already-dropped months are gone, the
+    boundary delete is delete_fact's no-op on zero matches). Returns
+    ``{"dropped": [rel dirs], "boundary": {rel dir: rows deleted}}``.
+    QUIESCENT POINT ONLY, like every in-place rewrite here.
+    """
+    from ..streaming.store import _require_atomic_rename
+
+    cutoff_month = int(older_than[:7].replace("-", ""))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return {"dropped": [], "boundary": {}}
+    base_q = fs.makeQualified(base).toString()
+
+    # recovery: finish any interrupted drop (the rename committed the
+    # drop; the delete just reclaims space)
+    stack, trash = [base], []
+    while stack:
+        p = stack.pop()
+        for s in fs.listStatus(p):
+            if not s.isDirectory():
+                continue
+            if s.getPath().getName().endswith(TTL_TRASH_SUFFIX):
+                trash.append(s.getPath())
+            else:
+                stack.append(s.getPath())
+    for t in trash:
+        fs.delete(t, True)
+
+    dropped: list[str] = []
+    for leaf in _leaf_partition_dirs(fs, jvm, path):
+        leaf_q = fs.makeQualified(leaf).toString()
+        rel = leaf_q[len(base_q):].lstrip("/")
+        month = None
+        for seg in rel.split("/"):
+            if seg.startswith(f"{MONTH_COL}="):
+                month = int(seg.split("=", 1)[1])
+        if month is None or month >= cutoff_month:
+            continue
+        _require_atomic_rename(fs, leaf_q)
+        aside = jvm.org.apache.hadoop.fs.Path(leaf_q + TTL_TRASH_SUFFIX)
+        if not fs.rename(leaf, aside):
+            raise OSError(f"ttl_expire: rename failed for {leaf_q}")
+        fs.delete(aside, True)
+        dropped.append(rel)
+
+    boundary = delete_fact(
+        spark,
+        path,
+        (F.col(MONTH_COL) == cutoff_month) & (F.col("event_date") < F.lit(older_than)),
+    )
+    return {"dropped": sorted(dropped), "boundary": boundary}

@@ -301,3 +301,57 @@ def test_upsert_fact_replaces_matching_keys_and_appends_new(spark, tmp_path):
     back = sink.read_fact(spark, path)
     assert back.count() == 4
     assert {(r.city_name, r.temp) for r in back.collect()} == got
+
+
+def test_ttl_expire_drops_whole_months_and_trims_boundary(spark, tmp_path):
+    """TTL parity: months strictly before the cutoff month disappear
+    without being read, the boundary month loses only its pre-cutoff
+    rows, newer partitions stay byte-identical, and re-runs (including
+    after a simulated crash mid-drop) converge."""
+    import os
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            event_date=f"2024-0{m}-{d:02d}",
+            city_name=f"city{d % 3}",
+            event_time=f"2024-0{m}-{d:02d} 06:00:00",
+            temp=float(10 * m + d),
+        )
+        for m in (1, 2, 3)
+        for d in (5, 15, 25)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    path = str(tmp_path / "wh_ttl")
+    sink.write_fact(df, path)
+
+    def mtime(month):
+        d = os.path.join(path, f"{sink.MONTH_COL}={month}")
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    newest_before = mtime(202403)
+    out = sink.ttl_expire(spark, path, "2024-02-20")
+    # January dropped wholesale; February lost its 05/15 rows only
+    assert out["dropped"] == [f"{sink.MONTH_COL}=202401"]
+    assert out["boundary"] == {f"{sink.MONTH_COL}=202402": 2}
+    assert not os.path.exists(os.path.join(path, f"{sink.MONTH_COL}=202401"))
+    back = sink.read_fact(spark, path)
+    assert back.count() == 4  # feb 25 + all three march rows
+    assert back.filter(F.col("event_date") < "2024-02-20").count() == 0
+    assert mtime(202403) == newest_before  # untouched month byte-identical
+    # idempotence
+    again = sink.ttl_expire(spark, path, "2024-02-20")
+    assert again == {"dropped": [], "boundary": {}}
+    # crash simulation: a leftover trash aside from an interrupted
+    # drop is swept on the next run
+    trash = os.path.join(
+        path, f"{sink.MONTH_COL}=999901{sink.TTL_TRASH_SUFFIX}"
+    )
+    os.makedirs(trash)
+    open(os.path.join(trash, "part-stale.parquet"), "w").close()
+    sink.ttl_expire(spark, path, "2024-02-20")
+    assert not os.path.exists(trash)
+    assert sink.read_fact(spark, path).count() == 4
