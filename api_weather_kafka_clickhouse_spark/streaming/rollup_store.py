@@ -52,14 +52,14 @@ from .store import (
     checkpoint_run_id,
     compact_tables,
     ensure_store_scheme,
-    fs_exists,
-    read_small_text,
+    guard_replay_after_compaction,
+    read_high_water,
     read_store,
     verify_scheme_store_run,
+    write_high_water,
 )
 
 ROLLUP_SCHEME = "rollup-hour-sum-v1"
-MAX_BATCH_FILE = "_MAX_BATCH"
 
 _PART_SCHEMA = "bucket timestamp, event_type string, n bigint, value_sum decimal(18,2)"
 
@@ -68,20 +68,6 @@ def _merge_parts(df: DataFrame) -> DataFrame:
     return df.groupBy("bucket", "event_type").agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
-    )
-
-
-def _read_max_batch(spark: SparkSession, store_dir: str) -> int | None:
-    txt = read_small_text(spark, os.path.join(store_dir, MAX_BATCH_FILE))
-    return int(txt.strip()) if txt and txt.strip() else None
-
-
-def _write_max_batch(spark: SparkSession, store_dir: str, batch_id: int) -> None:
-    (
-        spark.createDataFrame([(str(batch_id),)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(os.path.join(store_dir, MAX_BATCH_FILE))
     )
 
 
@@ -96,17 +82,7 @@ def rollup_ingest_batch(
     verify_scheme_store_run(spark, store_dir, run_id)
     ensure_store_scheme(spark, store_dir, ROLLUP_SCHEME, ("parts",))
 
-    high = _read_max_batch(spark, store_dir)
-    if high is not None and batch_id <= high:
-        own = os.path.join(store_dir, "parts", f"ingest_batch={batch_id}")
-        if not fs_exists(spark, own):
-            raise RuntimeError(
-                f"rollup store {store_dir}: batch {batch_id} replayed after its "
-                f"partition was compacted away (high-water {high}); rewriting it "
-                "would double-count rows already folded into the compacted part. "
-                "Compaction must only run at a quiescent point with the "
-                "checkpoint intact — rebuild the store or restore the checkpoint."
-            )
+    guard_replay_after_compaction(spark, store_dir, "parts", batch_id, "rollup")
 
     partial = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
@@ -117,8 +93,9 @@ def rollup_ingest_batch(
         .alias("value_sum"),
     )
     append_partition(partial, os.path.join(store_dir, "parts"), batch_id)
+    high = read_high_water(spark, store_dir)
     if high is None or batch_id > high:
-        _write_max_batch(spark, store_dir, batch_id)
+        write_high_water(spark, store_dir, batch_id)
 
 
 def read_rollup(spark: SparkSession, store_dir: str) -> DataFrame:

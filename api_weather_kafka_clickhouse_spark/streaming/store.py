@@ -458,3 +458,48 @@ def verify_scheme_store_run(spark: SparkSession, store_dir: str, run_id: str | N
         run_id,
         has_state=fs_exists(spark, os.path.join(store_dir, SCHEME_FILE)),
     )
+
+
+# --- high-water replay guard ----------------------------------------
+
+MAX_BATCH_MARKER = "_MAX_BATCH"
+
+
+def read_high_water(spark: SparkSession, store_dir: str) -> int | None:
+    """Highest batch id ever written to this store (None before the
+    first batch). Driver-side marker read, no Spark job."""
+    txt = read_small_text(spark, os.path.join(store_dir, MAX_BATCH_MARKER))
+    return int(txt.strip()) if txt and txt.strip() else None
+
+
+def write_high_water(spark: SparkSession, store_dir: str, batch_id: int) -> None:
+    (
+        spark.createDataFrame([(str(batch_id),)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(os.path.join(store_dir, MAX_BATCH_MARKER))
+    )
+
+
+def guard_replay_after_compaction(
+    spark: SparkSession, store_dir: str, table: str, batch_id: int, store_kind: str
+) -> None:
+    """Refuse the one replay case delta stores cannot make idempotent:
+    a batch id at or below the high-water marker whose own partition
+    no longer exists must have been folded into a compacted part, so
+    rewriting it would double-count rows already inside the fold.
+    (A replay whose partition still exists is safe — the dynamic
+    partition overwrite replaces it.) Shared by every partial-state
+    delta store (SummingMergeTree rollup, AggregatingMergeTree
+    states) so the refusal logic exists once."""
+    high = read_high_water(spark, store_dir)
+    if high is not None and batch_id <= high:
+        own = os.path.join(store_dir, table, f"ingest_batch={batch_id}")
+        if not fs_exists(spark, own):
+            raise RuntimeError(
+                f"{store_kind} store {store_dir}: batch {batch_id} replayed after "
+                f"its partition was compacted away (high-water {high}); rewriting "
+                "it would double-count rows already folded into the compacted "
+                "part. Compaction must only run at a quiescent point with the "
+                "checkpoint intact — rebuild the store or restore the checkpoint."
+            )
