@@ -398,3 +398,62 @@ def ttl_expire(spark: SparkSession, path: str, older_than: str) -> dict[str, obj
         (F.col(MONTH_COL) == cutoff_month) & (F.col("event_date") < F.lit(older_than)),
     )
     return {"dropped": sorted(dropped), "boundary": boundary}
+
+
+def table_parts(spark: SparkSession, path: str) -> DataFrame:
+    """``system.parts`` introspection parity: one row per leaf
+    partition with file count, bytes, rows, and last-modified time —
+    what an operator consults before OPTIMIZE/TTL decisions (ClickHouse
+    exposes the same via system.parts; the reference stack monitors
+    its warehouse through it).
+
+    Metadata only: directory listings via the Hadoop FS API plus
+    parquet FOOTER reads for row counts (pyarrow, driver-side) — no
+    Spark job touches data pages, so the cost is O(files), not
+    O(rows). Footer row counts need a locally-readable path; on a
+    non-``file:`` filesystem ``rows`` is NULL rather than paying a
+    cluster scan (the listing columns still fill). At 100 TB the
+    equivalent runs against the catalog/manifest layer; the contract
+    (partition -> files/bytes/rows) is the same.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(conf)
+    rows: list[tuple] = []
+    if fs.exists(base):
+        base_q = fs.makeQualified(base).toString()
+        local = base_q.startswith("file:")
+        for leaf in _leaf_partition_dirs(fs, jvm, path):
+            leaf_q = fs.makeQualified(leaf).toString()
+            rel = leaf_q[len(base_q):].lstrip("/")
+            files = [
+                s
+                for s in fs.listStatus(leaf)
+                if not s.isDirectory()
+                and not s.getPath().getName().startswith(("_", "."))
+            ]
+            n_rows: int | None = None
+            if local:
+                import pyarrow.parquet as pq
+
+                n_rows = sum(
+                    pq.ParquetFile(
+                        s.getPath().toUri().getPath()
+                    ).metadata.num_rows
+                    for s in files
+                )
+            rows.append(
+                (
+                    rel,
+                    len(files),
+                    sum(s.getLen() for s in files),
+                    n_rows,
+                    max((s.getModificationTime() for s in files), default=0) // 1000,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files bigint, bytes bigint, rows bigint, "
+        "modified_epoch bigint",
+    )

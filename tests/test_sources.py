@@ -355,3 +355,43 @@ def test_ttl_expire_drops_whole_months_and_trims_boundary(spark, tmp_path):
     sink.ttl_expire(spark, path, "2024-02-20")
     assert not os.path.exists(trash)
     assert sink.read_fact(spark, path).count() == 4
+
+
+def test_table_parts_lists_partitions_without_scanning(spark, tmp_path):
+    """system.parts parity: per-partition file/byte/row stats from
+    listings + footers, consistent before and after a merge."""
+    import os
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            event_date=f"2024-0{m}-15",
+            city_name=f"city{i % 3}",
+            event_time=f"2024-0{m}-15 0{i % 10}:00:00",
+            temp=float(i),
+        )
+        for m in (1, 2)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    path = str(tmp_path / "wh_parts")
+    # several small files per partition
+    sink.write_fact(df.repartition(4), path)
+    parts = {r.partition: r for r in sink.table_parts(spark, path).collect()}
+    assert set(parts) == {f"{sink.MONTH_COL}=202401", f"{sink.MONTH_COL}=202402"}
+    for rel, r in parts.items():
+        d = os.path.join(path, rel)
+        disk = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert r.n_files == len(disk)
+        assert r.bytes == sum(os.path.getsize(os.path.join(d, f)) for f in disk)
+        assert r.rows == 10
+        assert r.modified_epoch > 0
+    # after a merge the rows are conserved while files drop
+    sink.optimize_fact(spark, path, target_file_bytes=1 << 30)
+    parts2 = {r.partition: r for r in sink.table_parts(spark, path).collect()}
+    assert all(r.rows == 10 and r.n_files == 1 for r in parts2.values())
+    # empty table -> empty listing
+    assert sink.table_parts(spark, str(tmp_path / "nope")).count() == 0
