@@ -330,3 +330,99 @@ def graph_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), "parent", "depth"
     )
     return eager_release(out, "tree_depth", p, a)
+
+
+# Deterministic result bound for the neighborhood-similarity ranking:
+# top pairs by (common neighbors, key, key) — a total order, so the
+# same rows emerge at any scale factor.
+CN_TOP = 50
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS deg
+      FROM e GROUP BY l_suppkey
+    ),
+    p AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             CAST(count(*) AS BIGINT) AS cn
+      FROM e a JOIN e b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    r AS (
+      SELECT supp_a, supp_b, cn,
+             row_number() OVER (ORDER BY cn DESC, supp_a, supp_b) AS rk
+      FROM p
+    )
+    SELECT r.supp_a, r.supp_b, r.cn,
+           da.deg AS deg_a, db.deg AS deg_b,
+           round(CAST(r.cn AS DOUBLE)
+                 / CAST(da.deg + db.deg - r.cn AS DOUBLE), 6) AS jaccard
+    FROM r
+    JOIN deg da ON da.l_suppkey = r.supp_a
+    JOIN deg db ON db.l_suppkey = r.supp_b
+    WHERE r.rk <= {CN_TOP}
+    """,
+    doc="Neighborhood-similarity link prediction: the supplier pairs "
+    "sharing the most parts in the supplier-part bipartite graph, "
+    "with common-neighbor count and Jaccard overlap — the classic "
+    "who-is-substitutable-for-whom / recommend-a-peer primitive "
+    "(companion to copurchase_pairs_lift, which scores the EDGE "
+    "between co-occurring items; this scores NODE similarity through "
+    "shared neighborhoods). Pair generation self-joins the deduped "
+    "edge list on the part key, so fanout per part is (suppliers-of-"
+    "part choose 2) — neighborhood-bounded, never corpus-bounded; "
+    "degrees are dimension-sized and attach by broadcast. Counts and "
+    "degrees stay exact bigints into ONE final IEEE division; the "
+    "top-K cut is a total order (cn DESC, then both keys) over the "
+    "pair aggregate, so the result is deterministic at any scale. "
+    "The ranking window runs on the supplier-pair aggregate "
+    "(dimension-squared at most, tiny next to the corpus).",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..plans.stage import eager_release
+
+    li = load(spark, "lineitem", sf_dir)
+    # persisted: the deduped bipartite edge list feeds the self-join
+    # (twice) and the degree table; released via eager_release below
+    e = li.select("l_suppkey", "l_partkey").distinct().persist()
+    deg = e.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    ea = e.select(F.col("l_suppkey").alias("supp_a"), "l_partkey")
+    eb = e.select(F.col("l_suppkey").alias("supp_b"), "l_partkey")
+    pairs = (
+        ea.join(eb, "l_partkey")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    w = Window.orderBy(F.col("cn").desc(), "supp_a", "supp_b")
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= CN_TOP
+    )
+    da = deg.select(F.col("l_suppkey").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_suppkey").alias("supp_b"), F.col("deg").alias("deg_b"))
+    out = (
+        ranked.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return eager_release(out, "common_neighbors", e)

@@ -884,3 +884,28 @@ def test_rfm_is_one_aggregate_no_window(spark, sf_dir):
     assert "Window" not in checks.formatted_plan(df)
     assert checks.shuffle_count(df) == 1
     assert checks.partial_aggregate_count(df) >= 1
+
+
+# --------------------------------------------- graph_common_neighbors
+
+
+def test_common_neighbors_math_and_order(spark, sf_dir):
+    rows = SPECS["graph_common_neighbors"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.supp_a < r.supp_b
+        assert 0 < r.cn <= min(r.deg_a, r.deg_b)
+        union = r.deg_a + r.deg_b - r.cn
+        assert r.jaccard == round(r.cn / union, 6)
+    # the cut is the top of a total order on cn
+    cns = [r.cn for r in sorted(rows, key=lambda r: (-r.cn, r.supp_a, r.supp_b))]
+    assert cns == sorted(cns, reverse=True)
+
+
+def test_common_neighbors_plan_broadcasts_degrees(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
+
+    with lazy_plans():
+        df = SPECS["graph_common_neighbors"].fn(spark, sf_dir)
+        assert checks.has_broadcast_join(df)
+        assert not checks.has_cartesian(df)
