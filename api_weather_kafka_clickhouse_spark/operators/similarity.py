@@ -603,52 +603,50 @@ def _pq_cb_values_sql() -> str:
     "its nearest of 16 fixed integer codebook entries — 8 bytes per "
     "vector, the memory layout ANN indexes (IVF-PQ) use to hold "
     "billion-vector corpora in RAM. All distances are EXACT integers "
-    "(int8 inputs x integer codebooks), so the argmin (tie to the "
-    "lowest code id) hash-checks against DuckDB evaluating the same "
-    "codebook literals. Spark side is pure per-row codegen: the 16 "
-    "candidate (distance, code) structs per subspace collapse via "
-    "array_min's lexicographic struct order — no explode, no "
-    "shuffle, no UDF; the scan streams and the operator is "
-    "embarrassingly parallel at any scale. sq_err (the summed "
+    "(int8 inputs x integer codebooks), so the argmin (numpy's "
+    "first-occurrence rule = tie to the lowest code id) hash-checks "
+    "against DuckDB evaluating the same codebook literals. Spark "
+    "side is an Arrow-batched mapInPandas kernel: one vectorized "
+    "(n, M, K, SUB) int64 broadcast-subtract per batch — a pure "
+    "per-row map with no shuffle, embarrassingly parallel at any "
+    "scale. (A first cut built the 16 candidate structs per "
+    "subspace as codegen expressions; the ~4000-node tree fell out "
+    "of JIT'd codegen into interpreted eval at ~9 ms/row — the "
+    "numpy kernel is ~1000x faster per row and is the shape that "
+    "survives billions of vectors.) Rounding half-away-from-zero is "
+    "applied explicitly (trunc(x + sign(x)*0.5)) so the int8 codes "
+    "match Spark/DuckDB round() bit-for-bit. sq_err (the summed "
     "residual) is the reconstruction-quality monitor a pipeline "
     "tracks per batch.",
 )
 def embedding_pq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir)
-    c = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * F.lit(PQ_SCALE)).cast("bigint"),
-    )
-    q = e.select("vec_id", c.alias("c"))
-    elems = [
-        [F.element_at(F.col("c"), m * PQ_SUB + d + 1) for d in range(PQ_SUB)]
-        for m in range(PQ_M)
-    ]
-    best = []
-    for m in range(PQ_M):
-        cands = F.array(
-            *[
-                F.struct(
-                    sum(
-                        (
-                            (elems[m][d] - F.lit(_PQ_CB[m][k][d]))
-                            * (elems[m][d] - F.lit(_PQ_CB[m][k][d]))
-                            for d in range(PQ_SUB)
-                        ),
-                        F.lit(0).cast("bigint"),
-                    ).alias("dist"),
-                    F.lit(k).cast("bigint").alias("k"),
-                )
-                for k in range(PQ_K)
-            ]
-        )
-        best.append(F.array_min(cands))
-    return q.select(
-        "vec_id",
-        F.concat_ws(",", *[b.getField("k").cast("string") for b in best]).alias(
-            "pq_codes"
-        ),
-        sum((b.getField("dist") for b in best), F.lit(0).cast("bigint")).alias(
-            "sq_err"
-        ),
+    cb = np.asarray(_PQ_CB, dtype=np.int64)  # (M, K, SUB)
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scaled = x * PQ_SCALE
+            # round half away from zero (Spark/DuckDB round()); no
+            # exact .5 products exist for float32-in x odd 127 scale,
+            # but implement the rule exactly anyway.
+            c = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+            sub = c.reshape(n, PQ_M, 1, PQ_SUB)
+            d = sub - cb[None, :, :, :]
+            dist = np.einsum("nmks,nmks->nmk", d, d)  # (n, M, K)
+            k = dist.argmin(axis=2)  # first occurrence = lowest code
+            err = np.take_along_axis(dist, k[:, :, None], axis=2)[:, :, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "pq_codes": [",".join(map(str, row)) for row in k],
+                    "sq_err": err.sum(axis=1).astype("int64"),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id bigint, pq_codes string, sq_err bigint"
     )

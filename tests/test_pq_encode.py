@@ -47,9 +47,13 @@ def test_pq_codes_match_pure_python(spark, sf_dir):
         assert got.sq_err == err, vid
 
 
-def test_pq_is_scan_only_codegen(spark, sf_dir):
+def test_pq_is_scan_plus_one_arrow_map(spark, sf_dir):
+    # Encode is a single Arrow-batched map over the scan: no shuffle,
+    # no explode, no per-row Python — the shape that scales to
+    # billions of vectors.
     df = SPECS["embedding_pq_int8"].fn(spark, sf_dir)
     plan = checks.simple_plan(df)
     assert checks.shuffle_count(df) == 0, plan
     assert "Generate" not in plan, plan  # no explode
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+    assert "MapInPandas" in plan, plan
