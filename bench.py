@@ -59,6 +59,12 @@ HEADLINE = [
     # round-8: the heaviest new join-shaped operator — basket
     # self-join, degree orientation, wedge+closure joins
     "graph_triangles",
+    # late round-8: the new iterative family (pointer-doubling
+    # ancestor walk, ~log(depth) self-join rounds) and the heaviest
+    # new codegen expression tree (PQ argmin: 128 candidate structs
+    # per row) — both cost shapes otherwise invisible to the bench
+    "graph_tree_depth",
+    "embedding_pq_int8",
 ]
 
 
