@@ -816,3 +816,57 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ranks.select("source", "n_chars", F.round(pr, 6).alias("pct_rank"))),
         ["source", "n_chars"],
     ).select("doc_id", "source", "n_chars", "pct_rank")
+
+
+# Winsorization bounds: clip the per-source tails at these quantiles.
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "quality_winsorize",
+    oracle=f"""
+    WITH q AS (
+      SELECT source,
+             quantile_cont(CAST(n_chars AS DOUBLE), {WINSOR_LO}) AS lo,
+             quantile_cont(CAST(n_chars AS DOUBLE), {WINSOR_HI}) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(q.lo, 6) AS lo, round(q.hi, 6) AS hi,
+           round(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi), 6)
+             AS winsorized,
+           (CAST(d.n_chars AS DOUBLE) < q.lo OR CAST(d.n_chars AS DOUBLE) > q.hi)
+             AS clipped
+    FROM documents d JOIN q USING (source)
+    """,
+    doc="Per-source winsorization: clip a document feature to its "
+    f"source's [p{int(WINSOR_LO * 100)}, p{int(WINSOR_HI * 100)}] "
+    "band — the outlier-taming transform applied to features before "
+    "they feed a quality model or a mixture weight (companion to "
+    "quality_quantile_normalize, which remaps the whole distribution; "
+    "winsorizing only tames the tails and keeps the interior metric "
+    "linear). The quantile table is one exact percentile aggregate "
+    "per source (percentile_cont semantics, the agg_percentile_exact "
+    "parity), dimension-sized, so it re-attaches by BROADCAST and "
+    "the clip itself is pure codegen at scan speed — the corpus is "
+    "never shuffled. At 100 TB with huge groups, swap the exact "
+    "percentile for approx_percentile's mergeable sketch and the "
+    "plan shape is unchanged.",
+)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    v = F.col("n_chars").cast("double")
+    q = d.groupBy("source").agg(
+        F.percentile(v, F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile(v, F.lit(WINSOR_HI)).alias("hi"),
+    )
+    j = d.join(F.broadcast(q), "source")
+    return j.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round(F.least(F.greatest(v, F.col("lo")), F.col("hi")), 6).alias("winsorized"),
+        ((v < F.col("lo")) | (v > F.col("hi"))).alias("clipped"),
+    )

@@ -4,6 +4,7 @@ null-handling functions, and an explicit (deliberate) cross join.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -736,4 +737,104 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("spend").cast("double").alias("spend"),
         seg.alias("segment"),
+    )
+
+
+# fuzzy_match_damerau: candidate block = same final word (the noun of
+# the adjective-noun part vocabulary), verify threshold on the DL
+# distance. Unlike the levenshtein pair, the verify metric cannot be
+# a built-in (Spark has none), so it demonstrates the
+# Arrow-vectorized verify-UDF slot of block-then-verify linkage.
+DL_MAX_DIST = 5
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """True Damerau-Levenshtein distance (Lowrance-Wagner: adjacent
+    transposition as a fourth edit, with later edits allowed between
+    the transposed characters — d('CA','ABC') = 2, where the
+    restricted/OSA variant gives 3). Matches DuckDB's
+    damerau_levenshtein(), which tests/test_r8b_operators.py pins by
+    property test over random strings."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    # matrix with a -1 guard row/col (offset +1 on each index)
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxd
+    for i in range(la + 1):
+        d[i + 1][0] = maxd
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxd
+        d[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            m = last_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][m] + (i - k - 1) + 1 + (j - m - 1),  # transpose
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+@register(
+    "fuzzy_match_damerau",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_lev,
+           CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dl
+    FROM k a JOIN k b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE damerau_levenshtein(a.p_name, b.p_name) <= {DL_MAX_DIST}
+    """,
+    doc="Record linkage with a transposition-aware metric: part-name "
+    "pairs within true Damerau-Levenshtein distance "
+    f"{DL_MAX_DIST}, blocked on the shared final word so the join is "
+    "an equi-join on the block key, never a cartesian. Spark has no "
+    "built-in DL, so the verify step is an Arrow-batched pandas UDF "
+    "over candidate pairs only — the expensive-metric slot of "
+    "block-then-verify linkage (the built-in levenshtein rides along "
+    "for contrast). The name universe is DISTINCT'd first "
+    "(vocabulary-sized, not corpus-sized), so candidate volume is "
+    "sum over blocks of |block|^2 on a dictionary — at 100 TB the "
+    "same shape holds because dirty-dimension vocabularies grow far "
+    "slower than fact tables. The UDF cost is per CANDIDATE, which "
+    "the block key bounds; property test pins UDF == DuckDB on "
+    "random strings including transpositions.",
+)
+def fuzzy_match_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    p = load(spark, "part", sf_dir)
+    names = p.select("p_name").distinct()
+    k = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    )
+    a = k.select(F.col("p_name").alias("name_a"), "noun")
+    b = k.select(F.col("p_name").alias("name_b"), "noun")
+    cand = a.join(b, "noun").filter(F.col("name_a") < F.col("name_b"))
+    return (
+        cand.withColumn("edit_dl", dl_udf("name_a", "name_b"))
+        .filter(F.col("edit_dl") <= DL_MAX_DIST)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_lev"),
+            "edit_dl",
+        )
     )

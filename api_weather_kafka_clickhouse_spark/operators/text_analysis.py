@@ -1294,3 +1294,94 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= IDX_MIN_DF)
         .select("token", "df", "cf", "postings_head")
     )
+
+
+# Collocation mining: bigrams scored by pointwise mutual information.
+PMI_MIN_SUPPORT = 5
+PMI_TOP = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS tok FROM tok),
+    ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM uni GROUP BY tok),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> {{'w1': t[i], 'w2': t[i+1]}}), recursive := true)
+      FROM tok
+    ),
+    bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+             FROM bi GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_SUPPORT}),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi)
+    SELECT w1, w2, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+           round(ln((CAST(n_ab AS DOUBLE) / n_bi)
+                 / ((CAST(ua.n_tok AS DOUBLE) / n_uni)
+                    * (CAST(ub.n_tok AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM bcnt, nb, nu
+    JOIN ucnt ua ON ua.tok = w1
+    JOIN ucnt ub ON ub.tok = w2
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP}
+    """,
+    doc="Collocation extraction by pointwise mutual information: the "
+    f"top {PMI_TOP} word bigrams (support >= {PMI_MIN_SUPPORT}) whose "
+    "co-occurrence most exceeds the independence expectation — the "
+    "classic phrase-mining / tokenizer-merge-candidate primitive "
+    "(Mikolov-style phrase detection is this with a discount). "
+    "Counts are exact bigints from two map-side-combined aggregates "
+    "(unigrams and adjacent pairs, both one shuffle on the token "
+    "key); corpus totals are 1-row aggregates crossed in by "
+    "broadcast, and the PMI log runs on an expression tree written "
+    "identically in both engines (exact int-to-double casts, two "
+    "divisions, one ln, round 6). The final top-K is a total order "
+    "(pmi DESC, then both words) over the vocabulary-sized pair "
+    "table — at 100 TB the wire after the token shuffles carries "
+    "only DISTINCT unigrams/bigrams, never the corpus.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..plans.stage import eager_release
+
+    d = load(spark, "documents", sf_dir)
+    # persisted: the token stream feeds unigram counts, the unigram
+    # total, and the bigram builder (3 consumers)
+    t = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok")).persist()
+    ucnt = t.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    nu = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        t.select(F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .persist()
+    )
+    bcnt = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+    )
+    nb = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    ua = ucnt.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a"))
+    ub = ucnt.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("n_a").cast("double") / F.col("n_uni"))
+                * (F.col("n_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    out = (
+        bcnt.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select("w1", "w2", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+    return eager_release(out, "pmi_collocations", t, bi)

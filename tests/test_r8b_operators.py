@@ -1,0 +1,115 @@
+"""Round-8 batch-2 operators: the Damerau-Levenshtein UDF kernel is
+pinned against DuckDB's built-in by property test (transpositions
+included), PMI collocations against hand math, winsorize against the
+clip invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from api_weather_kafka_clickhouse_spark import registry
+from api_weather_kafka_clickhouse_spark.operators.relational3 import (
+    DL_MAX_DIST,
+    damerau_levenshtein,
+)
+from api_weather_kafka_clickhouse_spark.tables import load
+
+SPECS = registry.all_specs()
+
+
+# ------------------------------------------------ fuzzy_match_damerau
+
+
+def test_dl_is_true_damerau_not_osa():
+    # the hallmark case: transpose CA -> AC, then insert B => 2 edits;
+    # the restricted (OSA) variant cannot edit between transposed
+    # characters and needs 3
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("abc", "acb") == 1  # adjacent transposition
+    assert damerau_levenshtein("", "abc") == 3
+    assert damerau_levenshtein("same", "same") == 0
+
+
+# small alphabet => dense collisions and frequent transpositions
+_WORD = st.text(alphabet="abcd", min_size=0, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_WORD, _WORD)
+def test_dl_matches_duckdb_builtin(a, b):
+    con = duckdb.connect()
+    expect = con.execute(
+        "SELECT damerau_levenshtein(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert damerau_levenshtein(a, b) == expect
+
+
+def test_fuzzy_damerau_blocking_and_threshold(spark, sf_dir):
+    rows = SPECS["fuzzy_match_damerau"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # block key: candidate pairs share the final word
+        assert r.name_a.split(" ")[-1] == r.name_b.split(" ")[-1]
+        assert r.edit_dl <= DL_MAX_DIST
+        # DL is a lower bound of plain levenshtein
+        assert r.edit_dl <= r.edit_lev
+        assert r.name_a < r.name_b
+
+
+# ---------------------------------------------- text_pmi_collocations
+
+
+def test_pmi_hand_math(spark, sf_dir):
+    import math
+
+    df = SPECS["text_pmi_collocations"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    t = load(spark, "documents", sf_dir).select(
+        F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    n_uni = t.count()
+    n_bi = n_uni - load(spark, "documents", sf_dir).count()  # one bigram less per doc
+    for r in rows[:5]:
+        expect = math.log(
+            (r.n_ab / n_bi) / ((r.n_a / n_uni) * (r.n_b / n_uni))
+        )
+        assert abs(r.pmi - expect) < 1e-4
+    # ordering: PMI non-increasing
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+# --------------------------------------------------- quality_winsorize
+
+
+def test_winsorize_clip_invariants(spark, sf_dir):
+    rows = SPECS["quality_winsorize"].fn(spark, sf_dir).collect()
+    docs = load(spark, "documents", sf_dir).count()
+    assert len(rows) == docs
+    n_clipped = 0
+    for r in rows:
+        assert r.lo <= r.hi
+        assert r.lo <= r.winsorized <= r.hi
+        if r.clipped:
+            n_clipped += 1
+            assert r.winsorized in (r.lo, r.hi)
+        else:
+            assert r.winsorized == pytest.approx(float(r.n_chars))
+    # tails exist on both sides at test scale
+    assert 0 < n_clipped < docs
+
+
+def test_winsorize_is_broadcast_no_corpus_shuffle(spark, sf_dir):
+    plan = (
+        SPECS["quality_winsorize"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
