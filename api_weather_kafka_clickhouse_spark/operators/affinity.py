@@ -426,3 +426,90 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "common_neighbors", e)
+
+
+# Integer-scaled random-walk mass: each seed supplier starts with this
+# much mass; every hop splits a node's mass uniformly over its edges
+# with FLOOR division, so the arithmetic is exact bigint end to end.
+WALK_MASS = 1_000_000_000_000
+WALK_SEED_NATION = 3
+WALK_TOP = 25
+
+
+@register(
+    "graph_walk_diffusion",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    ds AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS outd FROM e GROUP BY 1),
+    dp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS outd FROM e GROUP BY 1),
+    seed AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = {WALK_SEED_NATION}),
+    m1 AS (
+      SELECT e.l_partkey, CAST(sum({WALK_MASS} // ds.outd) AS BIGINT) AS mass
+      FROM seed JOIN e ON e.l_suppkey = seed.s_suppkey
+      JOIN ds ON ds.l_suppkey = e.l_suppkey
+      GROUP BY e.l_partkey
+    ),
+    m2 AS (
+      SELECT e.l_suppkey, CAST(sum(m1.mass // dp.outd) AS BIGINT) AS mass
+      FROM m1 JOIN e ON e.l_partkey = m1.l_partkey
+      JOIN dp ON dp.l_partkey = e.l_partkey
+      GROUP BY e.l_suppkey
+    )
+    SELECT m2.l_suppkey AS suppkey, m2.mass,
+           (sup.s_nationkey = {WALK_SEED_NATION}) AS is_seed
+    FROM m2 JOIN supplier sup ON sup.s_suppkey = m2.l_suppkey
+    ORDER BY m2.mass DESC, suppkey LIMIT {WALK_TOP}
+    """,
+    doc="Two-hop random-walk mass diffusion over the supplier-part "
+    "bipartite graph (personalized-PageRank style relatedness from a "
+    f"seed cohort, nation {WALK_SEED_NATION}): every seed supplier "
+    "pushes uniform mass to its parts, parts push to their suppliers, "
+    "top receivers are the walk-related peers. The usual PageRank "
+    "obstacle for hash-checking is float mass whose summation order "
+    "differs per engine; here mass is an exact BIGINT split with "
+    "FLOOR division at each hop, so the whole diffusion is "
+    "order-independent integer arithmetic and the result hashes "
+    "bit-for-bit (the deliberate rounding loss is part of the "
+    "operator's contract, like the int8 quantization twins). Each "
+    "hop is one equi-join + one map-side-combined sum keyed on the "
+    "frontier — the standard message-passing shape; degree tables "
+    "are dimension-sized broadcasts. K hops = K joins with no "
+    "driver-side iteration state, so the plan is static and "
+    "AQE-replannable at 100 TB.",
+)
+def graph_walk_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    li = load(spark, "lineitem", sf_dir)
+    sup = load(spark, "supplier", sf_dir)
+    # persisted: the edge list feeds both hops and both degree tables
+    e = li.select("l_suppkey", "l_partkey").distinct().persist()
+    ds = e.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("bigint").alias("outd_s"))
+    dp = e.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("outd_p"))
+    seed = sup.filter(F.col("s_nationkey") == WALK_SEED_NATION).select("s_suppkey")
+    m1 = (
+        seed.join(e, e["l_suppkey"] == seed["s_suppkey"])
+        .join(F.broadcast(ds), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(f"{WALK_MASS} div outd_s")).cast("bigint").alias("mass1"))
+    )
+    m2 = (
+        m1.join(e, "l_partkey")
+        .join(F.broadcast(dp), "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.expr("mass1 div outd_p")).cast("bigint").alias("mass"))
+    )
+    out = (
+        m2.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            m2["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "mass",
+            (F.col("s_nationkey") == WALK_SEED_NATION).alias("is_seed"),
+        )
+        .orderBy(F.col("mass").desc(), "suppkey")
+        .limit(WALK_TOP)
+    )
+    return eager_release(out, "walk_diffusion", e)

@@ -1466,3 +1466,76 @@ def funnel_constrained_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+# sequenceMatch window: the B event must follow A within this many days.
+SEQ_MATCH_DAYS = 7
+
+
+@register(
+    "events_sequence_match",
+    oracle=f"""
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    pair AS (
+      SELECT s.user_id, s.ts AS s_ts, min(p.ts) AS p_ts
+      FROM s JOIN p ON p.user_id = s.user_id AND p.ts > s.ts
+                    AND p.ts <= s.ts + INTERVAL {SEQ_MATCH_DAYS} DAY
+      GROUP BY s.user_id, s.ts
+    ),
+    ok AS (
+      SELECT pr.user_id, pr.s_ts, pr.p_ts FROM pair pr
+      WHERE NOT EXISTS (SELECT 1 FROM err e WHERE e.user_id = pr.user_id
+                        AND e.ts > pr.s_ts AND e.ts < pr.p_ts)
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+           min(s_ts) AS first_signup, min(p_ts) AS first_purchase
+    FROM ok GROUP BY user_id
+    """,
+    doc="Event-sequence pattern matching (ClickHouse "
+    "sequenceMatch('(?1)(?t<7d)(?2)') with a negative condition): per "
+    "user, signup events followed by a purchase within "
+    f"{SEQ_MATCH_DAYS} days with NO error event strictly between the "
+    "two — the funnel variant where an intervening event BREAKS the "
+    "match, which windowFunnel/funnel_stages cannot express. Shape: "
+    "the A-B pairing is a per-user interval equi-join collapsed to "
+    "the EARLIEST B per A (min-aggregate, so the join fanout never "
+    "survives the stage); the no-intervening test is a LEFT ANTI "
+    "join against the breaker stream, Spark's NOT EXISTS. All three "
+    "legs hash-partition on user_id — one co-keyed shuffle family, "
+    "no window over the raw stream. At 100 TB each leg is "
+    "predicate-pruned at the scan (event_type filter) before any "
+    "exchange, so the wire carries only the three matched types.",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("s_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    pair = (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {SEQ_MATCH_DAYS} DAYS")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    ok = pair.join(
+        err,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_ts") > F.col("s_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left_anti",
+    )
+    return ok.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("s_ts").alias("first_signup"),
+        F.min("p_ts").alias("first_purchase"),
+    )

@@ -782,3 +782,97 @@ def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("event_id", ord_col).alias("id_vmax"),
         )
     )
+
+
+# Centered moving-average span for the trend line (hours each side).
+SEASON_TREND_BEFORE, SEASON_TREND_AFTER = 11, 12
+
+
+@register(
+    "time_seasonal_decompose",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    k AS (
+      SELECT h, n,
+             CAST(extract(hour FROM h) AS BIGINT) AS hod,
+             CAST(epoch(h) // 3600 AS BIGINT) AS hidx
+      FROM b
+    ),
+    season AS (
+      SELECT hod, CAST(sum(n) AS DOUBLE) / count(*) AS seasonal
+      FROM k GROUP BY hod
+    ),
+    grand AS (
+      SELECT CAST(sum(n) AS DOUBLE) / count(*) AS grand_mean FROM k
+    ),
+    tr AS (
+      SELECT h, n, hod,
+             CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS trend
+      FROM k
+      WINDOW w AS (ORDER BY hidx RANGE BETWEEN {SEASON_TREND_BEFORE}
+                   PRECEDING AND {SEASON_TREND_AFTER} FOLLOWING)
+    )
+    SELECT tr.h, tr.n, tr.hod,
+           round(s.seasonal, 6) AS seasonal,
+           round(tr.trend, 6) AS trend,
+           round(tr.n - tr.trend - (s.seasonal - g.grand_mean), 6) AS residual
+    FROM tr JOIN season s ON s.hod = tr.hod, grand g
+    """,
+    doc="Classical seasonal decomposition of the event stream "
+    "(additive STL-lite): hourly volume = 24h centered moving-average "
+    "trend + hour-of-day seasonal profile + residual — the "
+    "monitoring/forecasting primitive behind 'is this hour anomalous "
+    "for a 3am'. Determinism: the trend window SUMS exact bigints "
+    "and divides once (window averages of doubles would accumulate "
+    "in engine-specific order); the seasonal profile and grand mean "
+    "are grouped exact-sum aggregates re-attached by BROADCAST (a "
+    "windowed avg-per-hod would be legal SQL but engine-ordered "
+    "float summation). Scale shape: everything after the first "
+    "GROUP BY runs on the bucket table (one row per hour — "
+    "time-bounded, not corpus-bounded); the single range window "
+    "orders that tiny table, so the corpus pays exactly one "
+    "map-side-combined aggregate.",
+)
+def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    k = b.select(
+        "h",
+        "n",
+        F.hour("h").cast("bigint").alias("hod"),
+        F.expr("unix_timestamp(h) div 3600").cast("bigint").alias("hidx"),
+    )
+    season = k.groupBy("hod").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("seasonal")
+    )
+    grand = k.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("grand_mean")
+    )
+    w = Window.orderBy("hidx").rangeBetween(-SEASON_TREND_BEFORE, SEASON_TREND_AFTER)
+    tr = k.select(
+        "h",
+        "n",
+        "hod",
+        (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("trend"),
+    )
+    return (
+        tr.join(F.broadcast(season), "hod")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "h",
+            "n",
+            "hod",
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round("trend", 6).alias("trend"),
+            F.round(
+                F.col("n") - F.col("trend") - (F.col("seasonal") - F.col("grand_mean")), 6
+            ).alias("residual"),
+        )
+    )

@@ -132,7 +132,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # stats_ks_test, events_anomaly_mad, stats_ttest_welch,
 # time_autocorr_lag1, graph_tree_depth, embedding_pq_int8,
 # graph_common_neighbors, fuzzy_match_damerau, text_pmi_collocations,
-# quality_winsorize — swap them in
+# quality_winsorize, time_seasonal_decompose, events_sequence_match,
+# graph_walk_diffusion — swap them in
 # for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7

@@ -113,3 +113,84 @@ def test_winsorize_is_broadcast_no_corpus_shuffle(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------- time_seasonal_decompose
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    rows = SPECS["time_seasonal_decompose"].fn(spark, sf_dir).collect()
+    assert rows
+    grand = sum(r.n for r in rows) / len(rows)
+    for r in rows:
+        # additive identity: n = trend + (seasonal - grand) + residual
+        assert r.n == pytest.approx(
+            r.trend + (r.seasonal - grand) + r.residual, abs=2e-5
+        )
+        assert 0 <= r.hod <= 23
+
+
+# ------------------------------------------------ events_sequence_match
+
+
+def test_sequence_match_brute_force(spark, sf_dir):
+    from datetime import timedelta
+
+    got = {
+        r.user_id: r
+        for r in SPECS["events_sequence_match"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for uid, es in sorted(by_user.items())[:40]:
+        es.sort(key=lambda e: e.ts)
+        sig = [e.ts for e in es if e.event_type == "signup"]
+        pur = [e.ts for e in es if e.event_type == "purchase"]
+        err = [e.ts for e in es if e.event_type == "error"]
+        matches = []
+        for s in sig:
+            cand = [p for p in pur if s < p <= s + timedelta(days=7)]
+            if not cand:
+                continue
+            p = min(cand)
+            if not any(s < x < p for x in err):
+                matches.append((s, p))
+        if matches:
+            assert uid in got
+            assert got[uid].n_matches == len(matches)
+            assert got[uid].first_signup == min(m[0] for m in matches)
+            assert got[uid].first_purchase == min(m[1] for m in matches)
+        else:
+            assert uid not in got
+
+
+# ------------------------------------------------ graph_walk_diffusion
+
+
+def test_walk_diffusion_mass_conservation(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.affinity import (
+        WALK_MASS,
+        WALK_SEED_NATION,
+        WALK_TOP,
+    )
+
+    rows = SPECS["graph_walk_diffusion"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= WALK_TOP
+    n_seeds = (
+        load(spark, "supplier", sf_dir)
+        .filter(F.col("s_nationkey") == WALK_SEED_NATION)
+        .count()
+    )
+    # floor division only ever loses mass; the top-K received total is
+    # bounded by what the seeds pushed out
+    assert sum(r.mass for r in rows) <= n_seeds * WALK_MASS
+    assert all(r.mass > 0 for r in rows)
+    # masses arrive sorted descending with the key tiebreak
+    pairs = [(-r.mass, r.suppkey) for r in rows]
+    assert pairs == sorted(pairs)
