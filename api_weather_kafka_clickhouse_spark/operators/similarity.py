@@ -650,3 +650,100 @@ def embedding_pq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         encode, schema="vec_id bigint, pq_codes string, sq_err bigint"
     )
+
+
+# Matryoshka-style truncation study: compare the exact top-1 neighbor
+# under full-dimension cosine vs the first-TRUNC_DIM prefix.
+TRUNC_DIM = 16
+TRUNC_QUERIES = 20
+
+
+@register(
+    "embedding_truncate_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    full_nn AS (
+      SELECT query_id, nbr_id AS nbr_full, cos_sim AS cos_full FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                          c.vec_id) AS rn
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {TRUNC_QUERIES}
+      ) WHERE rn = 1
+    ),
+    tr_nn AS (
+      SELECT query_id, nbr_id AS nbr_trunc, cos_sim AS cos_trunc FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               round(list_cosine_similarity(q.emb[1:{TRUNC_DIM}],
+                                            c.emb[1:{TRUNC_DIM}]), 6) AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.emb[1:{TRUNC_DIM}],
+                                                       c.emb[1:{TRUNC_DIM}]), 6) DESC,
+                          c.vec_id) AS rn
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {TRUNC_QUERIES}
+      ) WHERE rn = 1
+    )
+    SELECT f.query_id, f.nbr_full, f.cos_full, t.nbr_trunc, t.cos_trunc,
+           (f.nbr_full = t.nbr_trunc) AS agree
+    FROM full_nn f JOIN tr_nn t USING (query_id)
+    """,
+    doc="Dimension-truncation retrieval study (the Matryoshka / "
+    f"short-embedding question): per query, the exact top-1 neighbor "
+    f"under full 64-dim cosine vs the first-{TRUNC_DIM}-dims prefix, "
+    "with an agreement flag — the measurement you run before "
+    "shipping truncated embeddings to cut ANN index cost 4x. One "
+    "scored pass computes both similarities (the prefix slice is "
+    "free — same Arrow batch), then two argmax windows rank the "
+    "per-query candidate lists on (rounded cosine, nbr_id), the "
+    "engine-independent total order the sim_* family uses. On this "
+    "corpus agreement is ~0 — the honest answer for isotropic random "
+    "vectors, where prefix dims carry 1/4 of the energy and no "
+    "planted structure survives; real embedding corpora concentrate "
+    "information in early dims and score far higher. Scale shape: "
+    "queries BROADCAST against the corpus scan exactly like "
+    "sim_topk_bruteforce; nothing new shuffles.",
+)
+def embedding_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    e = load(spark, "embeddings", sf_dir)
+    corpus = e.select(F.col("vec_id").alias("nbr_id"), to_double("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") < TRUNC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), to_double("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_full"),
+            F.round(
+                cosine(F.slice("q_emb", 1, TRUNC_DIM), F.slice("emb", 1, TRUNC_DIM)), 6
+            ).alias("cos_trunc"),
+        )
+        .persist()
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_full").desc(), F.col("nbr_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), F.col("nbr_id"))
+    full_nn = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_id").alias("nbr_full"), "cos_full")
+    )
+    tr_nn = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_id").alias("nbr_trunc"), "cos_trunc")
+    )
+    out = full_nn.join(tr_nn, "query_id").select(
+        "query_id",
+        "nbr_full",
+        "cos_full",
+        "nbr_trunc",
+        "cos_trunc",
+        (F.col("nbr_full") == F.col("nbr_trunc")).alias("agree"),
+    )
+    return eager_release(out, "truncate_recall", scored)

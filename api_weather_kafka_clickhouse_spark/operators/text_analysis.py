@@ -1385,3 +1385,68 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP)
     )
     return eager_release(out, "pmi_collocations", t, bi)
+
+
+# One counting round of BPE tokenizer training: adjacent character
+# pairs weighted by word frequency, over the DISTINCT word vocabulary.
+BPE_TOP = 30
+BPE_MIN_WORD_LEN = 2
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM w WHERE len(word) >= {BPE_MIN_WORD_LEN} GROUP BY word
+    ),
+    pairs AS (
+      SELECT word, freq,
+             unnest(list_transform(generate_series(1, len(word) - 1),
+                    i -> word[i] || word[i+1])) AS pair
+      FROM wf
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_types
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP}
+    """,
+    doc="The counting round at the heart of BPE tokenizer training: "
+    "adjacent character-pair frequencies over the corpus, aggregated "
+    f"as sum(word_freq) per pair — the top pair is the next merge a "
+    "BPE trainer would perform (full training iterates this; the "
+    "count round is the distributed-heavy step, the merge itself is "
+    "a dictionary rewrite). The key scale move: pairs are generated "
+    "from the DISTINCT-WORD VOCABULARY weighted by word frequency, "
+    "never from the raw token stream — the corpus pays one word-count "
+    "aggregate (map-side combined), and the character-level explode "
+    "touches only the vocabulary, which grows sublinearly (Heaps' "
+    "law) while the corpus grows to 100 TB. Exact bigint counts, "
+    "total-order top-K; n_types = pair-position slots across the "
+    "vocabulary (a word containing the pair twice contributes two).",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    w = d.select(F.explode(tokens("text")).alias("word"))
+    wf = (
+        w.filter(F.length("word") >= BPE_MIN_WORD_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        )
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP)
+    )

@@ -194,3 +194,83 @@ def test_walk_diffusion_mass_conservation(spark, sf_dir):
     # masses arrive sorted descending with the key tiebreak
     pairs = [(-r.mass, r.suppkey) for r in rows]
     assert pairs == sorted(pairs)
+
+
+# ------------------------------------------- embedding_truncate_recall
+
+
+def test_truncate_recall_argmax_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        TRUNC_DIM,
+        TRUNC_QUERIES,
+    )
+
+    rows = {
+        r.query_id: r
+        for r in SPECS["embedding_truncate_recall"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == TRUNC_QUERIES
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+
+    def top1(qid, dim):
+        best = None
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            a, b = vecs[qid][:dim], v[:dim]
+            cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+            key = (-cos, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, cos)
+        return best[1], best[2]
+
+    for qid in list(rows)[:5]:
+        r = rows[qid]
+        nf, cf = top1(qid, 64)
+        nt, ct = top1(qid, TRUNC_DIM)
+        assert (r.nbr_full, r.cos_full) == (nf, pytest.approx(cf, abs=1e-6))
+        assert (r.nbr_trunc, r.cos_trunc) == (nt, pytest.approx(ct, abs=1e-6))
+        assert r.agree == (r.nbr_full == r.nbr_trunc)
+
+
+# ------------------------------------------ text_bpe_merge_candidates
+
+
+def test_bpe_pair_counts_match_python(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        BPE_MIN_WORD_LEN,
+        BPE_TOP,
+    )
+
+    rows = SPECS["text_bpe_merge_candidates"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BPE_TOP
+    wf = Counter()
+    for d in load(spark, "documents", sf_dir).select("text").collect():
+        for w in d.text.split(" "):
+            if len(w) >= BPE_MIN_WORD_LEN:
+                wf[w] += 1
+    n = Counter()
+    n_types = Counter()
+    for w, f in wf.items():
+        seen = set()
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            n[p] += f
+            seen.add(p)
+        # n_types counts PAIR OCCURRENCE SLOTS per word, not distinct
+        # words: the operator counts one row per (word, position)
+        for i in range(len(w) - 1):
+            n_types[w[i : i + 2]] += 1
+    expect = sorted(((-c, p) for p, c in n.items()))[:BPE_TOP]
+    got = [(-r.n, r.pair) for r in rows]
+    assert got == expect
+    for r in rows:
+        assert r.n_types == n_types[r.pair]
+        assert r.n >= r.n_types  # every counted type occurs at least once
