@@ -839,16 +839,21 @@ SEASON_TREND_BEFORE, SEASON_TREND_AFTER = 11, 12
 def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..plans.stage import eager_release
+
     e = load(spark, "events", sf_dir)
     b = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # persisted: the hour-bucket table feeds three consumers (trend
+    # window, seasonal profile, grand mean) — unstaged, Catalyst
+    # replans the corpus aggregate once per consumer (3 full scans)
     k = b.select(
         "h",
         "n",
         F.hour("h").cast("bigint").alias("hod"),
         F.expr("unix_timestamp(h) div 3600").cast("bigint").alias("hidx"),
-    )
+    ).persist()
     season = k.groupBy("hod").agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("seasonal")
     )
@@ -862,7 +867,7 @@ def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("trend"),
     )
-    return (
+    out = (
         tr.join(F.broadcast(season), "hod")
         .crossJoin(F.broadcast(grand))
         .select(
@@ -876,3 +881,4 @@ def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+    return eager_release(out, "seasonal_decompose", k)
