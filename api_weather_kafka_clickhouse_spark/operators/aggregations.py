@@ -1539,3 +1539,62 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_ts").alias("first_signup"),
         F.min("p_ts").alias("first_purchase"),
     )
+
+
+# Top user-day event paths (full ordered sequences, not pairwise
+# transitions — the companion to events_path_transitions).
+TOP_PATHS = 25
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             CAST(count(*) AS BIGINT) AS path_len
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(min(path_len) AS BIGINT) AS steps
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {TOP_PATHS}
+    """,
+    doc="Full-sequence path mining over user-day sessions: the "
+    f"{TOP_PATHS} most common complete event-type journeys "
+    "('view>click>purchase'), where events_path_transitions only "
+    "counts pairwise hops — full paths expose drop-off points whole "
+    "journeys share. The ordered concatenation is an ordered "
+    "string_agg in the oracle and array_sort(collect_list(struct(ts, "
+    "event_id, type))) -> transform -> array_join in Spark: the "
+    "struct sort key makes the within-session order a total order "
+    "(ts, then event_id), so both engines emit identical strings. "
+    "ONE shuffle on (user_id, day) builds sessions — per-session "
+    "state is bounded by events-per-user-day, the sessionize bound; "
+    "the path-frequency aggregate then runs on one row per session "
+    "and the top-K is a total order over that (small) path table.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    p = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).cast("bigint").alias("path_len"),
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.min("path_len").cast("bigint").alias("steps"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(TOP_PATHS)
+    )

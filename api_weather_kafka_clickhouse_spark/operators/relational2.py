@@ -882,3 +882,56 @@ def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "seasonal_decompose", k)
+
+
+@register(
+    "time_period_over_period",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(revenue AS DOUBLE) AS revenue, n_orders,
+           CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           round((CAST(revenue AS DOUBLE)
+                  - CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS mom_growth
+    FROM m ORDER BY month
+    """,
+    doc="Period-over-period growth (the month-over-month KPI shape): "
+    "monthly revenue with the previous month and relative delta from "
+    "one lag window. Revenue accumulates in exact decimals (summation "
+    "order can never flip a digit) and converts to double only at the "
+    "output boundary; the growth division is one IEEE op on two "
+    "already-final numbers. The lag window runs on the month table — "
+    "one row per period, so the sort behind it is bounded by the "
+    "calendar, not the corpus; the corpus pays exactly one "
+    "map-side-combined aggregate. First period reports NULL growth "
+    "on both engines.",
+)
+def time_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir)
+    m = o.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev_dec"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_dec").over(w)
+    return m.select(
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("rev_dec").cast("double") - prev.cast("double")) / prev.cast("double"),
+            6,
+        ).alias("mom_growth"),
+    ).orderBy("month")

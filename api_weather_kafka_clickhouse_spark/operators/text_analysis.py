@@ -1450,3 +1450,117 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOP)
     )
+
+
+# BM25 (Okapi, Lucene idf form) scoring parameters and the fixed
+# keyword set the gate scores (chosen from the corpus vocabulary).
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("sort", "merge", "filter")
+BM25_TOP = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dlen FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dlen) AS BIGINT) AS total_len FROM dl),
+    terms(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)}),
+    tf AS (
+      SELECT d.doc_id, terms.term,
+             CAST(len(list_filter(d.t, x -> x = terms.term)) AS BIGINT) AS tf
+      FROM d, terms
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf WHERE tf > 0 GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dlen, df.df,
+             round(
+               ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * {BM25_K1 + 1})
+               / (tf.tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl.dlen
+                  / (CAST(s.total_len AS DOUBLE) / s.n_docs))), 6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats s
+      WHERE tf.tf > 0
+    )
+    SELECT doc_id, term, tf, dlen, df, bm25, rk AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {BM25_TOP}
+    """,
+    doc="Okapi BM25 retrieval scoring (Lucene idf form, k1="
+    f"{BM25_K1}, b={BM25_B}): top {BM25_TOP} documents per query "
+    "term, with term frequency saturation and document-length "
+    "normalization — the ranking function behind every keyword "
+    "search engine, and the lexical half of hybrid (BM25 + "
+    "embedding) retrieval beside the sim_* family. tf/df/dlen are "
+    "exact bigints (tf via a codegen higher-order filter over the "
+    "token array — no explode, no shuffle for the tf pass); avgdl "
+    "and idf enter one identical expression tree in both engines. "
+    "The per-term top-K window runs on rows with tf > 0 only — "
+    "posting-list sized, not corpus-sized. At 100 TB the term list "
+    "broadcasts, tf computes at scan speed, and only postings reach "
+    "the ranking exchange; df and corpus stats are 1-row/tiny "
+    "broadcasts.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..plans.stage import eager_release
+
+    d = load(spark, "documents", sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    # one pass: doc length + per-term tf via codegen HOF filters,
+    # exploded only after tf is known so zero-tf pairs can be dropped
+    # before any exchange. Persisted: feeds stats, df, and scoring.
+    tfd = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dlen"),
+            F.explode(
+                F.transform(
+                    terms,
+                    lambda term: F.struct(
+                        term.alias("term"),
+                        F.size(F.filter(F.col("t"), lambda x: x == term))
+                        .cast("bigint")
+                        .alias("tf"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "dlen", F.col("s.term").alias("term"), F.col("s.tf").alias("tf"))
+        .persist()
+    )
+    stats = (
+        tfd.filter(F.col("term") == BM25_TERMS[0])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dlen").cast("bigint").alias("total_len"),
+        )
+    )
+    postings = tfd.filter(F.col("tf") > 0)
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1))
+        / (F.col("tf") + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dlen") / avgdl)),
+        6,
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    out = (
+        postings.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select("doc_id", "term", "tf", "dlen", "df", "bm25", "rank")
+    )
+    return eager_release(out, "bm25_topk", tfd)

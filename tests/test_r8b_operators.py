@@ -274,3 +274,86 @@ def test_bpe_pair_counts_match_python(spark, sf_dir):
     for r in rows:
         assert r.n_types == n_types[r.pair]
         assert r.n >= r.n_types  # every counted type occurs at least once
+
+
+# ------------------------------------------------ time_period_over_period
+
+
+def test_period_over_period_growth_identity(spark, sf_dir):
+    rows = SPECS["time_period_over_period"].fn(spark, sf_dir).collect()
+    assert rows[0].prev_revenue is None and rows[0].mom_growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == pytest.approx(prev.revenue, abs=1e-6)
+        assert cur.mom_growth == pytest.approx(
+            (cur.revenue - prev.revenue) / prev.revenue, abs=2e-6
+        )
+        assert cur.month > prev.month
+
+
+# -------------------------------------------------------- text_bm25_topk
+
+
+def test_bm25_python_replica(spark, sf_dir):
+    import math
+
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP,
+    )
+
+    rows = SPECS["text_bm25_topk"].fn(spark, sf_dir).collect()
+    docs = {
+        d.doc_id: d.text.split(" ")
+        for d in load(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    for term in BM25_TERMS:
+        tf = {i: t.count(term) for i, t in docs.items()}
+        df = sum(1 for v in tf.values() if v > 0)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+        def score(i):
+            return (
+                idf
+                * (tf[i] * (BM25_K1 + 1))
+                / (tf[i] + BM25_K1 * (1 - BM25_B + BM25_B * len(docs[i]) / avgdl))
+            )
+
+        expect = sorted(
+            ((i, score(i)) for i in docs if tf[i] > 0),
+            key=lambda x: (-round(x[1], 6), x[0]),
+        )[:BM25_TOP]
+        got = sorted(
+            ((r.doc_id, r.bm25, r.rank) for r in rows if r.term == term),
+            key=lambda x: x[2],
+        )
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        for g, e in zip(got, expect):
+            assert g[1] == pytest.approx(e[1], abs=2e-6)
+
+
+# ------------------------------------------------------ events_top_paths
+
+
+def test_top_paths_python_replica(spark, sf_dir):
+    from collections import Counter
+
+    rows = SPECS["events_top_paths"].fn(spark, sf_dir).collect()
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    sessions: dict = {}
+    for e in ev:
+        sessions.setdefault((e.user_id, e.ts.date()), []).append(
+            (e.ts, e.event_id, e.event_type)
+        )
+    paths = Counter(
+        ">".join(t[2] for t in sorted(v)) for v in sessions.values()
+    )
+    expect = sorted(((-n, p) for p, n in paths.items()))[: len(rows)]
+    assert [(-r.n_sessions, r.path) for r in rows] == expect
+    for r in rows:
+        assert r.steps == len(r.path.split(">"))
