@@ -480,3 +480,73 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# As-of tolerance: matches staler than this are rejected (NULLed),
+# the pandas merge_asof(tolerance=...) semantics.
+ASOF_TOLERANCE_MIN = 60
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER w AS last_error_id,
+             last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER w AS last_error_ts
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           CASE WHEN last_error_ts >= ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN last_error_id END AS error_id,
+           CASE WHEN last_error_ts >= ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN last_error_ts END AS error_ts,
+           (last_error_ts IS NOT NULL
+            AND last_error_ts < ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE)
+             AS match_too_stale
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+    doc="As-of join with a staleness tolerance (pandas "
+    f"merge_asof(tolerance=...) semantics): each purchase matches the "
+    f"most recent prior error by the same user ONLY if it is at most "
+    f"{ASOF_TOLERANCE_MIN} minutes old — older state is stale and must "
+    "NOT silently attach (feature-freshness enforcement in feature "
+    "stores; join_asof keeps any-age matches). Same scalable shape as "
+    "join_asof — union + one running ignore-nulls window on the "
+    "user_id shuffle, no per-row probes — plus a pure-codegen "
+    "tolerance gate; the rejected-match flag is kept so staleness is "
+    "observable rather than silently null.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir).filter(F.col("event_type").isin("purchase", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_err = F.col("event_type") == "error"
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_err, F.col("event_id")), ignorenulls=True).over(w).alias("last_error_id"),
+        F.last(F.when(is_err, F.col("ts")), ignorenulls=True).over(w).alias("last_error_ts"),
+    )
+    fresh = F.col("last_error_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("last_error_id")).alias("error_id"),
+        F.when(fresh, F.col("last_error_ts")).alias("error_ts"),
+        (F.col("last_error_ts").isNotNull() & ~fresh).alias("match_too_stale"),
+    )

@@ -512,3 +512,108 @@ def time_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r1"),
         )
     )
+
+
+# A/B experiment readout: variant by hash parity, conversion = any
+# purchase within this many days of the user's first event.
+AB_CONV_DAYS = 2
+
+
+@register(
+    "events_ab_test_lift",
+    oracle=f"""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    conv AS (
+      SELECT f.user_id,
+             CASE WHEN (CAST(('0x' || substring(md5(CAST(f.user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2) = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             max(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts <= f.first_ts + INTERVAL {AB_CONV_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS converted
+      FROM f JOIN events e ON e.user_id = f.user_id
+      GROUP BY f.user_id
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN variant = 'control' THEN converted ELSE 0 END) AS BIGINT) AS conv_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS conv_t
+      FROM conv
+    )
+    SELECT n_c, n_t, conv_c, conv_t,
+           round(CAST(conv_c AS DOUBLE) / n_c, 6) AS p_c,
+           round(CAST(conv_t AS DOUBLE) / n_t, 6) AS p_t,
+           round((CAST(conv_t AS DOUBLE) / n_t) / (CAST(conv_c AS DOUBLE) / n_c) - 1.0, 6)
+             AS rel_lift,
+           round(((CAST(conv_t AS DOUBLE) / n_t) - (CAST(conv_c AS DOUBLE) / n_c))
+                 / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+                        * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t)), 6) AS z_stat
+    FROM agg
+    """,
+    doc="A/B experiment readout (two-proportion z-test): users split "
+    "into control/treatment by md5-parity of user_id (the shared "
+    "deterministic-coin kernel — in production the assignment IS a "
+    "hash of (user, experiment) exactly like this), conversion = any "
+    f"purchase within {AB_CONV_DAYS} days of the user's first event, "
+    "output = counts, rates, relative lift, and the pooled z "
+    "statistic. Completes the experimentation family beside "
+    "stats_ttest_welch (means) and stats_ks_test (distributions) "
+    "with the proportion test product analytics actually runs. "
+    "Exact bigint counts from two user-keyed aggregates collapse to "
+    "ONE row before any float op; lift and z are one identical "
+    "expression tree per engine (divisions + a single sqrt). At "
+    "100 TB this is two map-side-combined passes over the events "
+    "scan — assignment is stateless hashing, never a lookup table.",
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    parity = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 2
+    )
+    conv = (
+        f.join(e, "user_id")
+        .groupBy("user_id", "first_ts")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") <= F.col("first_ts") + F.expr(f"INTERVAL {AB_CONV_DAYS} DAYS")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(parity == 0, F.lit("control")).otherwise(F.lit("treatment")).alias("variant"),
+            "converted",
+        )
+    )
+    agg = conv.agg(
+        F.sum(F.when(F.col("variant") == "control", 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("variant") == "control", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_c"),
+        F.sum(F.when(F.col("variant") == "treatment", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_t"),
+    )
+    p_c = F.col("conv_c").cast("double") / F.col("n_c")
+    p_t = F.col("conv_t").cast("double") / F.col("n_t")
+    p_pool = (F.col("conv_c") + F.col("conv_t")).cast("double") / (F.col("n_c") + F.col("n_t"))
+    z = (p_t - p_c) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / F.col("n_c") + F.lit(1.0) / F.col("n_t"))
+    )
+    return agg.select(
+        "n_c",
+        "n_t",
+        "conv_c",
+        "conv_t",
+        F.round(p_c, 6).alias("p_c"),
+        F.round(p_t, 6).alias("p_t"),
+        F.round(p_t / p_c - 1.0, 6).alias("rel_lift"),
+        F.round(z, 6).alias("z_stat"),
+    )

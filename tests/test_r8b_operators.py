@@ -357,3 +357,53 @@ def test_top_paths_python_replica(spark, sf_dir):
     assert [(-r.n_sessions, r.path) for r in rows] == expect
     for r in rows:
         assert r.steps == len(r.path.split(">"))
+
+
+# ----------------------------------------------- join_asof_tolerance
+
+
+def test_asof_tolerance_gates_stale_matches(spark, sf_dir):
+    from datetime import timedelta
+
+    from api_weather_kafka_clickhouse_spark.operators.joins import ASOF_TOLERANCE_MIN
+
+    tol = SPECS["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    plain = {
+        r.purchase_id: r for r in SPECS["join_asof"].fn(spark, sf_dir).collect()
+    }
+    assert len(tol) == len(plain)
+    saw_fresh = saw_stale = False
+    for r in tol:
+        p = plain[r.purchase_id]
+        if p.last_error_ts is None:
+            assert r.error_id is None and not r.match_too_stale
+        elif p.last_error_ts >= r.purchase_ts - timedelta(minutes=ASOF_TOLERANCE_MIN):
+            # fresh: identical to the plain as-of match
+            assert (r.error_id, r.error_ts) == (p.last_error_id, p.last_error_ts)
+            assert not r.match_too_stale
+            saw_fresh = True
+        else:
+            assert r.error_id is None and r.error_ts is None
+            assert r.match_too_stale
+            saw_stale = True
+    assert saw_fresh and saw_stale  # tolerance actually bites at test scale
+
+
+# ----------------------------------------------- events_ab_test_lift
+
+
+def test_ab_test_lift_identities(spark, sf_dir):
+    import math
+
+    [r] = SPECS["events_ab_test_lift"].fn(spark, sf_dir).collect()
+    users = load(spark, "events", sf_dir).select("user_id").distinct().count()
+    assert r.n_c + r.n_t == users
+    assert 0 <= r.conv_c <= r.n_c and 0 <= r.conv_t <= r.n_t
+    assert r.p_c == pytest.approx(r.conv_c / r.n_c, abs=1e-6)
+    assert r.p_t == pytest.approx(r.conv_t / r.n_t, abs=1e-6)
+    assert r.rel_lift == pytest.approx(r.p_t / r.p_c - 1.0, abs=1e-5)
+    pool = (r.conv_c + r.conv_t) / (r.n_c + r.n_t)
+    z = (r.conv_t / r.n_t - r.conv_c / r.n_c) / math.sqrt(
+        pool * (1 - pool) * (1 / r.n_c + 1 / r.n_t)
+    )
+    assert r.z_stat == pytest.approx(z, abs=1e-5)
