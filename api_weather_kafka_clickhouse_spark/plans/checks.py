@@ -66,8 +66,13 @@ def has_cartesian(df: DataFrame) -> bool:
 
 # A sanctioned scalar broadcast: a BroadcastExchange whose input is a
 # global (keys=[]) aggregate — by construction exactly one build row.
+# Filter/Project nodes between the exchange and the aggregate preserve
+# the <= 1-row bound (Catalyst inserts `Filter isnotnull(agg)` when the
+# scalar feeds a join condition — q11/q22's HAVING-fraction shape), so
+# up to two such pass-through lines are looked through.
 _SCALAR_BROADCAST_BUILD = re.compile(
     r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
+    r"(?:[^\n]*\b(?:Filter|Project)\b[^\n]*\n){0,2}"
     r"[^\n]*(?:Hash|Sort|ObjectHash)Aggregate\((?:keys|key)=\[\]"
 )
 

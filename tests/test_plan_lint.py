@@ -1,0 +1,78 @@
+"""Registry-wide physical-plan lint: EVERY registered query's plan is
+swept for the two shapes that do not survive 100 TB — unbounded
+nested-loop/cartesian joins and row-at-a-time Python UDFs
+(BatchEvalPython). test_plans.py proves plan properties for named
+operators; this file guarantees no FUTURE registration quietly ships
+either anti-pattern (the whitelist below is the complete sanctioned
+set, each entry bounded by a dimension, never the corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from api_weather_kafka_clickhouse_spark import registry
+from api_weather_kafka_clickhouse_spark.plans import checks
+from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
+
+# Sanctioned nested-loop joins — every one has a broadcast build side
+# bounded by a DIMENSION (query set / centroid count / 25-row nation /
+# per-group count table), so the "loop" is k*n with small fixed k,
+# never n^2. A new query landing here needs the same justification.
+NESTED_LOOP_SANCTIONED = {
+    # broadcast query vectors x corpus scan (non-equi vec_id <> cond):
+    # build side = N_QUERIES rows
+    "sim_topk_bruteforce": 1,
+    "embedding_truncate_recall": 2,  # full-dim and truncated argmax passes
+    # broadcast centroid/cell tables x corpus
+    "sim_ivf_label": 1,
+    "sim_ivf_kmeans": 1,
+    # all-pairs embedding verify on the tiny vector table (the exact
+    # baseline the LSH/IVF operators exist to replace at scale)
+    "dedup_embedding_cosine": 1,
+    # a DELIBERATE cross join (region x orderstatus combination grid)
+    "join_cross_small": 1,
+    # KS statistic: broadcast build = the per-group count row (2 rows)
+    "stats_ks_test": 1,
+    # all-pairs baseline on the 25-row nation dim — fuzzy_match_blocked
+    # is its scale twin and equi-joins on the band key (plan-asserted
+    # in test_plans.py)
+    "fuzzy_match_levenshtein": 1,
+    # the dim side replicates across a 16-value salt-range literal via
+    # cross join — the replication factor is the salt CONSTANT
+    "join_salted_skew": 1,
+}
+
+# Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise
+# by design; this entry exists to exercise the UDTF API surface (its
+# registration says so), not as a hot-path operator.
+BATCH_EVAL_SANCTIONED = {"text_sentence_udtf"}
+
+
+@pytest.mark.slow
+def test_every_registered_plan_is_scale_clean(spark, sf_dir):
+    flagged: list[str] = []
+    for name, spec in registry.all_specs().items():
+        with lazy_plans():
+            df = spec.fn(spark, sf_dir)
+        plan = checks.simple_plan(df)
+        nl = checks.unbounded_nested_loop_count(df)
+        # upper bound, not equality: AQE/config shifts can legally plan
+        # a sanctioned shape as a hash join instead (fewer loops is
+        # always acceptable; more is never)
+        allowed = NESTED_LOOP_SANCTIONED.get(name, 0)
+        if nl > allowed:
+            flagged.append(f"{name}: {nl} unbounded nested-loop joins (allowed {allowed})")
+        if "BatchEvalPython" in plan and name not in BATCH_EVAL_SANCTIONED:
+            flagged.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython) in plan")
+    assert not flagged, "\n".join(flagged)
+
+
+def test_scalar_broadcast_exemption_sees_through_filter(spark, sf_dir):
+    """q11/q22's HAVING-fraction shape: Catalyst inserts
+    `Filter isnotnull(thr)` between the BroadcastExchange and the
+    keys=[] aggregate; the exemption must look through it (and the
+    negative fixtures in test_plans.py pin that real cartesians still
+    count)."""
+    for name in ("q11_important_stock", "q22_global_sales_opportunity"):
+        df = registry.all_specs()[name].fn(spark, sf_dir)
+        assert checks.unbounded_nested_loop_count(df) == 0, name
