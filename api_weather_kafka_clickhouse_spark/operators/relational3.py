@@ -838,3 +838,82 @@ def fuzzy_match_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dl",
         )
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM first GROUP BY cohort),
+    rev AS (
+      SELECT f.cohort,
+             CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort)) AS BIGINT) AS month_idx,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue
+      FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, month_idx, revenue,
+             CAST(sum(revenue) OVER (PARTITION BY cohort ORDER BY month_idx)
+                  AS DECIMAL(38,2)) AS cum_revenue
+      FROM rev
+    )
+    SELECT c.cohort, c.month_idx, sz.cohort_size,
+           CAST(c.revenue AS DOUBLE) AS revenue,
+           CAST(c.cum_revenue AS DOUBLE) AS cum_revenue,
+           round(CAST(c.cum_revenue AS DOUBLE) / sz.cohort_size, 6)
+             AS ltv_per_customer
+    FROM cum c JOIN sz USING (cohort)
+    """,
+    doc="Cohort lifetime-value triangle: customers grouped by "
+    "first-order month, revenue laid out by months-since-acquisition, "
+    "cumulated into LTV-per-customer — the money companion of "
+    "retention_cohorts (which counts the same triangle; finance "
+    "models payback from THIS view). Month arithmetic is exact "
+    "integer (year*12+month deltas — no float date math); revenue "
+    "accumulates in DECIMAL through the running window, so the "
+    "cumulative column is order-free-exact, converting to double "
+    "only at output. Shape: one aggregate to find cohorts, a "
+    "broadcast-sized cohort table joined back to the fact scan, one "
+    "(cohort, month) aggregate, then the running window over the "
+    "triangle — calendar-squared rows, never the corpus.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir)
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort")
+    )
+    sz = first.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    month_idx = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("bigint")
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", month_idx.alias("month_idx"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("month_idx")
+    cum = rev.withColumn("cum_revenue", F.sum("revenue").over(w).cast("decimal(38,2)"))
+    return cum.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "month_idx",
+        "cohort_size",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        F.round(F.col("cum_revenue").cast("double") / F.col("cohort_size"), 6).alias(
+            "ltv_per_customer"
+        ),
+    )

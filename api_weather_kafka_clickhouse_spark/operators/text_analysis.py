@@ -1564,3 +1564,56 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "dlen", "df", "bm25", "rank")
     )
     return eager_release(out, "bm25_topk", tfd)
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
+                       * 1.0 / len(string_split(text, ' ')) > 0.08
+                  THEN 'en' ELSE 'other' END AS lid_guess
+      FROM documents
+    ),
+    m AS (
+      SELECT labeled_lang, lid_guess, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY labeled_lang, lid_guess
+    ),
+    tot AS (
+      SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_label FROM m GROUP BY labeled_lang
+    )
+    SELECT m.labeled_lang, m.lid_guess, m.n, tot.n_label,
+           round(CAST(m.n AS DOUBLE) / tot.n_label, 6) AS row_frac
+    FROM m JOIN tot USING (labeled_lang)
+    """,
+    doc="Classifier-evaluation confusion matrix for the lang-ID "
+    "heuristic against the labeled lang column: per (label, guess) "
+    "cell counts and within-label fractions — the eval loop every "
+    "curation classifier needs (text_lang_id ships predictions; this "
+    "measures them; quality_classifier_score's loss curve is the "
+    "trained-model analogue). Two map-side-combined aggregates; the "
+    "matrix is (labels x guesses)-sized, so the fraction join is a "
+    "broadcast over a handful of rows. On this synthetic corpus the "
+    "matrix mostly exposes the base rates (every label is "
+    "English-like); the operator's value is the deterministic "
+    "evaluation mechanics.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    density = stopword_hits("text") * F.lit(1.0) / n_tokens("text")
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(density > 0.08, "en").otherwise("other").alias("lid_guess"),
+    )
+    m = pred.groupBy("labeled_lang", "lid_guess").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = m.groupBy("labeled_lang").agg(F.sum("n").cast("bigint").alias("n_label"))
+    return m.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "lid_guess",
+        "n",
+        "n_label",
+        F.round(F.col("n").cast("double") / F.col("n_label"), 6).alias("row_frac"),
+    )

@@ -360,3 +360,45 @@ def window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter((F.col("n") >= MOVZ_MIN_N) & (var > 0) & (z2 > MOVZ_SQ_THRESHOLD))
         .select("event_id", "user_id", "value", F.round(z2, 6).alias("z2"))
     )
+
+
+# Centered moving-median half-width (rows each side).
+MOVMED_HALF = 12
+
+
+@register(
+    "window_moving_median",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN {MOVMED_HALF} PRECEDING AND {MOVMED_HALF} FOLLOWING
+           ), 6) AS moving_med
+    FROM events
+    """,
+    doc="Centered moving MEDIAN per event stream (25-row window): the "
+    "robust-smoothing twin of window_moving_zscore — a mean-based "
+    "smoother drags toward every outlier, the rolling median ignores "
+    "them, which is why monitoring pipelines median-filter before "
+    "thresholding. Exact percentile semantics inside a ROWS frame "
+    "(Spark percentile().over == DuckDB quantile_cont OVER): both "
+    "engines interpolate the same two order statistics of the same "
+    "25 rows, so the result hash-checks. Ordering inside the frame "
+    "is the (ts, event_id) total order. One shuffle on event_type; "
+    "frame state is 25 rows regardless of corpus size — at 100 TB "
+    "repartition by (event_type, coarse time bucket) to bound "
+    "per-partition sort memory, the window_range_numeric note.",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MOVMED_HALF, MOVMED_HALF)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("moving_med"),
+    )

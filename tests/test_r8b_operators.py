@@ -407,3 +407,75 @@ def test_ab_test_lift_identities(spark, sf_dir):
         pool * (1 - pool) * (1 / r.n_c + 1 / r.n_t)
     )
     assert r.z_stat == pytest.approx(z, abs=1e-5)
+
+
+# ---------------------------------------------- window_moving_median
+
+
+def test_moving_median_python_replica(spark, sf_dir):
+    import statistics
+
+    from api_weather_kafka_clickhouse_spark.operators.windows import MOVMED_HALF
+
+    rows = SPECS["window_moving_median"].fn(spark, sf_dir).collect()
+    ev = sorted(
+        load(spark, "events", sf_dir)
+        .select("event_id", "event_type", "ts", "value")
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e)
+    got = {r.event_id: r.moving_med for r in rows}
+    for etype, es in list(by_type.items())[:2]:
+        for i in (0, len(es) // 2, len(es) - 1):
+            lo, hi = max(0, i - MOVMED_HALF), min(len(es), i + MOVMED_HALF + 1)
+            expect = statistics.median(e.value for e in es[lo:hi])
+            assert got[es[i].event_id] == pytest.approx(expect, abs=1e-6)
+
+
+# ----------------------------------------------- text_lang_confusion
+
+
+def test_lang_confusion_consistent_with_lang_id(spark, sf_dir):
+    rows = SPECS["text_lang_confusion"].fn(spark, sf_dir).collect()
+    pred = SPECS["text_lang_id"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    expect = Counter((p.labeled_lang, p.lid_guess) for p in pred)
+    assert {(r.labeled_lang, r.lid_guess): r.n for r in rows} == dict(expect)
+    # row fractions sum to 1 per label
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.labeled_lang, []).append(r)
+    for rs in by_label.values():
+        assert sum(r.row_frac for r in rs) == pytest.approx(1.0, abs=1e-5)
+        assert all(r.n_label == sum(x.n for x in rs) for r in rs)
+
+
+# ------------------------------------------------- orders_cohort_ltv
+
+
+def test_cohort_ltv_triangle_identities(spark, sf_dir):
+    rows = SPECS["orders_cohort_ltv"].fn(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    total_rev = sum(r.revenue for r in rows)
+    orders_total = (
+        load(spark, "orders", sf_dir)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    assert total_rev == pytest.approx(float(orders_total), rel=1e-9)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.month_idx)
+        run = 0.0
+        for r in rs:
+            run += r.revenue
+            assert r.cum_revenue == pytest.approx(run, rel=1e-9)
+            assert r.ltv_per_customer == pytest.approx(
+                r.cum_revenue / r.cohort_size, abs=1e-5
+            )
+        assert rs[0].month_idx == 0  # the acquisition month is present
