@@ -65,6 +65,12 @@ HEADLINE = [
     # per row) — both cost shapes otherwise invisible to the bench
     "graph_tree_depth",
     "embedding_pq_int8",
+    # round-8 continuation: retrieval scoring (HOF tf pass + postings
+    # ranking — the registry's widest codegen higher-order pipeline)
+    # and integer-mass message passing (two join+sum hops over the
+    # bipartite edge list) — the two new cost shapes of the session
+    "text_bm25_topk",
+    "graph_walk_diffusion",
 ]
 
 
