@@ -1617,3 +1617,49 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_label",
         F.round(F.col("n").cast("double") / F.col("n_label"), 6).alias("row_frac"),
     )
+
+
+# Hashing-trick featurizer: token -> bucket via the shared md5 kernel.
+HASHTRICK_BUCKETS = 64
+
+
+@register(
+    "text_hashing_trick_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                  % {HASHTRICK_BUCKETS} AS BIGINT) AS bucket
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+    FROM b GROUP BY doc_id, bucket
+    """,
+    doc="Feature hashing (the hashing trick): bag-of-words folded "
+    f"into {HASHTRICK_BUCKETS} buckets via the shared md5 window "
+    "kernel, emitted as sparse (doc_id, bucket, tf) triples — the "
+    "vocabulary-free featurizer that feeds linear quality models "
+    "(quality_classifier_score trains on engineered features; this "
+    "is how raw text becomes fixed-width features with NO vocabulary "
+    "build, no second pass, no dictionary broadcast). Stateless "
+    "per-row hashing plus one map-side-combined count keyed on "
+    "(doc_id, bucket): at 100 TB there is exactly one shuffle whose "
+    "width is bounded by docs x buckets, and no global state of any "
+    "kind — the property that makes the hashing trick THE featurizer "
+    "for streaming corpora.",
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    t = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % HASHTRICK_BUCKETS
+    ).cast("bigint")
+    return (
+        t.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )

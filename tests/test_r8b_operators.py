@@ -479,3 +479,56 @@ def test_cohort_ltv_triangle_identities(spark, sf_dir):
                 r.cum_revenue / r.cohort_size, abs=1e-5
             )
         assert rs[0].month_idx == 0  # the acquisition month is present
+
+
+# ------------------------------------------ text_hashing_trick_features
+
+
+def test_hashing_trick_partition_of_tokens(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        HASHTRICK_BUCKETS,
+    )
+
+    rows = SPECS["text_hashing_trick_features"].fn(spark, sf_dir).collect()
+    docs = {
+        d.doc_id: len(d.text.split(" "))
+        for d in load(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    }
+    per_doc: dict = {}
+    for r in rows:
+        assert 0 <= r.bucket < HASHTRICK_BUCKETS
+        assert r.tf > 0
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tf
+    # bucket tfs partition each doc's token count exactly
+    assert per_doc == docs
+    # same token always lands in the same bucket => deterministic rerun
+    again = SPECS["text_hashing_trick_features"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# -------------------------------------------- graph_label_propagation
+
+
+def test_label_propagation_majority_vote(spark, sf_dir):
+    from collections import Counter
+
+    rows = {r.suppkey: r for r in SPECS["graph_label_propagation"].fn(spark, sf_dir).collect()}
+    li = load(spark, "lineitem", sf_dir).select("l_suppkey", "l_partkey").distinct().collect()
+    sup = {
+        s.s_suppkey: s.s_nationkey
+        for s in load(spark, "supplier", sf_dir).collect()
+    }
+    by_part: dict = {}
+    for e in li:
+        by_part.setdefault(e.l_partkey, set()).add(e.l_suppkey)
+    peers: dict = {}
+    for members in by_part.values():
+        for m in members:
+            peers.setdefault(m, set()).update(members - {m})
+    for node, ps in sorted(peers.items())[:30]:
+        votes = Counter(sup[p] for p in ps)
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = rows[node]
+        assert (r.new_label, r.n_votes) == best
+        assert r.old_label == sup[node]
+        assert r.changed == (r.new_label != r.old_label)
