@@ -1,0 +1,327 @@
+"""ClickHouse function-name compatibility layer.
+
+The reference's warehouse is ClickHouse (`app/clickhouse_ddl.sql`,
+`app/clickhouse_db.py`), so its users write ClickHouse SQL. This
+module maps the ClickHouse function vocabulary onto Spark Column
+expressions one-for-one, so a query ported from the reference stack
+reads the same: ``toYYYYMM(event_date)`` (the reference's partition
+key, clickhouse_ddl.sql:31), ``countIf``, ``uniqExact``, ``argMax``,
+``arrayJoin``, ``multiIf`` all work verbatim as Python calls.
+
+Everything here is a THIN alias over built-in Catalyst expressions —
+zero UDFs, zero plan cost; the point is vocabulary, not machinery.
+Each function documents any semantic delta from ClickHouse (there are
+few; the notable ones: ``uniq`` is HLL-approximate on both systems
+but NOT the same sketch, so estimates differ; ``cityHash64`` has no
+Spark twin — ``xxhash64`` fills the same role with a different
+algorithm, so hashes do not match across systems).
+
+Determinism note: ``argMax/argMin`` ties are arbitrary in ClickHouse
+and in Spark's ``max_by/min_by``; oracle-checked queries must add a
+total-order tiebreak exactly like the native operators do
+(registry.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# --------------------------------------------------------------- dates
+
+
+def toYYYYMM(c: Column | str) -> Column:
+    """ClickHouse toYYYYMM(date) -> UInt32 yyyyMM (ddl:31's partition
+    key). Integer arithmetic, not a format call — prunable."""
+    c = _col(c)
+    return (F.year(c) * 100 + F.month(c)).cast("int")
+
+
+def toYYYYMMDD(c: Column | str) -> Column:
+    c = _col(c)
+    return (F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)).cast("int")
+
+
+def toDate(c: Column | str) -> Column:
+    return _col(c).cast("date")
+
+
+def toDateTime(c: Column | str) -> Column:
+    return _col(c).cast("timestamp")
+
+
+def toStartOfHour(c: Column | str) -> Column:
+    return F.date_trunc("hour", _col(c))
+
+
+def toStartOfDay(c: Column | str) -> Column:
+    return F.date_trunc("day", _col(c))
+
+
+def toStartOfMonth(c: Column | str) -> Column:
+    return F.trunc(_col(c), "month")
+
+
+def toStartOfWeek(c: Column | str) -> Column:
+    """ClickHouse mode-1 week start (Monday), as a date. next_day is
+    STRICTLY-after, so next_day(d,'Mon')-7 lands on d itself when d
+    is a Monday and on the preceding Monday otherwise."""
+    return F.date_sub(F.next_day(_col(c).cast("date"), "Mon"), 7)
+
+
+def toUnixTimestamp(c: Column | str) -> Column:
+    return F.unix_timestamp(_col(c)).cast("bigint")
+
+
+def toHour(c: Column | str) -> Column:
+    return F.hour(_col(c)).cast("int")
+
+
+def toDayOfWeek(c: Column | str) -> Column:
+    """ClickHouse: Monday=1..Sunday=7 (ISO). Spark dayofweek is
+    Sunday=1, so shift."""
+    return (((F.dayofweek(_col(c)) + 5) % 7) + 1).cast("int")
+
+
+def dateDiff(unit: str, a: Column | str, b: Column | str) -> Column:
+    """dateDiff('day'|'month'|'year', start, end) — integer deltas,
+    matching ClickHouse's truncation semantics for these units."""
+    a, b = _col(a), _col(b)
+    if unit == "day":
+        return F.datediff(b, a).cast("bigint")
+    if unit == "month":
+        return ((F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))).cast("bigint")
+    if unit == "year":
+        return (F.year(b) - F.year(a)).cast("bigint")
+    raise ValueError(f"unsupported dateDiff unit {unit!r}")
+
+
+# ------------------------------------------------------------- strings
+
+
+def lengthUTF8(c: Column | str) -> Column:
+    return F.length(_col(c)).cast("bigint")
+
+
+def splitByChar(sep: str, c: Column | str) -> Column:
+    # ClickHouse takes a single character; escape for the regex API
+    import re as _re
+
+    return F.split(_col(c), _re.escape(sep))
+
+
+def replaceRegexpAll(c: Column | str, pattern: str, replacement: str) -> Column:
+    return F.regexp_replace(_col(c), pattern, replacement)
+
+
+def extract(c: Column | str, pattern: str) -> Column:
+    """ClickHouse extract(haystack, pattern): first match (group 1 if
+    the pattern has one, else the whole match); '' when no match."""
+    import re as _re
+
+    group = 1 if _re.compile(pattern).groups else 0
+    return F.regexp_extract(_col(c), pattern, group)
+
+
+def startsWith(c: Column | str, prefix: str) -> Column:
+    return F.startswith(_col(c), F.lit(prefix))
+
+
+def endsWith(c: Column | str, suffix: str) -> Column:
+    return F.endswith(_col(c), F.lit(suffix))
+
+
+def empty(c: Column | str) -> Column:
+    return F.length(_col(c)) == 0
+
+
+def notEmpty(c: Column | str) -> Column:
+    return F.length(_col(c)) > 0
+
+
+def trimBoth(c: Column | str) -> Column:
+    return F.trim(_col(c))
+
+
+# -------------------------------------------------------------- arrays
+
+
+def arrayJoin_explode(c: Column | str) -> Column:
+    """ClickHouse arrayJoin — Spark's explode. Named with the suffix
+    because arrayJoin changes row cardinality: it must sit in a
+    select() the way explode does, not inside a scalar expression."""
+    return F.explode(_col(c))
+
+
+def arrayMap(fn, c: Column | str) -> Column:
+    return F.transform(_col(c), fn)
+
+
+def arrayFilter(fn, c: Column | str) -> Column:
+    return F.filter(_col(c), fn)
+
+
+def arrayExists(fn, c: Column | str) -> Column:
+    return F.exists(_col(c), fn)
+
+
+def arraySum(c: Column | str) -> Column:
+    return F.aggregate(_col(c), F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def has(c: Column | str, value) -> Column:
+    return F.array_contains(_col(c), value)
+
+
+def arraySort(c: Column | str) -> Column:
+    return F.sort_array(_col(c))
+
+
+def arrayDistinct(c: Column | str) -> Column:
+    return F.array_distinct(_col(c))
+
+
+def arrayStringConcat(c: Column | str, sep: str = "") -> Column:
+    return F.array_join(_col(c), sep)
+
+
+def arrayEnumerate(c: Column | str) -> Column:
+    """1-based index array [1..len], ClickHouse semantics."""
+    return F.sequence(F.lit(1), F.size(_col(c)))
+
+
+# -------------------------------------------------------- conditionals
+
+
+def if_(cond: Column, then, otherwise) -> Column:
+    return F.when(cond, then).otherwise(otherwise)
+
+
+def multiIf(*args) -> Column:
+    """multiIf(cond1, then1, cond2, then2, ..., else_) — chained
+    when/otherwise, evaluated in order like ClickHouse."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("multiIf needs cond/then pairs plus a final else")
+    out = F.when(args[0], args[1])
+    for i in range(2, len(args) - 1, 2):
+        out = out.when(args[i], args[i + 1])
+    return out.otherwise(args[-1])
+
+
+def ifNull(c: Column | str, default) -> Column:
+    return F.coalesce(_col(c), F.lit(default) if not isinstance(default, Column) else default)
+
+
+def nullIf(c: Column | str, value) -> Column:
+    return F.nullif(_col(c), F.lit(value) if not isinstance(value, Column) else value)
+
+
+# ---------------------------------------------------------- aggregates
+
+
+def uniqExact(c: Column | str) -> Column:
+    return F.countDistinct(_col(c)).cast("bigint")
+
+
+def uniq(c: Column | str) -> Column:
+    """Approximate distinct. BOTH systems use HLL-family sketches but
+    not the same one — estimates differ between ClickHouse and Spark;
+    use uniqExact when values must match."""
+    return F.approx_count_distinct(_col(c)).cast("bigint")
+
+
+def countIf(cond: Column) -> Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+
+def sumIf(c: Column | str, cond: Column) -> Column:
+    return F.sum(F.when(cond, _col(c)).otherwise(F.lit(0)))
+
+
+def avgIf(c: Column | str, cond: Column) -> Column:
+    return F.avg(F.when(cond, _col(c)))
+
+
+def argMax(arg: Column | str, val: Column | str) -> Column:
+    """Ties are arbitrary in both systems — add a tiebreak for
+    deterministic pipelines (see module docstring)."""
+    return F.max_by(_col(arg), _col(val))
+
+
+def argMin(arg: Column | str, val: Column | str) -> Column:
+    return F.min_by(_col(arg), _col(val))
+
+
+def groupArray(c: Column | str) -> Column:
+    """Collection order is partition-dependent in BOTH systems; sort
+    the result (arraySort) for deterministic output."""
+    return F.collect_list(_col(c))
+
+
+def groupUniqArray(c: Column | str) -> Column:
+    return F.collect_set(_col(c))
+
+
+def any_(c: Column | str) -> Column:
+    return F.first(_col(c), ignorenulls=True)
+
+
+def quantileExact(level: float, c: Column | str) -> Column:
+    return F.percentile(_col(c), F.lit(level))
+
+
+def quantile(level: float, c: Column | str) -> Column:
+    """Approximate quantile (sketch-based on both systems; estimates
+    differ — use quantileExact for cross-system parity)."""
+    return F.percentile_approx(_col(c), F.lit(level), F.lit(10000))
+
+
+# ------------------------------------------------------- type & math
+
+
+def toInt64(c: Column | str) -> Column:
+    return _col(c).cast("bigint")
+
+
+def toFloat64(c: Column | str) -> Column:
+    return _col(c).cast("double")
+
+
+def toString(c: Column | str) -> Column:
+    return _col(c).cast("string")
+
+
+def intDiv(a: Column | str, b) -> Column:
+    b = F.lit(b) if not isinstance(b, Column) else b
+    return F.expr(f"({_sql(_col(a))}) div ({_sql(b)})")
+
+
+def modulo(a: Column | str, b) -> Column:
+    return _col(a) % (F.lit(b) if not isinstance(b, Column) else b)
+
+
+def roundBankers(c: Column | str, scale: int = 0) -> Column:
+    return F.bround(_col(c), scale)
+
+
+def cityHash64_substitute(c: Column | str) -> Column:
+    """ClickHouse cityHash64 has no Spark implementation; xxhash64
+    fills the same role (fast 64-bit partition/sample hashing) with a
+    DIFFERENT algorithm — values do not match across systems. Named
+    loudly so a port never silently assumes hash equality."""
+    return F.xxhash64(_col(c))
+
+
+def JSONExtractString(c: Column | str, key: str) -> Column:
+    return F.get_json_object(_col(c), f"$.{key}")
+
+
+def _sql(c: Column) -> str:
+    """Render a Column back to a SQL fragment (used by intDiv, whose
+    operator form `div` has no functions.* equivalent)."""
+    return c._jc.toString()

@@ -280,3 +280,53 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_d"),
         )
     )
+
+
+@register(
+    "clickhouse_dialect_battery",
+    oracle="""
+    SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_f,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS dist_cust,
+           arg_max(o_custkey, o_orderkey) AS last_cust,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS med_price,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS f_revenue,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="The ClickHouse dialect layer exercised end to end "
+    "(functions/clickhouse.py): a monthly rollup written ENTIRELY in "
+    "the reference stack's vocabulary — toYYYYMM (its partition key, "
+    "clickhouse_ddl.sql:31), countIf, uniqExact, argMax, "
+    "quantileExact, sumIf, groupUniqArray/arraySort/arrayStringConcat "
+    "— proving a query ported verbatim from a ClickHouse user's "
+    "playbook plans as ordinary Catalyst expressions (zero UDFs) and "
+    "hash-matches ANSI SQL. argMax keys on the unique o_orderkey so "
+    "ties cannot occur (the layer's documented determinism caveat); "
+    "sumIf accumulates in DECIMAL per the registry conventions.",
+)
+def clickhouse_dialect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import clickhouse as ch
+
+    o = load(spark, "orders", sf_dir)
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy(ch.toYYYYMM("o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        ch.countIf(is_f).alias("n_f"),
+        ch.uniqExact("o_custkey").alias("dist_cust"),
+        ch.argMax("o_custkey", "o_orderkey").alias("last_cust"),
+        F.round(ch.quantileExact(0.5, "o_totalprice"), 6).alias("med_price"),
+        ch.sumIf(F.col("o_totalprice").cast("decimal(18,2)"), is_f)
+        .cast("double")
+        .alias("f_revenue"),
+        ch.arrayStringConcat(ch.arraySort(ch.groupUniqArray("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+    )

@@ -137,7 +137,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_bpe_merge_candidates, time_period_over_period, text_bm25_topk,
 # events_top_paths, join_asof_tolerance, events_ab_test_lift,
 # window_moving_median, text_lang_confusion, orders_cohort_ltv,
-# text_hashing_trick_features, graph_label_propagation — swap them in
+# text_hashing_trick_features, graph_label_propagation,
+# clickhouse_dialect_battery — swap them in
 # for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7
