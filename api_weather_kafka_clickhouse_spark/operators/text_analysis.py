@@ -1663,3 +1663,85 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+
+
+@register(
+    "decontaminate_longest_span",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, u.i AS pos,
+             array_to_string(t[u.i:u.i+{DECONTAM_NGRAM - 1}], ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, len(t) - {DECONTAM_NGRAM - 1})) AS u(i)
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM g WHERE source = '{DECONTAM_EVAL_SOURCE}'),
+    hits AS (
+      SELECT DISTINCT c.doc_id, c.pos
+      FROM g c JOIN eval_grams e USING (gram)
+      WHERE c.source <> '{DECONTAM_EVAL_SOURCE}'
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    ),
+    runs AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(sum(run_len) AS BIGINT) AS n_hit_positions,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(max(run_len) + {DECONTAM_NGRAM - 1} AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY doc_id
+    """,
+    doc="Contamination SPAN measurement: for each corpus document "
+    "sharing n-grams with the eval shard, the longest CONSECUTIVE "
+    "run of matched gram positions (gaps-and-islands over hit "
+    "positions: pos - row_number is constant within a run) and its "
+    "token length — the signal that separates a verbatim copied "
+    "passage from scattered coincidental n-grams, which a binary "
+    "overlap count (decontaminate_ngram_overlap) cannot distinguish; "
+    "published pipelines threshold on exactly this span length. "
+    "Scale shape identical to the overlap twin: only the tiny eval "
+    "shard's gram set broadcasts, the corpus-side gram stream is "
+    "semi-joined at scan speed, and the island window runs on HIT "
+    "positions only — contamination-sized, not corpus-sized.",
+)
+def decontaminate_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    t = d.select("doc_id", "source", F.posexplode(tokens("text")).alias("pos0", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("tok", k).over(w) for k in range(1, DECONTAM_NGRAM)]
+    g = (
+        t.select(
+            "doc_id",
+            "source",
+            (F.col("pos0") + 1).alias("pos"),  # 1-based like the oracle
+            F.concat_ws(" ", F.col("tok"), *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    eval_grams = (
+        g.filter(F.col("source") == DECONTAM_EVAL_SOURCE).select("gram").distinct()
+    )
+    hits = (
+        g.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(wi))
+    runs = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    return runs.groupBy("doc_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_hit_positions"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        (F.max("run_len") + (DECONTAM_NGRAM - 1)).cast("bigint").alias("longest_span_tokens"),
+    )

@@ -532,3 +532,58 @@ def test_label_propagation_majority_vote(spark, sf_dir):
         assert (r.new_label, r.n_votes) == best
         assert r.old_label == sup[node]
         assert r.changed == (r.new_label != r.old_label)
+
+
+# ------------------------------------------- decontaminate_longest_span
+
+
+def test_longest_span_python_replica(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_NGRAM,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in SPECS["decontaminate_longest_span"].fn(spark, sf_dir).collect()
+    }
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source", "text").collect()
+    eval_grams = set()
+    for d in docs:
+        if d.source == DECONTAM_EVAL_SOURCE:
+            t = d.text.split(" ")
+            for i in range(len(t) - DECONTAM_NGRAM + 1):
+                eval_grams.add(" ".join(t[i : i + DECONTAM_NGRAM]))
+    expect = {}
+    for d in docs:
+        if d.source == DECONTAM_EVAL_SOURCE:
+            continue
+        t = d.text.split(" ")
+        hit = [
+            i
+            for i in range(len(t) - DECONTAM_NGRAM + 1)
+            if " ".join(t[i : i + DECONTAM_NGRAM]) in eval_grams
+        ]
+        if not hit:
+            continue
+        runs, cur = [], 1
+        for a, b in zip(hit, hit[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expect[d.doc_id] = (len(hit), max(runs), max(runs) + DECONTAM_NGRAM - 1)
+    assert {
+        k: (v.n_hit_positions, v.longest_run, v.longest_span_tokens)
+        for k, v in rows.items()
+    } == expect
+    # consistency with the binary-overlap twin: same flagged doc set is
+    # NOT guaranteed (overlap counts DISTINCT grams, spans count
+    # positions), but every span-flagged doc must be overlap-flagged
+    overlap = {
+        r.doc_id
+        for r in SPECS["decontaminate_ngram_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) <= overlap
