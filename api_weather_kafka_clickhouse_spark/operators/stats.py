@@ -617,3 +617,134 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_t / p_c - 1.0, 6).alias("rel_lift"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# Wilson 95% score interval (z pinned; z^2 appears as a literal so
+# both engines fold the same constant).
+WILSON_Z = 1.96
+
+
+@register(
+    "events_error_rate_wilson",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errs
+      FROM events GROUP BY 1
+    )
+    SELECT hour, n, errs,
+           round(CAST(errs AS DOUBLE) / n, 6) AS rate,
+           round(((CAST(errs AS DOUBLE) / n) + {WILSON_Z}*{WILSON_Z}/(2*n)
+                  - {WILSON_Z} * sqrt(((CAST(errs AS DOUBLE)/n)*(1.0 - CAST(errs AS DOUBLE)/n)
+                                       + {WILSON_Z}*{WILSON_Z}/(4*n))/n))
+                 / (1.0 + {WILSON_Z}*{WILSON_Z}/n), 6) + 0.0 AS wilson_lo,
+           round(((CAST(errs AS DOUBLE) / n) + {WILSON_Z}*{WILSON_Z}/(2*n)
+                  + {WILSON_Z} * sqrt(((CAST(errs AS DOUBLE)/n)*(1.0 - CAST(errs AS DOUBLE)/n)
+                                       + {WILSON_Z}*{WILSON_Z}/(4*n))/n))
+                 / (1.0 + {WILSON_Z}*{WILSON_Z}/n), 6) AS wilson_hi
+    FROM h
+    """,
+    doc="Hourly error-rate monitoring with a Wilson 95% score "
+    "interval: the ratio metric done right — at 15 events/hour a raw "
+    "rate of 0.2 swings wildly, and the naive Wald interval collapses "
+    "at p near 0; Wilson stays calibrated at small n, which is why "
+    "SRE burn-rate alerting uses it. One map-side-combined aggregate "
+    "per hour bucket, then pure per-row arithmetic (divisions + one "
+    "sqrt — IEEE-exact) on the time-bounded bucket table. Counts stay "
+    "exact bigints into the float stage; both engines fold the same "
+    "z-constant literals.",
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    h = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    z = F.lit(WILSON_Z)
+    p = F.col("errs").cast("double") / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    margin = z * F.sqrt((p * (F.lit(1.0) - p) + z * z / (4 * F.col("n"))) / F.col("n"))
+    denom = F.lit(1.0) + z * z / F.col("n")
+    return h.select(
+        "hour",
+        "n",
+        "errs",
+        F.round(p, 6).alias("rate"),
+        # + 0.0 normalizes IEEE negative zero: at errs=0 the exact-zero
+        # lower bound reaches round() as a tiny negative on one engine
+        # and not the other, and '-0.0' hash-renders differently from
+        # '0.0' even though they compare equal
+        (F.round((center - margin) / denom, 6) + F.lit(0.0)).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# Additive smoothing weight for target encoding (pseudo-observations
+# of the global mean blended into each category).
+TARGET_ENC_SMOOTH = 20.0
+
+
+@register(
+    "feature_target_encoding",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS s_all
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+      FROM lineitem GROUP BY 1
+    )
+    SELECT c.l_returnflag, c.n,
+           round(CAST(c.s AS DOUBLE) / c.n, 6) AS cat_mean,
+           round(CAST(g.s_all AS DOUBLE) / g.n_all, 6) AS global_mean,
+           round((CAST(c.s AS DOUBLE) + {TARGET_ENC_SMOOTH}
+                  * (CAST(g.s_all AS DOUBLE) / g.n_all))
+                 / (c.n + {TARGET_ENC_SMOOTH}), 6) AS encoded
+    FROM c, g
+    """,
+    doc="Smoothed target encoding (the categorical-feature transform "
+    "for tree/linear models): each category's mean target blended "
+    f"toward the global mean with {TARGET_ENC_SMOOTH:.0f} "
+    "pseudo-observations — rare categories shrink to the prior "
+    "instead of memorizing noise, the m-estimate form of the "
+    "encoding. Sums accumulate in exact DECIMAL on both engines and "
+    "enter ONE identical float expression; the category table is "
+    "dimension-sized (the scan pays one map-side-combined aggregate), "
+    "and applying the encoding downstream is a broadcast join at "
+    "scan speed — the same shape quality_winsorize uses. "
+    "Leakage note: production target encoding must fit on the train "
+    "split only (split_train_holdout / split_kfold provide the "
+    "folds); this operator is the fit step.",
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(price).cast("decimal(38,2)").alias("s_all"),
+    )
+    c = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(price).cast("decimal(38,2)").alias("s"),
+    )
+    gmean = F.col("s_all").cast("double") / F.col("n_all")
+    return c.crossJoin(F.broadcast(g)).select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("cat_mean"),
+        F.round(gmean, 6).alias("global_mean"),
+        F.round(
+            (F.col("s").cast("double") + F.lit(TARGET_ENC_SMOOTH) * gmean)
+            / (F.col("n") + F.lit(TARGET_ENC_SMOOTH)),
+            6,
+        ).alias("encoded"),
+    )

@@ -587,3 +587,47 @@ def test_longest_span_python_replica(spark, sf_dir):
         for r in SPECS["decontaminate_ngram_overlap"].fn(spark, sf_dir).collect()
     }
     assert set(rows) <= overlap
+
+
+# ---------------------------------------------- events_error_rate_wilson
+
+
+def test_wilson_interval_properties(spark, sf_dir):
+    import math
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import WILSON_Z
+
+    rows = SPECS["events_error_rate_wilson"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        assert math.copysign(1.0, r.wilson_lo) == 1.0  # never -0.0
+        p = r.errs / r.n
+        z2 = WILSON_Z * WILSON_Z
+        center = (p + z2 / (2 * r.n)) / (1 + z2 / r.n)
+        margin = (
+            WILSON_Z
+            * math.sqrt((p * (1 - p) + z2 / (4 * r.n)) / r.n)
+            / (1 + z2 / r.n)
+        )
+        assert r.wilson_lo == pytest.approx(max(center - margin, 0.0), abs=2e-6)
+        assert r.wilson_hi == pytest.approx(center + margin, abs=2e-6)
+
+
+# ---------------------------------------------- feature_target_encoding
+
+
+def test_target_encoding_shrinks_toward_global(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.stats import TARGET_ENC_SMOOTH
+
+    rows = SPECS["feature_target_encoding"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        expect = (r.n * r.cat_mean + TARGET_ENC_SMOOTH * r.global_mean) / (
+            r.n + TARGET_ENC_SMOOTH
+        )
+        assert r.encoded == pytest.approx(expect, abs=2e-4)
+        # the encoding lies strictly between the category and global
+        # means (shrinkage), unless they coincide
+        lo, hi = sorted((r.cat_mean, r.global_mean))
+        assert lo - 1e-6 <= r.encoded <= hi + 1e-6
