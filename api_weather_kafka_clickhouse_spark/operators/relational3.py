@@ -887,10 +887,15 @@ def fuzzy_match_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..plans.stage import eager_release
+
     o = load(spark, "orders", sf_dir)
+    # persisted: the customer-sized cohort table feeds the size
+    # aggregate AND the fact join — unstaged, Catalyst re-derives it
+    # from a second (third total) scan of the fact table
     first = o.groupBy("o_custkey").agg(
         F.min(F.trunc("o_orderdate", "month")).alias("cohort")
-    )
+    ).persist()
     sz = first.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
     month_idx = (
         (F.year("o_orderdate") - F.year("cohort")) * 12
@@ -907,7 +912,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("cohort").orderBy("month_idx")
     cum = rev.withColumn("cum_revenue", F.sum("revenue").over(w).cast("decimal(38,2)"))
-    return cum.join(F.broadcast(sz), "cohort").select(
+    out = cum.join(F.broadcast(sz), "cohort").select(
         "cohort",
         "month_idx",
         "cohort_size",
@@ -917,3 +922,4 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_customer"
         ),
     )
+    return eager_release(out, "cohort_ltv", first)
