@@ -923,3 +923,38 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return eager_release(out, "cohort_ltv", first)
+
+
+@register(
+    "scalar_bits",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey << 3 AS BIGINT)      AS shl3,
+           CAST(o_orderkey >> 2 AS BIGINT)      AS shr2,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           CAST(xor(o_orderkey, 255) AS BIGINT)  AS xor255,
+           CAST(o_orderkey & 255 AS BIGINT)      AS and255,
+           CAST(o_orderkey | 4096 AS BIGINT)     AS or4096,
+           CAST(~o_orderkey AS BIGINT)           AS flipped
+    FROM orders
+    """,
+    doc="Bit-manipulation scalar battery (§2-E: shifts, popcount, "
+    "xor/and/or/not) — the per-row primitives underneath the engine's "
+    "own SimHash hamming bands, Bloom probes, Morton interleaving, "
+    "and PQ packing, exposed as queryable scalars. Pure codegen; "
+    "exact int64 semantics agree across engines including popcount "
+    "on 0 and two's-complement NOT.",
+)
+def scalar_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 3).cast("bigint").alias("shl3"),
+        F.shiftright(k, 2).cast("bigint").alias("shr2"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+        k.bitwiseXOR(F.lit(255)).cast("bigint").alias("xor255"),
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("and255"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("or4096"),
+        F.bitwise_not(k).cast("bigint").alias("flipped"),
+    )
