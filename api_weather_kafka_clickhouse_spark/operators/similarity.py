@@ -747,3 +747,138 @@ def embedding_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nbr_full") == F.col("nbr_trunc")).alias("agree"),
     )
     return eager_release(out, "truncate_recall", scored)
+
+
+# Hybrid retrieval: Reciprocal Rank Fusion of the lexical (BM25) and
+# vector (cosine) rankings. RRF_K is the standard 60.
+RRF_K = 60
+RRF_TERM = "merge"
+RRF_QUERY_VEC = 0
+RRF_TOP = 20
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dlen FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dlen) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT d.doc_id,
+             CAST(len(list_filter(d.t, x -> x = '{RRF_TERM}')) AS BIGINT) AS tf
+      FROM d
+    ),
+    df AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tf WHERE tf > 0),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY
+               round(ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen
+                  / (CAST(s.total_len AS DOUBLE) / s.n_docs))), 6)
+               DESC, doc_id) AS rank_lex
+      FROM tf JOIN dl USING (doc_id), stats s, df
+      WHERE tf.tf > 0
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    vec AS (
+      SELECT c.vec_id AS doc_id,
+             row_number() OVER (ORDER BY
+               round(list_cosine_similarity(q.emb, c.emb), 6) DESC, c.vec_id)
+               AS rank_vec
+      FROM v q JOIN v c ON q.vec_id = {RRF_QUERY_VEC} AND c.vec_id <> {RRF_QUERY_VEC}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, ve.doc_id) AS doc_id, l.rank_lex, ve.rank_vec,
+             round(coalesce(1.0 / ({RRF_K} + l.rank_lex), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + ve.rank_vec), 0.0), 9) AS rrf
+      FROM lex l FULL OUTER JOIN vec ve ON l.doc_id = ve.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf, fused_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RRF_TOP}
+    """,
+    doc="Hybrid retrieval by Reciprocal Rank Fusion (k="
+    f"{RRF_K}): the BM25 lexical ranking for '{RRF_TERM}' and the "
+    "exact-cosine vector ranking for a query embedding are fused as "
+    "sum(1/(k+rank)) over a FULL OUTER join of the two lists — the "
+    "production pattern for combining keyword and semantic search "
+    "(text_bm25_topk and sim_topk_bruteforce are the halves; this is "
+    "the fusion operator both feed, rank-based so no score "
+    "calibration between the two systems is ever needed). Both input "
+    "rankings order by ROUNDED scores with id tiebreaks (the sim_* "
+    "determinism convention); RRF itself is integer-rank arithmetic "
+    "in one identical expression tree. The fused table is "
+    "candidate-list sized — at 100 TB each ranking is its family's "
+    "posting/probe pipeline and the fusion is a tiny join of top-N "
+    "lists.",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import BM25_B, BM25_K1
+    from ..functions.text import tokens
+
+    d = load(spark, "documents", sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    tfd = toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("dlen"),
+        F.size(F.filter(F.col("t"), lambda x: x == F.lit(RRF_TERM)))
+        .cast("bigint")
+        .alias("tf"),
+    ).persist()
+    stats = tfd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dlen").cast("bigint").alias("total_len"),
+    )
+    postings = tfd.filter(F.col("tf") > 0)
+    dfc = postings.agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1))
+        / (F.col("tf") + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dlen") / avgdl)),
+        6,
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        postings.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfc))
+        .withColumn("bm25", score)
+        .select("doc_id", F.row_number().over(wl).alias("rank_lex"))
+    )
+    e = load(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"), to_double("embedding").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        to_double("embedding").alias("q_emb")
+    )
+    wv = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vec = (
+        corpus.crossJoin(F.broadcast(qv))
+        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("emb")), 6))
+        .select("doc_id", F.row_number().over(wv).alias("rank_vec"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    out = (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select("doc_id", "rank_lex", "rank_vec", "rrf", "fused_rank")
+    )
+    from ..plans.stage import eager_release
+
+    return eager_release(out, "hybrid_rrf", tfd)

@@ -748,3 +748,60 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded"),
     )
+
+
+@register(
+    "events_gini_concentration",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    rk AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM u
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n) AS BIGINT) AS total
+      FROM u
+    )
+    SELECT t.n_users, t.total,
+           round(CAST(sum((2 * rk.i - t.n_users - 1) * rk.n) AS DOUBLE)
+                 / (CAST(t.n_users AS DOUBLE) * t.total), 6) AS gini
+    FROM rk, tot t GROUP BY t.n_users, t.total
+    """,
+    doc="Gini coefficient of activity concentration (how unequal is "
+    "usage across users — the one-number answer to 'do 1% of users "
+    "generate 90% of events', the summary statistic of the curve "
+    "pareto_revenue_share tabulates). Computed by the sorted-index "
+    "identity G = sum((2i-n-1)·x_i) / (n·sum x): the rank window "
+    "runs over the USER-sized count table with a (count, user_id) "
+    "total order, every term is an exact bigint, and one final "
+    "division produces the coefficient — hash-stable by "
+    "construction. At 100 TB the corpus pays one map-side-combined "
+    "count per user; the single-partition rank sort is entity-sized, "
+    "and for billion-user tables the same identity runs on a "
+    "bucketed histogram of counts instead (the "
+    "quality_quantile_normalize trick).",
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = u.select("n", "user_id").withColumn(
+        "i", F.row_number().over(Window.orderBy("n", "user_id"))
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    return (
+        rk.crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "total")
+        .agg(
+            F.round(
+                F.sum((2 * F.col("i") - F.col("n_users") - 1) * F.col("n")).cast("double")
+                / (F.col("n_users").cast("double") * F.col("total")),
+                6,
+            ).alias("gini")
+        )
+    )

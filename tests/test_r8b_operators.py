@@ -631,3 +631,50 @@ def test_target_encoding_shrinks_toward_global(spark, sf_dir):
         # means (shrinkage), unless they coincide
         lo, hi = sorted((r.cat_mean, r.global_mean))
         assert lo - 1e-6 <= r.encoded <= hi + 1e-6
+
+
+# ----------------------------------------------------- sim_hybrid_rrf
+
+
+def test_rrf_fusion_identities(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        RRF_K,
+        RRF_TOP,
+    )
+
+    rows = SPECS["sim_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOP
+    for r in rows:
+        expect = 0.0
+        if r.rank_lex is not None:
+            expect += 1.0 / (RRF_K + r.rank_lex)
+        if r.rank_vec is not None:
+            expect += 1.0 / (RRF_K + r.rank_vec)
+        assert r.rrf == pytest.approx(expect, abs=1e-9)
+        assert r.rank_lex is not None or r.rank_vec is not None
+    # fused order is rrf-descending with doc_id tiebreak
+    key = [(-r.rrf, r.doc_id) for r in sorted(rows, key=lambda r: r.fused_rank)]
+    assert key == sorted(key)
+    # a doc ranked top by BOTH systems must beat a doc in only one
+    both = [r for r in rows if r.rank_lex is not None and r.rank_vec is not None]
+    assert both, "fusion should surface docs present in both rankings"
+
+
+# ------------------------------------------- events_gini_concentration
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    [r] = SPECS["events_gini_concentration"].fn(spark, sf_dir).collect()
+    counts = sorted(
+        c.n
+        for c in load(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = len(counts)
+    total = sum(counts)
+    expect = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(counts)) / (n * total)
+    assert r.n_users == n and r.total == total
+    assert r.gini == pytest.approx(expect, abs=1e-6)
+    assert 0.0 <= r.gini < 1.0
