@@ -805,3 +805,108 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini")
         )
     )
+
+
+@register(
+    "time_changepoint_binary",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    k AS (
+      SELECT h, n, row_number() OVER (ORDER BY h) AS i FROM b
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS ss
+      FROM k
+    ),
+    pre AS (
+      SELECT h, i,
+             CAST(sum(n) OVER w AS BIGINT) AS s_l,
+             CAST(sum(n * n) OVER w AS BIGINT) AS ss_l
+      FROM k
+      WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cand AS (
+      SELECT pre.h, pre.i, t.m - pre.i AS n_r, pre.i AS n_l,
+             (pre.ss_l - CAST(pre.s_l AS DOUBLE) * pre.s_l / pre.i)
+             + ((t.ss - pre.ss_l)
+                - CAST(t.s - pre.s_l AS DOUBLE) * (t.s - pre.s_l) / (t.m - pre.i))
+               AS sse,
+             CAST(pre.s_l AS DOUBLE) / pre.i AS mean_l,
+             CAST(t.s - pre.s_l AS DOUBLE) / (t.m - pre.i) AS mean_r
+      FROM pre, tot t
+      WHERE pre.i < t.m
+    )
+    SELECT h AS split_after, n_l, n_r,
+           round(mean_l, 6) AS mean_l, round(mean_r, 6) AS mean_r,
+           round(sse, 6) AS sse
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY sse, i) AS rk FROM cand
+    ) WHERE rk = 1
+    """,
+    doc="Binary changepoint detection on the hourly event-volume "
+    "series: the split minimizing total within-segment SSE — the "
+    "classic 'when did the level shift' question (one round of binary "
+    "segmentation; iterating on each side is the full algorithm, and "
+    "the single audited round is the hash-checkable unit, the "
+    "fixed-round convention of graph_walk_diffusion/LPA). Every "
+    "candidate split's SSE comes from EXACT integer prefix sums "
+    "(sum, sum-of-squares) via the computational identity "
+    "SSE = ss - s^2/n — one window pass builds all candidates, no "
+    "per-split rescan, and the only float ops are two divisions per "
+    "candidate in an identical expression tree, so the argmin (with "
+    "an index tiebreak) is engine-stable. Cost shape: one "
+    "map-side-combined aggregate over the corpus; everything after "
+    "runs on the calendar-sized bucket table.",
+)
+def time_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    k = b.withColumn("i", F.row_number().over(Window.orderBy("h")))
+    tot = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = k.select(
+        "h",
+        "i",
+        F.sum("n").over(w).cast("bigint").alias("s_l"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("ss_l"),
+    )
+    c = pre.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("m"))
+    n_l = F.col("i")
+    n_r = F.col("m") - F.col("i")
+    s_r = F.col("s") - F.col("s_l")
+    sse = (
+        F.col("ss_l") - F.col("s_l").cast("double") * F.col("s_l") / n_l
+    ) + ((F.col("ss") - F.col("ss_l")) - s_r.cast("double") * s_r / n_r)
+    cand = c.select(
+        "h",
+        "i",
+        n_l.alias("n_l"),
+        n_r.alias("n_r"),
+        sse.alias("sse"),
+        (F.col("s_l").cast("double") / n_l).alias("mean_l"),
+        (s_r.cast("double") / n_r).alias("mean_r"),
+    )
+    wr = Window.orderBy("sse", "i")
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("h").alias("split_after"),
+            "n_l",
+            "n_r",
+            F.round("mean_l", 6).alias("mean_l"),
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("sse", 6).alias("sse"),
+        )
+    )

@@ -678,3 +678,33 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
     assert r.n_users == n and r.total == total
     assert r.gini == pytest.approx(expect, abs=1e-6)
     assert 0.0 <= r.gini < 1.0
+
+
+# ---------------------------------------------- time_changepoint_binary
+
+
+def test_changepoint_minimizes_sse(spark, sf_dir):
+    [r] = SPECS["time_changepoint_binary"].fn(spark, sf_dir).collect()
+    counts = [
+        b.n
+        for b in load(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("h")
+        .collect()
+    ]
+    m = len(counts)
+
+    def sse(xs):
+        if not xs:
+            return 0.0
+        mu = sum(xs) / len(xs)
+        return sum((x - mu) ** 2 for x in xs)
+
+    best = min(
+        (sse(counts[:i]) + sse(counts[i:]), i) for i in range(1, m)
+    )
+    assert r.n_l == best[1] and r.n_r == m - best[1]
+    assert r.sse == pytest.approx(best[0], rel=1e-9)
+    assert r.mean_l == pytest.approx(sum(counts[: r.n_l]) / r.n_l, abs=1e-5)
+    assert r.mean_r == pytest.approx(sum(counts[r.n_l :]) / r.n_r, abs=1e-5)
