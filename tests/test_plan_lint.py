@@ -33,6 +33,11 @@ NESTED_LOOP_SANCTIONED = {
     "join_cross_small": 1,
     # KS statistic: broadcast build = the per-group count row (2 rows)
     "stats_ks_test": 1,
+    # RRF's vector half: the single query embedding (vec_id = const,
+    # 1 row by data) broadcasts against the corpus — same shape as
+    # sim_topk_bruteforce but the build is a filter, not an aggregate,
+    # so the keys=[] exemption cannot see it
+    "sim_hybrid_rrf": 1,
     # all-pairs baseline on the 25-row nation dim — fuzzy_match_blocked
     # is its scale twin and equi-joins on the band key (plan-asserted
     # in test_plans.py)
