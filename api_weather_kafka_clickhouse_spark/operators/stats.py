@@ -910,3 +910,107 @@ def time_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sse", 6).alias("sse"),
         )
     )
+
+
+# One-way ANOVA across the 7 ISO weekdays. Large-df F critical value
+# at alpha = 0.05 for df1 = 6 (the weekday contrast): F(6, inf).
+ANOVA_F_CRIT = 2.0986
+
+
+def _anova_terms(engine: str) -> str:
+    """The SSB partial Σ s_g²/n_g as SEVEN EXPLICIT fixed-order
+    addends (one per ISO weekday): a SQL SUM() over the group rows
+    would accumulate the seven float terms in engine-specific order
+    (the forbidden float-sum), while an explicit a+b+...+g expression
+    tree is IEEE-identical on both engines."""
+    cols = [f"(CAST(s{d} AS DOUBLE) * s{d} / n{d})" for d in range(1, 8)]
+    return " + ".join(cols)
+
+
+@register(
+    "stats_anova_weekday",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT CAST(isodow(h) AS BIGINT) AS dow, n FROM b),
+    p AS (
+      SELECT
+        {", ".join(f'''CAST(sum(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS BIGINT) AS n{d},
+        CAST(sum(CASE WHEN dow = {d} THEN n ELSE 0 END) AS BIGINT) AS s{d}''' for d in range(1, 8))},
+        CAST(count(*) AS BIGINT) AS big_n,
+        CAST(sum(n) AS BIGINT) AS s,
+        CAST(sum(n * n) AS BIGINT) AS ss
+      FROM d
+    )
+    SELECT big_n, CAST(7 AS BIGINT) AS k,
+           round(({_anova_terms('sql')}) - CAST(s AS DOUBLE) * s / big_n, 6) AS ssb,
+           round((ss - CAST(s AS DOUBLE) * s / big_n)
+                 - (({_anova_terms('sql')}) - CAST(s AS DOUBLE) * s / big_n), 6) AS ssw,
+           round(((({_anova_terms('sql')}) - CAST(s AS DOUBLE) * s / big_n) / 6)
+                 / (((ss - CAST(s AS DOUBLE) * s / big_n)
+                     - (({_anova_terms('sql')}) - CAST(s AS DOUBLE) * s / big_n))
+                    / (big_n - 7)), 6) AS f_stat,
+           (((({_anova_terms('sql')}) - CAST(s AS DOUBLE) * s / big_n) / 6)
+            / (((ss - CAST(s AS DOUBLE) * s / big_n)
+                - (({_anova_terms('sql')}) - CAST(s AS DOUBLE) * s / big_n))
+               / (big_n - 7)) > {ANOVA_F_CRIT}) AS reject_h0
+    FROM p
+    """,
+    doc="One-way ANOVA: does the ISO weekday explain hourly event "
+    "volume (F = between-group over within-group mean square) — "
+    "completing the statistical battery beside KS (distributions), "
+    "Welch (two means), chi-square (categorical), the A/B z "
+    "(proportions), and Wilson (rates) with the k-group mean "
+    "comparison. Float-determinism: SSB needs Σ s_g²/n_g, and a "
+    "SUM() over the 7 group rows would accumulate floats in "
+    "engine-specific order — instead the weekday groups PIVOT into "
+    "one row via exact conditional bigint aggregates and the seven "
+    "terms add in one explicit fixed-order expression tree, "
+    "IEEE-identical on both engines. The corpus pays one hour-bucket "
+    "aggregate; everything else is arithmetic on one row. The "
+    "rejection flag uses the large-df F(6, inf) critical value at "
+    "alpha = 0.05 (df2 = 713 here; exact-df critical values differ "
+    "in the third decimal).",
+)
+def stats_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.clickhouse import toDayOfWeek
+
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    d = b.select(toDayOfWeek("h").cast("bigint").alias("dow"), "n")
+    aggs = []
+    for k in range(1, 8):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == k, 1).otherwise(0)).cast("bigint").alias(f"n{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("dow") == k, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{k}")
+        )
+    p = d.agg(
+        *aggs,
+        F.count(F.lit(1)).cast("bigint").alias("big_n"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+    )
+    terms = None
+    for k in range(1, 8):
+        t = F.col(f"s{k}").cast("double") * F.col(f"s{k}") / F.col(f"n{k}")
+        terms = t if terms is None else terms + t
+    correction = F.col("s").cast("double") * F.col("s") / F.col("big_n")
+    ssb = terms - correction
+    ssw = (F.col("ss") - correction) - ssb
+    f_stat = (ssb / 6) / (ssw / (F.col("big_n") - 7))
+    return p.select(
+        "big_n",
+        F.lit(7).cast("bigint").alias("k"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > ANOVA_F_CRIT).alias("reject_h0"),
+    )

@@ -708,3 +708,31 @@ def test_changepoint_minimizes_sse(spark, sf_dir):
     assert r.sse == pytest.approx(best[0], rel=1e-9)
     assert r.mean_l == pytest.approx(sum(counts[: r.n_l]) / r.n_l, abs=1e-5)
     assert r.mean_r == pytest.approx(sum(counts[r.n_l :]) / r.n_r, abs=1e-5)
+
+
+# ------------------------------------------------- stats_anova_weekday
+
+
+def test_anova_matches_textbook_computation(spark, sf_dir):
+    from collections import defaultdict
+
+    [r] = SPECS["stats_anova_weekday"].fn(spark, sf_dir).collect()
+    buckets = (
+        load(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    groups = defaultdict(list)
+    for b in buckets:
+        groups[b.h.isoweekday()].append(b.n)
+    all_v = [v for g in groups.values() for v in g]
+    grand = sum(all_v) / len(all_v)
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw = sum((v - sum(g) / len(g)) ** 2 for g in groups.values() for v in g)
+    f = (ssb / (len(groups) - 1)) / (ssw / (len(all_v) - len(groups)))
+    assert r.big_n == len(all_v) and r.k == 7
+    assert r.ssb == pytest.approx(ssb, rel=1e-6)
+    assert r.ssw == pytest.approx(ssw, rel=1e-6)
+    assert r.f_stat == pytest.approx(f, rel=1e-6)
+    assert r.reject_h0 == (f > 2.0986)
