@@ -1745,3 +1745,61 @@ def decontaminate_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("longest_run"),
         (F.max("run_len") + (DECONTAM_NGRAM - 1)).cast("bigint").alias("longest_span_tokens"),
     )
+
+
+# Keyword-in-context window: tokens of context on each side.
+KWIC_TERM = "merge"
+KWIC_CTX = 3
+
+
+@register(
+    "text_kwic",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    hits AS (
+      SELECT doc_id, t, u.i AS pos
+      FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[u.i] = '{KWIC_TERM}'
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           coalesce(array_to_string(t[greatest(pos - {KWIC_CTX}, 1):pos - 1], ' '),
+                    '') AS left_ctx,
+           coalesce(array_to_string(t[pos + 1:least(pos + {KWIC_CTX}, len(t))], ' '),
+                    '') AS right_ctx,
+           array_to_string(
+             t[greatest(pos - {KWIC_CTX}, 1):least(pos + {KWIC_CTX}, len(t))], ' ')
+             AS snippet
+    FROM hits
+    """,
+    doc="Keyword-in-context extraction: every occurrence of the query "
+    f"term with {KWIC_CTX} tokens of context on each side — the "
+    "snippet/concordance primitive a search result page (or a "
+    "corpus-linguistics audit of how a term is used) renders after "
+    "text_bm25_topk ranks the documents. Pure codegen: one "
+    "posexplode finds occurrence positions, context windows are "
+    "dynamic array slices (greatest/least clamp at the document "
+    "edges — boundary occurrences emit short or empty contexts "
+    "identically on both engines), no shuffle at all until the "
+    "driver collects. At 100 TB this runs as a scan-speed map over "
+    "the BM25 candidates only, never the corpus.",
+)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    t = d.select("doc_id", tokens("text").alias("t"))
+    hits = (
+        t.select("doc_id", "t", F.posexplode("t").alias("p0", "tok"))
+        .filter(F.col("tok") == KWIC_TERM)
+        .select("doc_id", "t", (F.col("p0") + 1).alias("pos"))
+    )
+    n = F.size("t")
+    l_start = F.greatest(F.col("pos") - KWIC_CTX, F.lit(1))
+    r_end = F.least(F.col("pos") + KWIC_CTX, n)
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.array_join(F.slice("t", l_start, F.col("pos") - l_start), " ").alias("left_ctx"),
+        F.array_join(F.slice("t", F.col("pos") + 1, r_end - F.col("pos")), " ").alias(
+            "right_ctx"
+        ),
+        F.array_join(F.slice("t", l_start, r_end - l_start + 1), " ").alias("snippet"),
+    )

@@ -736,3 +736,31 @@ def test_anova_matches_textbook_computation(spark, sf_dir):
     assert r.ssw == pytest.approx(ssw, rel=1e-6)
     assert r.f_stat == pytest.approx(f, rel=1e-6)
     assert r.reject_h0 == (f > 2.0986)
+
+
+# --------------------------------------------------------- text_kwic
+
+
+def test_kwic_python_replica(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        KWIC_CTX,
+        KWIC_TERM,
+    )
+
+    rows = {(r.doc_id, r.pos): r for r in SPECS["text_kwic"].fn(spark, sf_dir).collect()}
+    expect = {}
+    for d in load(spark, "documents", sf_dir).select("doc_id", "text").collect():
+        t = d.text.split(" ")
+        for i, tok in enumerate(t, start=1):
+            if tok == KWIC_TERM:
+                lo, hi = max(i - KWIC_CTX, 1), min(i + KWIC_CTX, len(t))
+                expect[(d.doc_id, i)] = (
+                    " ".join(t[lo - 1 : i - 1]),
+                    " ".join(t[i:hi]),
+                    " ".join(t[lo - 1 : hi]),
+                )
+    assert {
+        k: (v.left_ctx, v.right_ctx, v.snippet) for k, v in rows.items()
+    } == expect
+    # boundary occurrences exist and emit short (possibly empty) sides
+    assert any(v.left_ctx == "" or v.right_ctx == "" for v in rows.values())
