@@ -882,3 +882,59 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stage import eager_release
 
     return eager_release(out, "hybrid_rrf", tfd)
+
+
+# Pairwise-cosine geometry histogram over a deterministic id-bounded
+# sample of the corpus (all pairs among the first COS_HIST_IDS ids).
+COS_HIST_IDS = 100
+COS_HIST_BIN = 0.05
+
+
+@register(
+    "embedding_cosine_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < {COS_HIST_IDS}
+    ),
+    p AS (
+      SELECT round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cos / {COS_HIST_BIN}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(cos), 6) AS lo,
+           round(max(cos), 6) AS hi
+    FROM p GROUP BY 1
+    """,
+    doc="Embedding-geometry diagnostic: the distribution of pairwise "
+    f"cosines over a deterministic sample (all pairs among vec_id < "
+    f"{COS_HIST_IDS}), binned at {COS_HIST_BIN} — the measurement "
+    "that EXPLAINS the similarity family's recall numbers before "
+    "anyone tunes an index: on this corpus the mass sits near 0 with "
+    "thin tails (isotropic random vectors), which is exactly why SRP "
+    "bands operate at ~0.75 recall and IVF label cells at ~0.5 — "
+    "there is no cluster structure to exploit, and a real embedding "
+    "corpus shows a bimodal histogram instead. The id bound makes "
+    "the O(k^2) pair sample deterministic and scale-independent "
+    "(same ids at every SF); cosines round before binning so the bin "
+    "edge can never flip cross-engine; bins aggregate "
+    "map-side-combined.",
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    v = e.filter(F.col("vec_id") < COS_HIST_IDS).select(
+        "vec_id", to_double("embedding").alias("emb")
+    )
+    a = v.select(F.col("vec_id").alias("ida"), F.col("emb").alias("ea"))
+    b = v.select(F.col("vec_id").alias("idb"), F.col("emb").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos") / COS_HIST_BIN).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("cos"), 6).alias("lo"),
+        F.round(F.max("cos"), 6).alias("hi"),
+    )

@@ -764,3 +764,26 @@ def test_kwic_python_replica(spark, sf_dir):
     } == expect
     # boundary occurrences exist and emit short (possibly empty) sides
     assert any(v.left_ctx == "" or v.right_ctx == "" for v in rows.values())
+
+
+# ---------------------------------------- embedding_cosine_histogram
+
+
+def test_cosine_histogram_partitions_all_pairs(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        COS_HIST_BIN,
+        COS_HIST_IDS,
+    )
+
+    rows = SPECS["embedding_cosine_histogram"].fn(spark, sf_dir).collect()
+    k = (
+        load(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < COS_HIST_IDS)
+        .count()
+    )
+    assert sum(r.n for r in rows) == k * (k - 1) // 2  # all pairs, once
+    for r in rows:
+        assert r.bin * COS_HIST_BIN - 1e-9 <= r.lo <= r.hi < (r.bin + 1) * COS_HIST_BIN + 1e-9
+    # isotropic corpus: the modal bin straddles cosine 0
+    modal = max(rows, key=lambda r: r.n)
+    assert modal.bin in (-1, 0)
