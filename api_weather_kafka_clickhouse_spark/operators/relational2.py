@@ -935,3 +935,92 @@ def time_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mom_growth"),
     ).orderBy("month")
+
+
+@register(
+    "time_forecast_backtest_naive",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    k AS (
+      SELECT n,
+             lag(n, 1)  OVER (ORDER BY h) AS f1,
+             lag(n, 24) OVER (ORDER BY h) AS f24
+      FROM b
+    ),
+    agg AS (
+      SELECT
+        CAST(count(f1) AS BIGINT) AS n_evals1,
+        CAST(sum(CASE WHEN f1 IS NULL THEN 0 ELSE abs(n - f1) END) AS BIGINT) AS ae1,
+        CAST(sum(CASE WHEN f1 IS NULL THEN 0 ELSE (n - f1) * (n - f1) END) AS BIGINT) AS se1,
+        CAST(sum(CASE WHEN f1 IS NULL THEN 0 ELSE n - f1 END) AS BIGINT) AS d1,
+        CAST(count(f24) AS BIGINT) AS n_evals24,
+        CAST(sum(CASE WHEN f24 IS NULL THEN 0 ELSE abs(n - f24) END) AS BIGINT) AS ae24,
+        CAST(sum(CASE WHEN f24 IS NULL THEN 0 ELSE (n - f24) * (n - f24) END) AS BIGINT) AS se24,
+        CAST(sum(CASE WHEN f24 IS NULL THEN 0 ELSE n - f24 END) AS BIGINT) AS d24
+      FROM k
+    )
+    SELECT n_evals1,
+           round(CAST(ae1 AS DOUBLE) / n_evals1, 6) AS mae_persistence,
+           round(sqrt(CAST(se1 AS DOUBLE) / n_evals1), 6) AS rmse_persistence,
+           round(CAST(d1 AS DOUBLE) / n_evals1, 6) AS bias_persistence,
+           n_evals24,
+           round(CAST(ae24 AS DOUBLE) / n_evals24, 6) AS mae_seasonal,
+           round(sqrt(CAST(se24 AS DOUBLE) / n_evals24), 6) AS rmse_seasonal,
+           round(CAST(d24 AS DOUBLE) / n_evals24, 6) AS bias_seasonal
+    FROM agg
+    """,
+    doc="Forecast backtest of the two baselines every forecasting "
+    "project must beat: persistence (next hour = this hour, lag 1) "
+    "and seasonal naive (next hour = same hour yesterday, lag 24), "
+    "scored in-sample with MAE / RMSE / bias over the hourly volume "
+    "series — the evaluation harness that turns "
+    "time_seasonal_decompose's structure into a falsifiable claim "
+    "(seasonal-naive beating persistence IS the evidence of daily "
+    "seasonality). Every error term is an exact bigint (integer "
+    "counts minus integer lags, absolute and squared sums commute), "
+    "so the only float ops are three divisions and one sqrt per "
+    "forecaster — IEEE-exact. One corpus aggregate; the lag windows "
+    "run on the calendar-sized bucket table.",
+)
+def time_forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("h")
+    k = b.select(
+        "n",
+        F.lag("n", 1).over(w).alias("f1"),
+        F.lag("n", 24).over(w).alias("f24"),
+    )
+
+    def err_aggs(f: str, tag: str):
+        d = F.col("n") - F.col(f)
+        present = F.col(f).isNotNull()
+        return [
+            F.count(F.col(f)).cast("bigint").alias(f"n_evals{tag}"),
+            F.sum(F.when(present, F.abs(d)).otherwise(0)).cast("bigint").alias(f"ae{tag}"),
+            F.sum(F.when(present, d * d).otherwise(0)).cast("bigint").alias(f"se{tag}"),
+            F.sum(F.when(present, d).otherwise(0)).cast("bigint").alias(f"d{tag}"),
+        ]
+
+    agg = k.agg(*err_aggs("f1", "1"), *err_aggs("f24", "24"))
+    return agg.select(
+        F.col("n_evals1"),
+        F.round(F.col("ae1").cast("double") / F.col("n_evals1"), 6).alias("mae_persistence"),
+        F.round(F.sqrt(F.col("se1").cast("double") / F.col("n_evals1")), 6).alias(
+            "rmse_persistence"
+        ),
+        F.round(F.col("d1").cast("double") / F.col("n_evals1"), 6).alias("bias_persistence"),
+        F.col("n_evals24"),
+        F.round(F.col("ae24").cast("double") / F.col("n_evals24"), 6).alias("mae_seasonal"),
+        F.round(F.sqrt(F.col("se24").cast("double") / F.col("n_evals24")), 6).alias(
+            "rmse_seasonal"
+        ),
+        F.round(F.col("d24").cast("double") / F.col("n_evals24"), 6).alias("bias_seasonal"),
+    )

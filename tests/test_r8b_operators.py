@@ -787,3 +787,40 @@ def test_cosine_histogram_partitions_all_pairs(spark, sf_dir):
     # isotropic corpus: the modal bin straddles cosine 0
     modal = max(rows, key=lambda r: r.n)
     assert modal.bin in (-1, 0)
+
+
+# ------------------------------------------ time_forecast_backtest_naive
+
+
+def test_forecast_backtest_python_replica(spark, sf_dir):
+    import math
+
+    [r] = SPECS["time_forecast_backtest_naive"].fn(spark, sf_dir).collect()
+    counts = [
+        b.n
+        for b in load(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("h")
+        .collect()
+    ]
+
+    def metrics(lag):
+        errs = [counts[i] - counts[i - lag] for i in range(lag, len(counts))]
+        n = len(errs)
+        return (
+            n,
+            sum(abs(e) for e in errs) / n,
+            math.sqrt(sum(e * e for e in errs) / n),
+            sum(errs) / n,
+        )
+
+    n1, mae1, rmse1, bias1 = metrics(1)
+    n24, mae24, rmse24, bias24 = metrics(24)
+    assert (r.n_evals1, r.n_evals24) == (n1, n24)
+    assert r.mae_persistence == pytest.approx(mae1, abs=1e-6)
+    assert r.rmse_persistence == pytest.approx(rmse1, abs=1e-6)
+    assert r.bias_persistence == pytest.approx(bias1, abs=1e-6)
+    assert r.mae_seasonal == pytest.approx(mae24, abs=1e-6)
+    assert r.rmse_seasonal == pytest.approx(rmse24, abs=1e-6)
+    assert r.bias_seasonal == pytest.approx(bias24, abs=1e-6)
