@@ -1024,3 +1024,81 @@ def time_forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("d24").cast("double") / F.col("n_evals24"), 6).alias("bias_seasonal"),
     )
+
+
+# Peak threshold: n must exceed 1.5x the global hourly mean, tested
+# as the exact integer cross-product n*m*2 > s*3 (never a float mean).
+PEAK_NUM, PEAK_DEN = 3, 2
+
+
+@register(
+    "time_peak_detection",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(n) AS BIGINT) AS s FROM b),
+    k AS (
+      SELECT h, n,
+             lag(n)  OVER (ORDER BY h) AS n_prev,
+             lead(n) OVER (ORDER BY h) AS n_next
+      FROM b
+    )
+    SELECT k.h, k.n, k.n_prev, k.n_next,
+           round(CAST(k.n * t.m AS DOUBLE) / t.s, 6) AS rel_to_mean
+    FROM k, t
+    WHERE k.n_prev IS NOT NULL AND k.n_next IS NOT NULL
+      AND k.n > k.n_prev AND k.n > k.n_next
+      AND k.n * t.m * {PEAK_DEN} > t.s * {PEAK_NUM}
+    """,
+    doc="Spike/peak detection on the hourly volume series: strict "
+    "local maxima (greater than BOTH neighbors) that also clear "
+    f"{PEAK_NUM}/{PEAK_DEN}x the global hourly mean — the alert-"
+    "worthy-burst list, complementing events_anomaly_zscore "
+    "(per-event outliers) and time_changepoint_binary (level "
+    "shifts) with the transient-spike shape. The threshold test is "
+    "the exact integer cross-product n*m*2 > s*3, so no float mean "
+    "ever enters a predicate (a borderline hour can never flip "
+    "between engines); the reported rel_to_mean ratio is one final "
+    "display division. Lag/lead run on the calendar-sized bucket "
+    "table; series edges are excluded explicitly (NULL neighbors), "
+    "not silently treated as peaks.",
+)
+def time_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("h")
+    k = b.select(
+        "h",
+        "n",
+        F.lag("n").over(w).alias("n_prev"),
+        F.lead("n").over(w).alias("n_next"),
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("n_prev").isNotNull()
+            & F.col("n_next").isNotNull()
+            & (F.col("n") > F.col("n_prev"))
+            & (F.col("n") > F.col("n_next"))
+            & (F.col("n") * F.col("m") * PEAK_DEN > F.col("s") * PEAK_NUM)
+        )
+        .select(
+            "h",
+            "n",
+            "n_prev",
+            "n_next",
+            F.round((F.col("n") * F.col("m")).cast("double") / F.col("s"), 6).alias(
+                "rel_to_mean"
+            ),
+        )
+    )

@@ -824,3 +824,27 @@ def test_forecast_backtest_python_replica(spark, sf_dir):
     assert r.mae_seasonal == pytest.approx(mae24, abs=1e-6)
     assert r.rmse_seasonal == pytest.approx(rmse24, abs=1e-6)
     assert r.bias_seasonal == pytest.approx(bias24, abs=1e-6)
+
+
+# ------------------------------------------------- time_peak_detection
+
+
+def test_peak_detection_python_replica(spark, sf_dir):
+    rows = {r.h: r for r in SPECS["time_peak_detection"].fn(spark, sf_dir).collect()}
+    buckets = (
+        load(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("h")
+        .collect()
+    )
+    ns = [b.n for b in buckets]
+    m, s = len(ns), sum(ns)
+    expect = {}
+    for i in range(1, m - 1):
+        if ns[i] > ns[i - 1] and ns[i] > ns[i + 1] and ns[i] * m * 2 > s * 3:
+            expect[buckets[i].h] = (ns[i], ns[i - 1], ns[i + 1])
+    assert {h: (r.n, r.n_prev, r.n_next) for h, r in rows.items()} == expect
+    for r in rows.values():
+        assert r.rel_to_mean == pytest.approx(r.n * m / s, abs=1e-6)
+        assert r.rel_to_mean > 1.5
