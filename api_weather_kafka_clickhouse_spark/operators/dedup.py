@@ -567,9 +567,10 @@ def simhash_md5_signatures(docs: DataFrame) -> DataFrame:
     return g.select("doc_id", _pack("lo").alias("sim_lo"), _pack("hi").alias("sim_hi"))
 
 
-def _simhash_oracle() -> str:
-    """The DuckDB twin of simhash_md5_signatures + banding, generated
-    from the same constants so the engines cannot drift."""
+def _simhash_bands_cte() -> str:
+    """The shared WITH...bands prefix of every simhash oracle
+    (signatures + banding mirrored from the same constants), so the
+    pair oracle and the occupancy oracle can never drift apart."""
     sums = []
     for half, name in (("h1", "lo"), ("h2", "hi")):
         for k in range(32):
@@ -583,7 +584,6 @@ def _simhash_oracle() -> str:
         )
         for name in ("lo", "hi")
     }
-    ham = "bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi))"
     duck_shr = lambda c, s: f"({c} >> {s})"  # noqa: E731
     band_cases = " ".join(
         f"WHEN {i} THEN {_simhash_band_key('sim_lo', 'sim_hi', st, w, duck_shr)}"
@@ -619,7 +619,33 @@ def _simhash_oracle() -> str:
              CASE band_idx {band_cases}
              END AS band_key
       FROM sig, (VALUES {band_vals}) t(band_idx)
+    )"""
+
+
+def simhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi) -> one row per (doc_id, band_idx,
+    band_key) — THE single Spark banding implementation (the pair
+    join and the occupancy profile both consume it)."""
+    spark_shr = lambda c, s: f"shiftright({c}, {s})"  # noqa: E731
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.expr(
+                    _simhash_band_key("sim_lo", "sim_hi", st, w, spark_shr)
+                ).alias("band_key"),
+            )
+            for i, (st, w) in enumerate(_SIMHASH_BAND_BOUNDS)
+        ]
     )
+    return sigs.select(
+        "doc_id", "sim_lo", "sim_hi", F.explode(band_structs).alias("b")
+    ).select("doc_id", "sim_lo", "sim_hi", "b.band_idx", "b.band_key")
+
+
+def _simhash_oracle() -> str:
+    ham = "bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi))"
+    return f"""{_simhash_bands_cte()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST({ham} AS BIGINT) AS hamming
     FROM bands a JOIN bands b
@@ -649,21 +675,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache it so the 64-sum aggregate runs once; released via
     # eager_release below
     sigs = simhash_md5_signatures(docs).persist()
-    spark_shr = lambda c, s: f"shiftright({c}, {s})"  # noqa: E731
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.expr(
-                    _simhash_band_key("sim_lo", "sim_hi", st, w, spark_shr)
-                ).alias("band_key"),
-            )
-            for i, (st, w) in enumerate(_SIMHASH_BAND_BOUNDS)
-        ]
-    )
-    bands = sigs.select("doc_id", "sim_lo", "sim_hi", F.explode(band_structs).alias("b")).select(
-        "doc_id", "sim_lo", "sim_hi", "b.band_idx", "b.band_key"
-    )
+    bands = simhash_bands(sigs)
     ba = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sim_lo").alias("lo_a"),
@@ -1502,4 +1514,46 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         csize.cast("bigint").alias("cluster_size"),
         F.round(F.lit(1.0) / csize, 6).alias("weight"),
+    )
+
+
+@register(
+    "dedup_simhash_band_occupancy",
+    oracle=f"""{_simhash_bands_cte()},
+    occ AS (
+      SELECT band_idx, band_key, CAST(count(*) AS BIGINT) AS bucket_size
+      FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT band_idx, bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT)
+             AS candidate_pairs
+    FROM occ GROUP BY band_idx, bucket_size
+    """,
+    doc="LSH index observability: the bucket-size distribution per "
+    "SimHash band, with the candidate-pair volume each (band, size) "
+    "stratum contributes (n_buckets * size*(size-1)/2) — the capacity "
+    "report that prices the band join BEFORE running it, and the "
+    "metric behind the streaming ingest's hot-bucket cap "
+    "(lsh_candidates.BAND_BUCKET_CAP): a corpus whose mass sits in "
+    "size-1 buckets joins for free, one with a megabucket is about "
+    "to go quadratic. Shares the banding implementation with "
+    "dedup_simhash on BOTH engines (simhash_bands / "
+    "_simhash_bands_cte — one kernel, two consumers, zero drift), so "
+    "the profile describes exactly the join the dedup runs; exact "
+    "integer counts end to end.",
+)
+def dedup_simhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    sigs = simhash_md5_signatures(docs)
+    occ = (
+        simhash_bands(sigs)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_size"))
+    )
+    return occ.groupBy("band_idx", "bucket_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (F.count(F.lit(1)) * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
     )

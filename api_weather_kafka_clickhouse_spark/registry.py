@@ -142,7 +142,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # events_error_rate_wilson, feature_target_encoding, scalar_bits,
 # sim_hybrid_rrf, events_gini_concentration, time_changepoint_binary,
 # stats_anova_weekday, text_kwic, embedding_cosine_histogram,
-# time_forecast_backtest_naive, time_peak_detection — swap them in
+# time_forecast_backtest_naive, time_peak_detection,
+# dedup_simhash_band_occupancy — swap them in
 # for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7

@@ -848,3 +848,21 @@ def test_peak_detection_python_replica(spark, sf_dir):
     for r in rows.values():
         assert r.rel_to_mean == pytest.approx(r.n * m / s, abs=1e-6)
         assert r.rel_to_mean > 1.5
+
+
+# ------------------------------------- dedup_simhash_band_occupancy
+
+
+def test_band_occupancy_accounts_for_all_docs_and_prices_join(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.dedup import SIMHASH_BANDS
+
+    rows = SPECS["dedup_simhash_band_occupancy"].fn(spark, sf_dir).collect()
+    docs = load(spark, "documents", sf_dir).count()
+    by_band: dict = {}
+    for r in rows:
+        by_band.setdefault(r.band_idx, []).append(r)
+        assert r.candidate_pairs == r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
+    assert sorted(by_band) == list(range(SIMHASH_BANDS))
+    for band, rs in by_band.items():
+        # every doc lands in exactly one bucket per band
+        assert sum(r.bucket_size * r.n_buckets for r in rs) == docs
