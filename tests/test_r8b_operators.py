@@ -866,3 +866,27 @@ def test_band_occupancy_accounts_for_all_docs_and_prices_join(spark, sf_dir):
     for band, rs in by_band.items():
         # every doc lands in exactly one bucket per band
         assert sum(r.bucket_size * r.n_buckets for r in rs) == docs
+
+
+# ----------------------------------------------------- sim_recall_report
+
+
+def test_recall_report_consistent_with_rankings(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = {r.query_id: r for r in SPECS["sim_recall_report"].fn(spark, sf_dir).collect()}
+    assert len(rows) == N_QUERIES
+    ann = {}
+    for r in SPECS["sim_ann_lsh"].fn(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, set()).add(r.nbr_id)
+    exact = {}
+    for r in SPECS["sim_topk_bruteforce"].fn(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.nbr_id)
+    for qid, r in rows.items():
+        hits = len(exact[qid] & ann.get(qid, set()))
+        assert r.n_hit == hits and r.k == TOP_K
+        assert r.recall_at_k == pytest.approx(hits / TOP_K, abs=1e-6)
+        assert 0.0 <= r.recall_at_k <= 1.0
