@@ -38,6 +38,13 @@ NESTED_LOOP_SANCTIONED = {
     # sim_topk_bruteforce but the build is a filter, not an aggregate,
     # so the keys=[] exemption cannot see it
     "sim_hybrid_rrf": 1,
+    # all pairs among the first 100 ids (deterministic id-bounded
+    # sample; vec_id < k filter broadcasts) — the geometry diagnostic
+    "embedding_cosine_histogram": 1,
+    # composes sim_ann_lsh (its broadcast query set joins bands
+    # non-equi on vec_id <>) and sim_topk_bruteforce (query broadcast
+    # x corpus) — inherits both sanctioned query-set loops
+    "sim_recall_report": 2,
     # all-pairs baseline on the 25-row nation dim — fuzzy_match_blocked
     # is its scale twin and equi-joins on the band key (plan-asserted
     # in test_plans.py)
