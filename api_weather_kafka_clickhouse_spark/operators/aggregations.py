@@ -1598,3 +1598,97 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(TOP_PATHS)
     )
+
+
+# Sketch set-algebra tolerance: the HLL union estimate must land
+# within this relative error of the exact union (HLL++ at default
+# rsd 0.05 has sigma ~2.3% here; 5% is a >2-sigma corridor).
+HLL_SET_TOL = 0.05
+
+
+@register(
+    "agg_hll_set_algebra",
+    oracle=f"""
+    WITH t(ta, tb) AS (
+      SELECT a.event_type, b.event_type
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    u AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT t.ta AS type_a, t.tb AS type_b,
+           CAST((SELECT count(*) FROM u WHERE u.event_type = t.ta) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM u WHERE u.event_type = t.tb) AS BIGINT) AS n_b,
+           CAST((SELECT count(DISTINCT user_id) FROM u
+                 WHERE u.event_type IN (t.ta, t.tb)) AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM u ua JOIN u ub
+                 ON ua.user_id = ub.user_id
+                 AND ua.event_type = t.ta AND ub.event_type = t.tb) AS BIGINT)
+             AS n_intersection,
+           TRUE AS hll_union_within_tol
+    FROM t
+    """,
+    doc="Sketch SET ALGEBRA over audience counts: for every pair of "
+    "event types, the exact per-type / union / intersection distinct-"
+    "user counts (inclusion-exclusion closes: n_a + n_b - n_union = "
+    "n_intersection, pinned in tests) plus the bounds-oracle flag "
+    "that Spark's mergeable HLL++ union estimate lands within "
+    f"{HLL_SET_TOL:.0%} of the exact union — the property that makes "
+    "HLL THE audience-overlap structure at 100 TB: per-segment "
+    "sketches are built once, any union is a register-wise max "
+    "(never a rescan), and intersections come from inclusion-"
+    "exclusion on union estimates. Exact columns hash-check; the "
+    "estimate itself is engine-specific, so its GUARANTEE is the "
+    "oracle (the agg_approx_distinct pattern). One distinct pass "
+    "over the corpus feeds everything; pairs are type-squared tiny.",
+)
+def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    e = load(spark, "events", sf_dir)
+    # persisted: the distinct (type, user) membership feeds the pair
+    # expansion, the per-type counts, and (via the expansion) every
+    # union/intersection — ONE distributed pass, no driver-side loop
+    # over pairs (pairs are a broadcast dimension join, not jobs)
+    u = e.select("event_type", "user_id").distinct().persist()
+    t = u.select("event_type").distinct()
+    pairs = (
+        t.select(F.col("event_type").alias("type_a"))
+        .join(t.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    m = u.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a")) | (F.col("event_type") == F.col("type_b")),
+    )
+    per_user = m.groupBy("type_a", "type_b", "user_id").agg(
+        F.countDistinct("event_type").alias("k")
+    )
+    exact = per_user.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).cast("bigint").alias("n_intersection"),
+    )
+    hll = m.groupBy("type_a", "type_b").agg(
+        F.approx_count_distinct("user_id").cast("bigint").alias("n_union_hll")
+    )
+    nt = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    na = nt.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = nt.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    out = (
+        exact.join(hll, ["type_a", "type_b"])
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_intersection",
+            (
+                F.abs(F.col("n_union_hll") - F.col("n_union"))
+                <= HLL_SET_TOL * F.col("n_union")
+            ).alias("hll_union_within_tol"),
+        )
+    )
+    return eager_release(out, "hll_set_algebra", u)

@@ -890,3 +890,31 @@ def test_recall_report_consistent_with_rankings(spark, sf_dir):
         assert r.n_hit == hits and r.k == TOP_K
         assert r.recall_at_k == pytest.approx(hits / TOP_K, abs=1e-6)
         assert 0.0 <= r.recall_at_k <= 1.0
+
+
+# ---------------------------------------------------- agg_hll_set_algebra
+
+
+def test_hll_set_algebra_inclusion_exclusion(spark, sf_dir):
+    rows = SPECS["agg_hll_set_algebra"].fn(spark, sf_dir).collect()
+    types = {
+        r.event_type
+        for r in load(spark, "events", sf_dir).select("event_type").distinct().collect()
+    }
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    members: dict = {}
+    for r in (
+        load(spark, "events", sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    ):
+        members.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        a, b = members[r.type_a], members[r.type_b]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.n_union == len(a | b)
+        assert r.n_intersection == len(a & b)
+        # inclusion-exclusion closes exactly
+        assert r.n_a + r.n_b - r.n_union == r.n_intersection
+        assert r.hll_union_within_tol  # the sketch guarantee holds here
