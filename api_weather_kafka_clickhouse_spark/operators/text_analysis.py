@@ -1803,3 +1803,62 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join(F.slice("t", l_start, r_end - l_start + 1), " ").alias("snippet"),
     )
+
+
+# Autocomplete index: prefixes up to this length, top completions per
+# prefix by corpus frequency.
+AUTOCOMPLETE_MAX_PREFIX = 4
+AUTOCOMPLETE_TOP = 3
+
+
+@register(
+    "text_autocomplete_index",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS freq FROM part GROUP BY p_name
+    ),
+    pre AS (
+      SELECT substr(p_name, 1, u.i) AS prefix, p_name, freq
+      FROM names, UNNEST(generate_series(1, {AUTOCOMPLETE_MAX_PREFIX})) AS u(i)
+      WHERE len(p_name) >= u.i
+    )
+    SELECT prefix, p_name AS completion, freq, rk AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY prefix
+                                   ORDER BY freq DESC, p_name) AS rk
+      FROM pre
+    ) WHERE rk <= {AUTOCOMPLETE_TOP}
+    """,
+    doc="Search-as-you-type index build: for every name prefix up to "
+    f"{AUTOCOMPLETE_MAX_PREFIX} chars, the top {AUTOCOMPLETE_TOP} "
+    "completions by corpus frequency — the materialized table an "
+    "autocomplete service point-reads per keystroke (the batch-built "
+    "sibling of the inverted index, keyed by prefix instead of "
+    "token). Scale shape: frequencies come from ONE map-side-combined "
+    "aggregate over the corpus; the prefix explode (a bounded x"
+    f"{AUTOCOMPLETE_MAX_PREFIX} fanout) runs on the DISTINCT-name "
+    "vocabulary, Heaps-law sized like the BPE counter; the per-prefix "
+    "ranking is a WindowGroupLimit on vocabulary-sized data with a "
+    "(freq DESC, name) total order. Serve-time layout: write "
+    "partitioned/bucketed by prefix and each keystroke is one "
+    "pruned point read.",
+)
+def text_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load(spark, "part", sf_dir)
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    pre = (
+        names.select(
+            "p_name",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.lit(AUTOCOMPLETE_MAX_PREFIX))).alias("i"),
+        )
+        .filter(F.length("p_name") >= F.col("i"))
+        .select(F.expr("substr(p_name, 1, i)").alias("prefix"), "p_name", "freq")
+    )
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(), "p_name")
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= AUTOCOMPLETE_TOP)
+        .select("prefix", F.col("p_name").alias("completion"), "freq", "rank")
+    )

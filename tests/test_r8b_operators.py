@@ -918,3 +918,31 @@ def test_hll_set_algebra_inclusion_exclusion(spark, sf_dir):
         # inclusion-exclusion closes exactly
         assert r.n_a + r.n_b - r.n_union == r.n_intersection
         assert r.hll_union_within_tol  # the sketch guarantee holds here
+
+
+# --------------------------------------------- text_autocomplete_index
+
+
+def test_autocomplete_python_replica(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        AUTOCOMPLETE_MAX_PREFIX,
+        AUTOCOMPLETE_TOP,
+    )
+
+    rows = SPECS["text_autocomplete_index"].fn(spark, sf_dir).collect()
+    freq = Counter(
+        r.p_name for r in load(spark, "part", sf_dir).select("p_name").collect()
+    )
+    by_prefix: dict = {}
+    for name, f in freq.items():
+        for i in range(1, min(AUTOCOMPLETE_MAX_PREFIX, len(name)) + 1):
+            by_prefix.setdefault(name[:i], []).append((-f, name))
+    expect = {}
+    for pre, cands in by_prefix.items():
+        for rank, (negf, name) in enumerate(sorted(cands)[:AUTOCOMPLETE_TOP], start=1):
+            expect[(pre, rank)] = (name, -negf)
+    assert {
+        (r.prefix, r.rank): (r.completion, r.freq) for r in rows
+    } == expect
