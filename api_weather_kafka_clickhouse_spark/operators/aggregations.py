@@ -1652,14 +1652,22 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over pairs (pairs are a broadcast dimension join, not jobs)
     u = e.select("event_type", "user_id").distinct().persist()
     t = u.select("event_type").distinct()
+    # the |types|^2 pair grid: an inherently non-equi (a < b) join on
+    # the TYPE DIMENSION (25 combos) — Catalyst folds any synthetic
+    # equi-key and plans a broadcast nested loop regardless, which is
+    # fine at this cardinality and sanctioned in the plan lint
     pairs = (
         t.select(F.col("event_type").alias("type_a"))
         .join(t.select(F.col("event_type").alias("type_b")))
         .filter(F.col("type_a") < F.col("type_b"))
     )
-    m = u.join(
-        F.broadcast(pairs),
-        (F.col("event_type") == F.col("type_a")) | (F.col("event_type") == F.col("type_b")),
+    # OR-membership as a UNION of two broadcast EQUI-joins (an OR join
+    # condition plans as a nested loop; the union keeps both legs hash
+    # joins). Persisted: exact counts and the HLL pass both consume it.
+    m = (
+        u.join(F.broadcast(pairs), F.col("event_type") == F.col("type_a"))
+        .unionByName(u.join(F.broadcast(pairs), F.col("event_type") == F.col("type_b")))
+        .persist()
     )
     per_user = m.groupBy("type_a", "type_b", "user_id").agg(
         F.countDistinct("event_type").alias("k")
@@ -1691,4 +1699,4 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_union_within_tol"),
         )
     )
-    return eager_release(out, "hll_set_algebra", u)
+    return eager_release(out, "hll_set_algebra", u, m)

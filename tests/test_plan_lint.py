@@ -45,6 +45,11 @@ NESTED_LOOP_SANCTIONED = {
     # non-equi on vec_id <>) and sim_topk_bruteforce (query broadcast
     # x corpus) — inherits both sanctioned query-set loops
     "sim_recall_report": 2,
+    # the |types|^2 pair grid (25 combos on the type DIMENSION; a < b
+    # is inherently non-equi — Catalyst folds synthetic equi-keys).
+    # The lazy plan re-derives the grid once per union leg per
+    # consumer (4x); at runtime the persisted membership collapses it.
+    "agg_hll_set_algebra": 4,
     # all-pairs baseline on the 25-row nation dim — fuzzy_match_blocked
     # is its scale twin and equi-joins on the band key (plan-asserted
     # in test_plans.py)
