@@ -752,10 +752,16 @@ def damerau_levenshtein(a: str, b: str) -> int:
     """True Damerau-Levenshtein distance (Lowrance-Wagner: adjacent
     transposition as a fourth edit, with later edits allowed between
     the transposed characters — d('CA','ABC') = 2, where the
-    restricted/OSA variant gives 3). Matches DuckDB's
-    damerau_levenshtein(), which tests/test_r8b_operators.py pins by
-    property test over random strings."""
-    la, lb = len(a), len(b)
+    restricted/OSA variant gives 3). Computed over UTF-8 BYTES,
+    because that is what DuckDB's damerau_levenshtein does
+    (d('héllo','hello') = 2, not the codepoint answer 1) — pinned by
+    property test over random strings INCLUDING non-ASCII in
+    tests/test_r8b_operators.py. Note the registered query's
+    companion column uses Spark's built-in levenshtein, which is
+    CODEPOINT-based; the two scales agree exactly on ASCII
+    vocabularies like this corpus, and the gate data is ASCII."""
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    la, lb = len(ab), len(bb)
     maxd = la + lb
     # matrix with a -1 guard row/col (offset +1 on each index)
     d = [[0] * (lb + 2) for _ in range(la + 2)]
@@ -766,13 +772,13 @@ def damerau_levenshtein(a: str, b: str) -> int:
     for j in range(lb + 1):
         d[0][j + 1] = maxd
         d[1][j + 1] = j
-    last_row: dict[str, int] = {}
+    last_row: dict[int, int] = {}
     for i in range(1, la + 1):
         last_col = 0
         for j in range(1, lb + 1):
-            k = last_row.get(b[j - 1], 0)
+            k = last_row.get(bb[j - 1], 0)
             m = last_col
-            if a[i - 1] == b[j - 1]:
+            if ab[i - 1] == bb[j - 1]:
                 cost = 0
                 last_col = j
             else:
@@ -783,7 +789,7 @@ def damerau_levenshtein(a: str, b: str) -> int:
                 d[i][j + 1] + 1,  # delete
                 d[k][m] + (i - k - 1) + 1 + (j - m - 1),  # transpose
             )
-        last_row[a[i - 1]] = i
+        last_row[ab[i - 1]] = i
     return d[la + 1][lb + 1]
 
 

@@ -36,6 +36,9 @@ def test_dl_is_true_damerau_not_osa():
 
 # small alphabet => dense collisions and frequent transpositions
 _WORD = st.text(alphabet="abcd", min_size=0, max_size=8)
+# non-ASCII: DuckDB computes over UTF-8 BYTES (multi-byte chars cost
+# their byte count), which the kernel must reproduce
+_UWORD = st.text(alphabet="abé日", min_size=0, max_size=6)
 
 
 @settings(max_examples=200, deadline=None)
@@ -46,6 +49,22 @@ def test_dl_matches_duckdb_builtin(a, b):
         "SELECT damerau_levenshtein(?, ?)", [a, b]
     ).fetchone()[0]
     assert damerau_levenshtein(a, b) == expect
+
+
+@settings(max_examples=150, deadline=None)
+@given(_UWORD, _UWORD)
+def test_dl_matches_duckdb_on_unicode_bytes(a, b):
+    con = duckdb.connect()
+    expect = con.execute(
+        "SELECT damerau_levenshtein(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert damerau_levenshtein(a, b) == expect
+
+
+def test_dl_is_byte_semantics():
+    # DuckDB counts UTF-8 bytes: substituting a 2-byte char costs 2
+    assert damerau_levenshtein("héllo", "hello") == 2
+    assert damerau_levenshtein("日本語", "本日語") == 4
 
 
 def test_fuzzy_damerau_blocking_and_threshold(spark, sf_dir):
