@@ -325,3 +325,13 @@ def _sql(c: Column) -> str:
     """Render a Column back to a SQL fragment (used by intDiv, whose
     operator form `div` has no functions.* equivalent)."""
     return c._jc.toString()
+
+
+def uniqUpTo(n: int, c: Column | str) -> Column:
+    """ClickHouse uniqUpTo(N): the exact distinct count while it is
+    <= N, and N+1 for anything larger — the 'are there more than N?'
+    aggregate that never pays full-cardinality state in ClickHouse.
+    Spark has no saturating counter, so this computes the exact
+    distinct and clamps: the VALUE matches ClickHouse exactly; the
+    cost profile does not (document when porting hot queries)."""
+    return F.least(F.countDistinct(_col(c)), F.lit(n + 1)).cast("bigint")

@@ -550,3 +550,65 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_error_ts")).alias("error_ts"),
         (F.col("last_error_ts").isNotNull() & ~fresh).alias("match_too_stale"),
     )
+
+
+@register(
+    "join_any_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           l.l_linenumber AS first_linenumber,
+           CAST(l.l_quantity AS DOUBLE) AS first_quantity,
+           (l.l_linenumber IS NULL) AS unmatched
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_quantity,
+                                           l_extendedprice, l_partkey,
+                                           l_suppkey) AS rk
+        FROM lineitem
+      ) WHERE rk = 1
+    ) l ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="ClickHouse ANY LEFT JOIN, determinized: each left row "
+    "attaches AT MOST ONE right match — ClickHouse picks an arbitrary "
+    "one ('any'), which can never hash-check, so this engine pins the "
+    "choice to an explicit total order (lowest line number), the "
+    "production-safe reading of every 'any join' migration. Shape: "
+    "the right side collapses to one row per key BEFORE the join "
+    "(WindowGroupLimit rn=1 on the right's own key partition — at "
+    "100 TB this is a partial per-key reduction, not a post-join "
+    "dedup, so join fanout never exists); the join itself is then a "
+    "plain 1:1 left join. Unmatched left rows keep NULLs and an "
+    "explicit flag.",
+)
+def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    # (orderkey, linenumber) is NOT unique in this synthetic data
+    # (dgen assigns line numbers randomly) — the 'any' choice needs a
+    # TOTAL order, extended until a unique composite is reached
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    first = (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_partkey", "l_suppkey",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    return (
+        o.select("o_orderkey", "o_orderstatus")
+        .join(first, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("l_linenumber").alias("first_linenumber"),
+            F.col("l_quantity").cast("double").alias("first_quantity"),
+            F.col("l_linenumber").isNull().alias("unmatched"),
+        )
+    )

@@ -965,3 +965,50 @@ def test_autocomplete_python_replica(spark, sf_dir):
     assert {
         (r.prefix, r.rank): (r.completion, r.freq) for r in rows
     } == expect
+
+
+# ------------------------------------------------------- join_any_left
+
+
+def test_any_left_join_picks_deterministic_first(spark, sf_dir):
+    rows = {r.o_orderkey: r for r in SPECS["join_any_left"].fn(spark, sf_dir).collect()}
+    orders = load(spark, "orders", sf_dir).count()
+    assert len(rows) == orders  # left-preserving, 1:1 after collapse
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_partkey", "l_suppkey",
+    ).collect()
+    best: dict = {}
+    for e in li:
+        k = (e.l_linenumber, float(e.l_quantity), float(e.l_extendedprice),
+             e.l_partkey, e.l_suppkey)
+        if e.l_orderkey not in best or k < best[e.l_orderkey][0]:
+            best[e.l_orderkey] = (k, e)
+    n_unmatched = 0
+    for okey, r in rows.items():
+        if r.unmatched:
+            n_unmatched += 1
+            assert r.first_linenumber is None and r.first_quantity is None
+            assert okey not in best
+        else:
+            _, e = best[okey]
+            assert (r.first_linenumber, r.first_quantity) == (
+                e.l_linenumber,
+                float(e.l_quantity),
+            )
+    assert n_unmatched == orders - len(best)
+
+
+def test_clickhouse_uniq_up_to(spark):
+    from pyspark.sql import Row
+
+    from api_weather_kafka_clickhouse_spark.functions.clickhouse import uniqUpTo
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=i % 3) for i in range(9)] + [Row(k="b", v=i) for i in range(9)]
+    )
+    got = {
+        r.k: r.u
+        for r in df.groupBy("k").agg(uniqUpTo(5, "v").alias("u")).collect()
+    }
+    assert got == {"a": 3, "b": 6}  # exact below N, saturates at N+1
