@@ -1700,3 +1700,67 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "hll_set_algebra", u, m)
+
+
+# Trimmed-mean cut: drop values strictly outside the [p05, p95]
+# percentile band before averaging.
+TRIM_LO, TRIM_HI = 0.05, 0.95
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, {TRIM_LO}) AS lo,
+             quantile_cont(value, {TRIM_HI}) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(CASE WHEN e.value >= q.lo AND e.value <= q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN e.value >= q.lo AND e.value <= q.hi
+                              THEN CAST(e.value AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / sum(CASE WHEN e.value >= q.lo AND e.value <= q.hi
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS raw_mean
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Trimmed mean per key (drop the tails outside [p"
+    f"{int(TRIM_LO * 100)}, p{int(TRIM_HI * 100)}], average the "
+    "interior): the robust location estimate between the mean "
+    "(outlier-dragged) and the median (throws away 98% of the "
+    "information) — metric pipelines report exactly this to keep one "
+    "fat-fingered value from moving a KPI, beside quality_winsorize "
+    "which CLIPS tails instead of dropping them. Percentile "
+    "boundaries are exact interpolation (the agg_percentile_exact "
+    "parity), dimension-sized, broadcast back to the scan; interior "
+    "values accumulate in exact DECIMAL so the trimmed sum can never "
+    "flip on order, with ONE final division. Two corpus passes "
+    "(boundaries, then the gated aggregate) — at 100 TB swap pass "
+    "one for approx_percentile's sketch and the shape holds.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(TRIM_LO)).alias("lo"),
+        F.percentile("value", F.lit(TRIM_HI)).alias("hi"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    keep = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(keep, dec).otherwise(zero)).cast("double")
+            / F.sum(F.when(keep, 1).otherwise(0)),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("raw_mean"),
+    )

@@ -1012,3 +1012,32 @@ def test_clickhouse_uniq_up_to(spark):
         for r in df.groupBy("k").agg(uniqUpTo(5, "v").alias("u")).collect()
     }
     assert got == {"a": 3, "b": 6}  # exact below N, saturates at N+1
+
+
+# ----------------------------------------------------- agg_trimmed_mean
+
+
+def test_trimmed_mean_python_replica(spark, sf_dir):
+    rows = {r.event_type: r for r in SPECS["agg_trimmed_mean"].fn(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).select("event_type", "value").collect()
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+
+    def q(vals, p):
+        vals = sorted(vals)
+        r = (len(vals) - 1) * p
+        lo, hi = int(r), min(int(r) + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (r - lo)
+
+    for etype, vals in by_type.items():
+        lo, hi = q(vals, 0.05), q(vals, 0.95)
+        kept = [round(v, 2) for v in vals if lo <= v <= hi]
+        r = rows[etype]
+        assert r.n_all == len(vals) and r.n_kept == len(kept)
+        assert r.trimmed_mean == pytest.approx(sum(kept) / len(kept), abs=1e-5)
+        assert r.raw_mean == pytest.approx(
+            sum(round(v, 2) for v in vals) / len(vals), abs=1e-5
+        )
+        # robustness direction: the trim shrinks the spread of means
+        assert abs(r.trimmed_mean) <= max(abs(min(vals)), abs(max(vals)))
