@@ -1862,3 +1862,45 @@ def text_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= AUTOCOMPLETE_TOP)
         .select("prefix", F.col("p_name").alias("completion"), "freq", "rank")
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH sz AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    k AS (SELECT CAST(min(n) AS BIGINT) AS k_min FROM sz),
+    rk AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT rk.doc_id, rk.lang, rk.rk
+    FROM rk, k WHERE rk.rk <= k.k_min
+    """,
+    doc="Class-balanced downsampling: every language stratum is cut "
+    "to the size of the SMALLEST one (undersampling, the classic fix "
+    "for class imbalance before training a classifier — here the 'en' "
+    "majority shrinks ~3x to match the rarest language). Which "
+    "majority-class rows survive is decided by the shared md5 "
+    "deterministic coin ranked per stratum (doc_id tiebreak), so the "
+    "sample is reproducible, engine-stable, and uniformly 'random' "
+    "with respect to any content property — the sampler family's "
+    "convention (vs sample_fixed_per_stratum, which takes a FIXED k; "
+    "here k is the data-dependent min, one 1-row broadcast). At "
+    "100 TB: one count pass, one per-stratum rank window (majority "
+    "strata sort only within their partition), scan-speed filter.",
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    sz = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    k = sz.agg(F.min("n").cast("bigint").alias("k_min"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    rk = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return rk.crossJoin(F.broadcast(k)).filter(F.col("rk") <= F.col("k_min")).select(
+        "doc_id", "lang", "rk"
+    )

@@ -1041,3 +1041,22 @@ def test_trimmed_mean_python_replica(spark, sf_dir):
         )
         # robustness direction: the trim shrinks the spread of means
         assert abs(r.trimmed_mean) <= max(abs(min(vals)), abs(max(vals)))
+
+
+# ------------------------------------------- sample_balanced_downsample
+
+
+def test_balanced_downsample_equalizes_strata(spark, sf_dir):
+    from collections import Counter
+
+    rows = SPECS["sample_balanced_downsample"].fn(spark, sf_dir).collect()
+    sizes = Counter(
+        d.lang for d in load(spark, "documents", sf_dir).select("lang").collect()
+    )
+    k_min = min(sizes.values())
+    kept = Counter(r.lang for r in rows)
+    # every stratum present and cut to exactly the min class size
+    assert kept == {lang: k_min for lang in sizes}
+    # deterministic rerun
+    again = SPECS["sample_balanced_downsample"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
