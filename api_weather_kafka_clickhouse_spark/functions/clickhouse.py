@@ -335,3 +335,12 @@ def uniqUpTo(n: int, c: Column | str) -> Column:
     distinct and clamps: the VALUE matches ClickHouse exactly; the
     cost profile does not (document when porting hot queries)."""
     return F.least(F.countDistinct(_col(c)), F.lit(n + 1)).cast("bigint")
+
+
+def avgWeighted(x: Column | str, w: Column | str) -> Column:
+    """ClickHouse avgWeighted(x, w) = sum(x*w)/sum(w). For
+    cross-engine determinism on money-like inputs, cast x to DECIMAL
+    before calling (the registry convention); the division itself is
+    one IEEE op."""
+    x, w = _col(x), _col(w)
+    return F.sum(x * w) / F.sum(w)

@@ -291,3 +291,23 @@ def _ensure_loaded() -> None:
     )
 
     _LOADED = True
+
+
+def catalog(spark: SparkSession) -> DataFrame:
+    """The registry as a queryable table (`system.functions` /
+    `system.tables` parity, beside `sources/sink.table_parts`): one
+    row per registered query with its family prefix, oracle status,
+    and doc head. Introspection only — built from the in-process
+    registry, so it is pytest-covered rather than oracle-checked."""
+    rows = [
+        (
+            s.name,
+            s.name.split("_", 1)[0],
+            s.oracle is not None,
+            (s.doc or "").split(" — ")[0][:160],
+        )
+        for s in all_specs().values()
+    ]
+    return spark.createDataFrame(
+        rows, "name string, family string, oracle_checked boolean, doc_head string"
+    )

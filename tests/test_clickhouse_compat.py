@@ -171,3 +171,22 @@ def test_layer_is_udf_free(spark, sf_dir):
     df = registry.all_specs()["clickhouse_dialect_battery"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_avg_weighted(spark):
+    df = spark.createDataFrame([Row(x=10.0, w=1), Row(x=20.0, w=3)])
+    [r] = df.agg(ch.avgWeighted("x", "w").alias("aw")).collect()
+    assert r.aw == pytest.approx((10 * 1 + 20 * 3) / 4)
+
+
+def test_registry_catalog_surface(spark):
+    from api_weather_kafka_clickhouse_spark.registry import all_specs, catalog
+
+    df = catalog(spark)
+    rows = df.collect()
+    assert len(rows) == len(all_specs())
+    byname = {r.name: r for r in rows}
+    assert byname["q1_pricing_summary"].oracle_checked
+    assert not byname["dedup_semdedup"].oracle_checked  # rows-only by design
+    assert byname["join_flagship_revenue"].family == "join"
+    assert all(r.doc_head for r in rows)  # every query documents itself
