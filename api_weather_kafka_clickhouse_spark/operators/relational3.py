@@ -964,3 +964,55 @@ def scalar_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseOR(F.lit(4096)).cast("bigint").alias("or4096"),
         F.bitwise_not(k).cast("bigint").alias("flipped"),
     )
+
+
+# Privacy-audit thresholds: groups smaller than K are re-identifiable;
+# groups with fewer than L distinct sensitive bands leak the attribute.
+K_ANON, L_DIV = 10, 5
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+               AS l_sensitive
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, group_size, l_sensitive,
+           (group_size < {K_ANON}) AS violates_k,
+           (l_sensitive < {L_DIV}) AS violates_l
+    FROM g
+    """,
+    doc="Privacy audit over quasi-identifiers: k-anonymity (every "
+    "(segment, nation) equivalence class must hold >= "
+    f"{K_ANON} individuals — smaller groups are re-identifiable by "
+    "linkage) and l-diversity (each class must span >= "
+    f"{L_DIV} distinct sensitive-attribute bands — a k-anonymous "
+    "group whose members all share one sensitive value still leaks "
+    "it). The audit every dataset release/anonymization pipeline "
+    "runs before publishing, as one map-side-combined aggregate with "
+    "a distinct-count per group; at 100 TB the equivalence-class "
+    "table is quasi-identifier-bounded, never row-bounded, and the "
+    "remediation (generalize or suppress violating groups) is a "
+    "broadcast join back against exactly this table. Exact integer "
+    "counts; the sensitive attribute is banded with integer floor "
+    "division, no float predicate.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct(band).cast("bigint").alias("l_sensitive"),
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "group_size",
+        "l_sensitive",
+        (F.col("group_size") < K_ANON).alias("violates_k"),
+        (F.col("l_sensitive") < L_DIV).alias("violates_l"),
+    )

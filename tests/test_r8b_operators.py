@@ -1060,3 +1060,30 @@ def test_balanced_downsample_equalizes_strata(spark, sf_dir):
     # deterministic rerun
     again = SPECS["sample_balanced_downsample"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------- privacy_k_anonymity
+
+
+def test_k_anonymity_python_replica(spark, sf_dir):
+    from collections import defaultdict
+
+    from api_weather_kafka_clickhouse_spark.operators.relational3 import K_ANON, L_DIV
+
+    rows = {
+        (r.c_mktsegment, r.c_nationkey): r
+        for r in SPECS["privacy_k_anonymity"].fn(spark, sf_dir).collect()
+    }
+    groups = defaultdict(list)
+    for c in load(spark, "customer", sf_dir).collect():
+        groups[(c.c_mktsegment, c.c_nationkey)].append(c.c_acctbal)
+    assert set(rows) == set(groups)
+    saw_k_violation = False
+    for key, bals in groups.items():
+        r = rows[key]
+        assert r.group_size == len(bals)
+        assert r.l_sensitive == len({int(b // 1000) for b in bals})
+        assert r.violates_k == (r.group_size < K_ANON)
+        assert r.violates_l == (r.l_sensitive < L_DIV)
+        saw_k_violation |= r.violates_k
+    assert saw_k_violation  # the audit bites at test scale
