@@ -1014,3 +1014,76 @@ def stats_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 6).alias("f_stat"),
         (f_stat > ANOVA_F_CRIT).alias("reject_h0"),
     )
+
+
+# Benford first-digit expectations log10(1 + 1/d), pinned as Python
+# float literals embedded IDENTICALLY in both engines' expressions
+# (never recomputed via each engine's log10 — rule 4's no-libm-drift
+# discipline applied to constants).
+import math as _math
+
+BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_case_sql() -> str:
+    cases = " ".join(f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10))
+    return f"CAST((CASE c.digit {cases} END) AS DOUBLE)"
+
+
+@register(
+    "stats_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           round({_benford_case_sql()}, 6) AS benford_p,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_p,
+           round((CAST(c.n AS DOUBLE) - t.total * {_benford_case_sql()})
+                 * (CAST(c.n AS DOUBLE) - t.total * {_benford_case_sql()})
+                 / (t.total * {_benford_case_sql()}), 6) AS chi2_term
+    FROM c, t
+    """,
+    doc="Benford's-law first-digit analysis of order amounts: observed "
+    "vs expected leading-digit frequencies with per-digit chi-square "
+    "contributions — the forensic-accounting screen for fabricated or "
+    "constrained numbers (organic multi-scale amounts follow "
+    "log10(1+1/d); this synthetic uniform-ish price column loudly "
+    "does NOT, which is itself the correct reading). The expected "
+    "frequencies are PYTHON-pinned float literals injected verbatim "
+    "into both engines — computing log10 per engine would invite "
+    "libm drift; a literal cannot drift. First digits come from "
+    "integer/string ops (no float log to find the magnitude); counts "
+    "are exact; each chi2 term is one identical expression on a "
+    "9-row table.",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.lit(None).cast("double")
+    expr = None
+    for d in range(1, 10):
+        branch = F.when(F.col("digit") == d, F.lit(BENFORD_P[d]))
+        expr = branch if expr is None else expr.when(F.col("digit") == d, F.lit(BENFORD_P[d]))
+    p = expr.cast("double")
+    dev = F.col("n").cast("double") - F.col("total") * p
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(p, 6).alias("benford_p"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_p"),
+            F.round(dev * dev / (F.col("total") * p), 6).alias("chi2_term"),
+        )
+    )

@@ -145,8 +145,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # time_forecast_backtest_naive, time_peak_detection,
 # dedup_simhash_band_occupancy, sim_recall_report,
 # agg_hll_set_algebra, text_autocomplete_index, join_any_left,
-# agg_trimmed_mean, sample_balanced_downsample, privacy_k_anonymity —
-# swap them in
+# agg_trimmed_mean, sample_balanced_downsample, privacy_k_anonymity,
+# stats_benford_digits — swap them in
 # for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7

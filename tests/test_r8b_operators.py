@@ -1087,3 +1087,29 @@ def test_k_anonymity_python_replica(spark, sf_dir):
         assert r.violates_l == (r.l_sensitive < L_DIV)
         saw_k_violation |= r.violates_k
     assert saw_k_violation  # the audit bites at test scale
+
+
+# --------------------------------------------------- stats_benford_digits
+
+
+def test_benford_python_replica(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    rows = {r.digit: r for r in SPECS["stats_benford_digits"].fn(spark, sf_dir).collect()}
+    prices = [
+        r.o_totalprice
+        for r in load(spark, "orders", sf_dir).select("o_totalprice").collect()
+    ]
+    digits = Counter(int(str(int(p))[0]) for p in prices)
+    total = sum(digits.values())
+    assert set(rows) <= set(range(1, 10))
+    for d, r in rows.items():
+        p = math.log10(1 + 1 / d)
+        assert r.n == digits[d]
+        assert r.benford_p == pytest.approx(p, abs=1e-6)
+        assert r.observed_p == pytest.approx(digits[d] / total, abs=1e-6)
+        assert r.chi2_term == pytest.approx(
+            (digits[d] - total * p) ** 2 / (total * p), rel=1e-6
+        )
+    assert sum(r.n for r in rows.values()) == total
