@@ -1087,3 +1087,50 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev * dev / (F.col("total") * p), 6).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS total,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_rate,
+           round((CAST(sum(n * n) AS DOUBLE)
+                  - CAST(sum(n) AS DOUBLE) * sum(n) / count(*))
+                 / (count(*) - 1)
+                 / (CAST(sum(n) AS DOUBLE) / count(*)), 6) AS dispersion
+    FROM b GROUP BY event_type
+    """,
+    doc="Index of dispersion (variance-to-mean ratio) of hourly "
+    "arrival counts per event stream: a Poisson process sits at 1.0; "
+    "meaningfully above means bursty/clumped arrivals (self-exciting "
+    "traffic, bot storms), below means smoothed/rate-limited — the "
+    "one-number answer to 'is this stream actually Poisson', which "
+    "the monitoring family's z-score thresholds quietly assume. "
+    "Variance derives from exact integer sum/sum-of-squares with the "
+    "computational identity (no float accumulation), sample-variance "
+    "n-1 denominator, two final divisions. One corpus aggregate; the "
+    "statistic reduces calendar-sized buckets per type.",
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = F.count(F.lit(1))
+    s = F.sum("n")
+    ss = F.sum(F.col("n") * F.col("n"))
+    mean = s.cast("double") / m
+    var = (ss.cast("double") - s.cast("double") * s / m) / (m - 1)
+    return b.groupBy("event_type").agg(
+        m.cast("bigint").alias("n_buckets"),
+        s.cast("bigint").alias("total"),
+        F.round(mean, 6).alias("mean_rate"),
+        F.round(var / mean, 6).alias("dispersion"),
+    )

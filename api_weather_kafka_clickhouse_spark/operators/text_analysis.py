@@ -1904,3 +1904,41 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.crossJoin(F.broadcast(k)).filter(F.col("rk") <= F.col("k_min")).select(
         "doc_id", "lang", "rk"
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / sqrt(CAST(len(toks) AS DOUBLE)), 6) AS root_ttr
+    FROM t
+    """,
+    doc="Lexical diversity per document: type-token ratio and Guiraud "
+    "root-TTR (types / sqrt(tokens), the length-corrected form — raw "
+    "TTR collapses as documents grow, so comparing across lengths "
+    "needs the root form) — the vocabulary-richness quality feature "
+    "beside entropy (distribution) and repetition-ratio (local "
+    "reuse); low-diversity documents are boilerplate/spam candidates "
+    "before any model runs. Pure per-row array ops in codegen "
+    "(distinct within the token array, no explode, no shuffle); "
+    "exact integer counts into one division and one sqrt.",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("bigint")
+    n_typ = F.size(F.array_distinct(toks)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.round(n_typ.cast("double") / n_tok, 6).alias("ttr"),
+        F.round(n_typ.cast("double") / F.sqrt(n_tok.cast("double")), 6).alias("root_ttr"),
+    )

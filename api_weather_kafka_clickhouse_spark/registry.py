@@ -146,7 +146,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # dedup_simhash_band_occupancy, sim_recall_report,
 # agg_hll_set_algebra, text_autocomplete_index, join_any_left,
 # agg_trimmed_mean, sample_balanced_downsample, privacy_k_anonymity,
-# stats_benford_digits — swap them in
+# stats_benford_digits, events_dispersion_index,
+# text_lexical_diversity — swap them in
 # for same-family-redundant green slots next round.
 _PRIORITY: tuple[str, ...] = (
     # --- round-8 rotation (round 5): the 7 never-gated round-7

@@ -1113,3 +1113,47 @@ def test_benford_python_replica(spark, sf_dir):
             (digits[d] - total * p) ** 2 / (total * p), rel=1e-6
         )
     assert sum(r.n for r in rows.values()) == total
+
+
+# ------------------------------------------------ events_dispersion_index
+
+
+def test_dispersion_python_replica(spark, sf_dir):
+    import statistics
+    from collections import defaultdict
+
+    rows = {r.event_type: r for r in SPECS["events_dispersion_index"].fn(spark, sf_dir).collect()}
+    buckets = defaultdict(list)
+    for b in (
+        load(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        buckets[b.event_type].append(b.n)
+    for etype, ns in buckets.items():
+        r = rows[etype]
+        assert r.n_buckets == len(ns) and r.total == sum(ns)
+        assert r.mean_rate == pytest.approx(statistics.mean(ns), abs=1e-5)
+        assert r.dispersion == pytest.approx(
+            statistics.variance(ns) / statistics.mean(ns), rel=1e-5
+        )
+        assert r.dispersion > 0
+
+
+# ------------------------------------------------- text_lexical_diversity
+
+
+def test_lexical_diversity_python_replica(spark, sf_dir):
+    import math
+
+    rows = {r.doc_id: r for r in SPECS["text_lexical_diversity"].fn(spark, sf_dir).collect()}
+    for d in load(spark, "documents", sf_dir).select("doc_id", "text").collect():
+        toks = d.text.split(" ")
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.n_types) == (len(toks), len(set(toks)))
+        assert r.ttr == pytest.approx(len(set(toks)) / len(toks), abs=1e-6)
+        assert r.root_ttr == pytest.approx(
+            len(set(toks)) / math.sqrt(len(toks)), abs=1e-6
+        )
+        assert 0 < r.ttr <= 1
