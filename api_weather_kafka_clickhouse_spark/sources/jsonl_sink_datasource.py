@@ -60,8 +60,9 @@ MANIFEST = "_MANIFEST.json"
 
 
 class ShardCommit(WriterCommitMessage):
-    def __init__(self, shard: str, rows: int, n_bytes: int):
-        self.shard = shard
+    def __init__(self, shard: str, staged: str, rows: int, n_bytes: int):
+        self.shard = shard  # published name (part-<pid>.jsonl)
+        self.staged = staged  # per-ATTEMPT staged name (carries attempt id)
         self.rows = rows
         self.n_bytes = n_bytes
 
@@ -88,9 +89,16 @@ class KeyedJsonlWriter(DataSourceWriter):
     def write(self, iterator) -> ShardCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         shard = f"part-{pid:05d}.jsonl"
-        tmp = os.path.join(self.staging, shard)
+        # stage under an attempt-unique name: a speculative or retried
+        # attempt of the same partition must NOT share a file with a
+        # concurrent attempt (interleaved/truncated output before
+        # commit). commit() renames exactly the attempt whose
+        # ShardCommit Spark delivered — the winning one.
+        staged = f"part-{pid:05d}-attempt-{ctx.taskAttemptId()}.jsonl"
+        tmp = os.path.join(self.staging, staged)
         fields = self.schema.fieldNames()
         # key first: the Kafka message-key position in each object
         if self.key_column:
@@ -102,19 +110,31 @@ class KeyedJsonlWriter(DataSourceWriter):
                 out.write(json.dumps({f: d[f] for f in fields}, default=str))
                 out.write("\n")
                 rows += 1
-        return ShardCommit(shard=shard, rows=rows, n_bytes=os.path.getsize(tmp))
+        return ShardCommit(shard=shard, staged=staged, rows=rows, n_bytes=os.path.getsize(tmp))
 
     # ---- driver side --------------------------------------------------
     def commit(self, messages) -> None:
         target = self.path
         if self.overwrite:
+            # crash-ordering: invalidate the directory FIRST by
+            # removing the old manifest (readers honor
+            # manifest-as-commit-marker, so from this point the dir is
+            # uncommitted garbage), THEN delete old data files, THEN
+            # publish staged shards; the new manifest lands last. A
+            # crash at any step leaves either the old committed state
+            # (manifest intact, nothing deleted yet) or a
+            # marker-less dir readers refuse — never a live manifest
+            # over missing/mixed shards.
+            old_manifest = os.path.join(target, MANIFEST)
+            if os.path.exists(old_manifest):
+                os.remove(old_manifest)
             for name in os.listdir(target):
-                if name.endswith(".jsonl") or name == MANIFEST:
+                if name.endswith(".jsonl"):
                     os.remove(os.path.join(target, name))
         shards = {}
         for m in messages:
             os.replace(
-                os.path.join(self.staging, m.shard), os.path.join(target, m.shard)
+                os.path.join(self.staging, m.staged), os.path.join(target, m.shard)
             )
             shards[m.shard] = {"rows": m.rows, "bytes": m.n_bytes}
         # manifest LAST: its existence is the commit marker

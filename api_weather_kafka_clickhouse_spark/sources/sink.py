@@ -231,6 +231,13 @@ def delete_fact(spark: SparkSession, path: str, predicate) -> dict[str, int]:
     from ..streaming.store import crash_safe_rewrite
 
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # SQL DELETE semantics: a predicate evaluating NULL means NOT
+    # matched — the row is KEPT. A bare filter(~cond) would silently
+    # drop NULL-evaluating rows (NULL negated is still NULL, and
+    # filter discards non-TRUE), so pin three-valued logic to two
+    # here: NULL -> FALSE before both the match count and the keep
+    # side use it.
+    cond = F.coalesce(cond, F.lit(False))
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     base = jvm.org.apache.hadoop.fs.Path(path)
@@ -282,44 +289,100 @@ def upsert_fact(spark: SparkSession, path: str, updates: DataFrame, keys: tuple[
     {relative partition dir: rows replaced} for the rewritten
     partitions (the append itself lands via write_fact).
 
-    Deterministic two-step composition of the existing primitives:
+    Deterministic two-step composition, COLLECT-FREE on the key set
+    (the update batch never materializes on the driver, so a caller
+    passing a huge batch cannot blow the driver heap):
 
-    1. DELETE the old versions — the incoming key set (collected:
-       bounded by the UPDATE batch, never the table; the same driver
-       budget as a Bloom build) becomes a predicate pushed at each
-       leaf scan, and only partitions containing matches rewrite
-       through the crash-safe swap (delete_fact).
+    1. DELETE the old versions. The update keys compile into a
+       fixed-size Bloom bitset (operators/bloom — the collect there
+       is bounded by the 2^20-bit sketch, NOT the batch), and each
+       leaf partition is probed with the O(1) codegen membership
+       expression. Bloom has no false negatives, so rows the probe
+       rejects are definite keeps and never reach a shuffle; the
+       (tiny) probe-positive slice gets an EXACT left-anti join
+       against the distributed key set to rescue false positives.
+       Only partitions with >=1 exact match rewrite, through the
+       shared crash-safe tmp/marker/aside swap.
     2. APPEND the update rows month-partitioned and sort-keyed
        (write_fact) — at most one file set per touched month, which
        optimize_fact folds in at the next maintenance point.
 
+    Rows whose stored key columns contain NULL are never replaced
+    (SQL MERGE equality semantics: NULL matches nothing).
+
     Crash between the steps leaves keys deleted-but-not-yet-written:
     re-running the SAME upsert converges (step 1 finds nothing, step
     2 appends) — callers should re-run on failure, the standard
-    mutation-retry contract. For huge update batches where collecting
-    keys is unreasonable, land updates in their own partition and
-    let readers do argmax-per-key instead (events_latest_per_key is
-    the query-side twin; streaming/scd2_ingest the incremental one).
+    mutation-retry contract. For continuous high-volume upserts,
+    land updates in their own partition and let readers do
+    argmax-per-key instead (events_latest_per_key is the query-side
+    twin; streaming/scd2_ingest the incremental one).
     """
-    from functools import reduce
+    from ..operators.bloom import _bits_literal, bloom_member, build_bloom_bits
+    from ..streaming.store import crash_safe_rewrite
 
-    key_rows = [tuple(r) for r in updates.select(*keys).distinct().collect()]
-    if key_rows:
-        in_set = reduce(
-            lambda a, b: a | b,
-            [
-                reduce(
-                    lambda x, y: x & y,
-                    [F.col(k) == F.lit(v) for k, v in zip(keys, row)],
-                )
-                for row in key_rows
-            ],
-        )
-        replaced = delete_fact(spark, path, in_set)
-    else:
-        replaced = {}
-    write_fact(updates, path)
-    return replaced
+    # canonical join-key fingerprint: unit-separator-joined string
+    # forms; concat_ws never yields NULL, so the probe is always a
+    # definite boolean (no three-valued logic in ~probe)
+    gram = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+
+    key_df = updates.select(*keys).distinct().persist()
+    try:
+        if key_df.isEmpty():
+            replaced: dict[str, int] = {}
+        else:
+            bits = _bits_literal(build_bloom_bits(key_df.select(gram.alias("gram"))))
+            probe = bloom_member(gram, bits)
+
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            base = jvm.org.apache.hadoop.fs.Path(path)
+            fs = base.getFileSystem(conf)
+            replaced = {}
+            if fs.exists(base):
+                base_q = fs.makeQualified(base).toString()
+                for leaf in _leaf_partition_dirs(fs, jvm, path):
+                    leaf_str = leaf.toString()
+                    rel = fs.makeQualified(leaf).toString()[len(base_q):].lstrip("/")
+                    part_cols = [seg.split("=", 1) for seg in rel.split("/") if "=" in seg]
+
+                    def _with_parts(df: DataFrame) -> DataFrame:
+                        for name, value in part_cols:
+                            lit = (
+                                F.lit(int(value))
+                                if value.lstrip("-").isdigit()
+                                else F.lit(value)
+                            )
+                            df = df.withColumn(name, lit)
+                        return df
+
+                    stored = _with_parts(spark.read.parquet(leaf_str))
+                    n = (
+                        stored.filter(probe)
+                        .join(key_df, list(keys), "left_semi")
+                        .count()
+                    )
+                    if n == 0:
+                        continue
+
+                    def _write_kept(tmp: str, _leaf: str = leaf_str, _wp=_with_parts, _pc=part_cols) -> None:
+                        st = _wp(spark.read.parquet(_leaf))
+                        kept = st.filter(~probe).unionByName(
+                            st.filter(probe).join(key_df, list(keys), "left_anti")
+                        )
+                        (
+                            kept.drop(*[name for name, _ in _pc])
+                            .sortWithinPartitions(*SORT_KEY)
+                            .write.mode("overwrite")
+                            .parquet(tmp)
+                        )
+
+                    if crash_safe_rewrite(spark, leaf_str, _write_kept):
+                        replaced[rel] = n
+        write_fact(updates, path)
+        return replaced
+    finally:
+        key_df.unpersist()
 
 
 TTL_TRASH_SUFFIX = "__ttl_trash"

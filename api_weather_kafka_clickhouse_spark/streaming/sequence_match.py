@@ -65,11 +65,14 @@ def _make_matcher(window_us: int, evict_ms: int | None):
             pend_ts, pend_broken = [], []
         out_s: list[int] = []
         out_p: list[int] = []
+        max_seen: int | None = None
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            batch_max = int(ts_us.max())
+            max_seen = batch_max if max_seen is None else max(max_seen, batch_max)
             for t, etype in zip(ts_us, pdf["event_type"]):
                 if etype == "signup":
                     pend_ts.append(int(t))
@@ -89,6 +92,23 @@ def _make_matcher(window_us: int, evict_ms: int | None):
                             out_s.append(s)
                             out_p.append(int(t))
                     pend_ts, pend_broken = keep_ts, keep_broken
+        # end-of-batch pruning: broken entries can never match (their
+        # only exit above is a purchase arriving), and entries whose
+        # window has lapsed relative to the max event time seen can
+        # never match either (cross-batch event-time order is the
+        # source contract, so every future purchase has t >= max_seen;
+        # match requires t <= s + window). Without this a user who
+        # signs up / errors but never purchases would grow state
+        # without bound when evict_ms is unset — the docstring's
+        # "bounded by signups-per-user-per-window" claim, enforced.
+        if max_seen is not None:
+            kept = [
+                (s, b)
+                for s, b in zip(pend_ts, pend_broken)
+                if not b and max_seen <= s + window_us
+            ]
+            pend_ts = [s for s, _ in kept]
+            pend_broken = [b for _, b in kept]
         state.update((pend_ts, pend_broken))
         if evict_ms is not None:
             state.setTimeoutDuration(evict_ms)

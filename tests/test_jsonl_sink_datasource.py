@@ -103,3 +103,51 @@ def test_abort_leaves_target_unreadable(spark, tmp_path):
     assert not os.path.exists(w.staging)
     with pytest.raises(FileNotFoundError):
         sink.read_manifest(str(tmp_path))
+
+
+def test_commit_publishes_winning_attempt_and_overwrite_order(spark, tmp_path):
+    """Speculative-attempt safety + overwrite crash-ordering: two
+    attempts of the same partition stage under DISTINCT names and
+    commit() renames exactly the attempt whose ShardCommit Spark
+    delivered; overwrite removes the old manifest (the commit marker)
+    before any data file, and the old committed files are gone after
+    the new manifest lands."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    # a previously committed state
+    (tmp_path / "part-99999.jsonl").write_text('{"k": 0}\n', encoding="utf-8")
+    (tmp_path / sink.MANIFEST).write_text(
+        json.dumps(
+            {
+                "shards": {"part-99999.jsonl": {"rows": 1, "bytes": 9}},
+                "total_rows": 1,
+                "key_column": None,
+            }
+        ),
+        encoding="utf-8",
+    )
+    w = sink.KeyedJsonlWriter({"path": str(tmp_path)}, schema, overwrite=True)
+    # two concurrent attempts of partition 0: distinct staged files
+    for att, val in ((3, 30), (7, 70)):
+        with open(
+            os.path.join(w.staging, f"part-00000-attempt-{att}.jsonl"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            f.write(json.dumps({"k": val}) + "\n")
+    msg = sink.ShardCommit(
+        shard="part-00000.jsonl",
+        staged="part-00000-attempt-7.jsonl",
+        rows=1,
+        n_bytes=12,
+    )
+    w.commit([msg])
+    # the winning attempt's bytes are what got published
+    got = json.loads((tmp_path / "part-00000.jsonl").read_text(encoding="utf-8"))
+    assert got == {"k": 70}
+    # old committed data replaced; manifest describes only the new state
+    assert not (tmp_path / "part-99999.jsonl").exists()
+    man = sink.read_manifest(str(tmp_path))
+    assert sorted(man["shards"]) == ["part-00000.jsonl"]
+    assert man["total_rows"] == 1

@@ -395,3 +395,66 @@ def test_table_parts_lists_partitions_without_scanning(spark, tmp_path):
     assert all(r.rows == 10 and r.n_files == 1 for r in parts2.values())
     # empty table -> empty listing
     assert sink.table_parts(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_delete_fact_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics over three-valued logic: rows where the
+    predicate evaluates NULL are NOT matched and must be KEPT (and
+    never counted as deleted) — a bare filter(~cond) would silently
+    drop them."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(event_date="2024-01-15", city_name="a", event_time="2024-01-15 01:00:00", temp=100.0),
+        Row(event_date="2024-01-15", city_name="b", event_time="2024-01-15 02:00:00", temp=None),
+        Row(event_date="2024-01-15", city_name="c", event_time="2024-01-15 03:00:00", temp=300.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("event_date", F.col("event_date").cast("date"))
+    path = str(tmp_path / "wh_nullpred")
+    sink.write_fact(df, path)
+    deleted = sink.delete_fact(spark, path, F.col("temp") < 200)
+    assert deleted == {f"{sink.MONTH_COL}=202401": 1}
+    back = sink.read_fact(spark, path)
+    got = {(r.city_name, r.temp) for r in back.collect()}
+    # the NULL-temp row survived; only the TRUE-matching row is gone
+    assert got == {("b", None), ("c", 300.0)}
+
+
+def test_upsert_fact_collect_free_large_batch_and_null_keys(spark, tmp_path):
+    """The upsert key set never materializes on the driver (Bloom
+    prefilter + exact anti-join): a multi-thousand-key batch works,
+    stored rows with NULL key columns are never replaced (MERGE
+    equality semantics), and the exact join rescues any Bloom false
+    positive."""
+    from pyspark.sql import Row
+
+    def df(rows):
+        return spark.createDataFrame(rows).withColumn(
+            "event_date", F.col("event_date").cast("date")
+        )
+
+    base = [
+        Row(event_date="2024-01-15", city_name=f"city{i}", event_time="2024-01-15 01:00:00", temp=float(i))
+        for i in range(50)
+    ] + [
+        Row(event_date="2024-01-15", city_name=None, event_time="2024-01-15 09:00:00", temp=999.0)
+    ]
+    path = str(tmp_path / "wh_ups_big")
+    sink.write_fact(df(base), path)
+
+    updates = [
+        Row(event_date="2024-01-15", city_name=f"city{i}", event_time="2024-01-15 05:00:00", temp=float(i) + 1000.0)
+        for i in range(0, 5000)  # 50 hits + 4950 brand-new keys
+    ]
+    replaced = sink.upsert_fact(
+        spark, path, df(updates), keys=("event_date", "city_name")
+    )
+    assert replaced == {f"{sink.MONTH_COL}=202401": 50}
+    back = sink.read_fact(spark, path)
+    # 5000 update rows + the NULL-key stored row survive
+    assert back.count() == 5001
+    assert back.filter(F.col("city_name").isNull()).count() == 1
+    # replaced keys carry the update values
+    assert {
+        r.temp for r in back.filter(F.col("city_name") == "city7").collect()
+    } == {1007.0}

@@ -124,3 +124,77 @@ def test_state_machine_rules_unit(spark, tmp_path):
         (1, ts(0), ts(10)),
         (1, ts(1), ts(10)),
     ]
+
+
+def test_state_bounded_without_purchase():
+    """A user who signs up / errors but never purchases must not grow
+    state forever: broken entries and window-lapsed entries are pruned
+    at the end of every batch fold, not only when a purchase arrives."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from api_weather_kafka_clickhouse_spark.streaming.sequence_match import (
+        _US_PER_DAY,
+        _make_matcher,
+    )
+
+    class _FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.value = None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.value = None
+            self.exists = False
+
+    upd = _make_matcher(7 * _US_PER_DAY, None)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.Series([t for t, _, _ in rows], dtype="datetime64[us]"),
+                "event_type": [e for _, e, _ in rows],
+                "event_id": [i for _, _, i in rows],
+            }
+        )
+
+    # signup then error, no purchase ever: state drains to empty
+    st = _FakeState()
+    out = list(upd((1,), [pdf([(t0, "signup", 1), (t0 + dt.timedelta(minutes=1), "error", 2)])], st))
+    assert out == []
+    assert st.value == ([], [])
+
+    # a signup whose window lapsed relative to later traffic is pruned;
+    # a still-live signup survives the fold
+    st2 = _FakeState()
+    list(
+        upd(
+            (2,),
+            [
+                pdf(
+                    [
+                        (t0, "signup", 1),
+                        (t0 + dt.timedelta(days=8), "signup", 2),
+                    ]
+                )
+            ],
+            st2,
+        )
+    )
+    live = int(pd.Timestamp(t0 + dt.timedelta(days=8)).value // 1000)
+    assert st2.value == ([live], [False])
