@@ -115,110 +115,102 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # EVERY registered query has >= 1 driver CORRECTNESS row and the
 # rotation program ends; new queries added in r8+ queue below.
 #
-# Round-9 rotation queue (oracle-checked r8 additions with no driver
-# row yet): quality_tiers_decile, dedup_rate_by_source,
-# split_temporal_embargo, embedding_quantize_int8, join_salted_skew,
-# events_rolling_dau, events_conversion_latency, dedup_soft_weights,
-# events_user_streaks, sample_epochs_materialize,
-# text_source_divergence, agg_weighted_median,
-# curriculum_rank_distributed, mixture_token_budget,
-# text_inverted_index, copurchase_pairs_lift,
-# quality_quantile_normalize, layout_zorder_key, graph_triangles,
-# scd2_intervals, events_attribution_last_touch, profile_table_stats,
-# time_downsample_m4, pareto_revenue_share, customer_order_gaps,
-# join_point_in_time, window_running_distinct,
-# intervals_concurrency, agg_regression_per_group,
-# funnel_constrained_window, customer_rfm_segments,
-# stats_ks_test, events_anomaly_mad, stats_ttest_welch,
-# time_autocorr_lag1, graph_tree_depth, embedding_pq_int8,
-# graph_common_neighbors, fuzzy_match_damerau, text_pmi_collocations,
-# quality_winsorize, time_seasonal_decompose, events_sequence_match,
-# graph_walk_diffusion, embedding_truncate_recall,
-# text_bpe_merge_candidates, time_period_over_period, text_bm25_topk,
-# events_top_paths, join_asof_tolerance, events_ab_test_lift,
-# window_moving_median, text_lang_confusion, orders_cohort_ltv,
-# text_hashing_trick_features, graph_label_propagation,
-# clickhouse_dialect_battery, decontaminate_longest_span,
-# events_error_rate_wilson, feature_target_encoding, scalar_bits,
-# sim_hybrid_rrf, events_gini_concentration, time_changepoint_binary,
-# stats_anova_weekday, text_kwic, embedding_cosine_histogram,
-# time_forecast_backtest_naive, time_peak_detection,
-# dedup_simhash_band_occupancy, sim_recall_report,
-# agg_hll_set_algebra, text_autocomplete_index, join_any_left,
-# agg_trimmed_mean, sample_balanced_downsample, privacy_k_anonymity,
-# stats_benford_digits, events_dispersion_index,
-# text_lexical_diversity — swap them in
-# for same-family-redundant green slots next round.
+# Round-9 rotation (round 6, WAVE 1 of 2 — the 80-name r8 queue
+# outnumbers the 50 slots): 46 slots swap from multi-round-green
+# same-family-redundant queries to the first wave of never-driver-
+# gated r8 additions, prioritizing the families with zero driver rows
+# ever (graph_*, stats_*, time_*, the retrieval stack, the new
+# join/window/agg shapes). Four slots KEEP their previous occupants
+# because the queue has no other member of their family:
+# q8_market_share (TPC-H battery), curation_funnel (curation chain),
+# set_ops (set operations anchor), mm_phash_signatures (multimodal,
+# rows-only by design). Rotated-out queries remain oracle-verified
+# locally in tests/test_oracle_parity.py (the replica that has
+# predicted the driver gate bit-for-bit eight rounds running).
+#
+# Round-10 rotation queue (WAVE 2 — the 34 remaining r8 additions,
+# by name): events_attribution_last_touch, profile_table_stats,
+# pareto_revenue_share, customer_order_gaps, intervals_concurrency,
+# customer_rfm_segments, events_anomaly_mad, embedding_pq_int8,
+# text_pmi_collocations, quality_winsorize, events_sequence_match,
+# embedding_truncate_recall, text_bpe_merge_candidates,
+# events_top_paths, events_ab_test_lift, text_lang_confusion,
+# orders_cohort_ltv, text_hashing_trick_features,
+# clickhouse_dialect_battery, events_error_rate_wilson,
+# feature_target_encoding, events_gini_concentration, text_kwic,
+# embedding_cosine_histogram, dedup_simhash_band_occupancy,
+# text_autocomplete_index, sample_balanced_downsample,
+# privacy_k_anonymity, events_dispersion_index,
+# text_lexical_diversity, curriculum_rank_distributed,
+# mixture_token_budget, copurchase_pairs_lift, layout_zorder_key —
+# plus any round-9 additions (appended to this queue as they land).
 _PRIORITY: tuple[str, ...] = (
-    # --- round-8 rotation (round 5): the 7 never-gated round-7
-    # additions take redundant green slots; the other 43 slots carry
-    # over from r7 unchanged (they stay the freshest driver rows for
-    # their families).
-    # TPC-H analytical shapes
-    "curation_funnel",  # r7 addition, gated r7
-    "q8_market_share",  # gated r7
-    "q20_excess_stock_suppliers",  # gated r7
-    # joins
-    "join_bloom_prefilter",  # r7 addition, gated r7
-    "join_range_keyless",  # gated r7
-    # window functions
-    "window_range_numeric",  # gated r7
-    "window_moving_zscore",  # gated r7
-    # event-stream windowing (r8 rotation: first driver rows)
-    "events_latest_per_key",  # r8 rotation: first driver row
-    "events_path_transitions",  # r8 rotation: first driver row
-    # aggregation battery
-    "agg_grouping_levels",  # gated r7
-    "agg_percentile_exact",  # r8 rotation: first driver row
-    "agg_mode_per_group",  # r8 rotation: first driver row
-    "agg_value_histogram",  # gated r7
-    "agg_heavy_hitters_cms",  # gated r7
-    "agg_hll_sketch_merge",  # gated r7 (hash-checked since the r8 bounds-oracle upgrade)
-    "skew_key_profile",  # gated r7
-    "events_anomaly_zscore",  # gated r7
-    # behavioral analytics
-    "funnel_stages",  # anchor (gated r3-r7)
-    # text analysis / corpus prep
-    "text_lang_id",  # gated r7
-    "text_quality_by_lang",  # gated r7
-    "text_vocab_coverage",  # r8 rotation: first driver row
-    "text_sentence_udtf",  # gated r7
-    "text_gopher_quality",  # gated r7
-    "text_chunk_overlap",  # gated r7
-    "text_unigram_entropy",  # gated r7
-    "text_bigram_lm_score",  # gated r7
-    "text_segment_dedup",  # gated r7
-    # sampling / data mixing / splits
-    "sample_weighted",  # gated r7
-    "sample_mixture_sources",  # gated r7
-    "sample_temperature",  # r8 rotation: first driver row
-    "split_kfold",  # r8 rotation: first driver row
-    "sample_stratified",  # gated r7 (rows-only)
-    "sample_quality_weighted",  # gated r7 (rows-only)
-    # deduplication / decontamination
-    "dedup_keep_longest",  # r7 addition, gated r7
-    "dedup_containment",  # gated r7
-    "decontaminate_bloom",  # gated r7
-    "dedup_semdedup",  # gated r7 (rows-only)
-    # ML data prep / quality
-    "split_leakage_free",  # gated r7
-    "quality_classifier_score",  # gated r7 (rows-only)
-    # record linkage
-    "fuzzy_match_levenshtein",  # gated r7
-    # multimodal
-    "mm_phash_signatures",  # gated r7 (rows-only)
-    # time series
-    "time_interpolate_linear",  # gated r7
-    # similarity search / clustering
-    "sim_ann_lsh",  # gated r7 (hash-checked since the r7 SRP-oracle upgrade)
-    "sim_ivf_label",  # gated r7 (hash-checked since the r7 SRP-oracle upgrade)
-    "sim_ivf_kmeans",  # gated r7 (rows-only)
-    "embedding_kmeans",  # gated r7 (rows-only)
-    # core relational / scalar
-    "set_ops",  # anchor (gated r1-r7)
-    "scalar_nulls",  # gated r7
-    "scalar_strings3",  # gated r7
-    "scalar_arrays_maps",  # gated r7
+    # family keeps (no queue member covers these families)
+    "curation_funnel",  # KEEP: curation chain (gated r7, r8)
+    "q8_market_share",  # KEEP: TPC-H battery (gated r7, r8)
+    "set_ops",  # KEEP: set-operations anchor (gated r1-r8)
+    "mm_phash_signatures",  # KEEP: multimodal (rows-only by design)
+    # joins — wave 1 first driver rows
+    "join_salted_skew",
+    "join_point_in_time",
+    "join_asof_tolerance",
+    "join_any_left",
+    # window functions — wave 1 first driver rows
+    "window_running_distinct",
+    "window_moving_median",
+    # aggregation battery — wave 1 first driver rows
+    "agg_weighted_median",
+    "agg_regression_per_group",
+    "agg_hll_set_algebra",
+    "agg_trimmed_mean",
+    # graph family — first driver rows EVER for the family
+    "graph_triangles",
+    "graph_tree_depth",
+    "graph_common_neighbors",
+    "graph_walk_diffusion",
+    "graph_label_propagation",
+    # stats family — first driver rows EVER for the family
+    "stats_ks_test",
+    "stats_ttest_welch",
+    "stats_anova_weekday",
+    "stats_benford_digits",
+    # time-series family — first driver rows EVER for the family
+    "time_downsample_m4",
+    "time_autocorr_lag1",
+    "time_seasonal_decompose",
+    "time_period_over_period",
+    "time_changepoint_binary",
+    "time_forecast_backtest_naive",
+    "time_peak_detection",
+    # retrieval stack — first driver rows EVER
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "sim_recall_report",
+    "embedding_quantize_int8",
+    # text analysis — wave 1 first driver rows
+    "text_source_divergence",
+    "text_inverted_index",
+    # event analytics — wave 1 first driver rows
+    "events_rolling_dau",
+    "events_conversion_latency",
+    "events_user_streaks",
+    "scd2_intervals",
+    # dedup / decontamination — wave 1 first driver rows
+    "dedup_rate_by_source",
+    "dedup_soft_weights",
+    "decontaminate_longest_span",
+    # quality / ML prep — wave 1 first driver rows
+    "quality_tiers_decile",
+    "quality_quantile_normalize",
+    # sampling / splits — wave 1 first driver rows
+    "split_temporal_embargo",
+    "sample_epochs_materialize",
+    # behavioral analytics (funnel family representative)
+    "funnel_constrained_window",
+    # record linkage (family representative)
+    "fuzzy_match_damerau",
+    # core relational / scalar (family representative)
+    "scalar_bits",
 )
 
 

@@ -61,13 +61,19 @@ def curate_batch(
     text_col: str = "text",
     bucket_cap: int = BAND_BUCKET_CAP,
     run_id: str | None = None,
+    stage_times: dict[str, float] | None = None,
 ) -> None:
     """foreachBatch body: gate -> dedup -> fold labels. Exposed so a
     batch backfill can drive the identical code path the stream runs.
     ``run_id`` (the streaming query id, threaded by
     start_curation_pipeline) makes a recreated checkpoint over a kept
     store refuse loud before any partition write (see store.RUN_FILE);
-    ``None`` keeps the direct-batch/backfill behavior."""
+    ``None`` keeps the direct-batch/backfill behavior. ``stage_times``
+    (bench instrumentation) accumulates wall seconds per stage: the
+    dedup_ingest_batch boundaries plus ``label_fold`` for the
+    cluster-label contraction."""
+    import time as _time
+
     gated = gopher_filter(batch, text_col)
     if bloom_bits is not None:
         gated = decontam_filter(gated, bloom_bits, text_col)
@@ -79,7 +85,9 @@ def curate_batch(
         bucket_cap=bucket_cap,
         pairs_dir=dirs["pairs"],
         run_id=run_id,
+        stage_times=stage_times,
     )
+    _t = _time.perf_counter()
     spark = batch.sparkSession
     # fold ONLY this batch's provenance pairs into the label store —
     # an incremental contraction, never a recluster of the corpus.
@@ -94,6 +102,10 @@ def curate_batch(
             only_batch=batch_id,
         ).select(F.col("dropped_id").alias("doc_a"), F.col("kept_id").alias("doc_b"))
         update_labels(spark, dirs["labels"], pairs)
+    if stage_times is not None:
+        stage_times["label_fold"] = stage_times.get("label_fold", 0.0) + (
+            _time.perf_counter() - _t
+        )
 
 
 def start_curation_pipeline(

@@ -116,6 +116,7 @@ def dedup_ingest_batch(
     bucket_cap: int = BAND_BUCKET_CAP,
     pairs_dir: str | None = None,
     run_id: str | None = None,
+    stage_times: dict[str, float] | None = None,
 ) -> None:
     """foreachBatch body: admit the batch's non-near-dup docs, index
     their signatures. Separated from the query wiring so tests (and a
@@ -134,8 +135,26 @@ def dedup_ingest_batch(
     consumers wanting a canonical representative should close the
     pairs transitively (merge_components does). Replay-idempotent via
     the same per-batch partition overwrite as every other output.
+
+    ``stage_times`` (optional, bench instrumentation): accumulates
+    wall seconds per materialization boundary —
+    ``sign_join_survivors`` (everything up to and including the
+    survivors write: the upstream gates, signing, candidate joins and
+    similarity filters all EXECUTE here because the plan is lazy and
+    fused — that fusion is the design, so finer splits would change
+    the benched path), ``index_write`` (re-read of written survivors
+    + the three signature-store appends), ``pairs_write`` (the
+    provenance log append). Keys += across batches.
     """
+    import time as _time
+
     from pyspark.sql import Window
+
+    def _mark(key: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if stage_times is not None:
+            stage_times[key] = stage_times.get(key, 0.0) + (now - t0)
+        return now
 
     spark = batch.sparkSession
     verify_scheme_store_run(spark, store_dir, run_id)
@@ -268,7 +287,9 @@ def dedup_ingest_batch(
                 # pre-batch store), then index from a RE-READ of the
                 # written files: their lineage is a file scan, immune
                 # to both the store mutation and cache eviction.
+                _t = _time.perf_counter()
                 _append(survivors, survivors_dir)
+                _t = _mark("sign_join_survivors", _t)
                 # only THIS batch's partition: a re-delivered doc_id
                 # surviving in an older partition must not cause the
                 # current (dropped) copy to be re-indexed
@@ -285,6 +306,7 @@ def dedup_ingest_batch(
                     shorts.join(written, "doc_id", "left_semi"),
                     os.path.join(store_dir, "shorts"),
                 )
+                _t = _mark("index_write", _t)
                 if pairs_dir is not None:
                     # safe to evaluate AFTER the store writes: every
                     # stored_* read excludes this batch's partitions,
@@ -304,6 +326,7 @@ def dedup_ingest_batch(
                         .distinct()
                     )
                     _append(pairs, pairs_dir)
+                    _mark("pairs_write", _t)
             finally:
                 pairs_vs_store.unpersist()
                 pairs_in_batch.unpersist()

@@ -113,12 +113,28 @@ def scd2_ingest_batch(
     batch_id: int,
     store_dir: str,
     run_id: str | None = None,
+    stage_times: dict[str, float] | None = None,
 ) -> None:
     """foreachBatch body: fold one micro-batch of (event_id, user_id,
     event_type, ts) rows into the interval store. Deterministic given
     the pre-batch store, so a replayed batch id rewrites identical
-    partitions (read_store excludes the batch's own first attempt)."""
+    partitions (read_store excludes the batch's own first attempt).
+
+    ``stage_times`` (bench instrumentation) accumulates wall seconds
+    per materialization boundary: ``fold_closed_write`` (head
+    merge-on-read + classification join + island fold, which all
+    EXECUTE at the closed-intervals append because the plan is lazy),
+    ``heads_write`` and ``late_write`` (the two remaining appends,
+    served from the persisted tagged/adj frames)."""
+    import time as _time
+
     from pyspark.sql import Window
+
+    def _mark(key: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if stage_times is not None:
+            stage_times[key] = stage_times.get(key, 0.0) + (now - t0)
+        return now
 
     spark = events.sparkSession
     verify_scheme_store_run(spark, store_dir, run_id)
@@ -269,13 +285,17 @@ def scd2_ingest_batch(
         )
 
         try:
+            _t = _time.perf_counter()
             append_partition(
                 closed_from_head.unionByName(closed_islands),
                 os.path.join(store_dir, "closed"),
                 batch_id,
             )
+            _t = _mark("fold_closed_write", _t)
             append_partition(new_heads, os.path.join(store_dir, "heads"), batch_id)
+            _t = _mark("heads_write", _t)
             append_partition(late, os.path.join(store_dir, "late"), batch_id)
+            _mark("late_write", _t)
         finally:
             adj.unpersist()
             tagged.unpersist()

@@ -97,15 +97,18 @@ def _time_curation_backfill(spark) -> list[float]:
 
     docs = load(spark, "documents", SF_DIR).select("doc_id", "text")
     runs: list[float] = []
+    stage_runs: list[dict[str, float]] = []
     for _ in range(3):
         base = tempfile.mkdtemp(prefix="bench_curation_")
+        stages: dict[str, float] = {}
         try:
             t0 = time.perf_counter()
-            curate_batch(docs, 0, curation_dirs(base), None)
+            curate_batch(docs, 0, curation_dirs(base), None, stage_times=stages)
             runs.append(round(time.perf_counter() - t0, 3))
+            stage_runs.append(stages)
         finally:
             shutil.rmtree(base, ignore_errors=True)
-    return runs
+    return runs, stage_runs
 
 
 def _time_scd2_backfill(spark) -> list[float]:
@@ -136,20 +139,43 @@ def _time_scd2_backfill(spark) -> list[float]:
         for lo, hi in zip(cuts, cuts[1:])
     ]
     runs: list[float] = []
+    stage_runs: list[dict[str, float]] = []
     for _ in range(3):
         base = tempfile.mkdtemp(prefix="bench_scd2_")
+        stages: dict[str, float] = {}
         try:
             t0 = time.perf_counter()
             for bid, b in enumerate(batches):
-                scd2_ingest_batch(b, bid, f"{base}/store")
+                scd2_ingest_batch(b, bid, f"{base}/store", stage_times=stages)
             runs.append(round(time.perf_counter() - t0, 3))
+            stage_runs.append(stages)
         finally:
             shutil.rmtree(base, ignore_errors=True)
-    return runs
+    return runs, stage_runs
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # host-load drift marker, sampled BEFORE the bench adds its own
+    # load: a loaded host inflates every number uniformly (the r8
+    # captures ran at load 7.5 and read ~1.5x r7 on unchanged code).
+    # The flag saves a future reader from re-deriving that argument.
+    try:
+        load_start: list[float] | None = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
+    n_cpus = os.cpu_count() or 1
+    degraded = load_start is not None and load_start[0] > 2.0 * (n_cpus / 8.0)
+    if degraded:
+        print(
+            f"WARNING: bench starting on a loaded host (1-min load "
+            f"{load_start[0]} on {n_cpus} CPUs) — absolute numbers will "
+            f"be inflated; compare per-query ratios, not totals",
+            file=sys.stderr,
+        )
+
+    # console progress off: the progress-bar noise is what pushed the
+    # final JSON line out of the driver's tail capture in round 8
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     queries = registry.queries()
     # warm the session outside the timed region: JVM/codegen (q1) and
     # the Python/Arrow worker pool (any pandas-UDF query)
@@ -184,11 +210,18 @@ def main() -> None:
         timings[name] = min(runs)
 
     # the composed curation chain, benched as a backfill into a fresh
-    # store (not in HEADLINE: it is an ingest pipeline, not a query)
-    all_runs["curation_backfill"] = _time_curation_backfill(spark)
-    timings["curation_backfill"] = min(all_runs["curation_backfill"])
-    all_runs["scd2_backfill"] = _time_scd2_backfill(spark)
-    timings["scd2_backfill"] = min(all_runs["scd2_backfill"])
+    # store (not in HEADLINE: it is an ingest pipeline, not a query).
+    # Each backfill also reports per-stage wall times (from its best
+    # run) so a store-layer regression localizes without a bisect.
+    stages: dict[str, dict[str, float]] = {}
+    for label, (runs, stage_runs) in (
+        ("curation_backfill", _time_curation_backfill(spark)),
+        ("scd2_backfill", _time_scd2_backfill(spark)),
+    ):
+        all_runs[label] = runs
+        timings[label] = min(runs)
+        best = stage_runs[runs.index(min(runs))]
+        stages[label] = {k: round(v, 2) for k, v in best.items()}
 
     # best-effort: an env-overridden SF_DIR without an 'sf<num>'
     # suffix must not crash AFTER the whole benchmark ran — the one
@@ -202,19 +235,29 @@ def main() -> None:
         load_avg: list[float] | None = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_avg = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs": all_runs,
-                "load_avg": load_avg,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            # compact raw runs (2 decimals): drift-vs-regression
+            # forensics without outgrowing the driver's tail capture
+            "runs": {n: [round(r, 2) for r in rs] for n, rs in all_runs.items()},
+            "stages": stages,
+            "load_avg": load_avg,
+            "load_avg_start": load_start,
+            "degraded": degraded,
+            "sf": sf,
+        }
     )
+    # the one-line JSON is the driver contract, and the driver
+    # tail-captures combined output — stop Spark FIRST so its shutdown
+    # logging precedes the line instead of flushing after it (the r8
+    # truncation), then emit the JSON as the absolute last output
+    spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
