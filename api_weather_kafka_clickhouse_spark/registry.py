@@ -271,6 +271,7 @@ def _ensure_loaded() -> None:
         bloom,
         corpus_quality,
         dedup,
+        geo,
         joins,
         multimodal,
         quality_model,
