@@ -344,3 +344,65 @@ def avgWeighted(x: Column | str, w: Column | str) -> Column:
     one IEEE op."""
     x, w = _col(x), _col(w)
     return F.sum(x * w) / F.sum(w)
+
+
+# ------------------------------------- round-9 vocabulary additions
+
+
+def toQuarter(c: Column | str) -> Column:
+    return F.quarter(_col(c))
+
+
+def toISOWeek(c: Column | str) -> Column:
+    return F.weekofyear(_col(c))
+
+
+def arraySlice(c: Column | str, offset, length) -> Column:
+    """ClickHouse arraySlice(arr, offset, length), 1-based offset.
+    Both arguments may be Columns (Spark's slice accepts either)."""
+    return F.slice(_col(c), offset, length)
+
+
+def arrayMax(c: Column | str) -> Column:
+    return F.array_max(_col(c))
+
+
+def arrayMin(c: Column | str) -> Column:
+    return F.array_min(_col(c))
+
+
+def arrayDifference(c: Column | str) -> Column:
+    """ClickHouse arrayDifference, minus its leading 0: the adjacent
+    deltas arr[i+1] - arr[i] (length n-1; empty for single-element
+    arrays). ClickHouse prepends a 0 so the result keeps length n —
+    callers that need that parity can array_insert it; the deltas
+    themselves are what every consumer (gap analysis,
+    runningDifference ports) actually uses."""
+    arr = _col(c)
+    return F.transform(
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda x, i: x - F.element_at(arr, i + 1),
+    )
+
+
+def bar(c: Column | str, lo: float, hi: float, width: int) -> Column:
+    """ClickHouse bar(x, min, max, width): a unicode bar whose length
+    is x scaled into [0, width], clamped — the in-query sparkline used
+    in ops dashboards. Character-exact cross-engine: the length is
+    floor((x-min)/(max-min)*width) on IEEE doubles and the glyph is
+    the same literal."""
+    x = _col(c).cast("double")
+    k = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(width))
+    k = F.greatest(F.lit(0), F.least(F.lit(width), k))
+    return F.substr(F.lit("█" * width), F.lit(1), k.cast("int"))
+
+
+def transform_lookup(c: Column | str, mapping: dict, default) -> Column:
+    """ClickHouse transform(x, [from...], [to...], default): the
+    inline lookup table, compiled to a CASE chain (Catalyst folds it
+    to a switch over literals)."""
+    col = _col(c)
+    expr = None
+    for k, v in mapping.items():
+        expr = F.when(col == k, v) if expr is None else expr.when(col == k, v)
+    return expr.otherwise(default)

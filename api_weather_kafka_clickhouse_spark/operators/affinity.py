@@ -597,3 +597,272 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("new_label") != F.col("old_label")).alias("changed"),
     )
     return eager_release(out, "label_propagation", e)
+
+
+# Integer-mass PageRank: damping 85/100, exact floor arithmetic (same
+# discipline as graph_walk_diffusion — the deliberate floor loss is
+# the contract that makes the diffusion hash-checkable). Every node
+# starts with PR_MASS; each iteration a node pushes
+# floor(85*mass / (100*deg)) along every out-edge, and everything it
+# did NOT push (the 15% plus floor crumbs) joins the teleport pool,
+# redistributed uniformly as pool // n_nodes (pool mod n dropped —
+# < n units per iteration, bounded and tested).
+PR_MASS = 1_000_000_000
+PR_HOPS = 3
+PR_TOP = 30
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def _pagerank_iter_ctes() -> str:
+    its = []
+    prev = "m0"
+    for i in range(1, PR_HOPS + 1):
+        its.append(f"""
+    qn{i} AS (
+      SELECT m.node, ({PR_DAMP_NUM} * m.mass) // ({PR_DAMP_DEN} * d.deg) AS q,
+             m.mass, d.deg
+      FROM {prev} m JOIN deg d USING (node)
+    ),
+    inc{i} AS (
+      SELECT e.dst AS node, CAST(sum(q.q) AS BIGINT) AS inc
+      FROM e JOIN qn{i} q ON q.node = e.src GROUP BY e.dst
+    ),
+    tp{i} AS (SELECT CAST(sum(mass - deg * q) AS BIGINT) AS pool FROM qn{i}),
+    m{i} AS (
+      SELECT n.node,
+             CAST(COALESCE(i.inc, 0) + tp{i}.pool // nn.n AS BIGINT) AS mass
+      FROM nodes n LEFT JOIN inc{i} i USING (node)
+      CROSS JOIN tp{i} CROSS JOIN nn
+    )""")
+        prev = f"m{i}"
+    return ",".join(its)
+
+
+def _pagerank_masses(spark: SparkSession, sf_dir: str):
+    """(masses_df, caches) for the full node set after PR_HOPS
+    iterations; split out so tests can pin mass conservation on every
+    node, not just the reported top. Caller owns the unpersist."""
+    li = load(spark, "lineitem", sf_dir)
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    # bipartite union graph with disjoint node ids: 2s / 2p+1
+    e = (
+        pairs.select(
+            (2 * F.col("l_suppkey")).alias("src"),
+            (2 * F.col("l_partkey") + 1).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (2 * F.col("l_partkey") + 1).alias("src"),
+                (2 * F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = nodes.select("node", F.lit(PR_MASS).cast("bigint").alias("mass"))
+    caches = [e, nodes]
+    for _ in range(PR_HOPS):
+        qn = (
+            m.join(F.broadcast(deg), "node")
+            .select(
+                "node",
+                F.expr(f"({PR_DAMP_NUM} * mass) div ({PR_DAMP_DEN} * deg)").alias("q"),
+                "mass",
+                "deg",
+            )
+            .persist()
+        )
+        caches.append(qn)
+        inc = (
+            e.join(qn.select(F.col("node").alias("src"), "q"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("q").cast("bigint").alias("inc"))
+        )
+        tp = qn.agg(
+            F.sum(F.col("mass") - F.col("deg") * F.col("q")).cast("bigint").alias("pool")
+        )
+        m = (
+            nodes.join(inc, "node", "left")
+            .crossJoin(F.broadcast(tp))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (F.coalesce(F.col("inc"), F.lit(0)) + F.expr("pool div n"))
+                .cast("bigint")
+                .alias("mass"),
+            )
+        )
+    return m, caches
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * l_partkey + 1 AS src, 2 * l_suppkey AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    m0 AS (SELECT node, CAST({PR_MASS} AS BIGINT) AS mass FROM nodes),
+    {_pagerank_iter_ctes()}
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+           node // 2 AS key, mass
+    FROM m{PR_HOPS}
+    ORDER BY mass DESC, node
+    LIMIT {PR_TOP}
+    """,
+    doc=f"PageRank over the supplier-part bipartite graph, {PR_HOPS} "
+    "synchronous iterations with damping 0.85 in exact integer mass "
+    "(see PR_MASS comment): the authority ranking behind 'which "
+    "suppliers/parts anchor the purchase network'. Fixed-iteration "
+    "integer arithmetic is what makes a diffusion hash-checkable "
+    "(graph_walk_diffusion's discipline, plus damping and a teleport "
+    "pool here); convergence-to-epsilon PageRank is float and "
+    "engine-ordered, so the K-step form is the honest oracle target. "
+    "Each iteration is one broadcast of the dimension-sized degree "
+    "table, one shuffle equi-join keyed on the frontier, one "
+    "map-side-combined sum, and two 1-row scalar broadcasts (the "
+    "teleport pool and node count — the sanctioned keys=[] shape); "
+    "K iterations = K static joins, no driver loop state, so the "
+    "whole plan is AQE-replannable at 100 TB. Per-iteration state is "
+    "persisted once and released (iterative frontiers otherwise "
+    "re-derive exponentially through the lazy chain).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    m, caches = _pagerank_masses(spark, sf_dir)
+    out = (
+        m.orderBy(F.col("mass").desc(), "node")
+        .limit(PR_TOP)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("key"),
+            "mass",
+        )
+    )
+    return eager_release(out, "pagerank", *caches)
+
+
+# k-core peeling: drop nodes with degree < KCORE_K, recompute, repeat
+# KCORE_ROUNDS times (fixed rounds => a static, hash-checkable plan;
+# the converged flag reports whether the last round was a no-op, i.e.
+# whether this IS the exact k-core or an upper bound on it).
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_iter_ctes() -> str:
+    its = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        its.append(f"""
+    keep{i} AS (
+      SELECT s AS node FROM adj{i - 1} GROUP BY s HAVING count(*) >= {KCORE_K}
+    ),
+    adj{i} AS (
+      SELECT a.s, a.t FROM adj{i - 1} a
+      JOIN keep{i} ku ON ku.node = a.s
+      JOIN keep{i} kv ON kv.node = a.t
+    )""")
+    return ",".join(its)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ),
+    adj0 AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v AS s, u AS t FROM e0),
+    {_kcore_iter_ctes()},
+    surv AS (
+      SELECT s AS node, CAST(count(*) AS BIGINT) AS deg_core
+      FROM adj{KCORE_ROUNDS} GROUP BY s
+    ),
+    conv AS (
+      SELECT ((SELECT count(*) FROM adj{KCORE_ROUNDS})
+              = (SELECT count(*) FROM adj{KCORE_ROUNDS - 1})) AS converged
+    )
+    SELECT surv.node, surv.deg_core, conv.converged
+    FROM surv CROSS JOIN conv
+    """,
+    doc=f"{KCORE_K}-core of the co-purchase graph by "
+    f"{KCORE_ROUNDS}-round synchronous peeling: repeatedly drop nodes "
+    f"with fewer than {KCORE_K} surviving neighbors — the standard "
+    "dense-subgraph extraction (community kernels, spam/bot cliques, "
+    "robust seeds for the LPA/triangle family). Peeling is the "
+    "textbook distributed k-core algorithm: each round is one "
+    "map-side-combined degree count over the surviving adjacency "
+    "plus two semi-join-shaped equi-joins filtering both endpoints — "
+    "never a per-node sequential removal (exact linear-time peeling "
+    "is inherently serial; synchronous rounds are the scalable "
+    "formulation, and the emitted converged flag says whether the "
+    "fixed budget already reached the fixpoint — true here). Each "
+    "round's adjacency feeds two consumers (degrees + the next "
+    "filter), so every level persists once and releases at the end — "
+    "the iterative-frontier staging rule.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    li = load(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e0 = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    adj = (
+        e0.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(e0.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .persist()
+    )
+    caches = [adj]
+    prev = adj
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            prev.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("s").alias("node"))
+        )
+        nxt = (
+            prev.join(keep.withColumnRenamed("node", "s"), "s")
+            .join(keep.withColumnRenamed("node", "t"), "t")
+            .select("s", "t")
+            .persist()
+        )
+        caches.append(nxt)
+        prev = nxt
+    surv = prev.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_core")
+    )
+    last = caches[-1].agg(F.count(F.lit(1)).alias("c_last"))
+    before = caches[-2].agg(F.count(F.lit(1)).alias("c_before"))
+    conv = last.crossJoin(F.broadcast(before)).select(
+        (F.col("c_last") == F.col("c_before")).alias("converged")
+    )
+    out = surv.crossJoin(F.broadcast(conv)).select("node", "deg_core", "converged")
+    return eager_release(out, "kcore", *caches)

@@ -1557,3 +1557,61 @@ def dedup_simhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("candidate_pairs"),
     )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact all-pairs 3-gram Jaccard >= 0.8 via PPJoin-style PREFIX "
+    "FILTERING — the candidate-generation alternative to "
+    "dedup_ngram_jaccard's full inverted index (same semantics, same "
+    "oracle, different physical plan; equality of the two operators' "
+    "outputs is pinned in tests). Each document orders its shingles "
+    "by (global document frequency, shingle) ascending — rarest "
+    "first — and indexes only its PREFIX of length "
+    "n - ceil(t*n) + 1: any pair with Jaccard >= t shares at least "
+    "ceil(t*max(na,nb)) shingles, more than either suffix holds, so "
+    "the smallest-ordered common shingle provably falls in BOTH "
+    "prefixes and the prefix-token equi-join loses no true pair. At "
+    "t = 0.8 the prefix is ~20% of each document, so the candidate "
+    "join touches ~4% of the inverted index's row pairs and — "
+    "because prefixes hold the RAREST shingles — the join keys are "
+    "the least skewed ones (hot boilerplate shingles sort out of "
+    "every prefix, complementing the DF cap instead of relying on "
+    "it). The per-document ordering is a doc-partitioned window "
+    "(never a global rank: any consistent total order satisfies the "
+    "lemma, so (df, shingle-hash) works distributed), the exact "
+    "verify is the shared _verify_pairs equi-join, and ceil is "
+    "integer arithmetic: (4n + 4) div 5.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # shingle table feeds: the DF table, per-doc sizes, the ranked
+    # prefix build, and the verify join — persist once, release last
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
+    dfreq = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    sz = _shingle_sizes(e)
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    ranked = (
+        e.join(dfreq, "shingle")
+        .select("doc_id", "shingle", "dfreq")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    # prefix length for Jaccard threshold t = 4/5:
+    # L = n - ceil(0.8 n) + 1, ceil as exact integer (4n+4) div 5
+    pref = (
+        ranked.join(sz, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1)
+        .select("doc_id", "shingle")
+        .persist()
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = _verify_pairs(cand, e, sizes=sz)
+    return eager_release(out, "jaccard_prefix_pairs", e, pref)

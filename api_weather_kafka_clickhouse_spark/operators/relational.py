@@ -330,3 +330,130 @@ def clickhouse_dialect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses"
         ),
     )
+
+
+# Priority -> short code lookup for the dialect battery (ClickHouse
+# transform() semantics: unlisted values fall to the default).
+PRIO_CODES = {
+    "1-URGENT": "P1",
+    "2-HIGH": "P2",
+    "3-MEDIUM": "P3",
+    "4-NOT SPECIFIED": "P4",
+    "5-LOW": "P5",
+}
+
+
+def _prio_case_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in PRIO_CODES.items())
+    return f"CASE o_orderpriority {whens} ELSE 'PX' END"
+
+
+@register(
+    "clickhouse_dialect_battery2",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             list_sort(list(date_diff('day', DATE '1970-01-01', o_orderdate)))
+               AS days,
+             list_sort(list(CAST(o_totalprice AS DECIMAL(18,2)))) AS prices,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+             list(o_orderstatus) AS statuses,
+             list(CAST(quarter(o_orderdate) AS VARCHAR)) AS quarters,
+             list({_prio_case_sql()}) AS prios
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           CAST(list_aggregate(
+             [days[i + 1] - days[i] FOR i IN range(1, len(days))], 'max')
+             AS BIGINT) AS max_gap_days,
+           CAST(list_aggregate(prices[1:((n_orders + 1) // 2)], 'sum')
+             AS DOUBLE) AS half_spend,
+           repeat('█', CAST(greatest(0, least(10,
+             floor(spend / 600000.0 * 10))) AS INT)) AS spend_bar,
+           array_to_string(list_transform(
+             list_sort(list_transform(list_distinct(statuses),
+               e -> {{'nc': -len(list_filter(statuses, x -> x = e)), 'v': e}}
+             ))[1:2], s -> s.v), ',') AS top2_status,
+           array_to_string(list_sort(list_distinct(quarters)), ',') AS quarters,
+           array_to_string(list_sort(list_distinct(prios)), ',') AS prio_codes
+    FROM g
+    """,
+    doc="Dialect battery 2: the round-9 vocabulary additions exercised "
+    "end to end over a per-customer order-timeline rollup — "
+    "arrayDifference/arrayMax (max inter-order gap in days, the "
+    "runningDifference port shape), arraySlice/decimal fold (exact "
+    "spend of the first half of the sorted timeline), bar() (the "
+    "in-query sparkline, character-exact), transform() (the inline "
+    "priority lookup table), toQuarter, and an exact array-expressed "
+    "topK(2) (per-element counts via filter inside transform, sorted "
+    "by (-count, value) — ClickHouse's topK is a sketch; the "
+    "determinized exact form is the oracle-checkable twin, same "
+    "contract as uniqExact-for-uniq). Everything is one "
+    "map-side-combined groupBy producing per-customer arrays that "
+    "are ORDER-BOUNDED (a customer's orders), then pure array "
+    "expressions — zero UDFs, zero extra shuffles, and the collected "
+    "arrays stay dimension-sized at 100 TB because the group key is "
+    "the natural entity id.",
+)
+def clickhouse_dialect_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import clickhouse as ch
+
+    o = load(spark, "orders", sf_dir)
+    epoch_day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        ch.arraySort(ch.groupArray(epoch_day)).alias("days"),
+        ch.arraySort(ch.groupArray(price_dec)).alias("prices"),
+        F.sum(price_dec).cast("double").alias("spend"),
+        ch.groupArray("o_orderstatus").alias("statuses"),
+        ch.groupArray(ch.toQuarter("o_orderdate").cast("string")).alias("quarters"),
+        ch.groupArray(
+            ch.transform_lookup("o_orderpriority", PRIO_CODES, "PX")
+        ).alias("prios"),
+    )
+    half = ch.arraySlice("prices", 1, F.expr("(n_orders + 1) div 2"))
+    statuses = F.col("statuses")
+    top2 = F.array_join(
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.array_distinct(statuses),
+                        lambda e: F.struct(
+                            (-F.size(F.filter(statuses, lambda x: x == e))).alias("nc"),
+                            e.alias("v"),
+                        ),
+                    )
+                ),
+                1,
+                2,
+            ),
+            lambda s: s.getField("v"),
+        ),
+        ",",
+    )
+    return g.select(
+        "o_custkey",
+        "n_orders",
+        ch.arrayMax(ch.arrayDifference("days")).cast("bigint").alias("max_gap_days"),
+        F.aggregate(
+            half,
+            F.lit(0).cast("decimal(28,2)"),
+            # re-narrow each step: decimal + widens to (29,2) and the
+            # fold requires the accumulator type to be stable; (28,2)
+            # never saturates on order totals (sum < 1e26)
+            lambda acc, x: (acc + x).cast("decimal(28,2)"),
+        )
+        .cast("double")
+        .alias("half_spend"),
+        ch.bar("spend", 0.0, 600000.0, 10).alias("spend_bar"),
+        top2.alias("top2_status"),
+        ch.arrayStringConcat(ch.arraySort(ch.arrayDistinct("quarters")), ",").alias(
+            "quarters"
+        ),
+        ch.arrayStringConcat(ch.arraySort(ch.arrayDistinct("prios")), ",").alias(
+            "prio_codes"
+        ),
+    )

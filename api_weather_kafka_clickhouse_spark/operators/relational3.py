@@ -1016,3 +1016,67 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") < K_ANON).alias("violates_k"),
         (F.col("l_sensitive") < L_DIV).alias("violates_l"),
     )
+
+
+# epsilon for the Laplace release; sensitivity of a disjoint-cell
+# histogram is 1, so the noise scale b = 1/DP_EPSILON.
+DP_EPSILON = 1.0
+
+
+@register(
+    "privacy_dp_counts",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1, 2
+    ),
+    seeded AS (
+      SELECT event_type, dow, true_count,
+             (CAST(('0x' || substr(md5('dp:' || event_type || ':' ||
+                CAST(dow AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM cell
+    )
+    SELECT event_type, dow, true_count,
+           round(-1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+           round(true_count
+                 - 1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+    FROM seeded
+    """,
+    doc="Differentially-private histogram release: the event_type x "
+    "weekday cell counts plus Laplace(1/epsilon) noise at epsilon = "
+    "1.0 (disjoint cells => sensitivity 1) — the OTHER classic "
+    "privacy mechanism beside privacy_k_anonymity's suppression "
+    "audit. Production DP needs a fresh random draw per release; the "
+    "hash-checkable twin derives the uniform deterministically from "
+    "md5(cell) exactly like the simhash bit kernel: u = (h32 + 0.5) "
+    "/ 2^32 is EXACTLY representable (half-integer over a power of "
+    "two), 1 - 2|u - 0.5| is exact arithmetic, and the single "
+    "per-cell ln is rounded to 6 decimals (the bm25/PMI libm "
+    "discipline — per-row ln never enters a float SUM). true_count "
+    "is emitted for the oracle check; a real release drops it and "
+    "keeps only noisy_count. One map-side-combined aggregate; noise "
+    "is per-CELL, so the expression work is dimension-sized.",
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.clickhouse import toDayOfWeek
+
+    e = load(spark, "events", sf_dir)
+    cell = e.groupBy(
+        "event_type", toDayOfWeek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    seed = F.concat(F.lit("dp:"), F.col("event_type"), F.lit(":"), F.col("dow").cast("string"))
+    h = F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = F.lit(-1.0) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    return cell.select(
+        "event_type",
+        "dow",
+        "true_count",
+        F.round(noise / F.lit(DP_EPSILON), 6).alias("noise"),
+        F.round(F.col("true_count") + noise / F.lit(DP_EPSILON), 6).alias("noisy_count"),
+    )

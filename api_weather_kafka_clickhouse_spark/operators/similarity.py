@@ -1018,3 +1018,194 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# MMR re-ranking: greedy maximal-marginal-relevance diversification of
+# the top-MMR_CAND cosine candidates, MMR_K selections per query.
+# Scores are micro-quantized cosines (round(cos * 1e6) as BIGINT) and
+# the objective is integer: mmr10 = 7 * rel_q - 3 * max_sim_q
+# (lambda = 0.7 scaled by 10) — greedy argmax ties break on nbr_id,
+# so the selection sequence is exact integer arithmetic end to end
+# and hash-checks cross-engine (the agg_hll/int8 quantization-twin
+# discipline applied to an ITERATIVE algorithm).
+MMR_QUERIES = N_QUERIES
+MMR_CAND = 30
+MMR_K = 10
+
+
+def _mmr_iter_ctes() -> str:
+    # every all{t} is MATERIALIZED: it is referenced three times by
+    # level t+1, and DuckDB's default CTE inlining would otherwise
+    # expand the reference chain exponentially in MMR_K (the same
+    # blowup the Spark side avoids with checkpoint rotation)
+    its = []
+    for t in range(2, MMR_K + 1):
+        its.append(f"""
+    pen{t} AS (
+      SELECT c.query_id, c.nbr_id, c.rel_q, CAST(max(ps.sim_q) AS BIGINT) AS pen
+      FROM cand c
+      JOIN ps ON ps.query_id = c.query_id AND ps.a_id = c.nbr_id
+      JOIN all{t - 1} s ON s.query_id = ps.query_id AND s.nbr_id = ps.b_id
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} x
+                        WHERE x.query_id = c.query_id AND x.nbr_id = c.nbr_id)
+      GROUP BY 1, 2, 3
+    ),
+    sel{t} AS (
+      SELECT query_id, nbr_id, rel_q, pen, {t} AS step
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY 7 * rel_q - 3 * pen DESC, nbr_id) AS rn
+            FROM pen{t})
+      WHERE rn = 1
+    ),
+    all{t} AS MATERIALIZED (SELECT * FROM all{t - 1}
+               UNION ALL
+               SELECT query_id, nbr_id, rel_q, pen, step FROM sel{t})""")
+    return ",".join(its)
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MMR_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS rel_q
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, nbr_id, rel_q
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel_q DESC, nbr_id) AS rn FROM scored)
+      WHERE rn <= {MMR_CAND}
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.nbr_id AS a_id, b.nbr_id AS b_id,
+             CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                        CAST(eb.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS sim_q
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
+      JOIN embeddings ea ON ea.vec_id = a.nbr_id
+      JOIN embeddings eb ON eb.vec_id = b.nbr_id
+    ),
+    sel1 AS (
+      SELECT query_id, nbr_id, rel_q, CAST(0 AS BIGINT) AS pen, 1 AS step
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel_q DESC, nbr_id) AS rn FROM cand)
+      WHERE rn = 1
+    ),
+    all1 AS (SELECT * FROM sel1),
+    {_mmr_iter_ctes()}
+    SELECT query_id, CAST(step AS BIGINT) AS step, nbr_id, rel_q, pen,
+           (7 * rel_q - 3 * pen) AS mmr10
+    FROM all{MMR_K}
+    """,
+    doc=f"Maximal Marginal Relevance re-ranking: from each query's top-"
+    f"{MMR_CAND} cosine candidates, greedily select {MMR_K} results "
+    "maximizing 0.7*relevance - 0.3*max-similarity-to-already-chosen "
+    "— the diversification pass a RAG retriever runs between ANN "
+    "retrieval (sim_ann_lsh / sim_hybrid_rrf produce the candidates) "
+    "and the context window, so near-duplicate passages don't crowd "
+    "out coverage. Greedy MMR is inherently sequential in K, so the "
+    "scalable formulation fixes K and unrolls: each step is one "
+    "anti-join (drop selected), one equi-join + map-side max against "
+    "the candidate-pairs table, and a per-query WindowGroupLimit "
+    "argmax — all on CANDIDATE-sized data (queries x 30 rows); the "
+    "corpus is touched only by the initial top-k scan. Per-step "
+    "frames persist and release (the iterative-frontier rule). "
+    "Quantized-integer objective => bit-stable greedy path, same "
+    "K-unrolled-oracle discipline as graph_pagerank.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    rel_q = F.round(cosine(F.col("q_vec"), F.col("nbr_vec")) * 1e6, 0).cast("long")
+    scored = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("nbr_id")).select(
+        "query_id", "nbr_id", rel_q.alias("rel_q"), "nbr_vec"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("rel_q").desc(), "nbr_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_CAND)
+        .select("query_id", "nbr_id", "rel_q", "nbr_vec")
+        .persist()
+    )
+    ca = cand.select("query_id", F.col("nbr_id").alias("a_id"), F.col("nbr_vec").alias("va"))
+    cb = cand.select("query_id", F.col("nbr_id").alias("b_id"), F.col("nbr_vec").alias("vb"))
+    sim_q = F.round(cosine(F.col("va"), F.col("vb")) * 1e6, 0).cast("long")
+    ps = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", sim_q.alias("sim_q"))
+        .persist()
+    )
+    # Iterative state (query_id, nbr_id, rel_q, pen, step): pen is the
+    # INCREMENTAL max-similarity-to-selected (max over a growing set
+    # == fold of pairwise maxes, exact on integers; NULL until the
+    # first update so negative cosines are never floored at 0), step
+    # the selection round (NULL = unselected). The state is
+    # checkpoint-ROTATED each round (merge_components' idiom): each
+    # level is referenced twice by the next, so a lazy chain would
+    # grow the logical plan exponentially in MMR_K.
+    from ..plans.stage import (
+        drop_checkpoint_dir,
+        eager_release,
+        stage_checkpoint_with_path,
+    )
+
+    state = cand.select(
+        "query_id",
+        "nbr_id",
+        "rel_q",
+        F.lit(None).cast("bigint").alias("pen"),
+        F.lit(None).cast("int").alias("step"),
+    )
+    path, state = stage_checkpoint_with_path(state, "mmr_state")
+    for t in range(1, MMR_K + 1):
+        objective = (
+            F.col("rel_q")
+            if t == 1
+            else (7 * F.col("rel_q") - 3 * F.col("pen"))
+        )
+        wsel = Window.partitionBy("query_id").orderBy(objective.desc(), "nbr_id")
+        winner = (
+            state.filter(F.col("step").isNull())
+            .withColumn("rn", F.row_number().over(wsel))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("nbr_id").alias("w_nbr"))
+        )
+        sim_w = ps.join(
+            F.broadcast(winner),
+            (ps["query_id"] == winner["query_id"]) & (ps["b_id"] == F.col("w_nbr")),
+        ).select(ps["query_id"], F.col("a_id").alias("nbr_id"), F.col("sim_q").alias("sim_w"))
+        state = (
+            state.join(F.broadcast(winner), "query_id", "left")
+            .join(F.broadcast(sim_w), ["query_id", "nbr_id"], "left")
+            .select(
+                "query_id",
+                "nbr_id",
+                "rel_q",
+                F.when(F.col("step").isNotNull(), F.col("pen"))
+                .otherwise(F.greatest(F.col("pen"), F.col("sim_w")))
+                .alias("pen"),
+                F.when(F.col("step").isNotNull(), F.col("step"))
+                .when(F.col("nbr_id") == F.col("w_nbr"), F.lit(t))
+                .alias("step"),
+            )
+        )
+        new_path, state = stage_checkpoint_with_path(state, f"mmr_state_{t}")
+        drop_checkpoint_dir(state.sparkSession, path)
+        path = new_path
+    pen0 = F.coalesce(F.col("pen"), F.lit(0)).cast("bigint")
+    out = state.filter(F.col("step").isNotNull()).select(
+        "query_id",
+        F.col("step").cast("bigint").alias("step"),
+        "nbr_id",
+        "rel_q",
+        pen0.alias("pen"),
+        (7 * F.col("rel_q") - 3 * pen0).cast("bigint").alias("mmr10"),
+    )
+    out = eager_release(out, "mmr_rerank", cand, ps)
+    drop_checkpoint_dir(out.sparkSession, path)
+    return out

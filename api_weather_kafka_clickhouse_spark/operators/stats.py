@@ -1134,3 +1134,346 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_rate"),
         F.round(var / mean, 6).alias("dispersion"),
     )
+
+
+# Wilson-Hilferty chi-square critical approximation at alpha = 0.05:
+# crit(df) ~ df * (1 - 2/(9 df) + z * sqrt(2/(9 df)))^3 with the
+# standard-normal 95th percentile pinned as a literal (never each
+# engine's quantile function). Exact to ~0.1% for df >= 3 — and the
+# SAME approximation evaluates on both engines, so the reject flag
+# can never disagree cross-engine even where WH differs from the
+# exact quantile.
+WH_Z95 = 1.6448536269514722
+
+
+@register(
+    "stats_chi_square",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM b GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c_tot FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS big_n, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                 CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+          FROM b),
+    cell AS (
+      SELECT CAST(round(
+               (b.o - CAST(r.r_tot AS DOUBLE) * c.c_tot / t.big_n)
+               * (b.o - CAST(r.r_tot AS DOUBLE) * c.c_tot / t.big_n)
+               / (CAST(r.r_tot AS DOUBLE) * c.c_tot / t.big_n), 6)
+             AS DECIMAL(28,6)) AS term
+      FROM b JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+    ),
+    s AS (SELECT CAST(sum(term) AS DECIMAL(28,6)) AS chi2 FROM cell)
+    SELECT t.big_n, t.n_types, t.n_dows,
+           (t.n_types - 1) * (t.n_dows - 1) AS df,
+           s.chi2,
+           round(((t.n_types - 1) * (t.n_dows - 1))
+                 * pow(1.0 - 2.0 / (9.0 * ((t.n_types - 1) * (t.n_dows - 1)))
+                       + {WH_Z95!r} * sqrt(2.0 / (9.0 * ((t.n_types - 1) * (t.n_dows - 1)))),
+                       3.0), 6) AS chi2_crit,
+           (CAST(s.chi2 AS DOUBLE) >
+            ((t.n_types - 1) * (t.n_dows - 1))
+                 * pow(1.0 - 2.0 / (9.0 * ((t.n_types - 1) * (t.n_dows - 1)))
+                       + {WH_Z95!r} * sqrt(2.0 / (9.0 * ((t.n_types - 1) * (t.n_dows - 1)))),
+                       3.0)) AS reject_h0
+    FROM t CROSS JOIN s
+    """,
+    doc="Pearson chi-square test of INDEPENDENCE on the event_type x "
+    "ISO-weekday contingency table (is traffic mix stable across the "
+    "week?) — the two-axis companion to text_source_divergence's "
+    "one-axis goodness-of-fit. Expected counts are the marginal "
+    "product r*c/N; each cell's (o-e)^2/e evaluates in DOUBLE from "
+    "exact BIGINT marginals (every integer < 2^53, so the operands "
+    "are exact and IEEE's correctly-rounded ops make the term "
+    "bit-identical cross-engine), is rounded to 6 decimals, and the "
+    "cell terms then SUM as DECIMAL — exact and order-independent, "
+    "so the float-summation-order hazard never arises (the per-cell "
+    "rounding is the operator's contract, like the integer-mass "
+    "diffusion). The corpus pays ONE map-side-combined aggregate "
+    "into the type x weekday histogram; marginals and the statistic "
+    "derive from those ~35 rows. The alpha=0.05 critical value uses "
+    "the Wilson-Hilferty cube approximation with a pinned z literal, "
+    "evaluated identically on both engines.",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.clickhouse import toDayOfWeek
+    from ..plans.stage import eager_release
+
+    e = load(spark, "events", sf_dir)
+    b = (
+        e.groupBy("event_type", toDayOfWeek("ts").cast("bigint").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .persist()
+    )
+    r = b.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r_tot"))
+    c = b.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c_tot"))
+    t = b.agg(
+        F.sum("o").cast("bigint").alias("big_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("dow").cast("bigint").alias("n_dows"),
+    )
+    exp = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("big_n")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    cells = (
+        b.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t.select("big_n")))
+        .select(F.round(term, 6).cast("decimal(28,6)").alias("term"))
+    )
+    s = cells.agg(F.sum("term").cast("decimal(28,6)").alias("chi2"))
+    df_ = (F.col("n_types") - 1) * (F.col("n_dows") - 1)
+    wh = df_ * F.pow(
+        F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df_)
+        + F.lit(WH_Z95) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * df_)),
+        F.lit(3.0),
+    )
+    out = t.crossJoin(F.broadcast(s)).select(
+        "big_n",
+        "n_types",
+        "n_dows",
+        df_.alias("df"),
+        "chi2",
+        F.round(wh, 6).alias("chi2_crit"),
+        (F.col("chi2").cast("double") > wh).alias("reject_h0"),
+    )
+    return eager_release(out, "chi_square", b)
+
+
+# Two-sided normal critical value at alpha = 0.05, pinned literal.
+MW_Z_CRIT = 1.959963984540054
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    gh AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+    ct AS (
+      SELECT value, cnt,
+             CAST(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS cum_before
+      FROM gh
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS big_n,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+      FROM gh
+    ),
+    tv AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS c_t
+      FROM v GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT tv.event_type,
+             CAST(sum(tv.c_t * (2 * ct.cum_before + ct.cnt + 1)) AS BIGINT) AS r2,
+             CAST(sum(tv.c_t) AS BIGINT) AS n1
+      FROM tv JOIN ct USING (value)
+      GROUP BY tv.event_type
+    )
+    SELECT rk.event_type, rk.n1, (tot.big_n - rk.n1) AS n2,
+           (rk.r2 - rk.n1 * (rk.n1 + 1)) AS u2,
+           round((rk.r2 - rk.n1 * (rk.n1 + 1) - CAST(rk.n1 AS DOUBLE) * (tot.big_n - rk.n1))
+                 / (2.0 * sqrt(CAST(rk.n1 AS DOUBLE) * (tot.big_n - rk.n1) / 12.0
+                    * ((tot.big_n + 1) - CAST(tot.tie_t AS DOUBLE)
+                       / (CAST(tot.big_n AS DOUBLE) * (tot.big_n - 1))))), 6) AS z,
+           (abs((rk.r2 - rk.n1 * (rk.n1 + 1) - CAST(rk.n1 AS DOUBLE) * (tot.big_n - rk.n1))
+                 / (2.0 * sqrt(CAST(rk.n1 AS DOUBLE) * (tot.big_n - rk.n1) / 12.0
+                    * ((tot.big_n + 1) - CAST(tot.tie_t AS DOUBLE)
+                       / (CAST(tot.big_n AS DOUBLE) * (tot.big_n - 1))))))
+            > {MW_Z_CRIT!r}) AS reject_h0
+    FROM rk CROSS JOIN tot
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) of each event type's value "
+    "distribution against the pooled rest — the nonparametric "
+    "two-sample location test beside Welch's t (means) and KS (full "
+    "distribution): rank-based, so one whale value cannot move it. "
+    "Because each type is tested against everything else, the union "
+    "of the two samples is the whole corpus and ONE global rank pass "
+    "suffices: a value histogram plus a histogram-sized cumulative "
+    "window give tie-averaged ranks exactly (2*rank is an integer: "
+    "2*cum_before + cnt + 1), the per-type rank sum R2 and tie "
+    "correction sum(t^3 - t) stay exact BIGINT, and the normal-"
+    "approximation z assembles from those exact integers in one "
+    "identical expression tree (tie-corrected variance, two-sided "
+    "alpha = 0.05 with a pinned critical literal). Corpus cost: two "
+    "map-side-combined aggregates (global and per-type histograms); "
+    "the window runs over distinct values, never rows.",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    v = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    gh = v.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).persist()
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ct = gh.select(
+        "value",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("bigint").alias("cum_before"),
+    )
+    tot = gh.agg(
+        F.sum("cnt").cast("bigint").alias("big_n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    tv = v.groupBy("event_type", "value").agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    rk = (
+        tv.join(ct, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c_t") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+            .cast("bigint")
+            .alias("r2"),
+            F.sum("c_t").cast("bigint").alias("n1"),
+        )
+    )
+    n1 = F.col("n1")
+    n2 = F.col("big_n") - n1
+    u2 = F.col("r2") - n1 * (n1 + 1)
+    num = u2 - n1.cast("double") * n2
+    var = (
+        n1.cast("double")
+        * n2
+        / F.lit(12.0)
+        * (
+            (F.col("big_n") + 1)
+            - F.col("tie_t").cast("double") / (F.col("big_n").cast("double") * (F.col("big_n") - 1))
+        )
+    )
+    z = num / (F.lit(2.0) * F.sqrt(var))
+    out = rk.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        n2.alias("n2"),
+        u2.alias("u2"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > MW_Z_CRIT).alias("reject_h0"),
+    )
+    return eager_release(out, "mann_whitney", gh)
+
+
+# Poisson(1) CDF thresholds for the distributed bootstrap, pinned as
+# literals on both engines (never recomputed via exp — the Benford
+# no-libm-drift rule for constants). Weights cap at 6: P(w > 6) ~ 6e-4
+# and the truncation is part of the operator's contract.
+BOOT_POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+BOOT_B = 64  # resamples
+BOOT_LO_RANK = 2  # 2.5th percentile of 64 (floor(64*0.025)=1 -> 2nd)
+BOOT_HI_RANK = 63  # 97.5th percentile of 64
+
+
+def _poisson_case(u_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(BOOT_POISSON_CDF)
+    )
+    return f"(CASE {whens} ELSE 6 END)"
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    expanded AS (
+      SELECT b.b, x.v,
+             (CAST(('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                || CAST(x.event_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM x CROSS JOIN (SELECT unnest(range(1, {BOOT_B} + 1)) AS b) b
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum({_poisson_case("u")} * v) AS DOUBLE)
+               / sum({_poisson_case("u")}) AS m
+      FROM expanded GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+    ),
+    full_mean AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_full
+      FROM x
+    )
+    SELECT f.n, CAST({BOOT_B} AS BIGINT) AS n_resamples, f.mean_full,
+           round((SELECT m FROM ranked WHERE rk = {BOOT_LO_RANK}), 6) AS ci_lo,
+           round((SELECT m FROM ranked WHERE rk = {BOOT_HI_RANK}), 6) AS ci_hi
+    FROM full_mean f
+    """,
+    doc=f"Bootstrap 95% confidence interval for the mean event value "
+    f"via the POISSON bootstrap, {BOOT_B} resamples — the classic "
+    "distributed formulation (Chamandy et al.): exact multinomial "
+    "resampling needs the global row count per draw, but Poisson(1) "
+    "weights are independent per (row, resample), so the whole thing "
+    "is ONE stateless pass producing (b, weight*value) and a "
+    "map-side-combined per-b aggregate; no row ever leaves its "
+    "partition. Weights derive deterministically from md5(resample, "
+    "event_id) through the pinned Poisson CDF table (the seeded-"
+    "uniform kernel of privacy_dp_counts), values are rounded to 6 "
+    "decimals and summed as DECIMAL (exact, order-free), each "
+    "resample mean is one final division, and the CI bounds are "
+    "order statistics of the 64 means — bit-stable end to end. The "
+    f"B= {BOOT_B} expansion is the honest cost of any bootstrap; at "
+    "100 TB you bootstrap the per-partition or per-day aggregates, "
+    "not raw rows (same operator, coarser input).",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    x = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", F.round("value", 6).cast("decimal(18,6)").alias("v"))
+        .persist()
+    )
+    b = spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
+    seed = F.concat(
+        F.lit("boot:"), F.col("b").cast("string"), F.lit(":"), F.col("event_id").cast("string")
+    )
+    h = F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for k in reversed(range(len(BOOT_POISSON_CDF))):
+        w = F.when(u < BOOT_POISSON_CDF[k], F.lit(k)).otherwise(w)
+    means = (
+        x.crossJoin(F.broadcast(b))
+        .select("b", (w * F.col("v")).alias("wv"), w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum("wv").cast("double") / F.sum("w")).alias("m"))
+    )
+    wr = Window.orderBy("m", "b")
+    ranked = means.select("m", F.row_number().over(wr).alias("rk"))
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(F.round("m", 6).alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(F.round("m", 6).alias("ci_hi"))
+    full = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("mean_full"),
+    )
+    out = (
+        full.select("n", F.lit(BOOT_B).cast("bigint").alias("n_resamples"), "mean_full")
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
+    return eager_release(out, "bootstrap_ci", x)

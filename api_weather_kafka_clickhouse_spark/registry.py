@@ -143,7 +143,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # privacy_k_anonymity, events_dispersion_index,
 # text_lexical_diversity, curriculum_rank_distributed,
 # mixture_token_budget, copurchase_pairs_lift, layout_zorder_key —
-# plus any round-9 additions (appended to this queue as they land).
+# plus the round-9 additions (appended as they landed):
+# geo_cell_density, geo_radius_join, geo_knn_grid, stats_chi_square,
+# stats_mann_whitney, graph_pagerank, graph_kcore,
+# dedup_jaccard_prefix, sim_mmr_rerank, clickhouse_dialect_battery2,
+# privacy_dp_counts, stats_bootstrap_ci.
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no queue member covers these families)
     "curation_funnel",  # KEEP: curation chain (gated r7, r8)

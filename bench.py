@@ -71,6 +71,15 @@ HEADLINE = [
     # bipartite edge list) — the two new cost shapes of the session
     "text_bm25_topk",
     "graph_walk_diffusion",
+    # round-9: the new cost shapes — the spatial grid self-join (9x
+    # neighborhood explode + cell-key equi-join + exact verify), the
+    # K-unrolled integer-mass PageRank (3 x join+sum over the
+    # bipartite graph + teleport-pool scalars), and the Poisson
+    # bootstrap (the B=64 corpus replication, the registry's largest
+    # deliberate row multiplier)
+    "geo_radius_join",
+    "graph_pagerank",
+    "stats_bootstrap_ci",
 ]
 
 

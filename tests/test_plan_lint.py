@@ -57,6 +57,18 @@ NESTED_LOOP_SANCTIONED = {
     # the dim side replicates across a 16-value salt-range literal via
     # cross join — the replication factor is the salt CONSTANT
     "join_salted_skew": 1,
+    # Poisson bootstrap: the corpus replicates across the B=64
+    # resample-id range (the bootstrap's honest constant-factor cost,
+    # same shape as join_salted_skew's salt range), and the final
+    # 1-row assembly joins three scalar frames (full mean + the two
+    # CI order statistics; the CI builds are FILTERS rank=k, so the
+    # keys=[] aggregate exemption cannot see them — RRF's caveat)
+    "stats_bootstrap_ci": 4,
+    # the converged flag: two 1-row count aggregates cross-joined,
+    # then broadcast onto the survivor rows — the aggregate exemption
+    # sees the first join's build but not a build that is itself a
+    # join of two scalar aggregates
+    "graph_kcore": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

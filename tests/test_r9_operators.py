@@ -101,3 +101,235 @@ def test_points_derivation_is_stable_and_in_range(spark, sf_dir):
         assert 0 <= r["lon_off"] < 3_600_000
         assert r["cell_x"] == r["lon_off"] // 50_000
         assert r["cell_y"] == r["lat_off"] // 50_000
+
+
+# ------------------------------------------------ stats: chi2 / MW
+
+
+def test_chi_square_matches_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import WH_Z95
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = load(spark, "events", sf_dir).select("event_type", "ts").collect()
+    obs = Counter((r["event_type"], r["ts"].isoweekday()) for r in rows)
+    rtot = Counter()
+    ctot = Counter()
+    for (et, dow), o in obs.items():
+        rtot[et] += o
+        ctot[dow] += o
+    n = sum(obs.values())
+    chi2 = 0.0
+    for (et, dow), o in obs.items():
+        e = rtot[et] * ctot[dow] / n
+        chi2 += round((o - e) * (o - e) / e, 6)
+    out = SPECS["stats_chi_square"].fn(spark, sf_dir).collect()[0]
+    assert out["big_n"] == n
+    assert out["df"] == (len(rtot) - 1) * (len(ctot) - 1)
+    assert abs(float(out["chi2"]) - chi2) < 1e-6
+    df = out["df"]
+    crit = df * (1 - 2 / (9 * df) + WH_Z95 * (2 / (9 * df)) ** 0.5) ** 3
+    assert abs(out["chi2_crit"] - crit) < 1e-5
+    assert out["reject_h0"] == (float(out["chi2"]) > crit)
+
+
+def test_mann_whitney_matches_pure_python_ranks(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = (
+        load(spark, "events", sf_dir)
+        .select("event_type", "value")
+        .filter("value IS NOT NULL")
+        .collect()
+    )
+    cnt = Counter(r["value"] for r in rows)
+    # 2x tie-averaged rank per distinct value
+    rank2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    n = len(rows)
+    tie_t = sum(c**3 - c for c in cnt.values())
+    r2 = defaultdict(int)
+    n1 = Counter()
+    for r in rows:
+        r2[r["event_type"]] += rank2[r["value"]]
+        n1[r["event_type"]] += 1
+    out = {r["event_type"]: r for r in SPECS["stats_mann_whitney"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(n1)
+    for et, row in out.items():
+        assert row["n1"] == n1[et] and row["n2"] == n - n1[et]
+        u2 = r2[et] - n1[et] * (n1[et] + 1)
+        assert row["u2"] == u2
+        var = n1[et] * (n - n1[et]) / 12 * ((n + 1) - tie_t / (n * (n - 1)))
+        z = (u2 - n1[et] * (n - n1[et])) / (2 * var**0.5)
+        assert abs(row["z"] - z) < 1e-6
+
+
+# --------------------------------------------- graph: pagerank/kcore
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.affinity import (
+        PR_HOPS,
+        PR_MASS,
+        _pagerank_masses,
+    )
+
+    m, caches = _pagerank_masses(spark, sf_dir)
+    try:
+        rows = m.collect()
+        n = len(rows)
+        total = sum(r["mass"] for r in rows)
+        # only the teleport pool's mod-n remainder is dropped, once per
+        # iteration: total mass decays by < n units per hop, never grows
+        assert 0 <= n * PR_MASS - total < PR_HOPS * n
+        assert all(r["mass"] >= 0 for r in rows)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_kcore_survivors_have_core_degree_when_converged(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.affinity import KCORE_K
+
+    rows = SPECS["graph_kcore"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    converged = rows[0]["converged"]
+    assert all(r["converged"] == converged for r in rows)
+    if converged:
+        # at the fixpoint every survivor keeps >= k neighbors inside
+        # the surviving set — the defining k-core property
+        assert all(r["deg_core"] >= KCORE_K for r in rows)
+
+
+# ------------------------------------------- dedup: prefix filtering
+
+
+def test_prefix_filter_jaccard_equals_inverted_index(spark, sf_dir):
+    a = {tuple(r) for r in SPECS["dedup_jaccard_prefix"].fn(spark, sf_dir).collect()}
+    b = {tuple(r) for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_prefix_filter_shrinks_candidate_set(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from api_weather_kafka_clickhouse_spark.operators.dedup import (
+        _doc_shingles_exploded,
+        _shingle_sizes,
+    )
+
+    e = _doc_shingles_exploded(spark, sf_dir).persist()
+    try:
+        full = (
+            e.select(F.col("doc_id").alias("a"), "shingle")
+            .join(e.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter("a < b")
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+        dfreq = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+        w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+        pref = (
+            e.join(dfreq, "shingle")
+            .withColumn("rk", F.row_number().over(w))
+            .join(_shingle_sizes(e), "doc_id")
+            .filter(F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1)
+            .select("doc_id", "shingle")
+        )
+        pruned = (
+            pref.select(F.col("doc_id").alias("a"), "shingle")
+            .join(pref.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter("a < b")
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+        # the filter must prune candidates, not just match them
+        assert pruned < full
+    finally:
+        e.unpersist()
+
+
+# -------------------------------------------------- sim: MMR rerank
+
+
+def test_mmr_structure_and_greedy_start(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import MMR_K
+
+    rows = SPECS["sim_mmr_rerank"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top1 = {
+        r["query_id"]: r["nbr_id"]
+        for r in SPECS["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for qid, sel in by_q.items():
+        # exactly K selections, steps 1..K, no repeats
+        assert sorted(r["step"] for r in sel) == list(range(1, MMR_K + 1))
+        assert len({r["nbr_id"] for r in sel}) == MMR_K
+        # step 1 is pure relevance: must equal the brute-force top-1
+        first = next(r for r in sel if r["step"] == 1)
+        assert first["nbr_id"] == top1[qid]
+        assert first["pen"] == 0
+        # the integer objective is consistent on every row
+        assert all(r["mmr10"] == 7 * r["rel_q"] - 3 * r["pen"] for r in sel)
+
+
+# --------------------------------------- clickhouse vocabulary (r9)
+
+
+def test_ch_round9_vocabulary_kernels(spark):
+    from api_weather_kafka_clickhouse_spark.functions import clickhouse as ch
+
+    df = spark.createDataFrame(
+        [([10, 13, 21],), ([5],)], "arr array<bigint>"
+    ).select(
+        ch.arrayDifference("arr").alias("diffs"),
+        ch.arrayMax(ch.arrayDifference("arr")).alias("max_gap"),
+        ch.bar(F.size("arr") * 200000, 0.0, 600000.0, 10).alias("b"),
+        ch.transform_lookup(
+            F.size("arr").cast("string"), {"3": "three"}, "other"
+        ).alias("t"),
+    )
+    rows = df.collect()
+    assert rows[0]["diffs"] == [3, 8] and rows[0]["max_gap"] == 8
+    assert rows[1]["diffs"] == [] and rows[1]["max_gap"] is None
+    assert rows[0]["b"] == "█" * 10  # clamped at width
+    assert rows[1]["b"] == "█" * 3
+    assert rows[0]["t"] == "three" and rows[1]["t"] == "other"
+
+
+# ------------------------------------------ privacy DP / bootstrap
+
+
+def test_dp_noise_matches_pure_python_laplace(spark, sf_dir):
+    import hashlib
+    import math
+
+    rows = SPECS["privacy_dp_counts"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        seed = f"dp:{r['event_type']}:{r['dow']}".encode()
+        h = int(hashlib.md5(seed).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        sign = 1.0 if u >= 0.5 else -1.0
+        noise = -1.0 * sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert abs(r["noise"] - noise) < 1e-6
+        assert abs(r["noisy_count"] - (r["true_count"] + noise)) < 1e-5
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    row = SPECS["stats_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert row["n"] > 0 and row["n_resamples"] == 64
+    assert row["ci_lo"] < row["ci_hi"]
+    # at these sample sizes the full-sample mean sits inside a 95% CI
+    assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
