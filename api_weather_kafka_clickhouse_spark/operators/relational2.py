@@ -1102,3 +1102,159 @@ def time_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Expected range for the audited JSON metric field (the dbt-style
+# accepted-range test), pinned identically in both engines.
+JSON_K_LO = 0
+JSON_K_HI = 100
+
+
+@register(
+    "quality_json_audit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_valid_json,
+           CAST(sum(CASE WHEN json_valid(props)
+                         AND json_extract_string(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_has_k,
+           CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) BETWEEN {JSON_K_LO} AND {JSON_K_HI - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_k_in_range,
+           CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_min,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Schema-on-read JSON validation audit over the event payloads "
+    "— the dbt-style data-quality tests (parseable? required key "
+    "present? value in accepted range? observed bounds) a pipeline "
+    "runs per ingest batch before trusting semi-structured columns, "
+    "completing events_json_extract (which assumes health) with the "
+    "operator that MEASURES health. Parse-success maps to Spark's "
+    "PERMISSIVE from_json yielding a non-null struct; every check is "
+    "a conditional exact count inside ONE map-side-combined "
+    "aggregate, so the audit costs a single scan regardless of how "
+    "many rules stack on top.",
+)
+def quality_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    parsed = e.select(
+        "event_type",
+        "props",
+        F.from_json("props", "struct<k:bigint>").alias("j"),
+    )
+    valid = F.col("j").isNotNull()
+    k = F.col("j").getField("k")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(valid.cast("int")).cast("bigint").alias("n_valid_json"),
+        F.sum((valid & k.isNotNull()).cast("int")).cast("bigint").alias("n_has_k"),
+        F.sum(k.between(JSON_K_LO, JSON_K_HI - 1).cast("int"))
+        .cast("bigint")
+        .alias("n_k_in_range"),
+        F.min(k).cast("bigint").alias("k_min"),
+        F.max(k).cast("bigint").alias("k_max"),
+    )
+
+
+# Holt's linear (double exponential) smoothing with alpha = beta = 0.5:
+# level' = 0.5 x + 0.5 (level + trend); trend' = 0.5 (level' - level)
+# + 0.5 trend. The halves are exact binary fractions, so every fold
+# step is exact-IEEE add/multiply — the recurrence is bit-identical
+# cross-engine with NO rounding contract needed (unlike libm-based
+# smoothers). Forecast horizon pinned below.
+HOLT_H = 7
+
+
+@register(
+    "time_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(x AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS step,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM d
+    ),
+    fold AS (
+      -- CAST matters: a bare 0.0 types as DECIMAL(2,1) and the
+      -- recursion would quantize every subsequent trend to one digit
+      SELECT event_type, step, n_days, x AS level,
+             CAST(0.0 AS DOUBLE) AS trend
+      FROM s WHERE step = 1
+      UNION ALL
+      SELECT s.event_type, s.step, s.n_days,
+             0.5 * s.x + 0.5 * (f.level + f.trend) AS level,
+             0.5 * ((0.5 * s.x + 0.5 * (f.level + f.trend)) - f.level)
+               + 0.5 * f.trend AS trend
+      FROM fold f JOIN s ON s.event_type = f.event_type
+                        AND s.step = f.step + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(level, 6) AS level, round(trend, 6) AS trend,
+           round(level + {HOLT_H} * trend, 6) AS forecast_h{HOLT_H}
+    FROM fold
+    WHERE step = n_days
+    """,
+    doc="Holt's linear-trend exponential smoothing of daily event "
+    "volume per stream (see the alpha = beta = 0.5 exactness comment) "
+    "— the level+trend forecaster beside the seasonal-naive backtest "
+    "and seasonal decompose; emits the final state and a "
+    f"{HOLT_H}-day-ahead forecast. Smoothing is inherently a "
+    "sequential fold, so the scalable formulation reduces FIRST (one "
+    "map-side-combined day-bucket aggregate; the corpus is touched "
+    "once) and folds the calendar-SIZED series per key: Spark folds "
+    "the collected per-key day array with a higher-order aggregate "
+    "(codegen, no UDF; arrays are bounded by days-per-key, the "
+    "time_downsample_m4 contract), the oracle mirrors it with a "
+    "recursive CTE stepping day by day — same arithmetic, same "
+    "result, bit for bit.",
+)
+def time_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    series = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x").cast("double"),
+        ).alias("xs")
+    )
+    init = F.struct(
+        F.lit(0.0).alias("level"), F.lit(0.0).alias("trend"), F.lit(False).alias("started")
+    )
+
+    def step(acc, x):
+        lvl = F.lit(0.5) * x + F.lit(0.5) * (acc.getField("level") + acc.getField("trend"))
+        trd = F.lit(0.5) * (lvl - acc.getField("level")) + F.lit(0.5) * acc.getField("trend")
+        return F.when(
+            acc.getField("started"),
+            F.struct(lvl.alias("level"), trd.alias("trend"), F.lit(True).alias("started")),
+        ).otherwise(
+            F.struct(x.alias("level"), F.lit(0.0).alias("trend"), F.lit(True).alias("started"))
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.aggregate("xs", init, step).alias("st"),
+    )
+    lvl = F.col("st").getField("level")
+    trd = F.col("st").getField("trend")
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(lvl, 6).alias("level"),
+        F.round(trd, 6).alias("trend"),
+        F.round(lvl + F.lit(float(HOLT_H)) * trd, 6).alias(f"forecast_h{HOLT_H}"),
+    )

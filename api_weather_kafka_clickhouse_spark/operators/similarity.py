@@ -1209,3 +1209,220 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = eager_release(out, "mmr_rerank", cand, ps)
     drop_checkpoint_dir(out.sparkSession, path)
     return out
+
+
+# Binary quantization: the 64-dim embedding packs into two 32-bit
+# sign-bit words (two BIGINTs, never one: bit 63 would overflow
+# signed 64 in exact arithmetic) and similarity becomes popcount of
+# XOR — 32x less data movement than float32 vectors and integer ops
+# instead of dot products, the currently standard first-stage filter
+# for billion-vector retrieval.
+BQ_TOP_K = TOP_K
+
+
+def _bq_word_spark(col: str, lo: int) -> F.Column:
+    return F.expr(
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
+        f" IF(element_at({col}, i + {lo} + 1) > 0, shiftleft(1L, i), 0L))"
+    )
+
+
+def _bq_word_sql(col: str, lo: int) -> str:
+    return (
+        f"list_aggregate([CASE WHEN {col}[i + {lo} + 1] > 0"
+        f" THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END"
+        f" for i in range(0, 32)], 'sum')"
+    )
+
+
+@register(
+    "embedding_binary_hamming",
+    oracle=f"""
+    WITH bq AS (
+      SELECT vec_id, embedding,
+             {_bq_word_sql("embedding", 0)} AS h1,
+             {_bq_word_sql("embedding", 32)} AS h2
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             CAST(bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2))
+               AS BIGINT) AS hamming,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM bq q JOIN bq c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, nbr_id, hamming, cos_sim, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY hamming, nbr_id) AS rn FROM scored)
+    WHERE rn <= {BQ_TOP_K}
+    """,
+    doc="Binary-quantized retrieval: sign-bit packing (see the "
+    "two-word comment above) and exact Hamming top-k per query via "
+    "popcount-of-XOR, with the float cosine attached for calibration "
+    "— the 1-bit little sibling of embedding_quantize_int8 and the "
+    "standard coarse stage before exact re-ranking. Sign bits are "
+    "exact comparisons on identical floats, the packing is exact "
+    "integer arithmetic, and Hamming is integer — hash-checkable "
+    "with no rounding contract at all. Plan: the packing is one "
+    "projection (64 -> 16 bytes per vector at rest); the query set "
+    "broadcasts as in sim_topk_bruteforce (sanctioned query-dim "
+    "loop); at 100 TB the packed words ALSO bucket by a word prefix "
+    "for sub-linear candidate generation (the simhash band table "
+    "already implements exactly that shape).",
+)
+def embedding_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        to_double("embedding").alias("vec"),
+        _bq_word_spark("embedding", 0).alias("h1"),
+        _bq_word_spark("embedding", 32).alias("h2"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    scored = e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        (
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("h1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("h2")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BQ_TOP_K)
+        .select("query_id", "nbr_id", "hamming", "cos_sim", "rank")
+    )
+
+
+# Greedy k-center (farthest-point traversal) coreset: seed at vec_id
+# 0, then repeatedly add the point whose distance to the selected set
+# is LARGEST — the classic 2-approximation diversity sampler used to
+# pick geometrically-covering training subsets (the opposite pull of
+# sample_weighted's quality bias). Distance = quantized integer
+# cosine distance 1e6 - round(cos * 1e6), so the greedy path is exact
+# integer arithmetic like sim_mmr_rerank's.
+KCENTER_K = 8
+
+
+def _kcenter_iter_ctes() -> str:
+    its = []
+    for t in range(2, KCENTER_K + 1):
+        its.append(f"""
+    mind{t} AS (
+      SELECT c.vec_id,
+             CAST(min(1000000 - CAST(round(list_cosine_similarity(
+               CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))
+               * 1e6) AS BIGINT)) AS BIGINT) AS mind_q
+      FROM embeddings c
+      JOIN all{t - 1} a ON a.vec_id <> c.vec_id
+      JOIN embeddings s ON s.vec_id = a.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} x WHERE x.vec_id = c.vec_id)
+      GROUP BY c.vec_id
+    ),
+    sel{t} AS (
+      SELECT vec_id, mind_q, {t} AS step
+      FROM (SELECT *, row_number() OVER (ORDER BY mind_q DESC, vec_id)
+              AS rn FROM mind{t})
+      WHERE rn = 1
+    ),
+    all{t} AS MATERIALIZED (SELECT * FROM all{t - 1}
+               UNION ALL SELECT vec_id, mind_q, step FROM sel{t})""")
+    return ",".join(its)
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=f"""
+    WITH all1 AS MATERIALIZED (
+      SELECT vec_id, CAST(0 AS BIGINT) AS mind_q, 1 AS step
+      FROM embeddings WHERE vec_id = 0
+    ),
+    {_kcenter_iter_ctes()}
+    SELECT CAST(step AS BIGINT) AS step, vec_id, mind_q
+    FROM all{KCENTER_K}
+    """,
+    doc=f"Greedy k-center coreset selection, K = {KCENTER_K} (see the "
+    "constant comment): each step is one broadcast of the single new "
+    "center against the corpus, an exact integer distance, and an "
+    "incremental MIN fold into per-point state — so K steps cost K "
+    "corpus passes (the known price of farthest-point traversal; "
+    "at 100 TB each pass is embarrassingly parallel and the state "
+    "is one bigint per point). Per-step state checkpoint-rotates "
+    "(sim_mmr_rerank's rule) and the oracle unrolls K MATERIALIZED "
+    "CTE levels recomputing min-to-selected per level — same greedy "
+    "path bit for bit, argmax ties on vec_id.",
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import (
+        drop_checkpoint_dir,
+        eager_release,
+        stage_checkpoint_with_path,
+    )
+
+    emb = (
+        load(spark, "embeddings", sf_dir)
+        .select("vec_id", to_double("embedding").alias("vec"))
+        .persist()
+    )
+    state = emb.select(
+        "vec_id",
+        F.lit(None).cast("bigint").alias("mind_q"),
+        F.lit(None).cast("int").alias("step"),
+    )
+    path, state = stage_checkpoint_with_path(state, "kcenter_state")
+    for t in range(1, KCENTER_K + 1):
+        if t == 1:
+            winner = state.filter(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("w_id")
+            )
+        else:
+            wsel = Window.orderBy(F.col("mind_q").desc(), "vec_id")
+            winner = (
+                state.filter(F.col("step").isNull())
+                .withColumn("rn", F.row_number().over(wsel))
+                .filter(F.col("rn") == 1)
+                .select(F.col("vec_id").alias("w_id"))
+            )
+        wvec = emb.join(
+            F.broadcast(winner), emb["vec_id"] == F.col("w_id")
+        ).select("w_id", F.col("vec").alias("w_vec"))
+        d_q = (
+            F.lit(1000000)
+            - F.round(cosine(F.col("vec"), F.col("w_vec")) * 1e6, 0).cast("long")
+        ).cast("bigint")
+        state = (
+            state.join(emb, "vec_id")
+            .crossJoin(F.broadcast(wvec))
+            .select(
+                "vec_id",
+                F.when(
+                    F.col("step").isNotNull() | (F.col("vec_id") == F.col("w_id")),
+                    F.col("mind_q"),
+                )
+                .otherwise(F.least(F.col("mind_q"), d_q))
+                .alias("mind_q"),
+                F.when(F.col("step").isNotNull(), F.col("step"))
+                .when(F.col("vec_id") == F.col("w_id"), F.lit(t))
+                .alias("step"),
+            )
+        )
+        new_path, state = stage_checkpoint_with_path(state, f"kcenter_{t}")
+        drop_checkpoint_dir(state.sparkSession, path)
+        path = new_path
+    out = state.filter(F.col("step").isNotNull()).select(
+        F.col("step").cast("bigint").alias("step"),
+        "vec_id",
+        F.coalesce(F.col("mind_q"), F.lit(0)).cast("bigint").alias("mind_q"),
+    )
+    out = eager_release(out, "kcenter", emb)
+    drop_checkpoint_dir(out.sparkSession, path)
+    return out

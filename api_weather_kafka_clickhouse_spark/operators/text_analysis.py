@@ -1942,3 +1942,151 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_typ.cast("double") / n_tok, 6).alias("ttr"),
         F.round(n_typ.cast("double") / F.sqrt(n_tok.cast("double")), 6).alias("root_ttr"),
     )
+
+
+# RAKE keyword extraction: candidate phrases are maximal runs of
+# non-stopword tokens (capped at RAKE_MAX_WORDS), scored by the sum of
+# word degree/frequency over the phrase's words — the classic
+# unsupervised keyword extractor (Rose et al. 2010), the corpus-prep
+# step that surfaces what a crawl shard is "about" before topic
+# routing. Determinism: deg and freq are exact integers; each word's
+# deg/freq ratio is ONE division rounded to 9 decimals and the phrase
+# score sums those as DECIMAL — exact and order-free, so no float
+# fold order exists (the chi-square discipline).
+RAKE_MAX_WORDS = 6
+RAKE_TOP = 20
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest([{{'pos': i, 'tok': toks[i]}}
+                     for i in range(1, len(toks) + 1)],
+                    recursive := true)
+      FROM w
+    ),
+    g AS (
+      SELECT doc_id, pos, tok,
+             sum(CASE WHEN tok IN {_SW_SQL} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+             (tok IN {_SW_SQL}) AS is_stop
+      FROM t
+    ),
+    ph AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM g WHERE NOT is_stop
+      GROUP BY doc_id, grp
+      HAVING count(*) <= {RAKE_MAX_WORDS}
+    ),
+    wtok AS (
+      SELECT g.tok, ph.n_words
+      FROM g JOIN ph ON ph.doc_id = g.doc_id AND ph.grp = g.grp
+      WHERE NOT g.is_stop
+    ),
+    stats AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(n_words) AS BIGINT) AS deg
+      FROM wtok GROUP BY tok
+    ),
+    pd AS (
+      SELECT phrase, min(n_words) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM ph GROUP BY phrase
+    ),
+    scored AS (
+      SELECT pd.phrase, pd.n_words, pd.n_occurrences,
+             CAST(sum(CAST(round(CAST(s.deg AS DOUBLE) / s.freq, 9)
+                  AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS score_d
+      FROM pd, unnest(string_split(pd.phrase, ' ')) AS u(tok)
+      JOIN stats s ON s.tok = u.tok
+      GROUP BY pd.phrase, pd.n_words, pd.n_occurrences
+    )
+    SELECT phrase, n_words, n_occurrences,
+           round(CAST(score_d AS DOUBLE), 6) AS score
+    FROM scored
+    ORDER BY score_d DESC, phrase
+    LIMIT {RAKE_TOP}
+    """,
+    doc="RAKE keyword extraction over the corpus (see module constant "
+    "comment): stopword-delimited candidate phrases, word co-"
+    "occurrence degree/frequency scoring, corpus top-20. Cost shape: "
+    "one tokenize pass with a per-document window (the gaps-and-"
+    "islands phrase grouping — same kernel as sessionize), one "
+    "map-side-combined word-stats aggregate over phrase tokens, and "
+    "a phrase-token equi-join against the word-DIMENSION stats table "
+    "to assemble scores; phrases and words are vocabulary-sized, so "
+    "everything after the first pass runs on dimension tables. The "
+    "length cap bounds phrase keys; scores sum as DECIMAL so no "
+    "float accumulation order exists.",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS
+    from ..plans.stage import eager_release
+
+    docs = load(spark, "documents", sf_dir)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    wg = Window.partitionBy("doc_id").orderBy("pos")
+    g = t.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(F.array_contains(sw, F.col("tok")).cast("int")).over(wg).alias("grp"),
+        F.array_contains(sw, F.col("tok")).alias("is_stop"),
+    ).persist()
+    ph = (
+        g.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= RAKE_MAX_WORDS)
+        .persist()
+    )
+    wtok = (
+        g.filter(~F.col("is_stop"))
+        .join(ph.select("doc_id", "grp", "n_words"), ["doc_id", "grp"])
+        .select("tok", "n_words")
+    )
+    stats = wtok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("n_words").cast("bigint").alias("deg"),
+    )
+    pd_ = ph.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )
+    ratio = F.round(F.col("deg").cast("double") / F.col("freq"), 9).cast("decimal(28,9)")
+    scored = (
+        pd_.select("phrase", "n_words", "n_occurrences", F.explode(F.split("phrase", " ")).alias("tok"))
+        .join(stats, "tok")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum(ratio).cast("decimal(28,9)").alias("score_d"))
+    )
+    out = (
+        scored.orderBy(F.col("score_d").desc(), "phrase")
+        .limit(RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(F.col("score_d").cast("double"), 6).alias("score"),
+        )
+    )
+    return eager_release(out, "rake", g, ph)

@@ -147,7 +147,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # geo_cell_density, geo_radius_join, geo_knn_grid, stats_chi_square,
 # stats_mann_whitney, graph_pagerank, graph_kcore,
 # dedup_jaccard_prefix, sim_mmr_rerank, clickhouse_dialect_battery2,
-# privacy_dp_counts, stats_bootstrap_ci.
+# privacy_dp_counts, stats_bootstrap_ci, text_keyword_rake,
+# quality_json_audit, time_holt_linear, embedding_binary_hamming,
+# sample_kcenter_coreset.
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no queue member covers these families)
     "curation_funnel",  # KEEP: curation chain (gated r7, r8)

@@ -22,6 +22,8 @@ NESTED_LOOP_SANCTIONED = {
     # broadcast query vectors x corpus scan (non-equi vec_id <> cond):
     # build side = N_QUERIES rows
     "sim_topk_bruteforce": 1,
+    # same query-set broadcast shape over the PACKED sign-bit words
+    "embedding_binary_hamming": 1,
     "embedding_truncate_recall": 2,  # full-dim and truncated argmax passes
     # broadcast centroid/cell tables x corpus
     "sim_ivf_label": 1,

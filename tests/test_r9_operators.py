@@ -333,3 +333,140 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
     assert row["ci_lo"] < row["ci_hi"]
     # at these sample sizes the full-sample mean sits inside a 95% CI
     assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
+
+
+# ------------------------------------- rake / json audit / holt
+
+
+def test_rake_scores_match_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.functions.text import STOPWORDS
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        RAKE_MAX_WORDS,
+        RAKE_TOP,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    sw = set(STOPWORDS)
+    phrases: list[tuple[str, ...]] = []
+    for d in docs:
+        cur: list[str] = []
+        for tok in d["text"].split(" "):
+            if tok in sw:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            phrases.append(tuple(cur))
+    phrases = [p for p in phrases if len(p) <= RAKE_MAX_WORDS]
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    by_text = Counter(" ".join(p) for p in phrases)
+    scores = {
+        t: sum(round(deg[w] / freq[w], 9) for w in t.split(" ")) for t in by_text
+    }
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOP]
+    out = SPECS["text_keyword_rake"].fn(spark, sf_dir).collect()
+    assert len(out) == min(RAKE_TOP, len(scores))
+    for r in out:
+        assert r["n_occurrences"] == by_text[r["phrase"]]
+        assert abs(r["score"] - scores[r["phrase"]]) < 1e-6
+    assert {r["phrase"] for r in out} == {t for t, _ in top}
+
+
+def test_json_audit_counts_are_consistent(spark, sf_dir):
+    rows = SPECS["quality_json_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n"] >= r["n_valid_json"] >= r["n_has_k"] >= r["n_k_in_range"]
+        if r["n_has_k"]:
+            assert r["k_min"] <= r["k_max"]
+
+
+def test_holt_fold_matches_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    ev = load(spark, "events", sf_dir).select("event_type", "ts").collect()
+    daily: Counter = Counter((r["event_type"], r["ts"].date()) for r in ev)
+    series: dict[str, list[int]] = {}
+    for (et, day), x in sorted(daily.items()):
+        series.setdefault(et, []).append(x)
+    out = {r["event_type"]: r for r in SPECS["time_holt_linear"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(series)
+    for et, xs in series.items():
+        lvl, trd = float(xs[0]), 0.0
+        for x in xs[1:]:
+            new_lvl = 0.5 * x + 0.5 * (lvl + trd)
+            trd = 0.5 * (new_lvl - lvl) + 0.5 * trd
+            lvl = new_lvl
+        r = out[et]
+        assert r["n_days"] == len(xs)
+        assert abs(r["level"] - lvl) < 1e-6
+        assert abs(r["trend"] - trd) < 1e-6
+        assert abs(r["forecast_h7"] - (lvl + 7 * trd)) < 1e-6
+
+
+# ------------------------- binary hamming / k-center coreset
+
+
+def test_binary_hamming_matches_pure_python_packing(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        BQ_TOP_K,
+        N_QUERIES,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+
+    def pack(v):
+        h1 = sum(1 << i for i in range(32) if v[i] > 0)
+        h2 = sum(1 << i for i in range(32) if v[i + 32] > 0)
+        return h1, h2
+
+    packed = {k: pack(v) for k, v in vecs.items()}
+    out = SPECS["embedding_binary_hamming"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for qid, rows in by_q.items():
+        qh1, qh2 = packed[qid]
+        truth = sorted(
+            (
+                (bin(qh1 ^ h1).count("1") + bin(qh2 ^ h2).count("1"), nid)
+                for nid, (h1, h2) in packed.items()
+                if nid != qid
+            )
+        )[:BQ_TOP_K]
+        got = sorted((r["hamming"], r["nbr_id"]) for r in rows)
+        assert got == truth
+
+
+def test_kcenter_is_monotone_farthest_point(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import KCENTER_K
+
+    rows = sorted(
+        SPECS["sample_kcenter_coreset"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == list(range(1, KCENTER_K + 1))
+    assert rows[0]["vec_id"] == 0 and rows[0]["mind_q"] == 0
+    assert len({r["vec_id"] for r in rows}) == KCENTER_K
+    # farthest-point traversal: the selected min-distance is
+    # non-increasing after the seed
+    dists = [r["mind_q"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert all(d >= 0 for d in dists)
