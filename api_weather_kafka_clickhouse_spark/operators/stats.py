@@ -1477,3 +1477,159 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
     )
     return eager_release(out, "bootstrap_ci", x)
+
+
+# A customer whose last order is more than this many days before the
+# observation horizon (the global max order date) counts as churned
+# (event); everyone else is right-censored at the horizon.
+KM_CHURN_DAYS = 90
+
+
+@register(
+    "stats_survival_km",
+    oracle=f"""
+    WITH life0 AS (
+      SELECT o_custkey,
+             date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ),
+    hz AS (SELECT max(last_order) AS horizon FROM life0),
+    life AS (
+      SELECT c.c_mktsegment AS segment, l.dur,
+             CASE WHEN date_diff('day', l.last_order, hz.horizon)
+                       > {KM_CHURN_DAYS} THEN 1 ELSE 0 END AS event
+      FROM life0 l JOIN customer c ON c.c_custkey = l.o_custkey
+      CROSS JOIN hz
+    ),
+    cell AS (
+      SELECT segment, dur, CAST(sum(event) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM life GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT segment, dur, d, m,
+             CAST(sum(m) OVER (PARTITION BY segment) AS BIGINT)
+               - CAST(coalesce(sum(m) OVER (PARTITION BY segment
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM cell
+    ),
+    ev AS (
+      SELECT segment, dur, d, n_risk,
+             CASE WHEN n_risk = d THEN CAST(0 AS DECIMAL(28,9))
+                  ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9)
+                       AS DECIMAL(28,9)) END AS lnf,
+             CASE WHEN n_risk = d THEN 1 ELSE 0 END AS zf
+      FROM risk WHERE d > 0
+    ),
+    curve AS (
+      SELECT segment, dur, d, n_risk,
+             CAST(sum(lnf) OVER (PARTITION BY segment ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,9)) AS ln_cum,
+             sum(zf) OVER (PARTITION BY segment ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z_cum
+      FROM ev
+    )
+    SELECT segment, CAST(dur AS BIGINT) AS t_days, n_risk,
+           d AS d_events,
+           CASE WHEN z_cum > 0 THEN 0.0
+                ELSE round(exp(CAST(ln_cum AS DOUBLE)), 6) END AS survival
+    FROM curve
+    """,
+    doc=f"Kaplan-Meier survival curves per market segment: customer "
+    "'lifetime' = days between first and last order, churn event = "
+    f"last order more than {KM_CHURN_DAYS} days before the horizon, "
+    "otherwise right-censored — the retention analytics beside "
+    "retention_cohorts (which counts returns) and orders_cohort_ltv "
+    "(which sums value): S(t) = prod over event times of "
+    "(1 - d_i/n_i), the estimator that handles censoring correctly. "
+    "Determinism: at-risk counts and event counts are exact integer "
+    "window arithmetic over the (segment x duration) DIMENSION "
+    "table; the product becomes a sum of per-step ln factors — each "
+    "a single rounded libm call on identical doubles (the bm25/PMI "
+    "rule), accumulated as DECIMAL so no float order exists — and "
+    "one exp per emitted step; a d = n step pins survival to exact "
+    "0.0 from there on (ln(0) never evaluates). Corpus cost: one "
+    "per-customer aggregate, one dimension join, windows over "
+    "duration-dimension rows.",
+)
+def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    life0 = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.max("o_orderdate").alias("last_order"),
+    ).persist()
+    hz = life0.agg(F.max("last_order").alias("horizon"))
+    life = (
+        life0.join(c, life0["o_custkey"] == c["c_custkey"])
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "dur",
+            (F.datediff(F.col("horizon"), F.col("last_order")) > KM_CHURN_DAYS)
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    cell = life.groupBy("segment", "dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    wseg = Window.partitionBy("segment")
+    wbefore = (
+        Window.partitionBy("segment")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = cell.select(
+        "segment",
+        "dur",
+        "d",
+        (
+            F.sum("m").over(wseg) - F.coalesce(F.sum("m").over(wbefore), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0).select(
+        "segment",
+        "dur",
+        "d",
+        "n_risk",
+        F.when(F.col("n_risk") == F.col("d"), F.lit(0).cast("decimal(28,9)"))
+        .otherwise(
+            F.round(
+                F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")), 9
+            ).cast("decimal(28,9)")
+        )
+        .alias("lnf"),
+        (F.col("n_risk") == F.col("d")).cast("int").alias("zf"),
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = ev.select(
+        "segment",
+        "dur",
+        "d",
+        "n_risk",
+        F.sum("lnf").over(wcum).cast("decimal(28,9)").alias("ln_cum"),
+        F.sum("zf").over(wcum).alias("z_cum"),
+    )
+    out = curve.select(
+        "segment",
+        F.col("dur").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.when(F.col("z_cum") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("ln_cum").cast("double")), 6))
+        .alias("survival"),
+    )
+    return eager_release(out, "survival_km", life0)

@@ -470,3 +470,61 @@ def test_kcenter_is_monotone_farthest_point(spark, sf_dir):
     dists = [r["mind_q"] for r in rows[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
     assert all(d >= 0 for d in dists)
+
+
+# -------------------------------------------------- survival (KM)
+
+
+def test_km_matches_pure_python_estimator(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import KM_CHURN_DAYS
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    orders = load(spark, "orders", sf_dir).select("o_custkey", "o_orderdate").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load(spark, "customer", sf_dir).collect()
+    }
+    first: dict[int, object] = {}
+    last: dict[int, object] = {}
+    for r in orders:
+        k, d = r["o_custkey"], r["o_orderdate"]
+        first[k] = min(first.get(k, d), d)
+        last[k] = max(last.get(k, d), d)
+    horizon = max(last.values())
+    by_seg: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for k in first:
+        dur = (last[k].date() - first[k].date()).days
+        event = 1 if (horizon.date() - last[k].date()).days > KM_CHURN_DAYS else 0
+        by_seg[cust[k]].append((dur, event))
+    out = {
+        (r["segment"], r["t_days"]): r
+        for r in SPECS["stats_survival_km"].fn(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for seg, obs in by_seg.items():
+        obs.sort()
+        n = len(obs)
+        ln_cum, zero, seen = 0.0, False, 0
+        by_dur: dict[int, tuple[int, int]] = {}
+        for dur, ev in obs:
+            d, m = by_dur.get(dur, (0, 0))
+            by_dur[dur] = (d + ev, m + 1)
+        for dur in sorted(by_dur):
+            d, m = by_dur[dur]
+            n_risk = n - seen
+            seen += m
+            if d == 0:
+                continue
+            if n_risk == d:
+                zero = True
+            if not zero:
+                ln_cum += round(math.log((n_risk - d) / n_risk), 9)
+            r = out[(seg, dur)]
+            assert r["n_risk"] == n_risk and r["d_events"] == d
+            expect = 0.0 if zero else round(math.exp(ln_cum), 6)
+            assert abs(r["survival"] - expect) < 1e-6
+            n_checked += 1
+    assert n_checked == len(out) and n_checked > 0
