@@ -528,3 +528,30 @@ def test_km_matches_pure_python_estimator(spark, sf_dir):
             assert abs(r["survival"] - expect) < 1e-6
             n_checked += 1
     assert n_checked == len(out) and n_checked > 0
+
+
+# ------------------------------------------------------ theil-sen
+
+
+def test_theil_sen_matches_pure_python_median_slope(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    ev = load(spark, "events", sf_dir).select("event_type", "ts").collect()
+    daily: Counter = Counter((r["event_type"], r["ts"].date()) for r in ev)
+    series: dict[str, list[int]] = {}
+    for (et, day), x in sorted(daily.items()):
+        series.setdefault(et, []).append(x)
+    out = {r["event_type"]: r for r in SPECS["stats_theil_sen"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(series)
+    for et, xs in series.items():
+        slopes = []
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                slopes.append(((xs[j] - xs[i]) / (j - i), i + 1, j + 1))
+        slopes.sort()
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1][0]
+        r = out[et]
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["slope_per_day"] - lower_median) < 1e-6
