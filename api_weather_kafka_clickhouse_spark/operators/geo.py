@@ -282,3 +282,115 @@ def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("point_id_out").alias("point_id"), "nn_id", "dist2")
     )
     return eager_release(out, "geo_knn_grid", pts)
+
+
+DBSCAN_MINPTS = 3  # core point: >= this many OTHER points within R
+
+
+@register(
+    "geo_dbscan_classify",
+    oracle=f"""
+    WITH {_PTS_CTE},
+    cand AS (
+      SELECT a.point_id, b.point_id AS nbr_id
+      FROM pts a JOIN pts b ON a.point_id <> b.point_id
+      WHERE {_DIST2} <= {RADIUS2}
+    ),
+    deg AS (
+      SELECT point_id, CAST(count(*) AS BIGINT) AS n_neighbors
+      FROM cand GROUP BY point_id
+    ),
+    lab AS (
+      SELECT p.point_id,
+             CAST(coalesce(d.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+             coalesce(d.n_neighbors, 0) >= {DBSCAN_MINPTS} AS is_core
+      FROM pts p LEFT JOIN deg d USING (point_id)
+    )
+    SELECT l.point_id, l.n_neighbors,
+           CASE WHEN l.is_core THEN 'core'
+                WHEN EXISTS (SELECT 1 FROM cand c JOIN lab n
+                             ON n.point_id = c.nbr_id
+                             WHERE c.point_id = l.point_id AND n.is_core)
+                     THEN 'border'
+                ELSE 'noise' END AS role
+    FROM lab l
+    """,
+    doc="DBSCAN point classification on the projected plane: core "
+    f"(>= {DBSCAN_MINPTS} neighbors within the 5-degree radius), "
+    "border (non-core with a core neighbor), noise — the density "
+    "labeling that full DBSCAN clusters by connecting cores (that "
+    "closure is merge_components over the core-core edges; the "
+    "labeling here is the distributed-cost part). Both passes run on "
+    "the SAME grid-bucketed candidate pairs as geo_radius_join — "
+    "built once, persisted, reused for the degree count and the "
+    "border check — so the all-pairs oracle shape never executes in "
+    "Spark; isolated points never enter the candidate join and "
+    "rejoin as noise via the left join. Exact BIGINT distances end "
+    "to end.",
+)
+def geo_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    pts = _with_cell(_points(spark, sf_dir), RADIUS_E4).persist()
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    left = (
+        pts.select(
+            F.col("point_id").alias("pid"),
+            F.col("lat_off").alias("lat_a"),
+            F.col("lon_off").alias("lon_a"),
+            "cell_x",
+            "cell_y",
+            F.explode(offs).alias("dx"),
+        )
+        .select("*", F.explode(offs).alias("dy"))
+        .select(
+            "pid",
+            "lat_a",
+            "lon_a",
+            (F.col("cell_x") + F.col("dx")).alias("cell_x"),
+            (F.col("cell_y") + F.col("dy")).alias("cell_y"),
+        )
+    )
+    d2 = (F.col("lat_a") - F.col("lat_off")) * (F.col("lat_a") - F.col("lat_off")) + (
+        F.col("lon_a") - F.col("lon_off")
+    ) * (F.col("lon_a") - F.col("lon_off"))
+    cand = (
+        left.join(pts, ["cell_x", "cell_y"])
+        .filter(F.col("pid") != F.col("point_id"))
+        .filter(d2 <= RADIUS2)
+        .select(F.col("pid").alias("point_id"), F.col("point_id").alias("nbr_id"))
+        .persist()
+    )
+    deg = cand.groupBy("point_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    lab = (
+        pts.select("point_id")
+        .join(deg, "point_id", "left")
+        .select(
+            "point_id",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("bigint").alias("n_neighbors"),
+            (F.coalesce(F.col("n_neighbors"), F.lit(0)) >= DBSCAN_MINPTS).alias("is_core"),
+        )
+        .persist()
+    )
+    core_nbr = (
+        cand.join(
+            lab.filter(F.col("is_core")).select(F.col("point_id").alias("nbr_id")),
+            "nbr_id",
+            "left_semi",
+        )
+        .select("point_id")
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(True))
+    )
+    out = (
+        lab.join(core_nbr, "point_id", "left")
+        .select(
+            "point_id",
+            "n_neighbors",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("has_core_nbr"), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
+    return eager_release(out, "geo_dbscan", pts, cand, lab)

@@ -1741,3 +1741,137 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope_per_day"),
     )
     return eager_release(out, "theil_sen", s)
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    gh AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+    ct AS (
+      SELECT value, cnt,
+             CAST(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS cum_before
+      FROM gh
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS big_n,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+      FROM gh
+    ),
+    tv AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS c_t
+      FROM v GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT tv.event_type,
+             CAST(sum(tv.c_t * (2 * ct.cum_before + ct.cnt + 1)) AS BIGINT) AS r2,
+             CAST(sum(tv.c_t) AS BIGINT) AS n1
+      FROM tv JOIN ct USING (value)
+      GROUP BY tv.event_type
+    ),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(CAST(r2 AS DOUBLE) * r2 / (4.0 * n1), 6)
+                  AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s
+      FROM rk
+    )
+    SELECT t.big_n, terms.k, (terms.k - 1) AS df,
+           round((12.0 * CAST(terms.s AS DOUBLE) / (CAST(t.big_n AS DOUBLE)
+                  * (t.big_n + 1)) - 3.0 * (t.big_n + 1))
+                 / (1.0 - CAST(t.tie_t AS DOUBLE)
+                    / (CAST(t.big_n AS DOUBLE) * t.big_n * t.big_n - t.big_n)),
+                 6) AS h_stat,
+           round((terms.k - 1)
+                 * pow(1.0 - 2.0 / (9.0 * (terms.k - 1))
+                       + {WH_Z95!r} * sqrt(2.0 / (9.0 * (terms.k - 1))), 3.0),
+                 6) AS h_crit,
+           ((12.0 * CAST(terms.s AS DOUBLE) / (CAST(t.big_n AS DOUBLE)
+                  * (t.big_n + 1)) - 3.0 * (t.big_n + 1))
+                 / (1.0 - CAST(t.tie_t AS DOUBLE)
+                    / (CAST(t.big_n AS DOUBLE) * t.big_n * t.big_n - t.big_n))
+            > (terms.k - 1)
+                 * pow(1.0 - 2.0 / (9.0 * (terms.k - 1))
+                       + {WH_Z95!r} * sqrt(2.0 / (9.0 * (terms.k - 1))), 3.0))
+             AS reject_h0
+    FROM tot t CROSS JOIN terms
+    """,
+    doc="Kruskal-Wallis H: do the k event streams draw their values "
+    "from the same distribution — the k-group extension of "
+    "stats_mann_whitney (nonparametric ANOVA), built on the SAME "
+    "exact global 2x-rank histogram kernel: per-group doubled rank "
+    "sums R2 and counts are exact BIGINT, each group's R2^2/(4n) "
+    "term evaluates once in DOUBLE (operands < 2^53) and is rounded "
+    "then summed as DECIMAL (group count is data-dependent, so the "
+    "fixed-order trick of stats_anova_weekday does not apply — the "
+    "decimal sum is the order-free alternative), and the tie-"
+    "corrected H assembles in one identical expression tree. The "
+    "alpha = 0.05 threshold is the Wilson-Hilferty chi-square "
+    "approximation at df = k - 1 with the pinned z literal. Two "
+    "map-side-combined histograms; windows over distinct values.",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    v = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    gh = v.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).persist()
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ct = gh.select(
+        "value",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("bigint").alias("cum_before"),
+    )
+    tot = gh.agg(
+        F.sum("cnt").cast("bigint").alias("big_n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    tv = v.groupBy("event_type", "value").agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    rk = (
+        tv.join(ct, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c_t") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+            .cast("bigint")
+            .alias("r2"),
+            F.sum("c_t").cast("bigint").alias("n1"),
+        )
+    )
+    term = F.round(
+        F.col("r2").cast("double") * F.col("r2") / (F.lit(4.0) * F.col("n1")), 6
+    ).cast("decimal(38,6)")
+    terms = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(term).cast("decimal(38,6)").alias("s"),
+    )
+    nb = F.col("big_n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s").cast("double") / (nb * (F.col("big_n") + 1))
+        - F.lit(3.0) * (F.col("big_n") + 1)
+    ) / (
+        F.lit(1.0)
+        - F.col("tie_t").cast("double") / (nb * F.col("big_n") * F.col("big_n") - F.col("big_n"))
+    )
+    dfk = F.col("k") - 1
+    crit = dfk * F.pow(
+        F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfk)
+        + F.lit(WH_Z95) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfk)),
+        F.lit(3.0),
+    )
+    out = tot.crossJoin(F.broadcast(terms)).select(
+        "big_n",
+        "k",
+        dfk.alias("df"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(crit, 6).alias("h_crit"),
+        (h > crit).alias("reject_h0"),
+    )
+    return eager_release(out, "kruskal_wallis", gh)

@@ -149,7 +149,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # dedup_jaccard_prefix, sim_mmr_rerank, clickhouse_dialect_battery2,
 # privacy_dp_counts, stats_bootstrap_ci, text_keyword_rake,
 # quality_json_audit, time_holt_linear, embedding_binary_hamming,
-# sample_kcenter_coreset, stats_survival_km, stats_theil_sen.
+# sample_kcenter_coreset, stats_survival_km, stats_theil_sen,
+# stats_kruskal_wallis, geo_dbscan_classify.
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no queue member covers these families)
     "curation_funnel",  # KEEP: curation chain (gated r7, r8)

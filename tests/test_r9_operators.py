@@ -555,3 +555,72 @@ def test_theil_sen_matches_pure_python_median_slope(spark, sf_dir):
         r = out[et]
         assert r["n_pairs"] == len(slopes)
         assert abs(r["slope_per_day"] - lower_median) < 1e-6
+
+
+# --------------------------------------- kruskal-wallis / dbscan
+
+
+def test_kruskal_wallis_matches_pure_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = (
+        load(spark, "events", sf_dir)
+        .select("event_type", "value")
+        .filter("value IS NOT NULL")
+        .collect()
+    )
+    cnt = Counter(r["value"] for r in rows)
+    rank2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    n = len(rows)
+    tie_t = sum(c**3 - c for c in cnt.values())
+    r2 = defaultdict(int)
+    n1 = Counter()
+    for r in rows:
+        r2[r["event_type"]] += rank2[r["value"]]
+        n1[r["event_type"]] += 1
+    s = sum(round(r2[g] * r2[g] / (4.0 * n1[g]), 6) for g in r2)
+    h = (12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)) / (
+        1.0 - tie_t / (float(n) * n * n - n)
+    )
+    out = SPECS["stats_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    assert out["big_n"] == n and out["k"] == len(r2) and out["df"] == len(r2) - 1
+    assert abs(out["h_stat"] - h) < 1e-5
+
+
+def test_dbscan_roles_match_brute_force(spark, sf_dir):
+    from collections import defaultdict
+
+    from api_weather_kafka_clickhouse_spark.operators.geo import (
+        DBSCAN_MINPTS,
+        RADIUS2,
+        _points,
+    )
+
+    pts = {r["point_id"]: (r["lat_off"], r["lon_off"]) for r in _points(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    ids = list(pts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= RADIUS2:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    core = {p for p in ids if len(nbrs[p]) >= DBSCAN_MINPTS}
+    out = {r["point_id"]: r for r in SPECS["geo_dbscan_classify"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(ids)
+    for p in ids:
+        assert out[p]["n_neighbors"] == len(nbrs[p])
+        expect = (
+            "core"
+            if p in core
+            else "border"
+            if any(q in core for q in nbrs[p])
+            else "noise"
+        )
+        assert out[p]["role"] == expect
