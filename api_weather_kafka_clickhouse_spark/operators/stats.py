@@ -1875,3 +1875,188 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h > crit).alias("reject_h0"),
     )
     return eager_release(out, "kruskal_wallis", gh)
+
+
+@register(
+    "stats_runs_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT x AS m FROM (
+        SELECT x, row_number() OVER (ORDER BY x, day) AS rk,
+               count(*) OVER () AS n FROM d
+      ) WHERE rk = (n + 1) // 2
+    ),
+    s AS (
+      SELECT day, CASE WHEN x > med.m THEN 1 ELSE 0 END AS sgn
+      FROM d CROSS JOIN med WHERE x <> med.m
+    ),
+    runs AS (
+      SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+             CAST(sum(1 - sgn) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n1, n2, r AS n_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z,
+           (abs((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                           * (n1 + n2 - 1)))) > {MW_Z_CRIT!r}) AS reject_h0
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test on daily event volume: is the "
+    "above/below-median sign sequence random, or does it trend/"
+    "oscillate (too few runs = regime persistence, too many = "
+    "alternation) — the randomness check beside the lag-1 "
+    "autocorrelation, sensitive to ANY serial dependence, not just "
+    "linear. Sign reference is the exact lower-median day (an order "
+    "statistic with a total tiebreak, the discrete-median "
+    "convention); days equal to the median drop by the classical "
+    "convention, symmetrically in both engines. Run and sign counts "
+    "are exact integers from one day-dimension window; the normal z "
+    "assembles in one identical expression tree with the pinned "
+    "two-sided critical literal. One corpus aggregate; everything "
+    "else is calendar-sized.",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    ).persist()
+    wm = Window.orderBy("x", "day")
+    wn = Window.partitionBy()
+    med = (
+        d.select("x", F.row_number().over(wm).alias("rk"), F.count(F.lit(1)).over(wn).alias("n"))
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select(F.col("x").alias("m"))
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("day", (F.col("x") > F.col("m")).cast("int").alias("sgn"))
+    )
+    wd = Window.orderBy("day")
+    runs = s.select("sgn", F.lag("sgn").over(wd).alias("prev"))
+    agg = runs.agg(
+        F.sum("sgn").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("sgn")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")), 1).otherwise(
+                    0
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (r - mu) / F.sqrt(var)
+    out = agg.select(
+        "n1",
+        "n2",
+        r.alias("n_runs"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > MW_Z_CRIT).alias("reject_h0"),
+    )
+    return eager_release(out, "runs_test", d)
+
+
+@register(
+    "events_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n_st
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    srcs AS (SELECT src, CAST(sum(n_st) AS BIGINT) AS n_s FROM tr GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS big_n FROM tr),
+    terms AS (
+      SELECT tr.src,
+             CAST(sum(CAST(round(-ln(CAST(tr.n_st AS DOUBLE) / s.n_s), 9)
+                  AS DECIMAL(28,9)) * tr.n_st) AS DECIMAL(38,9)) AS num,
+             CAST(sum(tr.n_st) AS BIGINT) AS n_s
+      FROM tr JOIN srcs s USING (src)
+      GROUP BY tr.src
+    )
+    SELECT t.src AS event_type, t.n_s AS n_transitions,
+           round(CAST(t.num AS DOUBLE) / t.n_s, 6) AS h_conditional,
+           round(CAST(t.num AS DOUBLE) / tot.big_n, 6) AS h_contribution
+    FROM terms t CROSS JOIN tot
+    """,
+    doc="Entropy rate of the per-user event-type Markov chain: for "
+    "each source state, the conditional entropy of the next event "
+    "H(next | src) = -sum p(dst|src) ln p(dst|src), plus its "
+    "contribution to the chain's entropy rate under the empirical "
+    "source distribution — the information-theoretic summary on top "
+    "of events_path_transitions' raw matrix (low entropy = "
+    "predictable journeys worth caching/prefetching; high = "
+    "exploratory traffic). Transition counts are exact from one "
+    "user-partitioned lead window; each -ln(p) evaluates once per "
+    "(src, dst) pair over exact-integer operands, is rounded (the "
+    "bm25/PMI libm rule), and accumulates as DECIMAL weighted by the "
+    "exact pair count — no float summation order anywhere. Windows "
+    "run per user; everything after the transition aggregate is "
+    "state-dimension-sized (|types|^2 rows).",
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+        .persist()
+    )
+    srcs = tr.groupBy("src").agg(F.sum("n_st").cast("bigint").alias("n_s"))
+    tot = tr.agg(F.sum("n_st").cast("bigint").alias("big_n"))
+    term = (
+        F.round(-F.log(F.col("n_st").cast("double") / F.col("n_s")), 9).cast("decimal(28,9)")
+        * F.col("n_st")
+    )
+    terms = (
+        tr.join(F.broadcast(srcs), "src")
+        .groupBy("src")
+        .agg(
+            F.sum(term).cast("decimal(38,9)").alias("num"),
+            F.sum("n_st").cast("bigint").alias("n_s"),
+        )
+    )
+    out = terms.crossJoin(F.broadcast(tot)).select(
+        F.col("src").alias("event_type"),
+        F.col("n_s").alias("n_transitions"),
+        F.round(F.col("num").cast("double") / F.col("n_s"), 6).alias("h_conditional"),
+        F.round(F.col("num").cast("double") / F.col("big_n"), 6).alias("h_contribution"),
+    )
+    return eager_release(out, "markov_entropy", tr)

@@ -150,7 +150,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # privacy_dp_counts, stats_bootstrap_ci, text_keyword_rake,
 # quality_json_audit, time_holt_linear, embedding_binary_hamming,
 # sample_kcenter_coreset, stats_survival_km, stats_theil_sen,
-# stats_kruskal_wallis, geo_dbscan_classify.
+# stats_kruskal_wallis, geo_dbscan_classify, stats_runs_test,
+# events_markov_entropy.
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no queue member covers these families)
     "curation_funnel",  # KEEP: curation chain (gated r7, r8)

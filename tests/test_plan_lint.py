@@ -71,6 +71,10 @@ NESTED_LOOP_SANCTIONED = {
     # sees the first join's build but not a build that is itself a
     # join of two scalar aggregates
     "graph_kcore": 1,
+    # the median-day reference: a 1-row order-statistic build
+    # (rank = (n+1)//2 FILTER, not a keys=[] aggregate — RRF's
+    # caveat) broadcast onto the calendar-sized day table
+    "stats_runs_test": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

@@ -624,3 +624,58 @@ def test_dbscan_roles_match_brute_force(spark, sf_dir):
             else "noise"
         )
         assert out[p]["role"] == expect
+
+
+# ------------------------------------- runs test / markov entropy
+
+
+def test_runs_test_matches_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    ev = load(spark, "events", sf_dir).select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    ordered = sorted(daily.items())
+    by_val = sorted((x, day) for day, x in ordered)
+    m = by_val[(len(by_val) + 1) // 2 - 1][0]
+    signs = [1 if x > m else 0 for _, x in ordered if x != m]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    r = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (
+        float(n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+    )
+    out = SPECS["stats_runs_test"].fn(spark, sf_dir).collect()[0]
+    assert (out["n1"], out["n2"], out["n_runs"]) == (n1, n2, r)
+    assert abs(out["z"] - (r - mu) / var**0.5) < 1e-6
+
+
+def test_markov_entropy_matches_pure_python(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    ev = load(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id").collect()
+    by_user: dict[int, list] = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    tr: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            tr[(a, b)] += 1
+    n_s: Counter = Counter()
+    for (a, _), n in tr.items():
+        n_s[a] += n
+    big_n = sum(tr.values())
+    num = defaultdict(float)
+    for (a, b), n in tr.items():
+        num[a] += round(-math.log(n / n_s[a]), 9) * n
+    out = {r["event_type"]: r for r in SPECS["events_markov_entropy"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(n_s)
+    for a in n_s:
+        assert out[a]["n_transitions"] == n_s[a]
+        assert abs(out[a]["h_conditional"] - num[a] / n_s[a]) < 1e-6
+        assert abs(out[a]["h_contribution"] - num[a] / big_n) < 1e-6
