@@ -244,21 +244,43 @@ def main() -> None:
         load_avg: list[float] | None = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_avg = None
+    # The driver tail-captures exactly 2000 chars of combined output
+    # (measured across the r7/r8/r9 artifacts: r7's 27-query
+    # medians-only line parsed; r8/r9's ~3000-char lines with per-query
+    # "runs" and per-stage dicts were cut mid-"queries" and recorded
+    # "parsed": null). The CONTRACT line therefore carries medians only
+    # (~1,300 chars at 39 queries); the forensics payload — raw runs,
+    # per-stage wall times, end-of-run load — moves to a repo-side
+    # BENCH_DETAIL.json the judge can read from disk.
+    detail = {
+        "runs": {n: [round(r, 2) for r in rs] for n, rs in all_runs.items()},
+        "stages": stages,
+        "load_avg_end": load_avg,
+        "load_avg_start": load_start,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
-            # compact raw runs (2 decimals): drift-vs-regression
-            # forensics without outgrowing the driver's tail capture
-            "runs": {n: [round(r, 2) for r in rs] for n, rs in all_runs.items()},
-            "stages": stages,
-            "load_avg": load_avg,
             "load_avg_start": load_start,
             "degraded": degraded,
             "sf": sf,
         }
+    )
+    # hard guard: growth (more headline queries, new fields) must fail
+    # LOUDLY here rather than silently re-breaking the driver contract
+    # the way r8/r9 did. 1900 leaves ~100 chars of slack under the
+    # measured 2000-char window for the driver's own framing.
+    assert len(line) <= 1900, (
+        f"bench contract line is {len(line)} chars; the driver tail "
+        f"window is 2000 — trim fields or move them to BENCH_DETAIL.json"
     )
     # the one-line JSON is the driver contract, and the driver
     # tail-captures combined output — stop Spark FIRST so its shutdown
