@@ -406,3 +406,88 @@ def transform_lookup(c: Column | str, mapping: dict, default) -> Column:
     for k, v in mapping.items():
         expr = F.when(col == k, v) if expr is None else expr.when(col == k, v)
     return expr.otherwise(default)
+
+
+def toStartOfFifteenMinutes(c: Column | str) -> Column:
+    """ClickHouse toStartOfFifteenMinutes, kept as the integer
+    15-minute bucket index (epoch div 900) rather than a rendered
+    timestamp: exact integer math on both engines, and the bucket
+    index is what aggregations key on anyway. Integer division is
+    spelled (e - e % 900) / 900 so the division is exact in double
+    (numerator a multiple of 900) — a bare float divide could land
+    at x.9999... and truncate one bucket off."""
+    e = F.unix_timestamp(_col(c)).cast("bigint")
+    return ((e - e % F.lit(900)) / F.lit(900)).cast("bigint")
+
+
+def arrayCumSum(c: Column | str) -> Column:
+    """ClickHouse arrayCumSum: running prefix sums of the array."""
+    arr = _col(c)
+    return F.transform(
+        arr, lambda x, i: F.aggregate(F.slice(arr, 1, i + 1), F.lit(0).cast("bigint"), lambda a, b: a + b)
+    )
+
+
+def arrayCompact(c: Column | str) -> Column:
+    """ClickHouse arrayCompact: drop CONSECUTIVE duplicates (run-length
+    head of each run survives; distinct from arrayDistinct). The
+    previous element is element_at(arr, i) (1-based lookup with the
+    0-based lambda index), guarded by when() — CaseWhen branches are
+    lazy, so index 0 never reaches element_at (which throws under
+    ANSI mode)."""
+    arr = _col(c)
+    return F.filter(
+        arr,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(arr, i)
+        ),
+    )
+
+
+def groupBitOr(c: Column | str) -> Column:
+    """ClickHouse groupBitOr aggregate."""
+    return F.bit_or(_col(c))
+
+
+def bitmaskToList(c: Column | str, max_bits: int = 8) -> Column:
+    """ClickHouse bitmaskToList(mask): the set bits as their power-of-
+    two values, ascending, comma-joined ('50' -> '2,16,32'). max_bits
+    bounds the probe range (a literal array; callers know their
+    domain width)."""
+    mask = _col(c)
+    powers = F.array(*[F.lit(1 << b) for b in range(max_bits)])
+    present = F.filter(powers, lambda p: mask.bitwiseAND(p) != 0)
+    return F.array_join(F.transform(present, lambda p: p.cast("string")), ",")
+
+
+def formatReadableSize(c: Column | str) -> Column:
+    """ClickHouse formatReadableSize(bytes): '123.00 B' / '1.21 KiB' /
+    '3.45 MiB' / '7.89 GiB'. Unit chosen by exact BIGINT thresholds;
+    the displayed quantity is one double division rounded to 2 dp
+    (IEEE division + round on identical operands — deterministic
+    cross-engine), rendered with exactly two decimals."""
+    b = _col(c).cast("bigint")
+    kib, mib, gib = 1024, 1024**2, 1024**3
+    qty = (
+        F.when(b >= gib, F.round(b.cast("double") / F.lit(float(gib)), 2))
+        .when(b >= mib, F.round(b.cast("double") / F.lit(float(mib)), 2))
+        .when(b >= kib, F.round(b.cast("double") / F.lit(float(kib)), 2))
+        .otherwise(F.round(b.cast("double"), 2))
+    )
+    unit = (
+        F.when(b >= gib, F.lit("GiB"))
+        .when(b >= mib, F.lit("MiB"))
+        .when(b >= kib, F.lit("KiB"))
+        .otherwise(F.lit("B"))
+    )
+    # render N.NN WITHOUT format_number: it inserts thousands
+    # separators ("1,023.00") that the B branch can reach — the
+    # integer-cents render matches printf('%.2f') exactly because qty
+    # is already rounded to 2 dp (qty*100 is within 1e-10 of an int)
+    cents = F.round(qty * F.lit(100.0), 0).cast("bigint")
+    two_dp = F.concat(
+        (cents / F.lit(100)).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((cents % F.lit(100)).cast("string"), 2, "0"),
+    )
+    return F.concat(two_dp, F.lit(" "), unit)

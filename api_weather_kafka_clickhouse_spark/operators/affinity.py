@@ -866,3 +866,113 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = surv.crossJoin(F.broadcast(conv)).select("node", "deg_core", "converged")
     return eager_release(out, "kcore", *caches)
+
+
+# --- multi-source BFS layers (round 10) -------------------------------
+
+BFS_SEED_MOD = 50  # seeds: suppliers with suppkey % 50 == 0
+BFS_HOPS = 4
+
+
+def _bfs_layer_ctes() -> str:
+    its = []
+    for i in range(1, BFS_HOPS + 1):
+        its.append(f"""
+    f{i} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM e JOIN f{i - 1} ON e.src = f{i - 1}.node
+      WHERE e.dst NOT IN (SELECT node FROM v{i - 1})
+    ),
+    v{i} AS (SELECT node FROM v{i - 1} UNION SELECT node FROM f{i})""")
+    return ",".join(its)
+
+
+@register(
+    "graph_bfs_layers",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * l_partkey + 1 AS src, 2 * l_suppkey AS dst FROM pairs
+    ),
+    f0 AS (
+      SELECT DISTINCT 2 * l_suppkey AS node FROM lineitem
+      WHERE l_suppkey % {BFS_SEED_MOD} = 0
+    ),
+    v0 AS (SELECT node FROM f0),
+    {_bfs_layer_ctes()}
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS key,
+           CAST(layer AS BIGINT) AS layer
+    FROM (
+      {" UNION ALL ".join(f"SELECT node, {i} AS layer FROM f{i}" for i in range(BFS_HOPS + 1))}
+    )
+    """,
+    doc="Multi-source BFS over the supplier-part bipartite graph "
+    f"(graph_pagerank's edge set): every supplier with suppkey % "
+    f"{BFS_SEED_MOD} == 0 seeds layer 0, and {BFS_HOPS} unrolled "
+    "frontier expansions assign each reached node its first-reached "
+    "layer — the reachability/blast-radius primitive (which parts "
+    "and suppliers are within k hops of a recalled supplier set). "
+    "Each hop is ONE shuffle equi-join of the edge list on the "
+    "frontier, a distinct, and a left-anti join against the visited "
+    "set; K hops = K static joins with no driver loop state. "
+    "Frontier and visited sets persist per level and release at the "
+    "end (the pagerank/MMR lazy-chain discipline — an unpersisted "
+    "level re-derives every prior level through the plan). Node ids, "
+    "layers, and the seed predicate are exact integers; first-"
+    "reached semantics make the result set-unique, so the whole "
+    "layer assignment hash-checks.",
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    li = load(spark, "lineitem", sf_dir)
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    e = (
+        pairs.select(
+            (2 * F.col("l_suppkey")).alias("src"),
+            (2 * F.col("l_partkey") + 1).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (2 * F.col("l_partkey") + 1).alias("src"),
+                (2 * F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") % BFS_SEED_MOD == 0)
+        .select((2 * F.col("l_suppkey")).alias("node"))
+        .distinct()
+        .persist()
+    )
+    caches = [e, seeds]
+    layers = [seeds.select("node", F.lit(0).alias("layer"))]
+    frontier, visited = seeds, seeds
+    for i in range(1, BFS_HOPS + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .persist()
+        )
+        caches.append(nxt)
+        visited = visited.unionByName(nxt).select("node").persist()
+        caches.append(visited)
+        layers.append(nxt.select("node", F.lit(i).alias("layer")))
+        frontier = nxt
+    all_layers = layers[0]
+    for lay in layers[1:]:
+        all_layers = all_layers.unionByName(lay)
+    out = all_layers.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("bigint").alias("key"),
+        F.col("layer").cast("bigint").alias("layer"),
+    )
+    return eager_release(out, "bfs_layers", *caches)

@@ -394,3 +394,104 @@ def geo_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "geo_dbscan", pts, cand, lab)
+
+
+# --- quadkey tile pyramid (round 10) ----------------------------------
+
+QUAD_MAX_ZOOM = 4  # 16 x 16 tiles at the deepest level
+
+
+def _quad_digit_sql(i: int) -> str:
+    """Bing-style quadkey digit i (1-based, most significant first)."""
+    sh = QUAD_MAX_ZOOM - i
+    return f"CAST(2 * ((tile_y >> {sh}) & 1) + ((tile_x >> {sh}) & 1) AS VARCHAR)"
+
+
+@register(
+    "geo_quadkey_rollup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+             CAST(('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {LAT_SPAN} AS lat_off,
+             CAST(('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {LON_SPAN} AS lon_off
+      FROM customer
+    ),
+    tiles AS (
+      SELECT c_nationkey, bal,
+             (lon_off * {1 << QUAD_MAX_ZOOM}) // {LON_SPAN} AS tile_x,
+             (lat_off * {1 << QUAD_MAX_ZOOM}) // {LAT_SPAN} AS tile_y
+      FROM pts
+    ),
+    keyed AS (
+      SELECT c_nationkey, bal,
+             {" || ".join(_quad_digit_sql(i) for i in range(1, QUAD_MAX_ZOOM + 1))} AS qk4
+      FROM tiles
+    ),
+    pyramid AS (
+      SELECT CAST(z AS BIGINT) AS zoom, substr(qk4, 1, z) AS quadkey,
+             c_nationkey, bal
+      FROM keyed, (VALUES (1), (2), (3), (4)) zs(z)
+    )
+    SELECT zoom, quadkey,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(CAST(sum(bal) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal
+    FROM pyramid GROUP BY zoom, quadkey
+    """,
+    doc="Quadkey tile-pyramid rollup: every point maps to its zoom-4 "
+    "Bing-style quadkey (interleaved x/y tile bits rendered as "
+    "base-4 digits), and the pyramid aggregates at zooms 1-4 by "
+    "PREFIX truncation — parent tile = child quadkey minus its last "
+    "digit, the property that makes quadkeys the standard storage "
+    "key for map-tile serving. The plan is one scan, a 4x zoom "
+    "explode, one shuffle on (zoom, quadkey); at 100 TB the quadkey "
+    "prefix is simultaneously the PARTITION key (prefix-range reads "
+    "= spatial locality) and the rollup key, which is the reason to "
+    "pick it over raw lat/lon cells. Tile math is exact integer "
+    "(offsets scaled by 2^zoom then integer-divided by the axis "
+    "span); balances aggregate in DECIMAL.",
+)
+def geo_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    scale = 1 << QUAD_MAX_ZOOM
+    pts = c.select(
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        (_h32("lat:") % LAT_SPAN).alias("lat_off"),
+        (_h32("lon:") % LON_SPAN).alias("lon_off"),
+    )
+    tiles = pts.select(
+        "c_nationkey",
+        "bal",
+        F.expr(f"(lon_off * {scale}) div {LON_SPAN}").alias("tile_x"),
+        F.expr(f"(lat_off * {scale}) div {LAT_SPAN}").alias("tile_y"),
+    )
+    digits = [
+        F.expr(
+            f"CAST(2 * ((tile_y >> {QUAD_MAX_ZOOM - i}) & 1) "
+            f"+ ((tile_x >> {QUAD_MAX_ZOOM - i}) & 1) AS STRING)"
+        )
+        for i in range(1, QUAD_MAX_ZOOM + 1)
+    ]
+    keyed = tiles.select("c_nationkey", "bal", F.concat(*digits).alias("qk4"))
+    pyramid = keyed.select(
+        "c_nationkey",
+        "bal",
+        F.explode(F.array(*[F.lit(z) for z in range(1, QUAD_MAX_ZOOM + 1)])).alias("zoom"),
+        "qk4",
+    ).select(
+        F.col("zoom").cast("bigint").alias("zoom"),
+        F.expr("substring(qk4, 1, zoom)").alias("quadkey"),
+        "c_nationkey",
+        "bal",
+    )
+    return pyramid.groupBy("zoom", "quadkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        # decimal-exact sum INTERNALLY; final column DOUBLE (oracle.py
+        # house rule: DuckDB's pandas bridge floats every DECIMAL)
+        F.sum("bal").cast("decimal(38,2)").cast("double").alias("sum_bal"),
+    )

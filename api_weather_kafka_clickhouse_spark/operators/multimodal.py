@@ -205,21 +205,31 @@ def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     shape of a real image pHash, over raw bytes. Structurally robust:
     a local edit disturbs only the regions it touches, so near-
     identical payloads land within a few bits. A real decoder
-    (PIL + DCT) slots into the loop body unchanged."""
+    (PIL + DCT) slots into the loop body unchanged.
+
+    r10 upgrade (verdict item 7): every operation is EXACT integer
+    arithmetic so a SQL oracle can recompute each bit — region bounds
+    are ``i*n//64`` (not float linspace, whose truncation is
+    platform-dependent at region edges) and the mean comparison is
+    cross-multiplied (``region_sum * n > total_sum * region_len``),
+    eliminating float division entirely. Same thresholding semantics,
+    bit-for-bit reproducible in DuckDB."""
     import numpy as np
 
     for pdf in batches:
         hashes = []
         for p in pdf["payload"]:
-            a = np.frombuffer(bytes(p), dtype=np.uint8)
-            if len(a) == 0:
+            a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+            n = len(a)
+            if n == 0:
                 hashes.append(0)
                 continue
-            idx = np.linspace(0, len(a), 65).astype(np.int64)
-            means = np.array(
-                [a[idx[i] : idx[i + 1]].mean() if idx[i + 1] > idx[i] else 0.0 for i in range(64)]
-            )
-            bits = means > a.mean()
+            prefix = np.concatenate(([0], np.cumsum(a)))
+            idx = (np.arange(65, dtype=np.int64) * n) // 64
+            rsums = prefix[idx[1:]] - prefix[idx[:-1]]
+            rlens = idx[1:] - idx[:-1]
+            total = int(prefix[-1])
+            bits = rsums * n > total * rlens
             h = int(sum(1 << i for i, b in enumerate(bits) if b))
             hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
@@ -260,22 +270,165 @@ def phash_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+# the oracle recomputes all 64 signature bits in SQL: a codes list
+# (ascii(text[i]) — ASCII corpus, char == byte), one inclusive slice
+# per region at exact bounds j*n//64, cross-multiplied threshold,
+# HUGEINT bit accumulation folded back to signed 64 (bit 63 set means
+# the BIGINT is negative — same two's-complement fold as the kernel).
+_PHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN coalesce(list_sum(codes[({j}*n)//64 + 1 : ({j + 1}*n)//64]), 0) * n "
+    f"> total * (({j + 1}*n)//64 - ({j}*n)//64) THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+    for j in range(64)
+)
+
+_PHASH_SIGS_CTE = f"""
+    codes_t AS (
+      SELECT doc_id, strlen(text) AS n,
+             [ascii(text[i]) for i in range(1, strlen(text) + 1)] AS codes
+      FROM documents
+    ),
+    tot AS (
+      SELECT doc_id, n, codes, CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS total
+      FROM codes_t
+    ),
+    raw AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0::HUGEINT ELSE ({_PHASH_BIT_TERMS}) END AS h
+      FROM tot
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                  AS BIGINT) AS phash
+      FROM raw
+    )
+"""
+
+
 @register(
     "mm_phash_signatures",
-    oracle=None,  # decoder is a Pandas UDF -> not SQL-expressible;
-    # signature determinism, planted-pair recall, and the banding
-    # join are pinned in tests/test_multimodal_kernels.py
+    oracle=f"WITH {_PHASH_SIGS_CTE} SELECT doc_id, phash FROM sigs",
     doc="Multimodal near-dup dedup, signature stage: perceptual-hash "
     "fingerprints from the (stand-in) decoder via mapInPandas — one "
     "16-byte row per payload regardless of media size, the index a "
-    "100 TB image-dedup writes once and joins forever. Pair "
-    "generation (phash_pairs) applies the SimHash pigeonhole "
-    "band join: 4 x 16-bit bands propose, bit_count(xor) <= 3 "
-    "verifies, with PERFECT recall at that radius by pigeonhole. On "
-    "the synthetic corpus the byte-positional stand-in only closes "
-    "same-length edits (tested with crafted payloads; real DCT "
-    "pHashes are decode-level robust), so the registered query is "
-    "the per-document signature table, whose row count is stable.",
+    "100 TB image-dedup writes once and joins forever. Upgraded from "
+    "rows-only to hash-checked in r10 (the dedup_simhash playbook): "
+    "the kernel's region bounds are exact i*n//64 and its threshold "
+    "is cross-multiplied, so the oracle recomputes every signature "
+    "bit in SQL over the source text (ASCII corpus: char == byte). "
+    "On the synthetic corpus the byte-positional stand-in only "
+    "closes same-length edits (tested with crafted payloads; real "
+    "DCT pHashes are decode-level robust).",
 )
 def mm_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_signatures(binary_table(spark, sf_dir))
+
+
+# Planted fixtures for the pair stage: the synthetic corpus has no
+# byte-identical or same-length-edited texts (verified at sf0.01), so
+# an unaugmented pair query would gate on an empty result — a check
+# any bug that returns empty would pass. Both engines deterministically
+# add an exact copy of every 7th doc (id + COPY_BASE) and a one-byte
+# same-length edit of every 11th doc (id + EDIT_BASE), making the band
+# join's output non-degenerate at every SF and guaranteeing at least
+# the hamming-0 copy pairs by construction.
+PHASH_COPY_MOD, PHASH_COPY_BASE = 7, 10_000_000
+PHASH_EDIT_MOD, PHASH_EDIT_BASE = 11, 20_000_000
+PHASH_EDIT_POS = 11  # 1-based char replaced with 'Q'
+
+_PHASH_AUGMENT_SQL = f"""
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_COPY_BASE}, text FROM documents
+      WHERE doc_id % {PHASH_COPY_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {PHASH_EDIT_BASE},
+             substr(text, 1, {PHASH_EDIT_POS - 1}) || 'Q'
+               || substr(text, {PHASH_EDIT_POS + 1})
+      FROM documents
+      WHERE doc_id % {PHASH_EDIT_MOD} = 0 AND strlen(text) > {PHASH_EDIT_POS}
+    )
+"""
+
+
+def _augmented_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % PHASH_COPY_MOD == 0).select(
+        (F.col("doc_id") + PHASH_COPY_BASE).alias("doc_id"), "text"
+    )
+    edited = (
+        d.filter(
+            (F.col("doc_id") % PHASH_EDIT_MOD == 0)
+            & (F.length("text") > PHASH_EDIT_POS)
+        )
+        .select(
+            (F.col("doc_id") + PHASH_EDIT_BASE).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, PHASH_EDIT_POS - 1),
+                F.lit("Q"),
+                F.expr(f"substring(text, {PHASH_EDIT_POS + 1})"),
+            ).alias("text"),
+        )
+    )
+    aug = d.unionByName(copies).unionByName(edited)
+    return aug.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+@register(
+    "mm_phash_band_pairs",
+    oracle=f"""
+    WITH {_PHASH_AUGMENT_SQL},
+    codes_t AS (
+      SELECT doc_id, strlen(text) AS n,
+             [ascii(text[i]) for i in range(1, strlen(text) + 1)] AS codes
+      FROM aug
+    ),
+    tot AS (
+      SELECT doc_id, n, codes, CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS total
+      FROM codes_t
+    ),
+    raw AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0::HUGEINT ELSE ({_PHASH_BIT_TERMS}) END AS h
+      FROM tot
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                  AS BIGINT) AS phash
+      FROM raw
+    ),
+    bands AS (
+      SELECT doc_id, phash, j AS band_idx,
+             (phash >> (j * 16)) & 65535 AS band_key
+      FROM sigs, (VALUES (0), (1), (2), (3)) b(j)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    """,
+    doc="Multimodal near-dup dedup, pair stage — the pigeonhole band "
+    "join over the signature table, hash-checked end-to-end (verdict "
+    "item 7): 4 x 16-bit bands propose candidates via ONE equi-join "
+    "on (band_idx, band_key) — never all-pairs — and bit_count(xor) "
+    "<= 3 verifies, with PERFECT recall at that radius by pigeonhole "
+    "(< 4 flips must leave one band intact). Runs over the corpus "
+    "augmented with deterministic planted fixtures (exact copies + "
+    "one-byte same-length edits, mirrored in both engines) because "
+    "the synthetic corpus has no near-identical payloads — without "
+    "them the gate row would be an empty result any empty-returning "
+    "bug could fake. The oracle re-derives signatures in SQL and "
+    "brute-bands them; the Spark plan shuffles 16-byte signature "
+    "rows only, the 100 TB shape (payloads never enter the join).",
+)
+def mm_phash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = phash_signatures(_augmented_binary(spark, sf_dir))
+    return phash_pairs(sigs).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )

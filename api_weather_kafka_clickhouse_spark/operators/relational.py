@@ -457,3 +457,135 @@ def clickhouse_dialect_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prio_codes"
         ),
     )
+
+
+# Dialect battery 3 (round 10): event-type bit registry for the
+# bitmask functions — the five known types get stable bits, unknowns
+# collapse to the overflow bit (same contract as transform()'s
+# default arm).
+TYPE_BITS = {"click": 1, "error": 2, "purchase": 4, "signup": 8, "view": 16}
+TYPE_OVERFLOW = 32
+
+
+def _type_bit_case_sql() -> str:
+    whens = " ".join(f"WHEN '{t}' THEN {b}" for t, b in TYPE_BITS.items())
+    return f"CASE event_type {whens} ELSE {TYPE_OVERFLOW} END"
+
+
+@register(
+    "clickhouse_dialect_battery3",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(bit_or({_type_bit_case_sql()}) AS BIGINT) AS type_mask,
+             CAST(count(DISTINCT (epoch_ms(ts) // 1000
+                   - (epoch_ms(ts) // 1000) % 900) // 900) AS BIGINT) AS n_q15,
+             list(event_type ORDER BY ts, event_id) AS types_all,
+             CAST(sum(strlen(props)) AS BIGINT) AS props_len
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT *,
+             list_transform(list_sort(list_distinct(types_all)),
+               t -> CAST(len(list_filter(types_all, x -> x = t)) AS BIGINT))
+               AS per_type_counts,
+             list_sort(list_distinct(types_all)) AS type_names
+      FROM g
+    )
+    SELECT user_id, n_events, type_mask,
+           array_to_string([CAST(p AS VARCHAR)
+                            for p in [1, 2, 4, 8, 16, 32]
+                            if (type_mask & p) != 0], ',') AS types_list,
+           n_q15,
+           CAST(len(list_filter(types_all,
+                (x, i) -> i = 1 OR x != types_all[i - 1])) AS BIGINT)
+             AS compact_len,
+           array_to_string(list_transform(range(1, len(type_names) + 1),
+             i -> type_names[i] || ':' || CAST(per_type_counts[i] AS VARCHAR)),
+             ',') AS counts_map,
+           array_to_string(list_transform(range(1, len(per_type_counts) + 1),
+             i -> CAST(CAST(list_sum(per_type_counts[1:i]) AS BIGINT) AS VARCHAR)),
+             ',') AS cum_counts,
+           CASE WHEN props_len >= 1073741824
+                THEN printf('%.2f', round(CAST(props_len AS DOUBLE) / 1073741824.0, 2)) || ' GiB'
+                WHEN props_len >= 1048576
+                THEN printf('%.2f', round(CAST(props_len AS DOUBLE) / 1048576.0, 2)) || ' MiB'
+                WHEN props_len >= 1024
+                THEN printf('%.2f', round(CAST(props_len AS DOUBLE) / 1024.0, 2)) || ' KiB'
+                ELSE printf('%.2f', round(CAST(props_len AS DOUBLE), 2)) || ' B'
+           END AS props_readable
+    FROM c
+    """,
+    doc="Dialect battery 3: the round-10 vocabulary over a per-user "
+    "event rollup — groupBitOr over a transform()-style type-bit "
+    "lookup plus bitmaskToList (the ClickHouse bitmask idiom for "
+    "compact set-membership), toStartOfFifteenMinutes (exact integer "
+    "bucketing, count-distinct sessions-ish), arrayCompact (run-"
+    "length path compression over the ordered journey — distinct "
+    "from arrayDistinct), an exact sumMap twin (type:count pairs "
+    "rendered sorted — ClickHouse's map aggregate, determinized to a "
+    "hashable scalar), arrayCumSum over the per-type counts, and "
+    "formatReadableSize (unit by exact BIGINT threshold, one rounded "
+    "division). One map-side-combined groupBy on the natural entity "
+    "key; every array is ORDER-BOUNDED (a user's events); zero UDFs. "
+    "The ordered journey array uses the sort_array(struct(ts, id, "
+    "type)) idiom because collect_list order is partition-dependent "
+    "— the same determinism rule events_markov_entropy's window "
+    "relies on.",
+)
+def clickhouse_dialect_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import clickhouse as ch
+
+    e = load(spark, "events", sf_dir)
+    bit = ch.transform_lookup("event_type", TYPE_BITS, TYPE_OVERFLOW)
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ch.groupBitOr(bit).cast("bigint").alias("type_mask"),
+        F.countDistinct(ch.toStartOfFifteenMinutes("ts")).cast("bigint").alias("n_q15"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq"),
+        F.sum(F.length("props")).cast("bigint").alias("props_len"),
+    )
+    types_all = F.transform(F.col("seq"), lambda s: s.getField("event_type"))
+    withc = g.select(
+        "user_id",
+        "n_events",
+        "type_mask",
+        "n_q15",
+        "props_len",
+        types_all.alias("types_all"),
+        F.array_sort(F.array_distinct(types_all)).alias("type_names"),
+    ).select(
+        "*",
+        F.transform(
+            F.col("type_names"),
+            lambda t: F.size(F.filter(F.col("types_all"), lambda x: x == t)).cast(
+                "bigint"
+            ),
+        ).alias("per_type_counts"),
+    )
+    counts_map = F.array_join(
+        F.zip_with(
+            F.col("type_names"),
+            F.col("per_type_counts"),
+            lambda t, n: F.concat(t, F.lit(":"), n.cast("string")),
+        ),
+        ",",
+    )
+    cum_counts = F.array_join(
+        F.transform(ch.arrayCumSum("per_type_counts"), lambda x: x.cast("string")),
+        ",",
+    )
+    return withc.select(
+        "user_id",
+        "n_events",
+        "type_mask",
+        ch.bitmaskToList("type_mask", 6).alias("types_list"),
+        "n_q15",
+        F.size(ch.arrayCompact("types_all")).cast("bigint").alias("compact_len"),
+        counts_map.alias("counts_map"),
+        cum_counts.alias("cum_counts"),
+        ch.formatReadableSize("props_len").alias("props_readable"),
+    )

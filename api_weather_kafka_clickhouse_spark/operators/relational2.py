@@ -1258,3 +1258,60 @@ def time_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trd, 6).alias("trend"),
         F.round(lvl + F.lit(float(HOLT_H)) * trd, 6).alias(f"forecast_h{HOLT_H}"),
     )
+
+
+# --- hopping (sliding) window aggregate (round 10) --------------------
+
+HOP_SIZE_H = 4  # window length, hours
+HOP_STEP_H = 1  # hop, hours
+
+
+@register(
+    "time_hopping_windows",
+    oracle=f"""
+    WITH h AS (
+      SELECT ((epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600) // 3600
+               AS hb,
+             user_id, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    x AS (
+      SELECT hb - k AS ws_hour, user_id, v
+      FROM h, (VALUES (0), (1), (2), (3)) ks(k)
+    )
+    SELECT CAST(ws_hour AS BIGINT) AS ws_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+    FROM x GROUP BY ws_hour
+    """,
+    doc="Hopping-window aggregate (size 4h, hop 1h): every event "
+    f"lands in exactly {HOP_SIZE_H} overlapping windows, produced by "
+    "a constant-width explode of the window-start offsets — the "
+    "BATCH twin of Structured Streaming's window(ts, '4 hours', "
+    "'1 hour') groupBy, same assignment semantics (window [start, "
+    "start+size) containing the event = starts hb-3..hb). The "
+    "overlap factor is the SIZE/HOP constant, never data-dependent, "
+    "so the 4x row amplification is a fixed cost like "
+    "join_salted_skew's salt range and dies into the first map-side "
+    "combine; the shuffle key is the window start. Hour buckets are "
+    "exact integer epoch math ((e - e%3600)/3600 — the exact-"
+    "division idiom, no float truncation); measures sum in DECIMAL "
+    "and surface as DOUBLE.",
+)
+def time_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    hb = ((epoch - epoch % F.lit(3600)) / F.lit(3600)).cast("bigint")
+    n_wins = HOP_SIZE_H // HOP_STEP_H
+    x = e.select(
+        hb.alias("hb"),
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.explode(F.array(*[F.lit(k) for k in range(n_wins)])).alias("k"),
+    ).select((F.col("hb") - F.col("k")).cast("bigint").alias("ws_hour"), "user_id", "v")
+    return x.groupBy("ws_hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )

@@ -2060,3 +2060,155 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("num").cast("double") / F.col("big_n"), 6).alias("h_contribution"),
     )
     return eager_release(out, "markov_entropy", tr)
+
+
+# --- rank correlation (round 10) --------------------------------------
+
+
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+                  AS BIGINT) AS dx,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+                  AS BIGINT) AS dy
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdx,
+             CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdy,
+             CAST(sum(CAST(dx AS DECIMAL(38,0)) * dx) AS DECIMAL(38,0)) AS sdxx,
+             CAST(sum(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sdyy,
+             CAST(sum(CAST(dx AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sdxy
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag, n,
+           round((n * CAST(sdxy AS DOUBLE) - CAST(sdx AS DOUBLE) * CAST(sdy AS DOUBLE))
+                 / sqrt((n * CAST(sdxx AS DOUBLE) - CAST(sdx AS DOUBLE) * CAST(sdx AS DOUBLE))
+                        * (n * CAST(sdyy AS DOUBLE) - CAST(sdy AS DOUBLE) * CAST(sdy AS DOUBLE))),
+                 6) AS rho_spearman
+    FROM s
+    """,
+    doc="Spearman rank correlation (tie-aware) between quantity and "
+    "extended price per return flag — the distribution-free monotone-"
+    "association check a validation suite runs where Pearson would be "
+    "skew-dominated. Tie handling is the textbook midrank, computed "
+    "WITHOUT float division: the double-rank 2*midrank = 2*rank_min "
+    "+ tie_count - 1 is an exact integer (rank_max = rank_min + "
+    "tie_count - 1, so rank_min + rank_max collapses to it), and "
+    "Pearson on midranks equals Pearson on double-ranks by scale "
+    "invariance. Sufficient statistics (n, Σdx, Σdy, Σdx², "
+    "Σdy², Σdxy) aggregate as exact DECIMAL(38,0) — at 100 TB per-"
+    "partition partial sums combine map-side and never lose a digit — "
+    "and the closed form evaluates once per GROUP in DOUBLE with an "
+    "identical expression tree on both engines (sqrt is IEEE "
+    "correctly-rounded, the Mann-Whitney precedent). Two window "
+    "sorts per group are the honest rank cost; at scale they are "
+    "range-partitioned sorts, not driver work.",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    d38 = "decimal(38,0)"
+    wq = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity"))
+    wp = Window.partitionBy("l_returnflag").orderBy(F.col("l_extendedprice"))
+    tq = Window.partitionBy("l_returnflag", "l_quantity")
+    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.rank().over(wq) * 2 + F.count(F.lit(1)).over(tq) - 1).cast("bigint").alias("dx"),
+        (F.rank().over(wp) * 2 + F.count(F.lit(1)).over(tp) - 1).cast("bigint").alias("dy"),
+    )
+    dx, dy = F.col("dx").cast(d38), F.col("dy").cast(d38)
+    s = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx).cast(d38).alias("sdx"),
+        F.sum(dy).cast(d38).alias("sdy"),
+        F.sum(dx * F.col("dx")).cast(d38).alias("sdxx"),
+        F.sum(dy * F.col("dy")).cast(d38).alias("sdyy"),
+        F.sum(dx * F.col("dy")).cast(d38).alias("sdxy"),
+    )
+    n = F.col("n").cast("double")
+    sdx, sdy = F.col("sdx").cast("double"), F.col("sdy").cast("double")
+    sdxx, sdyy, sdxy = (
+        F.col("sdxx").cast("double"),
+        F.col("sdyy").cast("double"),
+        F.col("sdxy").cast("double"),
+    )
+    rho = (n * sdxy - sdx * sdy) / F.sqrt((n * sdxx - sdx * sdx) * (n * sdyy - sdy * sdy))
+    return s.select("flag", "n", F.round(rho, 6).alias("rho_spearman"))
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS flag, date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS by
+      FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT i.flag,
+             CAST(sum(CASE WHEN (i.bx < j.bx AND i.by < j.by)
+                             OR (i.bx > j.bx AND i.by > j.by)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (i.bx < j.bx AND i.by > j.by)
+                             OR (i.bx > j.bx AND i.by < j.by)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM b i JOIN b j ON i.flag = j.flag AND i.m < j.m
+      GROUP BY i.flag
+    )
+    SELECT flag, nc, nd, n_pairs,
+           round((CAST(nc AS DOUBLE) - nd) / n_pairs, 6) AS tau_a
+    FROM p
+    """,
+    doc="Kendall's tau-a over the monthly revenue/quantity series per "
+    "return flag: concordant-minus-discordant month pairs — the "
+    "trend-agreement statistic behind the Mann-Kendall trend test "
+    "(pairs where both measures move the same way vs opposite). The "
+    "all-pairs comparison is quadratic, so it runs on the CALENDAR-"
+    "BOUNDED bucket table (stats_theil_sen's design): the corpus pays "
+    "one map-side-combined monthly aggregate, and the self-join "
+    "compares ~84 months x 84 per flag regardless of corpus size. "
+    "Bucket sums are exact DECIMAL so every </> comparison is exact; "
+    "counts are BIGINT; tau_a is a single final division rounded to "
+    "6 dp. Ties in either measure count as neither concordant nor "
+    "discordant (tau-a denominator = all pairs).",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    b = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.date_trunc("month", "l_shipdate").alias("m"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("bx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("by"),
+    )
+    i = b.select(F.col("flag"), F.col("m").alias("mi"), F.col("bx").alias("bxi"), F.col("by").alias("byi"))
+    j = b.select(F.col("flag"), F.col("m").alias("mj"), F.col("bx").alias("bxj"), F.col("by").alias("byj"))
+    conc = (
+        ((F.col("bxi") < F.col("bxj")) & (F.col("byi") < F.col("byj")))
+        | ((F.col("bxi") > F.col("bxj")) & (F.col("byi") > F.col("byj")))
+    ).cast("int")
+    disc = (
+        ((F.col("bxi") < F.col("bxj")) & (F.col("byi") > F.col("byj")))
+        | ((F.col("bxi") > F.col("bxj")) & (F.col("byi") < F.col("byj")))
+    ).cast("int")
+    p = (
+        i.join(j, (i.flag == j.flag) & (F.col("mi") < F.col("mj")))
+        .drop(j.flag)
+        .groupBy("flag")
+        .agg(
+            F.sum(conc).cast("bigint").alias("nc"),
+            F.sum(disc).cast("bigint").alias("nd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    tau = (F.col("nc").cast("double") - F.col("nd")) / F.col("n_pairs")
+    return p.select("flag", "nc", "nd", "n_pairs", F.round(tau, 6).alias("tau_a"))

@@ -10,10 +10,17 @@ aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, n_tokens, quality_score, stopword_hits, tokens
+from ..functions.text import (
+    STOPWORDS,
+    n_tokens,
+    quality_score,
+    shingles,
+    stopword_hits,
+    tokens,
+)
 from ..registry import register
 from ..tables import load
 
@@ -2090,3 +2097,149 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "rake", g, ph)
+
+
+# --- corpus-order n-gram novelty (round 10) ---------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    f AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM f GROUP BY doc_id
+    """,
+    doc="Corpus-order n-gram novelty: for each document, the fraction "
+    "of its distinct word 3-shingles whose FIRST appearance (minimum "
+    "doc_id over the whole corpus) is this document — the "
+    "memorization/staleness signal an LLM curation pipeline uses to "
+    "downweight documents that only repeat earlier content and to "
+    "spot template floods (novelty near 0 late in the crawl order). "
+    "Shingling stays inside codegen (functions/text.py shingles: "
+    "transform over sequence, no UDF); the first-appearance pass is "
+    "ONE min-window partitioned by shingle — the same shuffle key "
+    "the dedup family buckets on, so at 100 TB it co-partitions with "
+    "the dedup index instead of adding a new shuffle shape. Counts "
+    "are exact BIGINT; the rate is a single final division rounded "
+    "to 6 dp. doc_id as the tiebreak/order is the deterministic "
+    "stand-in for crawl timestamp.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    e = d.select("doc_id", F.explode(shingles("text")).alias("shingle"))
+    w = Window.partitionBy("shingle")
+    f = e.select("doc_id", F.min("doc_id").over(w).alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty_rate"),
+    )
+
+
+# --- Zipf rank-frequency fit (round 10) -------------------------------
+
+ZIPF_TOP = 100
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    top AS (
+      SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM wf QUALIFY rnk <= {ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(28,9)) AS lx,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,9)) AS ly
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lx) AS DECIMAL(38,9)) AS sx,
+             CAST(sum(ly) AS DECIMAL(38,9)) AS sy,
+             CAST(sum(lx * lx) AS DECIMAL(38,9)) AS sxx,
+             CAST(sum(lx * ly) AS DECIMAL(38,9)) AS sxy
+      FROM pts
+    )
+    SELECT n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 / n, 6) AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit: least-squares slope of ln(freq) on ln(rank) "
+    f"over the top {ZIPF_TOP} corpus words (a healthy natural-"
+    "language corpus slopes near -1; template floods and boilerplate "
+    "flatten or steepen it — the corpus-health scalar next to "
+    "text_lexical_diversity). The corpus pays ONE map-side-combined "
+    "word count; ranking and the regression run on the top-100 "
+    "table, constant-size at any corpus scale. Each ln evaluates "
+    "once per POINT over an exact integer operand and is rounded to "
+    "9 dp before entering the DECIMAL sufficient-statistic sums (the "
+    "bm25/PMI libm rule — no float summation order), and the "
+    "closed-form slope/intercept evaluate once in DOUBLE with an "
+    "identical expression tree on both engines. row_number's "
+    "(freq DESC, word) order is a total order, so the top set is "
+    "deterministic.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    wf = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    top = wf.select("word", "freq", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= ZIPF_TOP
+    )
+    pts = top.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).cast("decimal(28,9)").alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(28,9)").alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").cast("decimal(38,9)").alias("sx"),
+        F.sum("ly").cast("decimal(38,9)").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("decimal(38,9)").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("decimal(38,9)").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - sx * slope) / n
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )

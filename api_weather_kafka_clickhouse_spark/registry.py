@@ -128,97 +128,101 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # locally in tests/test_oracle_parity.py (the replica that has
 # predicted the driver gate bit-for-bit eight rounds running).
 #
-# Round-10 rotation queue (WAVE 2 — the 34 remaining r8 additions,
-# by name): events_attribution_last_touch, profile_table_stats,
-# pareto_revenue_share, customer_order_gaps, intervals_concurrency,
-# customer_rfm_segments, events_anomaly_mad, embedding_pq_int8,
-# text_pmi_collocations, quality_winsorize, events_sequence_match,
-# embedding_truncate_recall, text_bpe_merge_candidates,
-# events_top_paths, events_ab_test_lift, text_lang_confusion,
-# orders_cohort_ltv, text_hashing_trick_features,
-# clickhouse_dialect_battery, events_error_rate_wilson,
-# feature_target_encoding, events_gini_concentration, text_kwic,
-# embedding_cosine_histogram, dedup_simhash_band_occupancy,
-# text_autocomplete_index, sample_balanced_downsample,
-# privacy_k_anonymity, events_dispersion_index,
-# text_lexical_diversity, curriculum_rank_distributed,
-# mixture_token_budget, copurchase_pairs_lift, layout_zorder_key —
-# plus the round-9 additions (appended as they landed):
-# geo_cell_density, geo_radius_join, geo_knn_grid, stats_chi_square,
-# stats_mann_whitney, graph_pagerank, graph_kcore,
-# dedup_jaccard_prefix, sim_mmr_rerank, clickhouse_dialect_battery2,
-# privacy_dp_counts, stats_bootstrap_ci, text_keyword_rake,
-# quality_json_audit, time_holt_linear, embedding_binary_hamming,
-# sample_kcenter_coreset, stats_survival_km, stats_theil_sen,
-# stats_kruskal_wallis, geo_dbscan_classify, stats_runs_test,
-# events_markov_entropy.
+# Round-10 rotation (round 6 WAVE 2, executed): the 46 non-anchor
+# slots swap from the r9-green wave-1 occupants to 46 of the 57
+# queued never-driver-gated names — ALL 23 round-9 additions (the
+# geo family, the stats battery, PageRank/k-core, the quantized
+# retrieval trio, privacy_dp_counts, dialect battery 2, RAKE, Holt,
+# JSON audit, Markov entropy) plus 23 of the 34 r8 wave-2 names.
+# The four family anchors KEEP their slots (the queue has no other
+# member of their family): q8_market_share (TPC-H), curation_funnel
+# (curation chain), set_ops (set operations), mm_phash_signatures
+# (multimodal). The wave-1 occupants rotated out all earned their
+# first driver rows in CORRECTNESS_r09 (50/50 green) and remain
+# oracle-verified locally in tests/test_oracle_parity.py (the
+# replica that has predicted the driver gate bit-for-bit nine
+# rounds running).
+#
+# Round-11 rotation queue (WAVE 3 — the 11 r8 names that did not
+# fit wave 2, by name): pareto_revenue_share, customer_rfm_segments,
+# events_ab_test_lift, events_gini_concentration,
+# events_dispersion_index, text_kwic, text_lexical_diversity,
+# text_autocomplete_index, embedding_cosine_histogram,
+# quality_winsorize, dedup_simhash_band_occupancy — plus the
+# round-10 additions (appended as they land):
+# mm_phash_band_pairs, stats_spearman_corr, stats_kendall_tau,
+# geo_quadkey_rollup, clickhouse_dialect_battery3,
+# text_ngram_novelty, time_hopping_windows, graph_bfs_layers,
+# text_zipf_fit.
+# After wave 3 every query registered through r10 has
+# >= 1 driver row, restoring the r7 invariant.
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no queue member covers these families)
-    "curation_funnel",  # KEEP: curation chain (gated r7, r8)
-    "q8_market_share",  # KEEP: TPC-H battery (gated r7, r8)
-    "set_ops",  # KEEP: set-operations anchor (gated r1-r8)
-    "mm_phash_signatures",  # KEEP: multimodal (rows-only by design)
-    # joins — wave 1 first driver rows
-    "join_salted_skew",
-    "join_point_in_time",
-    "join_asof_tolerance",
-    "join_any_left",
-    # window functions — wave 1 first driver rows
-    "window_running_distinct",
-    "window_moving_median",
-    # aggregation battery — wave 1 first driver rows
-    "agg_weighted_median",
-    "agg_regression_per_group",
-    "agg_hll_set_algebra",
-    "agg_trimmed_mean",
-    # graph family — first driver rows EVER for the family
-    "graph_triangles",
-    "graph_tree_depth",
-    "graph_common_neighbors",
-    "graph_walk_diffusion",
-    "graph_label_propagation",
-    # stats family — first driver rows EVER for the family
-    "stats_ks_test",
-    "stats_ttest_welch",
-    "stats_anova_weekday",
-    "stats_benford_digits",
-    # time-series family — first driver rows EVER for the family
-    "time_downsample_m4",
-    "time_autocorr_lag1",
-    "time_seasonal_decompose",
-    "time_period_over_period",
-    "time_changepoint_binary",
-    "time_forecast_backtest_naive",
-    "time_peak_detection",
-    # retrieval stack — first driver rows EVER
-    "text_bm25_topk",
-    "sim_hybrid_rrf",
-    "sim_recall_report",
-    "embedding_quantize_int8",
-    # text analysis — wave 1 first driver rows
-    "text_source_divergence",
-    "text_inverted_index",
-    # event analytics — wave 1 first driver rows
-    "events_rolling_dau",
-    "events_conversion_latency",
-    "events_user_streaks",
-    "scd2_intervals",
-    # dedup / decontamination — wave 1 first driver rows
-    "dedup_rate_by_source",
-    "dedup_soft_weights",
-    "decontaminate_longest_span",
-    # quality / ML prep — wave 1 first driver rows
-    "quality_tiers_decile",
-    "quality_quantile_normalize",
-    # sampling / splits — wave 1 first driver rows
-    "split_temporal_embargo",
-    "sample_epochs_materialize",
-    # behavioral analytics (funnel family representative)
-    "funnel_constrained_window",
-    # record linkage (family representative)
-    "fuzzy_match_damerau",
-    # core relational / scalar (family representative)
-    "scalar_bits",
+    "curation_funnel",  # KEEP: curation chain (gated r7-r9)
+    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r9)
+    "set_ops",  # KEEP: set-operations anchor (gated r1-r9)
+    "mm_phash_signatures",  # KEEP: multimodal (hash-checked as of r10)
+    # geo family — first driver rows EVER for the family
+    "geo_cell_density",
+    "geo_radius_join",
+    "geo_knn_grid",
+    "geo_dbscan_classify",
+    # stats battery round 2 — first driver rows
+    "stats_chi_square",
+    "stats_mann_whitney",
+    "stats_bootstrap_ci",
+    "stats_survival_km",
+    "stats_theil_sen",
+    "stats_kruskal_wallis",
+    "stats_runs_test",
+    # graph round 2 — first driver rows
+    "graph_pagerank",
+    "graph_kcore",
+    # quantized retrieval trio — first driver rows
+    "sim_mmr_rerank",
+    "embedding_binary_hamming",
+    "sample_kcenter_coreset",
+    # privacy family — first driver rows EVER for the family
+    "privacy_dp_counts",
+    "privacy_k_anonymity",
+    # dialect batteries — first driver rows
+    "clickhouse_dialect_battery",
+    "clickhouse_dialect_battery2",
+    # dedup — first driver rows
+    "dedup_jaccard_prefix",
+    # text analysis — first driver rows
+    "text_keyword_rake",
+    "text_pmi_collocations",
+    "text_bpe_merge_candidates",
+    "text_lang_confusion",
+    "text_hashing_trick_features",
+    # quality / audit — first driver rows
+    "quality_json_audit",
+    # time series — first driver rows
+    "time_holt_linear",
+    # event analytics — first driver rows
+    "events_markov_entropy",
+    "events_attribution_last_touch",
+    "events_anomaly_mad",
+    "events_sequence_match",
+    "events_top_paths",
+    "events_error_rate_wilson",
+    # customer / revenue analytics — first driver rows
+    "customer_order_gaps",
+    "orders_cohort_ltv",
+    "copurchase_pairs_lift",
+    "intervals_concurrency",
+    # embeddings — first driver rows
+    "embedding_pq_int8",
+    "embedding_truncate_recall",
+    # ML prep / sampling / curriculum — first driver rows
+    "feature_target_encoding",
+    "sample_balanced_downsample",
+    "curriculum_rank_distributed",
+    "mixture_token_budget",
+    # profiling / storage layout — first driver rows
+    "profile_table_stats",
+    "layout_zorder_key",
 )
 
 

@@ -51,7 +51,7 @@ def test_registry_totals_are_pinned():
     specs = registry.all_specs()
     total = len(specs)
     oracle = sum(1 for s in specs.values() if s.oracle is not None)
-    assert (total, oracle, total - oracle) == (256, 249, 7), (
+    assert (total, oracle, total - oracle) == (265, 259, 6), (
         total,
         oracle,
         total - oracle,
@@ -75,8 +75,10 @@ def test_rows_only_queries_are_documented_choices():
         # every signature bit)
         # dedup_embedding_lsh: upgraded to hash-checked in round 7
         # (literal SRP hyperplanes mirrored in SQL, sim_ann_lsh-style)
+        # mm_phash_signatures: upgraded to hash-checked in round 10
+        # (exact i*n//64 region bounds + cross-multiplied threshold
+        # make every signature bit SQL-recomputable)
         "dedup_semdedup",
-        "mm_phash_signatures",
         # sim_ann_lsh / sim_ivf_label: upgraded to hash-checked in
         # round 7 (literal hyperplanes / avg centroids mirror in SQL)
         "sim_ivf_kmeans",

@@ -1,0 +1,169 @@
+"""Math/semantics tests for the round-10 batch-2 operators: dialect
+battery 3 vocabulary, n-gram novelty, hopping windows, BFS layers,
+and the Zipf fit."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_clickhouse_vocab_round10(spark):
+    from api_weather_kafka_clickhouse_spark.functions import clickhouse as ch
+
+    df = spark.createDataFrame(
+        [([3, 1, 1, 2, 2, 2, 1],)], "arr array<bigint>"
+    ).select(
+        ch.arrayCompact("arr").alias("compact"),
+        ch.arrayCumSum("arr").alias("cum"),
+        ch.bitmaskToList(F.lit(50), 8).alias("bits"),
+        ch.formatReadableSize(F.lit(1023)).alias("b"),
+        ch.formatReadableSize(F.lit(1024)).alias("kib"),
+        ch.formatReadableSize(F.lit(1536)).alias("kib15"),
+        ch.formatReadableSize(F.lit(5 * 1024 * 1024)).alias("mib"),
+        ch.formatReadableSize(F.lit(3 * 1024**3)).alias("gib"),
+    )
+    r = df.collect()[0]
+    assert r["compact"] == [3, 1, 2, 1]  # consecutive dedupe only
+    assert r["cum"] == [3, 4, 5, 7, 9, 11, 12]
+    assert r["bits"] == "2,16,32"  # ClickHouse bitmaskToList(50)
+    assert r["b"] == "1023.00 B"
+    assert r["kib"] == "1.00 KiB"
+    assert r["kib15"] == "1.50 KiB"
+    assert r["mib"] == "5.00 MiB"
+    assert r["gib"] == "3.00 GiB"
+
+
+def test_fifteen_minute_bucket_boundaries(spark):
+    from api_weather_kafka_clickhouse_spark.functions import clickhouse as ch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:14:59",), ("2024-01-01 00:15:00",), ("2024-01-01 00:29:59",)],
+        "s string",
+    ).select(ch.toStartOfFifteenMinutes(F.to_timestamp("s")).alias("b"))
+    b = [r["b"] for r in df.collect()]
+    assert b[0] + 1 == b[1]  # :14:59 and :15:00 straddle a boundary
+    assert b[1] == b[2]  # :15:00 and :29:59 share a bucket
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        text_ngram_novelty,
+    )
+
+    rows = {r["doc_id"]: r for r in text_ngram_novelty(spark, sf_dir).collect()}
+    first = min(rows)
+    assert rows[first]["novelty_rate"] == 1.0  # nothing precedes doc 0
+    for r in rows.values():
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert r["n_novel"] <= r["n_shingles"]
+    # every distinct shingle is novel in exactly one doc: sums agree
+    from api_weather_kafka_clickhouse_spark.functions.text import shingles
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    d = load(spark, "documents", sf_dir)
+    n_distinct = (
+        d.select(F.explode(shingles("text")).alias("s")).select("s").distinct().count()
+    )
+    assert sum(r["n_novel"] for r in rows.values()) == n_distinct
+
+
+def test_hopping_windows_amplification_and_membership(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        HOP_SIZE_H,
+        HOP_STEP_H,
+        time_hopping_windows,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    out = time_hopping_windows(spark, sf_dir).collect()
+    n_events = load(spark, "events", sf_dir).count()
+    # every event lands in exactly SIZE/HOP windows
+    assert sum(r["n_events"] for r in out) == n_events * (HOP_SIZE_H // HOP_STEP_H)
+    # window starts are consecutive-ish hours: each event's own hour
+    # bucket must appear as a window start
+    e = load(spark, "events", sf_dir)
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    hb = {
+        r["hb"]
+        for r in e.select(
+            ((epoch - epoch % F.lit(3600)) / F.lit(3600)).cast("bigint").alias("hb")
+        )
+        .distinct()
+        .collect()
+    }
+    starts = {r["ws_hour"] for r in out}
+    assert hb <= starts
+
+
+def test_bfs_layers_invariants(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.affinity import (
+        BFS_SEED_MOD,
+        graph_bfs_layers,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = graph_bfs_layers(spark, sf_dir).collect()
+    layer_of = {(r["node_type"], r["key"]): r["layer"] for r in rows}
+    # first-reached: each node exactly once
+    assert len(layer_of) == len(rows)
+    # layer 0 is exactly the seed suppliers present in lineitem
+    li = load(spark, "lineitem", sf_dir)
+    seeds = {
+        r["l_suppkey"]
+        for r in li.filter(F.col("l_suppkey") % BFS_SEED_MOD == 0)
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    got0 = {k for (t, k), l in layer_of.items() if l == 0}
+    assert got0 == seeds
+    # bipartite: odd layers are parts, even layers suppliers
+    for (t, k), l in layer_of.items():
+        assert t == ("supplier" if l % 2 == 0 else "part")
+    # every layer-(i+1) node has a neighbor in layer i (reachability)
+    pairs = li.select("l_suppkey", "l_partkey").distinct().collect()
+    nbrs: dict[tuple, set] = {}
+    for p in pairs:
+        s, pt = ("supplier", p["l_suppkey"]), ("part", p["l_partkey"])
+        nbrs.setdefault(s, set()).add(pt)
+        nbrs.setdefault(pt, set()).add(s)
+    for node, l in layer_of.items():
+        if l == 0:
+            continue
+        assert any(layer_of.get(nb) == l - 1 for nb in nbrs.get(node, ()))
+
+
+def test_zipf_fit_matches_numpy_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        ZIPF_TOP,
+        text_zipf_fit,
+    )
+    from api_weather_kafka_clickhouse_spark.functions.text import tokens
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    row = text_zipf_fit(spark, sf_dir).collect()[0]
+    d = load(spark, "documents", sf_dir)
+    freqs = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    top = sorted(((r["count"], r["w"]) for r in freqs), key=lambda t: (-t[0], t[1]))[
+        :ZIPF_TOP
+    ]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for c, _ in top]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n"] == n
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-5)
+    # natural-language corpus: slope in a sane Zipfian band
+    assert -3.0 < row["zipf_slope"] < -0.1
