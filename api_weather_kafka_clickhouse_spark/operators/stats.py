@@ -2212,3 +2212,206 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tau = (F.col("nc").cast("double") - F.col("nd")) / F.col("n_pairs")
     return p.select("flag", "nc", "nd", "n_pairs", F.round(tau, 6).alias("tau_a"))
+
+
+# --- CUSUM drift + variance homogeneity (round 10) --------------------
+
+
+@register(
+    "time_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS p,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS DECIMAL(38,2)) AS s
+      FROM daily
+    ),
+    c AS (
+      SELECT event_type, day, n,
+             CAST(n * p - k * s AS DECIMAL(38,2)) AS c_scaled
+      FROM idx
+    ),
+    ranked AS (
+      SELECT event_type, day, n, c_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(c_scaled) DESC, day) AS r
+      FROM c
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           day AS peak_day,
+           round(CAST(abs(c_scaled) AS DOUBLE) / n, 6) AS cusum_peak
+    FROM ranked WHERE r = 1
+    """,
+    doc="CUSUM drift detection over the daily metric series per event "
+    "type: the classic level-shift detector (Page's cumulative sum "
+    "against the series mean), reporting the peak excursion and the "
+    "day it occurs — the changepoint LOCATOR beside "
+    "time_changepoint_binary's split test. The textbook statistic "
+    "sums (x_i - mean), but the mean is a quotient, so every term "
+    "would be inexact; the scaled identity C_k = n*prefix_k - k*total "
+    "= n*sum(x_i - mean) keeps EVERY intermediate an exact DECIMAL "
+    "(integers times exact sums), and the single division by n "
+    "happens once per group at render. Peak day ties break earliest. "
+    "One map-side-combined daily aggregate, then windows over the "
+    "CALENDAR-BOUNDED bucket table (the stats_kendall_tau/theil_sen "
+    "design) — scan-bound at 100 TB.",
+)
+def time_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("k"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,2)")
+        .alias("p"),
+        F.sum("x").over(wp).cast("decimal(38,2)").alias("s"),
+    )
+    c = idx.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.col("p") - F.col("k") * F.col("s"))
+        .cast("decimal(38,2)")
+        .alias("c_scaled"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.col("day")
+    )
+    return (
+        c.select("*", F.row_number().over(wr).alias("r"))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("day").alias("peak_day"),
+            F.round(F.abs(F.col("c_scaled")).cast("double") / F.col("n"), 6).alias(
+                "cusum_peak"
+            ),
+        )
+    )
+
+
+# Brown-Forsythe critical value at alpha=0.05 for df1=4 (k=5 event
+# types), df2=inf — pinned literal (the ANOVA_F_CRIT discipline: never
+# engine libm for constants).
+LEVENE_F_CRIT = 2.372
+
+
+@register(
+    "stats_levene_bf",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(value AS DECIMAL(18,2)), event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, v, n,
+             max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+               OVER (PARTITION BY event_type) AS med
+      FROM r
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(abs(v - med)) AS DECIMAL(38,2)) AS s_g,
+             CAST(sum(abs(v - med) * abs(v - med)) AS DECIMAL(38,4)) AS q_g
+      FROM m GROUP BY event_type
+    ),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS big_n,
+             CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 6)
+                           AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_t,
+             CAST(sum(q_g) AS DECIMAL(38,4)) AS sum_q,
+             CAST(sum(s_g) AS DECIMAL(38,2)) AS s_tot
+      FROM g
+    )
+    SELECT k, big_n,
+           round(((CAST(sum_t AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * s_tot / big_n) / (k - 1))
+                 / ((CAST(sum_q AS DOUBLE) - sum_t) / (big_n - k)), 6) AS f_stat,
+           (((CAST(sum_t AS DOUBLE)
+              - CAST(s_tot AS DOUBLE) * s_tot / big_n) / (k - 1))
+            / ((CAST(sum_q AS DOUBLE) - sum_t) / (big_n - k)))
+             <= {LEVENE_F_CRIT} AS variances_homogeneous
+    FROM terms
+    """,
+    doc="Brown-Forsythe variance-homogeneity test (Levene's test with "
+    "the MEDIAN center): one-way ANOVA F over the absolute deviations "
+    "|x - group median| across event types — the guard a pipeline "
+    "runs BEFORE trusting stats_anova_weekday/ttest, whose pooled-"
+    "variance assumptions it checks. Centers are the DISCRETE lower "
+    "median (the house order-statistic rule); deviations are exact "
+    "DECIMALs, so the group sufficient statistics (n_g, S_g, Q_g) "
+    "aggregate exactly. The k-row reduction uses the per-cell "
+    "round->DECIMAL discipline for the S_g^2/n_g terms (a raw float "
+    "sum over groups would be engine-ordered), and the F statistic "
+    "evaluates once in DOUBLE with an identical tree; the verdict "
+    "compares against a PINNED critical literal, never engine CDFs. "
+    "Two window passes per group + one aggregate — scan-bound.",
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    wr = Window.partitionBy("event_type").orderBy(v, "event_id")
+    wp = Window.partitionBy("event_type")
+    r = e.select("event_type", v.alias("v"), F.row_number().over(wr).alias("rn"),
+                 F.count(F.lit(1)).over(wp).alias("n"))
+    m = r.select(
+        "event_type",
+        "v",
+        "n",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))
+        ).over(wp).alias("med"),
+    )
+    dev = F.abs(F.col("v") - F.col("med"))
+    g = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(dev).cast("decimal(38,2)").alias("s_g"),
+        F.sum(dev * dev).cast("decimal(38,4)").alias("q_g"),
+    )
+    t_g = F.round(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 6).cast(
+        "decimal(28,6)"
+    )
+    terms = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("big_n"),
+        F.sum(t_g).cast("decimal(38,6)").alias("sum_t"),
+        F.sum("q_g").cast("decimal(38,4)").alias("sum_q"),
+        F.sum("s_g").cast("decimal(38,2)").alias("s_tot"),
+    )
+    ssb = (
+        F.col("sum_t").cast("double")
+        - F.col("s_tot").cast("double") * F.col("s_tot") / F.col("big_n")
+    ) / (F.col("k") - 1)
+    ssw = (F.col("sum_q").cast("double") - F.col("sum_t")) / (
+        F.col("big_n") - F.col("k")
+    )
+    f_stat = ssb / ssw
+    return terms.select(
+        "k",
+        "big_n",
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat <= LEVENE_F_CRIT).alias("variances_homogeneous"),
+    )

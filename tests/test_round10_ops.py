@@ -167,3 +167,78 @@ def test_zipf_fit_matches_numpy_reference(spark, sf_dir):
     assert row["zipf_slope"] == pytest.approx(slope, abs=1e-5)
     # natural-language corpus: slope in a sane Zipfian band
     assert -3.0 < row["zipf_slope"] < -0.1
+
+
+def test_cusum_matches_python_reference(spark, sf_dir):
+    from decimal import Decimal
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        time_cusum_drift,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["event_type"]: r for r in time_cusum_drift(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir)
+    daily = (
+        e.groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], Decimal(r["x"])))
+    for etype, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        total = sum(x for _, x in pts)
+        prefix = Decimal(0)
+        best = None
+        for k, (day, x) in enumerate(pts, start=1):
+            prefix += x
+            c = abs(n * prefix - k * total)
+            if best is None or c > best[0]:
+                best = (c, day)
+        assert got[etype]["n_days"] == n
+        assert got[etype]["peak_day"] == best[1]
+        assert got[etype]["cusum_peak"] == pytest.approx(
+            round(float(best[0]) / n, 6), abs=1e-6
+        )
+
+
+def test_levene_bf_matches_python_reference(spark, sf_dir):
+    from decimal import Decimal
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        LEVENE_F_CRIT,
+        stats_levene_bf,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    row = stats_levene_bf(spark, sf_dir).collect()[0]
+    e = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    groups: dict[str, list] = {}
+    for r in e.collect():
+        groups.setdefault(r["event_type"], []).append(
+            (Decimal(str(r["value"])).quantize(Decimal("0.01")), r["event_id"])
+        )
+    s_tot = Decimal(0)
+    sum_q = Decimal(0)
+    sum_t = 0.0
+    big_n = 0
+    for vals in groups.values():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1][0]  # discrete lower median
+        devs = [abs(v - med) for v, _ in vals]
+        s_g = sum(devs)
+        q_g = sum(d * d for d in devs)
+        s_tot += s_g
+        sum_q += q_g
+        sum_t += round(float(s_g) * float(s_g) / len(vals), 6)
+        big_n += len(vals)
+    k = len(groups)
+    ssb = (sum_t - float(s_tot) * float(s_tot) / big_n) / (k - 1)
+    ssw = (float(sum_q) - sum_t) / (big_n - k)
+    f_ref = ssb / ssw
+    assert row["k"] == k and row["big_n"] == big_n
+    assert row["f_stat"] == pytest.approx(f_ref, abs=1e-4)
+    assert row["variances_homogeneous"] == (f_ref <= LEVENE_F_CRIT)
