@@ -612,3 +612,115 @@ def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").isNull().alias("unmatched"),
         )
     )
+
+
+# --- range join via time-axis bucketing (round 10) --------------------
+
+# Deterministic campaign-interval dimension derived from nation keys:
+# 25 intervals over the order-date range, start/length spread by
+# integer arithmetic on the key (no RNG — both engines re-derive it).
+CAMPAIGN_EPOCH_BASE = 9500  # days since 1970-01-01, inside o_orderdate's range
+CAMPAIGN_SPREAD_D = 47
+CAMPAIGN_SPAN_D = 900
+CAMPAIGN_MIN_LEN_D = 5
+CAMPAIGN_LEN_MOD = 11
+BUCKET_D = 7  # bucket width: one week
+
+
+@register(
+    "join_interval_bucket",
+    oracle=f"""
+    WITH camp AS (
+      SELECT n_nationkey AS campaign_id,
+             {CAMPAIGN_EPOCH_BASE} + (n_nationkey * {CAMPAIGN_SPREAD_D})
+               % {CAMPAIGN_SPAN_D} AS start_d,
+             {CAMPAIGN_EPOCH_BASE} + (n_nationkey * {CAMPAIGN_SPREAD_D})
+               % {CAMPAIGN_SPAN_D}
+               + {CAMPAIGN_MIN_LEN_D} + n_nationkey % {CAMPAIGN_LEN_MOD} AS end_d
+      FROM nation
+    ),
+    o AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS od,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT c.campaign_id,
+           CAST(c.end_d - c.start_d + 1 AS BIGINT) AS len_days,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(coalesce(sum(o.price), 0) AS DECIMAL(38,2)) AS DOUBLE)
+             AS revenue
+    FROM camp c LEFT JOIN o
+      ON o.od BETWEEN c.start_d AND c.end_d
+    GROUP BY c.campaign_id, c.end_d - c.start_d + 1
+    """,
+    doc="Range (interval-containment) join at scale: orders against a "
+    "deterministic campaign-interval dimension, implemented by "
+    "BUCKETING THE TIME AXIS — each interval explodes into the week "
+    "buckets it overlaps (ceil(len/bucket)+1 rows, bounded by the "
+    "interval-length cap), each order maps to exactly one bucket, "
+    "and ONE equi-join on the bucket key + a residual BETWEEN filter "
+    "replaces the non-equi theta join Spark would otherwise plan as "
+    "broadcast-nested-loop. The replication factor is len/bucket — a "
+    "DIMENSION property, never corpus-sized — which is the same "
+    "bounded-amplification argument as geo's 3x3 cell expansion and "
+    "time_hopping_windows' SIZE/HOP constant; at 100 TB the bucket "
+    "key is also the natural time-partition pruner. LEFT semantics "
+    "keep empty campaigns (anti-joined buckets) with zero counts. "
+    "The oracle brute-forces the BETWEEN join; day arithmetic is "
+    "exact integer epoch-days, revenue sums in DECIMAL.",
+)
+def join_interval_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, "nation", sf_dir)
+    camp = n.select(
+        F.col("n_nationkey").alias("campaign_id"),
+        (
+            F.lit(CAMPAIGN_EPOCH_BASE)
+            + (F.col("n_nationkey") * CAMPAIGN_SPREAD_D) % CAMPAIGN_SPAN_D
+        ).alias("start_d"),
+        (
+            F.lit(CAMPAIGN_EPOCH_BASE)
+            + (F.col("n_nationkey") * CAMPAIGN_SPREAD_D) % CAMPAIGN_SPAN_D
+            + CAMPAIGN_MIN_LEN_D
+            + F.col("n_nationkey") % CAMPAIGN_LEN_MOD
+        ).alias("end_d"),
+    )
+    # interval -> overlapped week buckets (sequence is inclusive and
+    # integer-stepped; start_d div 7 .. end_d div 7 covers every day)
+    camp_b = camp.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_d div {BUCKET_D}"), F.expr(f"end_d div {BUCKET_D}")
+            )
+        ).alias("bucket"),
+    )
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.to_date(F.lit("1970-01-01"))).alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).select("*", F.expr(f"od div {BUCKET_D}").alias("bucket"))
+    # LEFT semantics under bucketing: the inner bucket join + residual
+    # filter computes the MATCHES; campaigns with zero in-range orders
+    # re-enter via the left join back onto the dimension (filtering a
+    # left join's probe side after the fact would drop them).
+    agg = (
+        camp_b.join(o, "bucket")
+        .filter((F.col("od") >= F.col("start_d")) & (F.col("od") <= F.col("end_d")))
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").cast("decimal(38,2)").alias("rev"),
+        )
+    )
+    return (
+        camp.join(agg, "campaign_id", "left")
+        .select(
+            "campaign_id",
+            (F.col("end_d") - F.col("start_d") + 1).cast("bigint").alias("len_days"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

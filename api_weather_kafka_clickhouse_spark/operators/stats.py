@@ -2415,3 +2415,91 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 6).alias("f_stat"),
         (f_stat <= LEVENE_F_CRIT).alias("variances_homogeneous"),
     )
+
+
+# Bot heuristics: machine-like cadence thresholds (pinned literals).
+BOT_MAX_PER_HOUR = 12
+BOT_ZERO_GAPS = 2
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_ms(ts) // 1000 AS sec,
+             epoch_ms(ts) // 1000
+               - lag(epoch_ms(ts) // 1000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+             CAST(sum(CASE WHEN gap_s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_gaps
+      FROM seq GROUP BY user_id
+    ),
+    hourly AS (
+      SELECT user_id, (sec - sec % 3600) // 3600 AS hb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq GROUP BY 1, 2
+    ),
+    peak AS (
+      SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_hour
+      FROM hourly GROUP BY user_id
+    )
+    SELECT g.user_id, g.n_events, g.min_gap_s, g.n_zero_gaps,
+           p.max_per_hour,
+           (g.n_zero_gaps >= {BOT_ZERO_GAPS}
+            OR p.max_per_hour >= {BOT_MAX_PER_HOUR}) AS bot_like
+    FROM gaps g JOIN peak p USING (user_id)
+    """,
+    doc="Bot-traffic heuristics per user: minimum inter-event gap, "
+    "zero-gap (same-second) burst count, and peak events-per-hour — "
+    "the cadence features an abuse/quality filter computes before "
+    "training on behavioral data, with a pinned-literal decision "
+    "rule (machine-like = repeated same-second firing OR an hourly "
+    "rate no human sustains). One lag window per user (the "
+    "events_markov_entropy ordering: ts then event_id) and two "
+    "map-side-combined aggregates co-keyed on user_id, joined "
+    "user-to-user — no new shuffle shape. Gap seconds and hour "
+    "buckets are exact integer epoch math; NULL min_gap (single-"
+    "event users) propagates honestly rather than being defaulted, "
+    "and the flag's OR is NULL-safe because a 1-event user still has "
+    "a max_per_hour.",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    sec = F.unix_timestamp("ts").cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        sec.alias("sec"),
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+    )
+    gaps = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.sum(F.when(F.col("gap_s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_gaps"),
+    )
+    hourly = seq.select(
+        "user_id", ((F.col("sec") - F.col("sec") % 3600) / 3600).cast("bigint").alias("hb")
+    ).groupBy("user_id", "hb").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    peak = hourly.groupBy("user_id").agg(
+        F.max("c").cast("bigint").alias("max_per_hour")
+    )
+    return gaps.join(peak, "user_id").select(
+        "user_id",
+        "n_events",
+        "min_gap_s",
+        "n_zero_gaps",
+        "max_per_hour",
+        (
+            (F.col("n_zero_gaps") >= BOT_ZERO_GAPS)
+            | (F.col("max_per_hour") >= BOT_MAX_PER_HOUR)
+        ).alias("bot_like"),
+    )

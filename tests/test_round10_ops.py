@@ -242,3 +242,64 @@ def test_levene_bf_matches_python_reference(spark, sf_dir):
     assert row["k"] == k and row["big_n"] == big_n
     assert row["f_stat"] == pytest.approx(f_ref, abs=1e-4)
     assert row["variances_homogeneous"] == (f_ref <= LEVENE_F_CRIT)
+
+
+def test_interval_bucket_join_matches_bruteforce(spark, sf_dir):
+    from decimal import Decimal
+
+    from api_weather_kafka_clickhouse_spark.operators.joins import (
+        CAMPAIGN_EPOCH_BASE,
+        CAMPAIGN_LEN_MOD,
+        CAMPAIGN_MIN_LEN_D,
+        CAMPAIGN_SPAN_D,
+        CAMPAIGN_SPREAD_D,
+        join_interval_bucket,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["campaign_id"]: r for r in join_interval_bucket(spark, sf_dir).collect()}
+    nations = [r["n_nationkey"] for r in load(spark, "nation", sf_dir).collect()]
+    orders = load(spark, "orders", sf_dir).select(
+        F.datediff("o_orderdate", F.to_date(F.lit("1970-01-01"))).alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    ).collect()
+    assert set(got) == set(nations)  # LEFT: every campaign present
+    for nk in nations:
+        start = CAMPAIGN_EPOCH_BASE + (nk * CAMPAIGN_SPREAD_D) % CAMPAIGN_SPAN_D
+        end = start + CAMPAIGN_MIN_LEN_D + nk % CAMPAIGN_LEN_MOD
+        hits = [(r["od"], Decimal(r["p"])) for r in orders if start <= r["od"] <= end]
+        assert got[nk]["n_orders"] == len(hits)
+        assert got[nk]["len_days"] == end - start + 1
+        assert got[nk]["revenue"] == pytest.approx(
+            float(sum((p for _, p in hits), Decimal(0))), abs=1e-6
+        )
+
+
+def test_bot_detection_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        BOT_MAX_PER_HOUR,
+        BOT_ZERO_GAPS,
+        events_bot_detection,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["user_id"]: r for r in events_bot_detection(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir).select("user_id", "event_id", "ts").collect()
+    users: dict[int, list] = {}
+    for r in e:
+        users.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for uid, evs in users.items():
+        evs.sort()
+        secs = [int(ts.timestamp()) for ts, _ in evs]
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        hours: dict[int, int] = {}
+        for s in secs:
+            hours[s // 3600] = hours.get(s // 3600, 0) + 1
+        g = got[uid]
+        assert g["n_events"] == len(evs)
+        assert g["min_gap_s"] == (min(gaps) if gaps else None)
+        assert g["n_zero_gaps"] == sum(1 for x in gaps if x == 0)
+        assert g["max_per_hour"] == max(hours.values())
+        assert g["bot_like"] == (
+            g["n_zero_gaps"] >= BOT_ZERO_GAPS or g["max_per_hour"] >= BOT_MAX_PER_HOUR
+        )
