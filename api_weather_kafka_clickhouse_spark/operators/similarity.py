@@ -1426,3 +1426,98 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = eager_release(out, "kcenter", emb)
     drop_checkpoint_dir(out.sparkSession, path)
     return out
+
+
+# --- two-stage retrieval cascade (round 10) ---------------------------
+
+CASCADE_COARSE_C = 32  # coarse hamming candidates per query
+CASCADE_K = 10  # final reranked top-k
+
+
+@register(
+    "sim_cascade_rerank",
+    oracle=f"""
+    WITH bq AS (
+      SELECT vec_id, embedding,
+             {_bq_word_sql("embedding", 0)} AS h1,
+             {_bq_word_sql("embedding", 32)} AS h2
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             CAST(bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2))
+               AS BIGINT) AS hamming,
+             CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS qcos
+      FROM bq q JOIN bq c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    coarse AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, nbr_id) AS coarse_rank
+      FROM scored QUALIFY coarse_rank <= {CASCADE_COARSE_C}
+    )
+    SELECT query_id, nbr_id, hamming, coarse_rank,
+           round(qcos / 1e6, 6) AS cos_sim, rn AS final_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY qcos DESC, nbr_id) AS rn FROM coarse)
+    WHERE rn <= {CASCADE_K}
+    """,
+    doc="Two-stage retrieval cascade — THE production ANN serving "
+    "shape: a cheap coarse stage (packed sign-bit Hamming, "
+    "embedding_binary_hamming's 16-byte representation) proposes "
+    f"{CASCADE_COARSE_C} candidates per query, then an exact cosine "
+    f"rerank keeps the top {CASCADE_K}. At 100 TB the coarse stage "
+    "reads 64x less than float vectors and the expensive exact "
+    "metric prices per CANDIDATE (C per query, a constant), never "
+    "per corpus row — the same bound-the-verify argument as "
+    "fuzzy_match_damerau's blocking. Rerank order uses the micro-"
+    "quantized integer cosine (the MMR/k-center discipline) with an "
+    "nbr_id total tiebreak, so both stages are exact-arithmetic "
+    "deterministic; cos_sim is rendered from the SAME integer the "
+    "ordering used, never a second float path. Query set broadcasts "
+    "(sanctioned query-dimension loop, one entry).",
+)
+def sim_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        to_double("embedding").alias("vec"),
+        _bq_word_spark("embedding", 0).alias("h1"),
+        _bq_word_spark("embedding", 32).alias("h2"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    scored = e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        (
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("h1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("h2")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+        F.round(cosine(F.col("q_vec"), F.col("vec")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("qcos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy("hamming", "nbr_id")
+    coarse = (
+        scored.withColumn("coarse_rank", F.row_number().over(wc))
+        .filter(F.col("coarse_rank") <= CASCADE_COARSE_C)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "nbr_id")
+    return (
+        coarse.withColumn("final_rank", F.row_number().over(wf))
+        .filter(F.col("final_rank") <= CASCADE_K)
+        .select(
+            "query_id",
+            "nbr_id",
+            "hamming",
+            "coarse_rank",
+            F.round(F.col("qcos") / F.lit(1e6), 6).alias("cos_sim"),
+            "final_rank",
+        )
+    )

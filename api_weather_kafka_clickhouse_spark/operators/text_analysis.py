@@ -2174,16 +2174,21 @@ ZIPF_TOP = 100
       FROM wf QUALIFY rnk <= {ZIPF_TOP}
     ),
     pts AS (
-      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(28,9)) AS lx,
-             CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,9)) AS ly
+      -- DECIMAL(18,9): the squared terms then carry precision 37 /
+      -- scale 18, which BOTH engines hold exactly — at (28,9) Spark's
+      -- product rule overflows 38 and silently truncates the scale
+      -- to 6 while DuckDB keeps 18, a 7th-decimal divergence found
+      -- by the sf0.001 parity replica
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
       FROM top
     ),
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(lx) AS DECIMAL(38,9)) AS sx,
              CAST(sum(ly) AS DECIMAL(38,9)) AS sy,
-             CAST(sum(lx * lx) AS DECIMAL(38,9)) AS sxx,
-             CAST(sum(lx * ly) AS DECIMAL(38,9)) AS sxy
+             CAST(sum(lx * lx) AS DECIMAL(38,18)) AS sxx,
+             CAST(sum(lx * ly) AS DECIMAL(38,18)) AS sxy
       FROM pts
     )
     SELECT n,
@@ -2222,16 +2227,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = wf.select("word", "freq", F.row_number().over(w).alias("rnk")).filter(
         F.col("rnk") <= ZIPF_TOP
     )
+    # DECIMAL(18,9) so the cross-products stay exact: see oracle note
     pts = top.select(
-        F.round(F.log(F.col("rnk").cast("double")), 9).cast("decimal(28,9)").alias("lx"),
-        F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(28,9)").alias("ly"),
+        F.round(F.log(F.col("rnk").cast("double")), 9).cast("decimal(18,9)").alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(18,9)").alias("ly"),
     )
     s = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("lx").cast("decimal(38,9)").alias("sx"),
         F.sum("ly").cast("decimal(38,9)").alias("sy"),
-        F.sum(F.col("lx") * F.col("lx")).cast("decimal(38,9)").alias("sxx"),
-        F.sum(F.col("lx") * F.col("ly")).cast("decimal(38,9)").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("decimal(38,18)").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("decimal(38,18)").alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -75,6 +75,10 @@ NESTED_LOOP_SANCTIONED = {
     # (rank = (n+1)//2 FILTER, not a keys=[] aggregate — RRF's
     # caveat) broadcast onto the calendar-sized day table
     "stats_runs_test": 1,
+    # two-stage cascade: inherits embedding_binary_hamming's
+    # broadcast query set x corpus (non-equi vec_id <> cond) — build
+    # side = N_QUERIES rows, a query-dimension constant
+    "sim_cascade_rerank": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

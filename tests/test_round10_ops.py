@@ -303,3 +303,50 @@ def test_bot_detection_reference(spark, sf_dir):
         assert g["bot_like"] == (
             g["n_zero_gaps"] >= BOT_ZERO_GAPS or g["max_per_hour"] >= BOT_MAX_PER_HOUR
         )
+
+
+def test_cascade_rerank_invariants_and_recall(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        CASCADE_COARSE_C,
+        CASCADE_K,
+        N_QUERIES,
+        sim_cascade_rerank,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = sim_cascade_rerank(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        assert len(rs) == CASCADE_K
+        assert all(1 <= r["coarse_rank"] <= CASCADE_COARSE_C for r in rs)
+        assert sorted(r["final_rank"] for r in rs) == list(range(1, CASCADE_K + 1))
+        # rerank order follows cosine descending
+        ordered = sorted(rs, key=lambda r: r["final_rank"])
+        sims = [r["cos_sim"] for r in ordered]
+        assert sims == sorted(sims, reverse=True)
+    # recall vs exact bruteforce top-K: the cascade must recover a
+    # solid share of the true neighbors (structure check, not a tuned
+    # benchmark — random embeddings make coarse hamming imperfect)
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+    hits = total = 0
+    for q in range(N_QUERIES):
+        qv = emb[q]
+        sims = []
+        for vid, v in emb.items():
+            if vid == q:
+                continue
+            s = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            sims.append((round(s, 6), -vid))
+        true_top = {-(i) for _, i in sorted(sims, reverse=True)[:CASCADE_K]}
+        got_top = {r["nbr_id"] for r in by_q[q]}
+        hits += len(true_top & got_top)
+        total += CASCADE_K
+    assert hits / total >= 0.5, f"cascade recall {hits}/{total}"
