@@ -495,3 +495,82 @@ def geo_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # house rule: DuckDB's pandas bridge floats every DECIMAL)
         F.sum("bal").cast("decimal(38,2)").cast("double").alias("sum_bal"),
     )
+
+
+# --- geohash encoding (round 10) --------------------------------------
+
+GEOHASH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"  # the standard base32
+GEOHASH_LEN = 6  # 30 bits: 15 lon + 15 lat, lon leads (even positions)
+_GH_BITS = 15
+
+
+def _gh_interleave_terms(lon_col: str, lat_col: str) -> str:
+    """SQL expression: the 30-bit interleaved integer, MSB-first, lon
+    on even bit positions (the geohash convention). Identical
+    arithmetic on both engines; generated as 30 shift/mask terms."""
+    terms = []
+    for j in range(_GH_BITS):
+        terms.append(f"((({lon_col} >> {_GH_BITS - 1 - j}) & 1) << {29 - 2 * j})")
+        terms.append(f"((({lat_col} >> {_GH_BITS - 1 - j}) & 1) << {28 - 2 * j})")
+    return " + ".join(terms)
+
+
+def _gh_char_sql(t: int) -> str:
+    return f"substr('{GEOHASH_CHARS}', CAST((ih >> {25 - 5 * t}) & 31 AS INT) + 1, 1)"
+
+
+@register(
+    "geo_geohash_encode",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             CAST(('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {LAT_SPAN} AS lat_off,
+             CAST(('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {LON_SPAN} AS lon_off
+      FROM customer
+    ),
+    q AS (
+      SELECT point_id,
+             (lon_off * {1 << _GH_BITS}) // {LON_SPAN} AS lon_q,
+             (lat_off * {1 << _GH_BITS}) // {LAT_SPAN} AS lat_q
+      FROM pts
+    ),
+    iv AS (
+      SELECT point_id, {_gh_interleave_terms("lon_q", "lat_q")} AS ih FROM q
+    )
+    SELECT point_id,
+           {" || ".join(_gh_char_sql(t) for t in range(GEOHASH_LEN))} AS geohash
+    FROM iv
+    """,
+    doc="Geohash encoding (6 chars = 30 bits) of the synthetic point "
+    "set: quantize each axis to 15 bits by exact integer scaling "
+    "(offset * 2^15 div span — no float enters the cell id), "
+    "interleave with longitude on even positions (the geohash "
+    "convention), and render base-32 with the standard alphabet. "
+    "Geohash prefixes nest like geo_quadkey_rollup's digits but are "
+    "STRING-sortable storage keys — the common choice for "
+    "Z-order-style spatial clustering of parquet files, which is why "
+    "an engine needs the encoder as a first-class scalar. The whole "
+    "operator is a projection (no shuffle); 30 shift/mask terms stay "
+    "inside whole-stage codegen. Ranges differ from true geographic "
+    "geohash only by the projected-plane contract stated in the "
+    "module docstring; the bit mechanics are the real algorithm.",
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    q = pts.select(
+        "point_id",
+        F.expr(f"(lon_off * {1 << _GH_BITS}) div {LON_SPAN}").alias("lon_q"),
+        F.expr(f"(lat_off * {1 << _GH_BITS}) div {LAT_SPAN}").alias("lat_q"),
+    )
+    iv = q.select(
+        "point_id", F.expr(_gh_interleave_terms("lon_q", "lat_q")).alias("ih")
+    )
+    chars = [
+        F.expr(
+            f"substring('{GEOHASH_CHARS}', CAST((ih >> {25 - 5 * t}) & 31 AS INT) + 1, 1)"
+        )
+        for t in range(GEOHASH_LEN)
+    ]
+    return iv.select("point_id", F.concat(*chars).alias("geohash"))

@@ -2503,3 +2503,104 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("max_per_hour") >= BOT_MAX_PER_HOUR)
         ).alias("bot_like"),
     )
+
+
+# Friedman critical value: chi-square df = k-1 = 6 at alpha = 0.05
+# (pinned literal, the ANOVA/Levene discipline).
+FRIEDMAN_CHI2_CRIT = 12.592
+FRIEDMAN_K = 7  # treatments: the seven weekdays
+
+
+@register(
+    "stats_friedman",
+    oracle=f"""
+    WITH cell AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM cell GROUP BY wk HAVING count(*) = {FRIEDMAN_K}
+    ),
+    ranked AS (
+      SELECT c.wk, c.dow,
+             CAST(2 * rank() OVER (PARTITION BY c.wk ORDER BY c.x)
+                  + count(*) OVER (PARTITION BY c.wk, c.x) - 1
+                  AS BIGINT) AS dr
+      FROM cell c JOIN complete USING (wk)
+    ),
+    per_dow AS (
+      SELECT dow, CAST(sum(dr) AS BIGINT) AS d_j FROM ranked GROUP BY dow
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(d_j * d_j) AS BIGINT) AS sum_d2
+      FROM per_dow
+    ),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM complete)
+    SELECT s.k, b.b,
+           round(12.0 / (b.b * s.k * (s.k + 1)) * (CAST(sum_d2 AS DOUBLE) / 4)
+                 - 3.0 * b.b * (s.k + 1), 6) AS q_stat,
+           (12.0 / (b.b * s.k * (s.k + 1)) * (CAST(sum_d2 AS DOUBLE) / 4)
+                 - 3.0 * b.b * (s.k + 1)) > {FRIEDMAN_CHI2_CRIT} AS weekday_effect
+    FROM s CROSS JOIN b
+    """,
+    doc="Friedman test: does weekday systematically shift the daily "
+    "metric once week-to-week level differences are blocked out? "
+    "Each complete ISO week is a BLOCK; the seven weekday cell sums "
+    "rank WITHIN their week, and the statistic compares per-weekday "
+    "rank sums — the repeated-measures complement of "
+    "stats_kruskal_wallis (which pools all observations) and "
+    "stats_anova_weekday (which assumes normality). Ranks use the "
+    "double-rank 2*rank_min + ties - 1 encoding (stats_spearman's "
+    "no-division midrank), so rank sums and their squares stay exact "
+    "BIGINT; Q evaluates once in DOUBLE (the /4 de-scales the "
+    "double-ranks) against a PINNED chi-square critical literal. "
+    "Incomplete boundary weeks are excluded by an exact count "
+    "predicate, identically on both engines. One cell aggregate, "
+    "calendar-bounded windows — scan-bound at 100 TB.",
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.clickhouse import toDayOfWeek
+
+    e = load(spark, "events", sf_dir)
+    cell = e.groupBy(
+        F.date_trunc("week", "ts").alias("wk"),
+        toDayOfWeek("ts").cast("bigint").alias("dow"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("x"))
+    wkn = Window.partitionBy("wk")
+    complete = (
+        cell.select("wk", F.count(F.lit(1)).over(wkn).alias("n_dow"), "dow", "x")
+        .filter(F.col("n_dow") == FRIEDMAN_K)
+    )
+    wr = Window.partitionBy("wk").orderBy("x")
+    wt = Window.partitionBy("wk", "x")
+    ranked = complete.select(
+        "wk",
+        "dow",
+        (F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1)
+        .cast("bigint")
+        .alias("dr"),
+    )
+    per_dow = ranked.groupBy("dow").agg(F.sum("dr").cast("bigint").alias("d_j"))
+    s = per_dow.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("d_j") * F.col("d_j")).cast("bigint").alias("sum_d2"),
+    )
+    b = ranked.select("wk").distinct().agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    q = (
+        F.lit(12.0)
+        / (F.col("b") * F.col("k") * (F.col("k") + 1))
+        * (F.col("sum_d2").cast("double") / F.lit(4))
+        - F.lit(3.0) * F.col("b") * (F.col("k") + 1)
+    )
+    return (
+        s.crossJoin(F.broadcast(b))
+        .select(
+            "k",
+            "b",
+            F.round(q, 6).alias("q_stat"),
+            (q > FRIEDMAN_CHI2_CRIT).alias("weekday_effect"),
+        )
+    )

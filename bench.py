@@ -80,6 +80,14 @@ HEADLINE = [
     "geo_radius_join",
     "graph_pagerank",
     "stats_bootstrap_ci",
+    # round-10: the new cost shapes — the constant-factor hopping
+    # explode (4 windows/event), the K-unrolled BFS frontier chain
+    # (persist/anti-join per level), and the banded near-dup pair
+    # stage over the mapInPandas decode path (Arrow batch + band
+    # equi-join, the multimodal family's first bench entry)
+    "time_hopping_windows",
+    "graph_bfs_layers",
+    "mm_phash_band_pairs",
 ]
 
 

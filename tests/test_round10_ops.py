@@ -350,3 +350,72 @@ def test_cascade_rerank_invariants_and_recall(spark, sf_dir):
         hits += len(true_top & got_top)
         total += CASCADE_K
     assert hits / total >= 0.5, f"cascade recall {hits}/{total}"
+
+
+def test_friedman_matches_python_reference(spark, sf_dir):
+    from decimal import Decimal
+
+    from api_weather_kafka_clickhouse_spark.functions.clickhouse import toDayOfWeek
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        FRIEDMAN_CHI2_CRIT,
+        FRIEDMAN_K,
+        stats_friedman,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    row = stats_friedman(spark, sf_dir).collect()[0]
+    e = load(spark, "events", sf_dir)
+    cells = (
+        e.groupBy(
+            F.date_trunc("week", "ts").alias("wk"),
+            toDayOfWeek("ts").cast("bigint").alias("dow"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+        .collect()
+    )
+    weeks: dict = {}
+    for r in cells:
+        weeks.setdefault(r["wk"], []).append((Decimal(r["x"]), r["dow"]))
+    complete = {wk: v for wk, v in weeks.items() if len(v) == FRIEDMAN_K}
+    d_j: dict[int, int] = {}
+    for v in complete.values():
+        vals = sorted(x for x, _ in v)
+        for x, dow in v:
+            rank_min = vals.index(x) + 1
+            ties = vals.count(x)
+            d_j[dow] = d_j.get(dow, 0) + 2 * rank_min + ties - 1
+    b, k = len(complete), FRIEDMAN_K
+    sum_d2 = sum(d * d for d in d_j.values())
+    q = 12.0 / (b * k * (k + 1)) * (sum_d2 / 4) - 3.0 * b * (k + 1)
+    assert (row["k"], row["b"]) == (k, b)
+    assert row["q_stat"] == pytest.approx(round(q, 6), abs=1e-6)
+    assert row["weekday_effect"] == (q > FRIEDMAN_CHI2_CRIT)
+
+
+def test_geohash_encode_reference(spark, sf_dir):
+    import hashlib
+
+    from api_weather_kafka_clickhouse_spark.operators.geo import (
+        GEOHASH_CHARS,
+        GEOHASH_LEN,
+        LAT_SPAN,
+        LON_SPAN,
+        geo_geohash_encode,
+    )
+
+    got = {r["point_id"]: r["geohash"] for r in geo_geohash_encode(spark, sf_dir).collect()}
+
+    def h32(tag: str, key: int) -> int:
+        return int(hashlib.md5(f"{tag}{key}".encode()).hexdigest()[:8], 16)
+
+    for pid in list(got)[:50]:
+        lon_q = (h32("lon:", pid) % LON_SPAN) * (1 << 15) // LON_SPAN
+        lat_q = (h32("lat:", pid) % LAT_SPAN) * (1 << 15) // LAT_SPAN
+        ih = 0
+        for j in range(15):
+            ih += ((lon_q >> (14 - j)) & 1) << (29 - 2 * j)
+            ih += ((lat_q >> (14 - j)) & 1) << (28 - 2 * j)
+        ref = "".join(GEOHASH_CHARS[(ih >> (25 - 5 * t)) & 31] for t in range(GEOHASH_LEN))
+        assert got[pid] == ref
+    # prefix nesting: same 5-char prefix -> same 25-bit cell
+    assert all(len(g) == GEOHASH_LEN for g in got.values())
