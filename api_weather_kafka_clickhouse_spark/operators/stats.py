@@ -2604,3 +2604,171 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             (q > FRIEDMAN_CHI2_CRIT).alias("weekday_effect"),
         )
     )
+
+
+# SRM guardrail: chi-square critical at df=1, alpha=0.001 (SRM checks
+# run at strict alpha because a true mismatch invalidates the whole
+# experiment; pinned literal).
+SRM_CHI2_CRIT = 10.828
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    assigned AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS bucket
+      FROM u
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assigned
+    )
+    SELECT n_users, n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / n_users, 6)
+             AS chi2,
+           (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / n_users)
+             > {SRM_CHI2_CRIT} AS srm_detected
+    FROM c
+    """,
+    doc="Sample-ratio-mismatch guardrail for A/B experiments: users "
+    "assign to arms by a deterministic hash (md5 mod 2 — the "
+    "exact-uniforms kernel, so both engines re-derive the identical "
+    "assignment), and the observed split tests against 50/50 with "
+    "the df=1 chi-square, which for two equal-probability cells "
+    "collapses to (n_a - n_b)^2 / n — one exact integer numerator, "
+    "one final division. SRM is THE precondition check before "
+    "events_ab_test_lift's effect estimates mean anything (a biased "
+    "assignment pipeline invalidates them silently); alpha is strict "
+    "(0.001, pinned literal) per industry practice. Assignment "
+    "happens on DISTINCT users, one map-side-combined aggregate — "
+    "scan-bound.",
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    u = e.select("user_id").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    assigned = u.select((h % 2).alias("bucket"))
+    c = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    ) / F.col("n_users")
+    return c.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
+    )
+
+
+# Neyman allocation: total sample budget split across strata
+# proportional to N_h * S_h (pinned budget literal).
+NEYMAN_TOTAL_N = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n_h,
+             n_h * sqrt((n_h * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS nh_sh
+      FROM g
+    ),
+    t AS (SELECT sum(nh_sh) AS tot FROM w),
+    alloc AS (
+      SELECT event_type, n_h, nh_sh,
+             CAST(floor({NEYMAN_TOTAL_N} * nh_sh / tot) AS BIGINT) AS base,
+             {NEYMAN_TOTAL_N} * nh_sh / tot
+               - floor({NEYMAN_TOTAL_N} * nh_sh / tot) AS rem
+      FROM w CROSS JOIN t
+    ),
+    fin AS (
+      SELECT event_type, n_h, nh_sh, base,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS rr,
+             CAST({NEYMAN_TOTAL_N} - sum(base) OVER () AS BIGINT) AS deficit
+      FROM alloc
+    )
+    SELECT event_type, n_h,
+           round(nh_sh, 6) AS weight,
+           CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_n
+    FROM fin
+    """,
+    doc="Neyman allocation of a fixed sample budget across strata "
+    f"(n_h proportional to N_h * S_h, budget {NEYMAN_TOTAL_N}): the "
+    "optimal stratified-sampling design when per-stratum variances "
+    "differ — high-variance strata earn more of the budget than "
+    "proportional allocation would give. Per-stratum sufficient "
+    "statistics (count, sum, sum of squares) aggregate exactly in "
+    "DECIMAL; S_h evaluates once per STRATUM in double (sqrt is IEEE "
+    "correctly-rounded, the Mann-Whitney precedent); integer seats "
+    "assign by floor + LARGEST REMAINDER with a stratum-name "
+    "tiebreak, so the allocation sums to the budget exactly and "
+    "deterministically on both engines. Everything after the one "
+    "map-side-combined aggregate is strata-dimension-sized.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(v).cast("decimal(38,2)").alias("sx"),
+        F.sum(v * v).cast("decimal(38,4)").alias("sxx"),
+    )
+    nh = F.col("n_h").cast("double")
+    var = (F.col("n_h") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")) / (
+        nh * (F.col("n_h") - 1)
+    )
+    w = g.select("event_type", "n_h", (F.col("n_h") * F.sqrt(var)).alias("nh_sh"))
+    t = w.agg(F.sum("nh_sh").alias("tot"))
+    share = F.lit(NEYMAN_TOTAL_N) * F.col("nh_sh") / F.col("tot")
+    alloc = w.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_h",
+        "nh_sh",
+        F.floor(share).cast("bigint").alias("base"),
+        (share - F.floor(share)).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "event_type")
+    wall = Window.partitionBy()
+    fin = alloc.select(
+        "event_type",
+        "n_h",
+        "nh_sh",
+        "base",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(NEYMAN_TOTAL_N) - F.sum("base").over(wall)).cast("bigint").alias("deficit"),
+    )
+    return fin.select(
+        "event_type",
+        "n_h",
+        F.round(F.col("nh_sh"), 6).alias("weight"),
+        (F.col("base") + F.when(F.col("rr") <= F.col("deficit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alloc_n"),
+    )

@@ -419,3 +419,47 @@ def test_geohash_encode_reference(spark, sf_dir):
         assert got[pid] == ref
     # prefix nesting: same 5-char prefix -> same 25-bit cell
     assert all(len(g) == GEOHASH_LEN for g in got.values())
+
+
+def test_srm_check_reference(spark, sf_dir):
+    import hashlib
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        SRM_CHI2_CRIT,
+        events_ab_srm_check,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    row = events_ab_srm_check(spark, sf_dir).collect()[0]
+    users = {
+        r["user_id"]
+        for r in load(spark, "events", sf_dir).select("user_id").distinct().collect()
+    }
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"srm:{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    n_b = len(users) - n_a
+    chi2 = (n_a - n_b) ** 2 / len(users)
+    assert (row["n_users"], row["n_a"], row["n_b"]) == (len(users), n_a, n_b)
+    assert row["chi2"] == pytest.approx(round(chi2, 6))
+    assert row["srm_detected"] == (chi2 > SRM_CHI2_CRIT)
+    # hash-based assignment on this corpus must NOT trip the alarm
+    assert row["srm_detected"] is False
+
+
+def test_neyman_allocation_sums_to_budget_and_orders_by_spread(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        NEYMAN_TOTAL_N,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert sum(r["alloc_n"] for r in rows) == NEYMAN_TOTAL_N
+    # allocation is monotone in the Neyman weight (largest-remainder
+    # can shift seats by at most 1, so allow that slack)
+    by_w = sorted(rows, key=lambda r: -r["weight"])
+    allocs = [r["alloc_n"] for r in by_w]
+    assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:]))
+    assert all(r["alloc_n"] >= 0 for r in rows)
