@@ -463,3 +463,39 @@ def test_neyman_allocation_sums_to_budget_and_orders_by_spread(spark, sf_dir):
     allocs = [r["alloc_n"] for r in by_w]
     assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:]))
     assert all(r["alloc_n"] >= 0 for r in rows)
+
+
+def test_hopping_windows_batch_matches_structured_streaming(spark, sf_dir, tmp_path):
+    """The registered batch query IS the batch twin of Structured
+    Streaming's window(ts, '4 hours', '1 hour'): per-window event
+    counts must agree exactly when the same rows flow through a real
+    availableNow stream."""
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        time_hopping_windows,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    src = str(tmp_path / "events_src")
+    load(spark, "events", sf_dir).select("event_id", "ts", "user_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream.groupBy(
+        F.window("ts", "4 hours", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hop_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r["w"]["start"].timestamp()) // 3600: r["n"]
+        for r in spark.sql("SELECT * FROM hop_out").collect()
+    }
+    batch = {
+        r["ws_hour"]: r["n_events"]
+        for r in time_hopping_windows(spark, sf_dir).collect()
+    }
+    assert got == batch
