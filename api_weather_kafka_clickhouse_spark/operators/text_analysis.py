@@ -2249,3 +2249,119 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"),
     )
+
+
+# --- content-defined chunking (round 10) ------------------------------
+
+CDC_K = 8  # k-gram width fed to the boundary hash
+CDC_MASK = 63  # boundary when h % 64 == 0 -> ~64-char average chunks
+CDC_MOD = 2147483647
+
+
+@register(
+    "text_cdc_chunking",
+    oracle=f"""
+    WITH posu AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             unnest(range(1, strlen(text) + 1)) AS pos
+      FROM documents WHERE strlen(text) > 0
+    ),
+    chars AS (
+      SELECT doc_id, pos, ascii(text[pos]) AS code,
+             CASE WHEN pos = 1 THEN 1
+                  WHEN pos <= n - {CDC_K} + 1
+                       AND CAST(('0x' || substr(md5(substr(text, pos, {CDC_K})), 1, 8))
+                                AS BIGINT) % {CDC_MASK + 1} = 0 THEN 1
+                  ELSE 0 END AS bflag
+      FROM posu
+    ),
+    assigned AS (
+      SELECT doc_id, pos, code,
+             sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM chars
+    ),
+    started AS (
+      SELECT doc_id, chunk_id, pos, code,
+             min(pos) OVER (PARTITION BY doc_id, chunk_id) AS start_pos
+      FROM assigned
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(count(*) AS BIGINT) AS n_chars,
+           CAST(sum((pos - start_pos + 1) * code) % {CDC_MOD} AS BIGINT)
+             AS chunk_hash
+    FROM started
+    GROUP BY doc_id, chunk_id, start_pos
+    """,
+    doc="Content-defined chunking (the FastCDC/rsync boundary idea): "
+    f"a position starts a new chunk when the hash of its {CDC_K}-gram "
+    f"is 0 mod {CDC_MASK + 1}, so chunk boundaries move WITH the "
+    "content — insert one byte early in a document and every chunk "
+    "after the next boundary re-aligns, which is what makes CDC the "
+    "chunking layer for dedup stores and incremental LLM-corpus "
+    "sync (fixed-size chunks would shift-invalidate everything "
+    "downstream of an edit). Chunk identity is a position-RELATIVE "
+    "weighted code sum, so identical content chunks hash identically "
+    "wherever they sit. The per-char explode is the honest cost and "
+    "is embarrassingly parallel (one generate + two windows keyed on "
+    "doc_id — rows never leave their document's partition until the "
+    "final per-chunk aggregate); the boundary hash reuses the md5 "
+    "h32 kernel every fingerprint family here uses, so the oracle "
+    "re-derives every boundary bit-for-bit.",
+)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.ascii(F.expr("substring(text, pos, 1)")).alias("code"),
+        F.when(F.col("pos") == 1, 1)
+        .when(
+            (F.col("pos") <= F.col("n") - CDC_K + 1)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(f"substring(text, pos, {CDC_K})")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (CDC_MASK + 1)
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("bflag"),
+    )
+    wcum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    assigned = chars.select(
+        "doc_id", "pos", "code", F.sum("bflag").over(wcum).alias("chunk_id")
+    )
+    wmin = Window.partitionBy("doc_id", "chunk_id")
+    started = assigned.select(
+        "*", F.min("pos").over(wmin).alias("start_pos")
+    )
+    return started.groupBy("doc_id", "chunk_id", "start_pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chars"),
+        (
+            F.sum((F.col("pos") - F.col("start_pos") + 1) * F.col("code"))
+            % F.lit(CDC_MOD)
+        )
+        .cast("bigint")
+        .alias("chunk_hash"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        "n_chars",
+        "chunk_hash",
+    )

@@ -499,3 +499,65 @@ def test_hopping_windows_batch_matches_structured_streaming(spark, sf_dir, tmp_p
         for r in time_hopping_windows(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def _cdc_reference(text: str):
+    import hashlib
+
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        CDC_K,
+        CDC_MASK,
+        CDC_MOD,
+    )
+
+    n = len(text)
+    bounds = []
+    for pos in range(1, n + 1):
+        if pos == 1:
+            bounds.append(pos)
+        elif pos <= n - CDC_K + 1:
+            h = int(hashlib.md5(text[pos - 1 : pos - 1 + CDC_K].encode()).hexdigest()[:8], 16)
+            if h % (CDC_MASK + 1) == 0:
+                bounds.append(pos)
+    chunks = []
+    for i, start in enumerate(bounds):
+        end = bounds[i + 1] - 1 if i + 1 < len(bounds) else n
+        seg = text[start - 1 : end]
+        h = sum((j + 1) * ord(c) for j, c in enumerate(seg)) % CDC_MOD
+        chunks.append((i + 1, start, len(seg), h))
+    return chunks
+
+
+def test_cdc_chunking_matches_python_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        text_cdc_chunking,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got: dict[int, list] = {}
+    for r in text_cdc_chunking(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_pos"], r["n_chars"], r["chunk_hash"])
+        )
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    for r in docs[:25]:
+        if len(r["text"]) == 0:
+            continue
+        assert sorted(got[r["doc_id"]]) == _cdc_reference(r["text"]), r["doc_id"]
+
+
+def test_cdc_boundaries_realign_after_edit():
+    """The CDC property fixed-size chunking lacks: prepend a byte and
+    all chunks after the FIRST content boundary keep their hashes."""
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import CDC_K
+
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    edited = "X" + base
+    a = _cdc_reference(base)
+    b = _cdc_reference(edited)
+    # content-identity: compare (n_chars, chunk_hash) multisets after
+    # dropping each text's first chunk (the only one the edit touches)
+    tail_a = sorted((n, h) for _, _, n, h in a[1:])
+    tail_b = sorted((n, h) for _, _, n, h in b[1:])
+    assert tail_a == tail_b
+    assert len(a) > 3  # the fixture actually chunks
