@@ -156,7 +156,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_zipf_fit, time_cusum_drift, stats_levene_bf,
 # join_interval_bucket, events_bot_detection, sim_cascade_rerank,
 # stats_friedman, geo_geohash_encode, events_ab_srm_check,
-# sample_neyman_allocation, text_cdc_chunking.
+# sample_neyman_allocation, text_cdc_chunking, dedup_cdc_chunks.
 # After wave 3 every query registered through r10 has
 # >= 1 driver row, restoring the r7 invariant.
 _PRIORITY: tuple[str, ...] = (
