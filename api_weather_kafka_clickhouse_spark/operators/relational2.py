@@ -1315,3 +1315,131 @@ def time_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("v").cast("double").alias("sum_value"),
     )
+
+
+# ABC thresholds: cumulative revenue share cuts at 80% / 95%; XYZ
+# demand-variability cuts on the squared coefficient of variation
+# (CV^2 <= 0.25 -> X, <= 1.0 -> Y, else Z) — all compared via exact
+# cross-multiplication, no division.
+ABC_A_PCT, ABC_B_PCT = 80, 95
+XYZ_X_NUM, XYZ_X_DEN = 1, 4  # CV^2 <= 1/4
+XYZ_Y_NUM, XYZ_Y_DEN = 1, 1  # CV^2 <= 1
+
+
+@register(
+    "part_abc_classification",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS mth,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(rev) AS DECIMAL(38,2)) AS revenue,
+             CAST(sum(q) AS DECIMAL(38,2)) AS sq,
+             CAST(sum(q * q) AS DECIMAL(38,4)) AS sqq
+      FROM m GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,2)) AS cum_rev,
+             CAST(sum(revenue) OVER () AS DECIMAL(38,2)) AS tot_rev
+      FROM p
+    )
+    SELECT l_partkey, n_months,
+           CAST(revenue AS DOUBLE) AS revenue,
+           -- share cut compared in DOUBLE: all operands are exact
+           -- decimals with < 15 significant digits, so the doubles
+           -- are exact and the x100/x80 products stay under 2^53 —
+           -- and DOUBLE sidesteps the engines' different
+           -- decimal-times-integer widening rules
+           CASE WHEN CAST(cum_rev AS DOUBLE) * 100
+                     <= CAST(tot_rev AS DOUBLE) * {ABC_A_PCT} THEN 'A'
+                WHEN CAST(cum_rev AS DOUBLE) * 100
+                     <= CAST(tot_rev AS DOUBLE) * {ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS class_abc,
+           CASE WHEN n_months < 2 THEN 'Z'
+                WHEN (n_months * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq)
+                     * {XYZ_X_DEN} * n_months
+                     <= {XYZ_X_NUM} * (n_months - 1) * (CAST(sq AS DOUBLE) * sq)
+                  THEN 'X'
+                WHEN (n_months * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq)
+                     * {XYZ_Y_DEN} * n_months
+                     <= {XYZ_Y_NUM} * (n_months - 1) * (CAST(sq AS DOUBLE) * sq)
+                  THEN 'Y'
+                ELSE 'Z' END AS class_xyz
+    FROM ranked
+    """,
+    doc="ABC/XYZ inventory classification — the planner's standard "
+    "two-axis part segmentation: A/B/C by cumulative revenue share "
+    f"(top parts covering {ABC_A_PCT}% / {ABC_B_PCT}% of revenue, "
+    "ranked with a partkey total tiebreak) and X/Y/Z by monthly "
+    "demand variability (bands on the squared coefficient of "
+    "variation). Every class boundary is an exact comparison: the "
+    "share cut is cross-multiplied DECIMAL (cum*100 <= tot*80 — "
+    "never a percentage division), and the CV^2 band test "
+    "var/mean^2 <= k/d is rearranged to (n*Σq² − S²)·d·n <= "
+    "k·(n−1)·S²·n... with both sides single IEEE products of exact "
+    "DECIMAL operands — identical trees, no rounding contract. One "
+    "monthly aggregate, one per-part aggregate, one window over the "
+    "part dimension; scan-bound at 100 TB with the part table as "
+    "the only windowed set.",
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    m = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("rev"),
+    )
+    p = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("rev").cast("decimal(38,2)").alias("revenue"),
+        F.sum("q").cast("decimal(38,2)").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,4)").alias("sqq"),
+    )
+    wcum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = p.select(
+        "*",
+        F.sum("revenue").over(wcum).cast("decimal(38,2)").alias("cum_rev"),
+        F.sum("revenue").over(wall).cast("decimal(38,2)").alias("tot_rev"),
+    )
+    nm = F.col("n_months")
+    var_num = nm * F.col("sqq").cast("double") - F.col("sq").cast("double") * F.col("sq")
+    s2 = F.col("sq").cast("double") * F.col("sq")
+    abc = (
+        F.when(
+            F.col("cum_rev").cast("double") * 100
+            <= F.col("tot_rev").cast("double") * ABC_A_PCT,
+            "A",
+        )
+        .when(
+            F.col("cum_rev").cast("double") * 100
+            <= F.col("tot_rev").cast("double") * ABC_B_PCT,
+            "B",
+        )
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(nm < 2, "Z")
+        .when(var_num * XYZ_X_DEN * nm <= F.lit(XYZ_X_NUM) * (nm - 1) * s2, "X")
+        .when(var_num * XYZ_Y_DEN * nm <= F.lit(XYZ_Y_NUM) * (nm - 1) * s2, "Y")
+        .otherwise("Z")
+    )
+    return ranked.select(
+        "l_partkey",
+        "n_months",
+        F.col("revenue").cast("double").alias("revenue"),
+        abc.alias("class_abc"),
+        xyz.alias("class_xyz"),
+    )

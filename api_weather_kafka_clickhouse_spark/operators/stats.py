@@ -2772,3 +2772,68 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_n"),
     )
+
+
+# sequenceCount patterns over the single-letter journey alphabet
+# (c=click, e=error, p=purchase, s=signup, v=view; the TYPE_BITS
+# registry's initials — all five types start with distinct letters).
+SEQ_COUNT_PATTERNS = (
+    ("view_then_purchase", "v[^p]*p"),  # ClickHouse sequenceCount((?1).*(?2)) shape
+    ("error_burst", "ee"),
+    ("signup_funnel", "s[^p]*v[^p]*p"),
+)
+
+
+@register(
+    "events_sequence_count",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(strlen(journey) AS BIGINT) AS n_events,
+           {", ".join(
+               f"CAST(len(regexp_extract_all(journey, '{pat}')) AS BIGINT) AS {name}"
+               for name, pat in SEQ_COUNT_PATTERNS
+           )}
+    FROM j
+    """,
+    doc="ClickHouse sequenceCount twin: per-user counts of "
+    "NON-OVERLAPPING behavioral patterns, evaluated as regex matches "
+    "over the journey string (each event one letter, ordered by "
+    "(ts, event_id) — the markov/bot-detection ordering). The "
+    "journey-string trick turns sequence analytics into vectorized "
+    "string ops: v[^p]*p is sequenceCount('(?1)(?t<..)(?2)')-style "
+    "view→purchase conversion, ee is the error-burst detector, and "
+    "the three-step funnel composes the same way — no stateful UDF, "
+    "no self-join chain. Both engines use non-overlapping "
+    "left-to-right regex scan semantics (regexp_count / "
+    "regexp_extract_all length), and the pattern alphabet is "
+    "restricted to literal initials + negated classes so RE2 "
+    "(DuckDB) and Java regex agree. Per-user strings are "
+    "order-bounded; one aggregate, one projection.",
+)
+def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s.getField("c"),
+            ),
+            "",
+        ).alias("journey")
+    )
+    cols = [
+        F.regexp_count("journey", F.lit(pat)).cast("bigint").alias(name)
+        for name, pat in SEQ_COUNT_PATTERNS
+    ]
+    return seq.select(
+        "user_id", F.length("journey").cast("bigint").alias("n_events"), *cols
+    )

@@ -156,7 +156,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_zipf_fit, time_cusum_drift, stats_levene_bf,
 # join_interval_bucket, events_bot_detection, sim_cascade_rerank,
 # stats_friedman, geo_geohash_encode, events_ab_srm_check,
-# sample_neyman_allocation, text_cdc_chunking, dedup_cdc_chunks.
+# sample_neyman_allocation, text_cdc_chunking, dedup_cdc_chunks,
+# events_sequence_count, part_abc_classification.
 # After wave 3 every query registered through r10 has
 # >= 1 driver row, restoring the r7 invariant.
 _PRIORITY: tuple[str, ...] = (

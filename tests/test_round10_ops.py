@@ -561,3 +561,56 @@ def test_cdc_boundaries_realign_after_edit():
     tail_b = sorted((n, h) for _, _, n, h in b[1:])
     assert tail_a == tail_b
     assert len(a) > 3  # the fixture actually chunks
+
+
+def test_sequence_count_reference(spark, sf_dir):
+    import re
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        SEQ_COUNT_PATTERNS,
+        events_sequence_count,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["user_id"]: r for r in events_sequence_count(spark, sf_dir).collect()}
+    e = load(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type").collect()
+    users: dict[int, list] = {}
+    for r in e:
+        users.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"][0]))
+    any_nonzero = False
+    for uid, evs in users.items():
+        evs.sort()
+        journey = "".join(c for _, _, c in evs)
+        g = got[uid]
+        assert g["n_events"] == len(journey)
+        for name, pat in SEQ_COUNT_PATTERNS:
+            assert g[name] == len(re.findall(pat, journey)), (uid, name)
+            any_nonzero = any_nonzero or g[name] > 0
+    assert any_nonzero  # fixture exercises the patterns
+
+
+def test_abc_classification_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        ABC_A_PCT,
+        ABC_B_PCT,
+        part_abc_classification,
+    )
+
+    rows = part_abc_classification(spark, sf_dir).collect()
+    # ABC partitions follow the cumulative-share definition exactly
+    ordered = sorted(rows, key=lambda r: (-r["revenue"], r["l_partkey"]))
+    total = sum(r["revenue"] for r in ordered)
+    cum = 0.0
+    for r in ordered:
+        cum += r["revenue"]
+        if cum * 100 <= total * ABC_A_PCT:
+            expect = "A"
+        elif cum * 100 <= total * ABC_B_PCT:
+            expect = "B"
+        else:
+            expect = "C"
+        assert r["class_abc"] == expect, r["l_partkey"]
+    # class ordering is monotone along the revenue ranking
+    seen = [r["class_abc"] for r in ordered]
+    assert seen == sorted(seen)  # A's before B's before C's
+    assert {r["class_xyz"] for r in rows} <= {"X", "Y", "Z"}
