@@ -1443,3 +1443,227 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         abc.alias("class_abc"),
         xyz.alias("class_xyz"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('month', ts) AS mth,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT date_trunc('month', ts) AS mth,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d.mth AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dau) AS BIGINT) AS dau_sum,
+           CAST(max(mau) AS BIGINT) AS mau,
+           round(CAST(sum(dau) AS DOUBLE) / count(*) / max(mau), 6)
+             AS stickiness
+    FROM d JOIN m ON d.mth = m.mth
+    GROUP BY d.mth
+    """,
+    doc="DAU/MAU stickiness per month — the product-health ratio "
+    "(how much of the monthly audience shows up on an average day; "
+    "1.0 = everyone daily). Exact distinct counts at both grains; "
+    "the ratio avg(dau)/mau is two divisions applied once per MONTH "
+    "row in an identical tree. Two count-distinct aggregates sharing "
+    "the user_id shuffle key plus a month-dimension join (broadcast "
+    "at any scale); the monthly MAU join is the textbook case where "
+    "a windowed max over the day table would be wrong (MAU is NOT "
+    "the max of DAUs — it deduplicates across days).",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy(
+        F.date_trunc("month", "ts").alias("mth"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    m = e.groupBy(F.date_trunc("month", "ts").alias("mth")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    j = d.join(m, "mth")
+    return j.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+        F.max("mau").cast("bigint").alias("mau"),
+        F.round(
+            F.sum("dau").cast("double") / F.count(F.lit(1)) / F.max("mau"), 6
+        ).alias("stickiness"),
+    ).select(
+        F.to_date("mth").alias("month"), "n_days", "dau_sum", "mau", "stickiness"
+    )
+
+
+@register(
+    "supplier_herfindahl",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(CAST(sum(r) AS DECIMAL(38,2)) AS DOUBLE) AS total_rev,
+           round(CAST(CAST(sum(CAST(r AS DECIMAL(19,2)) * r) AS DECIMAL(38,4)) AS DOUBLE)
+                 / (CAST(CAST(sum(r) AS DECIMAL(38,2)) AS DOUBLE)
+                    * CAST(CAST(sum(r) AS DECIMAL(38,2)) AS DOUBLE)), 6)
+             AS hhi
+    FROM rev GROUP BY nationkey
+    """,
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "per nation: sum of squared market shares, the antitrust-standard "
+    "concentration scalar (1/n = perfect competition, 1.0 = "
+    "monopoly) — the revenue-side sibling of "
+    "events_gini_concentration. Shares are never computed: HHI = "
+    "Σr_i² / (Σr)² algebraically, so per-supplier revenue aggregates "
+    "exactly in DECIMAL, the squared terms stay DECIMAL too — "
+    "(19,2)x(18,2) -> (38,4) — width 19 forces HUGEINT storage in "
+    "DuckDB (a DECIMAL(18) square overflows its int64 lane) while "
+    "staying inside the 38-digit product cap per "
+    "the zipf trap in SCALE.md (a double-product sum here would be "
+    "engine-order-sensitive) — and the single division happens once "
+    "per NATION row. Supplier-per-nation is dimension-sized.",
+)
+def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    return rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("r").cast("decimal(38,2)").cast("double").alias("total_rev"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(19,2)") * F.col("r"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            / (
+                F.sum("r").cast("decimal(38,2)").cast("double")
+                * F.sum("r").cast("decimal(38,2)").cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+    )
+
+
+# SMA crossover: fast window 7 days, slow window 28 days, over the
+# daily revenue series (signal = fast average crossing the slow one).
+SMA_FAST_D = 7
+SMA_SLOW_D = 28
+
+
+@register(
+    "time_sma_crossover",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             CAST(sum(x) OVER (ORDER BY day
+                               ROWS BETWEEN {SMA_FAST_D - 1} PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,2)) AS sf,
+             CAST(count(*) OVER (ORDER BY day
+                               ROWS BETWEEN {SMA_FAST_D - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS nf,
+             CAST(sum(x) OVER (ORDER BY day
+                               ROWS BETWEEN {SMA_SLOW_D - 1} PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,2)) AS ss,
+             CAST(count(*) OVER (ORDER BY day
+                               ROWS BETWEEN {SMA_SLOW_D - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ns,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    sig AS (
+      SELECT day, x, sf, nf, ss, ns,
+             (CAST(sf AS DECIMAL(38,2)) * ns > CAST(ss AS DECIMAL(38,2)) * nf)
+               AS fast_above,
+             lag((CAST(sf AS DECIMAL(38,2)) * ns > CAST(ss AS DECIMAL(38,2)) * nf))
+               OVER (ORDER BY day) AS prev_above
+      FROM w WHERE rn >= {SMA_SLOW_D}
+    )
+    SELECT day,
+           round(CAST(sf AS DOUBLE) / nf, 6) AS sma_fast,
+           round(CAST(ss AS DOUBLE) / ns, 6) AS sma_slow,
+           CASE WHEN fast_above AND NOT prev_above THEN 'golden_cross'
+                ELSE 'death_cross' END AS signal
+    FROM sig
+    WHERE prev_above IS NOT NULL AND fast_above <> prev_above
+    """,
+    doc="Moving-average crossover detection (7-day vs 28-day SMA over "
+    "daily revenue): the classic trend-change signal, emitting only "
+    "the crossing days. The CROSSING TEST never divides: fast > slow "
+    "is cross-multiplied on exact DECIMAL window sums (sum_f * n_s > "
+    "sum_s * n_f), so the signal is exact arithmetic end-to-end and "
+    "the displayed SMAs are presentation-only rounded divisions. "
+    "Warm-up rows (before one full slow window) are excluded by row "
+    "count, not date arithmetic, so both engines cut identically. "
+    "One daily aggregate then ROWS-frame windows over the calendar-"
+    "bounded bucket table (the theil_sen/cusum design) — scan-bound; "
+    "the single unpartitioned window is day-dimension-sized.",
+)
+def time_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("x")
+    )
+    wf = Window.orderBy("day").rowsBetween(-(SMA_FAST_D - 1), 0)
+    ws = Window.orderBy("day").rowsBetween(-(SMA_SLOW_D - 1), 0)
+    wo = Window.orderBy("day")
+    w = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(wf).cast("decimal(38,2)").alias("sf"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("nf"),
+        F.sum("x").over(ws).cast("decimal(38,2)").alias("ss"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("ns"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= SMA_SLOW_D)
+    above = F.col("sf") * F.col("ns") > F.col("ss") * F.col("nf")
+    sig = w.select(
+        "day",
+        "sf",
+        "nf",
+        "ss",
+        "ns",
+        above.alias("fast_above"),
+        F.lag(above).over(Window.orderBy("day")).alias("prev_above"),
+    )
+    return (
+        sig.filter(
+            F.col("prev_above").isNotNull()
+            & (F.col("fast_above") != F.col("prev_above"))
+        )
+        .select(
+            "day",
+            F.round(F.col("sf").cast("double") / F.col("nf"), 6).alias("sma_fast"),
+            F.round(F.col("ss").cast("double") / F.col("ns"), 6).alias("sma_slow"),
+            F.when(
+                F.col("fast_above") & ~F.col("prev_above"), "golden_cross"
+            )
+            .otherwise("death_cross")
+            .alias("signal"),
+        )
+    )

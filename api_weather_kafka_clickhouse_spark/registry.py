@@ -157,7 +157,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # join_interval_bucket, events_bot_detection, sim_cascade_rerank,
 # stats_friedman, geo_geohash_encode, events_ab_srm_check,
 # sample_neyman_allocation, text_cdc_chunking, dedup_cdc_chunks,
-# events_sequence_count, part_abc_classification.
+# events_sequence_count, part_abc_classification,
+# events_dau_mau_stickiness, supplier_herfindahl,
+# time_sma_crossover.
 # After wave 3 every query registered through r10 has
 # >= 1 driver row, restoring the r7 invariant.
 _PRIORITY: tuple[str, ...] = (

@@ -614,3 +614,50 @@ def test_abc_classification_reference(spark, sf_dir):
     seen = [r["class_abc"] for r in ordered]
     assert seen == sorted(seen)  # A's before B's before C's
     assert {r["class_xyz"] for r in rows} <= {"X", "Y", "Z"}
+
+
+def test_stickiness_bounds_and_identity(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        events_dau_mau_stickiness,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = events_dau_mau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # avg DAU can never exceed MAU; stickiness in (0, 1]
+        assert 0 < r["stickiness"] <= 1.0
+        assert r["dau_sum"] <= r["n_days"] * r["mau"]
+        assert r["stickiness"] == pytest.approx(
+            round(r["dau_sum"] / r["n_days"] / r["mau"], 6), abs=1e-6
+        )
+
+
+def test_herfindahl_bounds(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        supplier_herfindahl,
+    )
+
+    rows = supplier_herfindahl(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI lives in [1/n, 1]
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+
+
+def test_sma_crossover_alternates(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        time_sma_crossover,
+    )
+
+    rows = sorted(time_sma_crossover(spark, sf_dir).collect(), key=lambda r: r["day"])
+    assert rows
+    # signals must strictly alternate (you cannot golden-cross twice
+    # without a death-cross between)
+    for a, b in zip(rows, rows[1:]):
+        assert a["signal"] != b["signal"], (a["day"], b["day"])
+    for r in rows:
+        if r["signal"] == "golden_cross":
+            assert r["sma_fast"] > r["sma_slow"]
+        else:
+            assert r["sma_fast"] <= r["sma_slow"]
