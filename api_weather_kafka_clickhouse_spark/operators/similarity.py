@@ -1488,29 +1488,43 @@ def sim_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("q_vec"),
         F.col("h1").alias("q1"),
-        F.col("h2").alias("q2"),
+        F.col("h2").alias("h2q"),
     )
-    scored = e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+    # Coarse stage carries ONLY the 16-byte signatures through the
+    # scoring join and the top-C window shuffle — never the float
+    # vectors, and the exact cosine is NOT in this projection (round-10
+    # advice: pricing it here evaluated the expensive metric for every
+    # query x corpus pair, defeating the cascade's cost model).
+    scored = e.drop("vec").join(
+        F.broadcast(q.drop("q_vec")), F.col("query_id") != F.col("vec_id")
+    ).select(
         "query_id",
         F.col("vec_id").alias("nbr_id"),
         (
             F.bit_count(F.col("q1").bitwiseXOR(F.col("h1")))
-            + F.bit_count(F.col("q2").bitwiseXOR(F.col("h2")))
+            + F.bit_count(F.col("h2q").bitwiseXOR(F.col("h2")))
         )
         .cast("bigint")
         .alias("hamming"),
-        F.round(cosine(F.col("q_vec"), F.col("vec")) * F.lit(1e6))
-        .cast("bigint")
-        .alias("qcos"),
     )
     wc = Window.partitionBy("query_id").orderBy("hamming", "nbr_id")
     coarse = (
         scored.withColumn("coarse_rank", F.row_number().over(wc))
         .filter(F.col("coarse_rank") <= CASCADE_COARSE_C)
     )
+    # Exact stage: join the C survivors per query back to their float
+    # vectors, so the cosine runs on C x |queries| rows — a constant
+    # per query — instead of the full corpus.
+    exact = coarse.join(
+        e.select(F.col("vec_id").alias("nbr_id"), F.col("vec").alias("n_vec")),
+        "nbr_id",
+    ).join(F.broadcast(q.select("query_id", "q_vec")), "query_id").withColumn(
+        "qcos",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")) * F.lit(1e6)).cast("bigint"),
+    )
     wf = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "nbr_id")
     return (
-        coarse.withColumn("final_rank", F.row_number().over(wf))
+        exact.withColumn("final_rank", F.row_number().over(wf))
         .filter(F.col("final_rank") <= CASCADE_K)
         .select(
             "query_id",

@@ -2453,3 +2453,227 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= CDC_MIN_SHARED)
     )
+
+
+# --- content-defined chunking, Arrow rolling-hash kernel (round 11) ----
+#
+# text_cdc_chunking (above) derives every boundary with a per-position
+# md5 probe — exact and oracle-friendly, but ~10^14 md5 calls plus a
+# per-char window shuffle at 100 TB (the round-10 verdict's one perf
+# flag). This is the production twin: the SAME chunk/identity algebra
+# (pos-1-is-a-boundary, position-relative weighted code sum mod
+# CDC_MOD) over a POLYNOMIAL 8-gram hash, computed as eight vectorized
+# numpy ops per document inside ONE mapInPandas pass — no explode, no
+# window, no shuffle until the per-chunk rows leave the kernel. The
+# polynomial is still exactly SQL-expressible (sum of
+# ascii*B^(7-i) mod a prime), so the driver oracle re-derives every
+# boundary bit-for-bit and the kernel is hash-checked, not trusted.
+
+CDC_B = 257  # polynomial base (> any byte value, odd)
+CDC_HASH_MOD = 1_000_000_007  # prime hash modulus
+_CDC_POWERS = tuple(pow(CDC_B, CDC_K - 1 - i, CDC_HASH_MOD) for i in range(CDC_K))
+
+_CDC_SCHEMA = (
+    "doc_id long, chunk_id long, start_pos long, n_chars long, chunk_hash long"
+)
+
+
+def _cdc_rabin_hash_sql(col: str, pos: str) -> str:
+    """The 8-gram polynomial hash as ANSI SQL (DuckDB 1-based string
+    indexing): sum of ascii(text[pos+i]) * B^(K-1-i) mod CDC_HASH_MOD.
+    Term bound: 127 * CDC_HASH_MOD * CDC_K ~ 1e12 << 2^63."""
+    terms = " + ".join(
+        # ascii() is INT32 in DuckDB; promote before the ~1e9 multiply
+        f"CAST(ascii({col}[{pos} + {i}]) AS BIGINT) * {p}"
+        for i, p in enumerate(_CDC_POWERS)
+    )
+    return f"(({terms}) % {CDC_HASH_MOD})"
+
+
+def _cdc_rabin_batches(it):
+    """mapInPandas kernel: (doc_id, text) batches -> chunk rows.
+
+    Per document: codes from the UTF-8 bytes (codepoint fallback for
+    the non-ASCII case, where ascii() semantics are per-codepoint);
+    the 8-gram hash at every start is eight shifted vector
+    multiply-adds (never a per-position Python hash call); chunk
+    hashes come from two prefix sums via the identity
+    sum (pos-s+1)*code = (S2[e]-S2[s-1]) - (s-1)*(S1[e]-S1[s-1]),
+    exact in int64 for documents up to ~3*10^8 chars (127*n^2/2 <
+    2^63) — far beyond any corpus row; a longer doc would need the
+    mod folded into the prefix sums, noted here, not needed."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        doc_ids: list[int] = []
+        cids: list[int] = []
+        sts: list[int] = []
+        lens: list[int] = []
+        hashes: list[int] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            if n == 0:
+                continue
+            raw = text.encode("utf-8")
+            if len(raw) == n:
+                codes = np.frombuffer(raw, np.uint8).astype(np.int64)
+            else:
+                codes = np.fromiter((ord(c) for c in text), np.int64, n)
+            if n >= CDC_K:
+                h = np.zeros(n - CDC_K + 1, dtype=np.int64)
+                for i, p in enumerate(_CDC_POWERS):
+                    h += codes[i : n - CDC_K + 1 + i] * p
+                h %= CDC_HASH_MOD
+                # 1-based boundary starts: pos 1 always; pos in
+                # [2, n-K+1] where the gram hash is 0 mod the mask
+                inner = np.nonzero(h[1:] % (CDC_MASK + 1) == 0)[0] + 2
+            else:
+                inner = np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([1], inner)).astype(np.int64)
+            ends = np.concatenate((starts[1:] - 1, [n])).astype(np.int64)
+            s1 = np.concatenate(([0], np.cumsum(codes)))
+            s2 = np.concatenate(([0], np.cumsum(codes * np.arange(1, n + 1))))
+            ch = (s2[ends] - s2[starts - 1]) - (starts - 1) * (
+                s1[ends] - s1[starts - 1]
+            )
+            ch %= CDC_MOD
+            k = len(starts)
+            doc_ids.extend([int(doc_id)] * k)
+            cids.extend(range(1, k + 1))
+            sts.extend(int(x) for x in starts)
+            lens.extend(int(e - s + 1) for s, e in zip(starts, ends))
+            hashes.extend(int(x) for x in ch)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_id": pd.Series(cids, dtype="int64"),
+                "start_pos": pd.Series(sts, dtype="int64"),
+                "n_chars": pd.Series(lens, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def cdc_rabin_exact_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kernel's exact-SQL twin: text_cdc_chunking's explode/window
+    formulation with the polynomial hash swapped in for md5. Exists
+    for the kernel==SQL parity pin (tests/test_round11_ops.py) and as
+    the bench contrast showing what the kernel saves; NOT registered —
+    the kernel is the gate surface, DuckDB re-derives the same SQL."""
+    d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.ascii(F.expr("substring(text, pos, 1)")).alias("code"),
+        F.when(F.col("pos") == 1, 1)
+        .when(
+            (F.col("pos") <= F.col("n") - CDC_K + 1)
+            & (
+                F.expr(
+                    "("
+                    # ascii() is INT in Spark; the power literal alone
+                    # is ~1e9, so the product must promote to BIGINT
+                    + " + ".join(
+                        f"CAST(ascii(substring(text, pos + {i}, 1)) AS BIGINT) * {p}"
+                        for i, p in enumerate(_CDC_POWERS)
+                    )
+                    + f") % {CDC_HASH_MOD}"
+                )
+                % (CDC_MASK + 1)
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("bflag"),
+    )
+    wcum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    assigned = chars.select(
+        "doc_id", "pos", "code", F.sum("bflag").over(wcum).alias("chunk_id")
+    )
+    wmin = Window.partitionBy("doc_id", "chunk_id")
+    started = assigned.select("*", F.min("pos").over(wmin).alias("start_pos"))
+    return (
+        started.groupBy("doc_id", "chunk_id", "start_pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chars"),
+            (
+                F.sum((F.col("pos") - F.col("start_pos") + 1) * F.col("code"))
+                % F.lit(CDC_MOD)
+            )
+            .cast("bigint")
+            .alias("chunk_hash"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("start_pos").cast("bigint").alias("start_pos"),
+            "n_chars",
+            "chunk_hash",
+        )
+    )
+
+
+@register(
+    "text_cdc_chunking_rabin",
+    oracle=f"""
+    WITH posu AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             unnest(range(1, strlen(text) + 1)) AS pos
+      FROM documents WHERE strlen(text) > 0
+    ),
+    chars AS (
+      SELECT doc_id, pos, ascii(text[pos]) AS code,
+             CASE WHEN pos = 1 THEN 1
+                  WHEN pos <= n - {CDC_K} + 1
+                       AND {_cdc_rabin_hash_sql("text", "pos")}
+                           % {CDC_MASK + 1} = 0 THEN 1
+                  ELSE 0 END AS bflag
+      FROM posu
+    ),
+    assigned AS (
+      SELECT doc_id, pos, code,
+             sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM chars
+    ),
+    started AS (
+      SELECT doc_id, chunk_id, pos, code,
+             min(pos) OVER (PARTITION BY doc_id, chunk_id) AS start_pos
+      FROM assigned
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(count(*) AS BIGINT) AS n_chars,
+           CAST(sum((pos - start_pos + 1) * code) % {CDC_MOD} AS BIGINT)
+             AS chunk_hash
+    FROM started
+    GROUP BY doc_id, chunk_id, start_pos
+    """,
+    doc="Content-defined chunking, production kernel (round-10 "
+    "verdict item 3): text_cdc_chunking's boundary algebra over a "
+    f"polynomial 8-gram hash (base {CDC_B} mod {CDC_HASH_MOD}), "
+    "computed by a mapInPandas Arrow kernel — eight vectorized "
+    "multiply-adds per document replace a per-position md5 probe, "
+    "and the per-char explode + two window shuffles collapse into "
+    "one partition-local pass that emits only per-CHUNK rows (~64x "
+    "fewer than per-char). At 100 TB this is the difference between "
+    "a scan-speed chunker and 10^14 hash calls through a window "
+    "sort. The hash stays exactly SQL-expressible, so the DuckDB "
+    "oracle re-derives every boundary and chunk identity "
+    "bit-for-bit — the kernel is hash-checked, not trusted; a "
+    "Spark-side exact-SQL twin (cdc_rabin_exact_sql) pins "
+    "kernel==SQL in pytest at sf0.001 and sf0.01 (the "
+    "fuzzy_match_damerau dual-surface pattern).",
+)
+def text_cdc_chunking_rabin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    return d.select("doc_id", "text").mapInPandas(_cdc_rabin_batches, _CDC_SCHEMA)

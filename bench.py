@@ -256,7 +256,7 @@ def main() -> None:
     # (measured across the r7/r8/r9 artifacts: r7's 27-query
     # medians-only line parsed; r8/r9's ~3000-char lines with per-query
     # "runs" and per-stage dicts were cut mid-"queries" and recorded
-    # "parsed": null). The CONTRACT line therefore carries medians only
+    # "parsed": null). The CONTRACT line therefore carries best-of-3 only
     # (~1,300 chars at 39 queries); the forensics payload — raw runs,
     # per-stage wall times, end-of-run load — moves to a repo-side
     # BENCH_DETAIL.json the judge can read from disk.
@@ -286,10 +286,11 @@ def main() -> None:
     # LOUDLY here rather than silently re-breaking the driver contract
     # the way r8/r9 did. 1900 leaves ~100 chars of slack under the
     # measured 2000-char window for the driver's own framing.
-    assert len(line) <= 1900, (
-        f"bench contract line is {len(line)} chars; the driver tail "
-        f"window is 2000 — trim fields or move them to BENCH_DETAIL.json"
-    )
+    if len(line) > 1900:  # explicit raise: survives `python -O`
+        raise RuntimeError(
+            f"bench contract line is {len(line)} chars; the driver tail "
+            f"window is 2000 — trim fields or move them to BENCH_DETAIL.json"
+        )
     # the one-line JSON is the driver contract, and the driver
     # tail-captures combined output — stop Spark FIRST so its shutdown
     # logging precedes the line instead of flushing after it (the r8
