@@ -103,3 +103,63 @@ def test_rabin_kernel_matches_exact_sql_twin_sf001(spark):
     a = sorted(map(tuple, text_cdc_chunking_rabin(spark, sf).collect()))
     b = sorted(map(tuple, cdc_rabin_exact_sql(spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------ int8-lattice k-means
+
+
+def test_kmeans_int8_matches_numpy_reference(spark, sf_dir):
+    """Independent exact reference: Python-int Lloyd on the same
+    lattice (init, argmin-tie, rounding, empty-cluster rules
+    re-derived from the spec, not the operator)."""
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        _DIM,
+        _I8_SHIFT,
+        KMEANS_I8_ITERS,
+        KMEANS_K,
+        embedding_kmeans_int8,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = (
+        load(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = sorted(r["vec_id"] for r in rows)
+    codes = {
+        r["vec_id"]: [
+            int(np.round(np.float64(x) * _I8_SHIFT)) for x in r["embedding"]
+        ]
+        for r in rows
+    }
+    cents = [list(codes[i]) for i in ids[:KMEANS_K]]
+    assign: dict[int, int] = {}
+    for _ in range(KMEANS_I8_ITERS):
+        for vid, q in codes.items():
+            d = [
+                sum((q[i] - c[i]) ** 2 for i in range(_DIM)) for c in cents
+            ]
+            assign[vid] = d.index(min(d))
+        sums = [[0] * _DIM for _ in range(KMEANS_K)]
+        ns = [0] * KMEANS_K
+        for vid, cl in assign.items():
+            ns[cl] += 1
+            for i in range(_DIM):
+                sums[cl][i] += codes[vid][i]
+        for cl in range(KMEANS_K):
+            if ns[cl]:
+                n = ns[cl]
+                cents[cl] = [
+                    (2 * (sums[cl][i] + _I8_SHIFT * n) + n) // (2 * n)
+                    - _I8_SHIFT
+                    for i in range(_DIM)
+                ]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in embedding_kmeans_int8(spark, sf_dir).collect()
+    }
+    assert got == assign
+    assert len(set(got.values())) > 1  # the fixture actually clusters
