@@ -432,3 +432,68 @@ def mm_phash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_pairs(sigs).select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@register(
+    "mm_blob_dedup",
+    oracle=f"""
+    WITH {_PHASH_AUGMENT_SQL},
+    sized AS (
+      SELECT doc_id, md5(text) AS digest, strlen(text) AS n_bytes
+      FROM aug
+    ),
+    grouped AS (
+      SELECT digest, n_bytes,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             min(doc_id) AS keep_id,
+             list_sort(list(doc_id)) AS ids
+      FROM sized GROUP BY digest, n_bytes
+    )
+    SELECT digest, CAST(n_bytes AS BIGINT) AS n_bytes, n_copies,
+           CAST(keep_id AS BIGINT) AS keep_id,
+           array_to_string(list_transform(ids[2:len(ids)],
+             x -> CAST(x AS VARCHAR)), ',') AS dup_ids,
+           CAST((n_copies - 1) * n_bytes AS BIGINT) AS bytes_saved
+    FROM grouped
+    WHERE n_copies > 1
+    """,
+    doc="Exact blob dedup over the multimodal binary layout — the "
+    "content-addressable-store identity (size, md5 digest) that a "
+    "100 TB image/audio lake dedups on BEFORE any decode work: "
+    "group by the 16-byte digest, keep the lowest doc_id, account "
+    "bytes_saved = (copies-1) x size. ONE map-side-combined groupBy "
+    "on the digest (payloads hash where they live; only digests and "
+    "ids shuffle — at scale the shuffle is 24 bytes/row regardless "
+    "of blob size); the collision story is the digest's, the size "
+    "column disambiguates md5's theoretical pairs for free. Runs "
+    "over the corpus augmented with the planted exact copies "
+    "(mm_phash_band_pairs' fixture rule: the synthetic corpus has "
+    "zero natural byte-identical payloads, and a dedup query gated "
+    "on an empty result proves nothing).",
+)
+def mm_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bt = _augmented_binary(spark, sf_dir)
+    sized = bt.select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+    grouped = sized.groupBy("digest", "n_bytes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+    )
+    return grouped.filter(F.col("n_copies") > 1).select(
+        "digest",
+        "n_bytes",
+        "n_copies",
+        "keep_id",
+        F.array_join(
+            F.transform(
+                F.expr("slice(ids, 2, size(ids) - 1)"),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("dup_ids"),
+        ((F.col("n_copies") - 1) * F.col("n_bytes")).cast("bigint").alias("bytes_saved"),
+    )

@@ -589,3 +589,153 @@ def clickhouse_dialect_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_counts.alias("cum_counts"),
         ch.formatReadableSize("props_len").alias("props_readable"),
     )
+
+
+# --- dialect battery 4 (round 11): behavioral aggregates ---------------
+
+WF_WINDOW_US = 24 * 3600 * 1_000_000  # windowFunnel window, exact µs
+WF_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "clickhouse_dialect_battery4",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             list(struct_pack(tsu := epoch_us(ts), event_id := event_id,
+                              event_type := event_type,
+                              cents := CAST(round(value * 100) AS BIGINT))
+                  ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    arrs AS (
+      SELECT user_id, seq,
+             [s.tsu for s in seq if s.event_type = 'view']     AS vts,
+             [s.tsu for s in seq if s.event_type = 'click']    AS cts,
+             [s.tsu for s in seq if s.event_type = 'purchase'] AS pts,
+             [s.cents for s in seq]                            AS cents
+      FROM g
+    ),
+    lvl AS (
+      SELECT *,
+             len(vts) > 0 AS has_v,
+             len(list_filter(vts, v ->
+                 len(list_filter(cts, c -> c > v AND c <= v + {WF_WINDOW_US}))
+                 > 0)) > 0 AS l2,
+             len(list_filter(vts, v ->
+                 len(list_filter(cts, c -> c > v AND c <= v + {WF_WINDOW_US}
+                     AND len(list_filter(pts, p -> p > c
+                             AND p <= v + {WF_WINDOW_US})) > 0)) > 0)) > 0
+               AS l3
+      FROM arrs
+    )
+    SELECT user_id,
+           CAST(CAST(len(vts) > 0 AS INT) AS VARCHAR) || ','
+             || CAST(CAST(len(vts) > 0 AND len(cts) > 0 AS INT) AS VARCHAR) || ','
+             || CAST(CAST(len(vts) > 0 AND len(pts) > 0 AS INT) AS VARCHAR)
+             AS ret_flags,
+           CAST(CASE WHEN l3 THEN 3 WHEN l2 THEN 2
+                     WHEN has_v THEN 1 ELSE 0 END AS BIGINT) AS funnel_24h,
+           CAST(least(len(list_distinct([s.event_type for s in seq])), 3)
+                AS BIGINT) AS uniq_types_upto2,
+           array_to_string([CAST(list_sum(
+                 cents[greatest(1, i - 2):i]) AS VARCHAR)
+               for i in range(1, len(cents) + 1)], ',') AS msum3,
+           seq[len(seq)].event_type AS last_type
+    FROM lvl
+    """,
+    doc="Dialect battery 4 — ClickHouse's behavioral-aggregate "
+    "vocabulary per user: retention(view, click, purchase) (flag "
+    "array: first condition, then first AND each later condition), "
+    "windowFunnel(24h)(ts, view, click, purchase) (deepest strictly "
+    "ts-ordered chain whose every step falls within 24h of the "
+    "anchoring view — nested exists over the per-user step arrays, "
+    "exact integer microseconds), uniqUpTo(2) (exact distinct "
+    "clamped at N+1), groupArrayMovingSum(3) over exact value cents "
+    "(CSV render — sums of bounded integer slices, order fixed by "
+    "(ts, event_id)), and anyLast determinized as the last element "
+    "of the ordered journey. All arrays are ORDER-BOUNDED per user "
+    "(battery3's rule), everything is one map-side-combined groupBy "
+    "plus codegen higher-order functions — zero UDFs, zero extra "
+    "shuffles; the funnel's nested exists is per-row array algebra, "
+    "never a join.",
+)
+def clickhouse_dialect_battery4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import clickhouse as ch
+
+    e = load(spark, "events", sf_dir)
+    g = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("tsu"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+                )
+            )
+        ).alias("seq"),
+        ch.uniqUpTo(2, "event_type").alias("uniq_types_upto2"),
+    )
+    step_ts = {
+        s: F.transform(
+            F.filter(F.col("seq"), lambda x: x.getField("event_type") == s),
+            lambda x: x.getField("tsu"),
+        )
+        for s in WF_STEPS
+    }
+    w = F.lit(WF_WINDOW_US)
+    arrs = g.select(
+        "user_id",
+        "seq",
+        "uniq_types_upto2",
+        step_ts["view"].alias("vts"),
+        step_ts["click"].alias("cts"),
+        step_ts["purchase"].alias("pts"),
+        F.transform(F.col("seq"), lambda x: x.getField("cents")).alias("cents"),
+    )
+    in_win = lambda anchor, t: (t > anchor) & (t <= anchor + w)  # noqa: E731
+    l2 = F.exists(
+        F.col("vts"),
+        lambda v: F.exists(F.col("cts"), lambda c: in_win(v, c)),
+    )
+    l3 = F.exists(
+        F.col("vts"),
+        lambda v: F.exists(
+            F.col("cts"),
+            lambda c: in_win(v, c)
+            & F.exists(
+                F.col("pts"), lambda p: (p > c) & (p <= v + w)
+            ),
+        ),
+    )
+    has = lambda a: F.size(F.col(a)) > 0  # noqa: E731
+    flag = lambda c: c.cast("int").cast("string")  # noqa: E731
+    msum3 = F.array_join(
+        F.transform(
+            F.col("cents"),
+            lambda x, i: F.aggregate(
+                F.slice(
+                    F.col("cents"),
+                    F.greatest(F.lit(1), i - 1),
+                    F.least(F.lit(3), i + 1),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y,
+            ).cast("string"),
+        ),
+        ",",
+    )
+    return arrs.select(
+        "user_id",
+        F.concat_ws(
+            ",", flag(has("vts")), flag(has("vts") & has("cts")),
+            flag(has("vts") & has("pts")),
+        ).alias("ret_flags"),
+        F.when(l3, 3).when(l2, 2).when(has("vts"), 1).otherwise(0)
+        .cast("bigint")
+        .alias("funnel_24h"),
+        "uniq_types_upto2",
+        msum3.alias("msum3"),
+        F.element_at(F.col("seq"), -1).getField("event_type").alias("last_type"),
+    )

@@ -1667,3 +1667,65 @@ def time_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("signal"),
         )
     )
+
+
+@register(
+    "profile_partition_skew",
+    oracle="""
+    WITH parts AS (
+      SELECT date_trunc('month', l_shipdate) AS part_month,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             CAST(max(n_rows) AS BIGINT) AS max_rows
+      FROM parts
+    )
+    SELECT p.part_month, p.n_rows, p.n_orders,
+           round(CAST(p.n_rows AS DOUBLE) / t.total_rows, 6) AS pct_rows,
+           round(CAST(p.n_rows AS DOUBLE) * t.n_parts / t.total_rows, 6)
+             AS skew_ratio,
+           p.n_rows = t.max_rows AS is_largest
+    FROM parts p CROSS JOIN tot t
+    """,
+    doc="Partition-layout skew audit for the warehouse's month "
+    "partitioning (sources/sink.py's scheme): per-partition row "
+    "count and distinct parent-order count, each "
+    "partition's share, and skew_ratio = n_rows x n_parts / total "
+    "(1.0 = perfectly even; the number that predicts straggler "
+    "tasks and decides salting/AQE-split before a 100 TB backfill). "
+    "Shape: one map-side-combined groupBy on the partition key, "
+    "then a 1-row total broadcast onto the calendar-sized partition "
+    "table (the scalar-aggregate exemption) — the audit costs one "
+    "scan no matter the table size, and at 100 TB it reads parquet "
+    "footers' worth of work per partition, not data.",
+)
+def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    parts = li.groupBy(
+        F.trunc("l_shipdate", "month").alias("part_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+    tot = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    return parts.crossJoin(F.broadcast(tot)).select(
+        "part_month",
+        "n_rows",
+        "n_orders",
+        F.round(F.col("n_rows").cast("double") / F.col("total_rows"), 6).alias(
+            "pct_rows"
+        ),
+        F.round(
+            F.col("n_rows").cast("double") * F.col("n_parts") / F.col("total_rows"),
+            6,
+        ).alias("skew_ratio"),
+        (F.col("n_rows") == F.col("max_rows")).alias("is_largest"),
+    )

@@ -2837,3 +2837,342 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", F.length("journey").cast("bigint").alias("n_events"), *cols
     )
+
+
+# --- Jarque-Bera normality + Benjamini-Hochberg FDR (round 11) ---------
+#
+# Exactness discipline: the four raw moment sums are exact DECIMAL
+# (value fits (8,2); v^2 -> (17,4), v^4 -> (35,8) — every multiply
+# stays under the 38-digit cap that silently truncates scale, the
+# round-10 trap), so both engines hand IDENTICAL doubles to the same
+# double expression text, and the only cross-engine wobble left is
+# libm exp() (1 ulp), absorbed by round(p, 9) before any comparison.
+
+_JB_DOUBLE_FRAG = """
+      CAST(s1 AS DOUBLE) / n AS m1,
+      CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2
+"""  # documentation only; the real fragments are built below
+
+
+def _jb_exprs() -> dict[str, str]:
+    """The moment->JB double math as SQL text shared VERBATIM by the
+    Spark side (F.expr) and the DuckDB oracle, so both engines run
+    the same IEEE ops in the same order on identical inputs."""
+    m1 = "(s1 / n)"
+    m2 = f"(s2 / n - {m1} * {m1})"
+    m3 = f"(s3 / n - 3 * {m1} * (s2 / n) + 2 * {m1} * {m1} * {m1})"
+    m4 = (
+        f"(s4 / n - 4 * {m1} * (s3 / n) + 6 * {m1} * {m1} * (s2 / n)"
+        f" - 3 * {m1} * {m1} * {m1} * {m1})"
+    )
+    skew = f"({m3} / ({m2} * sqrt({m2})))"
+    kexc = f"({m4} / ({m2} * {m2}) - 3)"
+    jb = f"(n / 6 * ({skew} * {skew} + {kexc} * {kexc} / 4))"
+    return {"skew": skew, "kexc": kexc, "jb": jb}
+
+
+_JB_SUMS_SQL = """
+      SELECT {outer_keys},
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(v) AS DOUBLE) AS s1,
+             CAST(sum(v * v) AS DOUBLE) AS s2,
+             CAST(sum(CAST(v * v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s3,
+             CAST(sum(CAST(v * v AS DECIMAL(19,4))
+                      * CAST(v * v AS DECIMAL(19,4))) AS DOUBLE) AS s4
+      FROM (SELECT {inner_keys}, CAST(value AS DECIMAL(8,2)) AS v FROM events)
+      GROUP BY {outer_keys}
+"""
+
+
+def _jb_sums_spark(e: DataFrame, keys: list[str]) -> DataFrame:
+    v = F.col("value").cast("decimal(8,2)")
+    v2 = v * v
+    return e.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v2).cast("double").alias("s2"),
+        F.sum(v2 * v).cast("double").alias("s3"),
+        F.sum(v2 * v2).cast("double").alias("s4"),
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    oracle=f"""
+    WITH sums AS ({_JB_SUMS_SQL.format(inner_keys="event_type",
+                                       outer_keys="event_type")})
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round({_jb_exprs()["skew"]}, 6) AS skew,
+           round({_jb_exprs()["kexc"]}, 6) AS kurt_excess,
+           round({_jb_exprs()["jb"]}, 6) AS jb_stat,
+           {_jb_exprs()["jb"]} <= 5.991464547107979 AS normal_at_05
+    FROM sums ORDER BY event_type
+    """,
+    doc="Jarque-Bera normality test per event type: skewness and "
+    "excess kurtosis from the four raw moment sums (exact DECIMAL "
+    "accumulation — order-free across engines and combine trees; "
+    "v^4 sized to stay under the 38-digit product cap), "
+    "JB = n/6 (S^2 + K^2/4), compared to the chi-square(2) 95% "
+    "critical value as a literal. The double pipeline is ONE SQL "
+    "text shared verbatim by both engines (F.expr on the Spark "
+    "side), so every IEEE op runs in the same order — the moment "
+    "battery's discipline extended to third/fourth powers. One "
+    "map-side-combined groupBy at fact scale; 5 result rows.",
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    x = _jb_exprs()
+    return (
+        _jb_sums_spark(e, ["event_type"])
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(f"round({x['skew']}, 6)").alias("skew"),
+            F.expr(f"round({x['kexc']}, 6)").alias("kurt_excess"),
+            F.expr(f"round({x['jb']}, 6)").alias("jb_stat"),
+            F.expr(f"{x['jb']} <= 5.991464547107979").alias("normal_at_05"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FDR_Q = 0.10  # Benjamini-Hochberg target false-discovery rate
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=f"""
+    WITH sums AS ({_JB_SUMS_SQL.format(
+        inner_keys="event_type, weekofyear(ts) AS wk",
+        outer_keys="event_type, wk")}),
+    tests AS (
+      SELECT event_type, wk, CAST(n AS BIGINT) AS n,
+             round({_jb_exprs()["jb"]}, 6) AS jb_stat,
+             round(exp(-({_jb_exprs()["jb"]}) / 2), 9) AS p_value
+      FROM sums
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p_value, event_type, wk) AS bh_rank,
+             count(*) OVER () AS m
+      FROM tests
+    ),
+    crossed AS (
+      SELECT *,
+             max(CASE WHEN p_value * m <= {FDR_Q} * bh_rank
+                      THEN bh_rank END) OVER () AS cutoff
+      FROM ranked
+    )
+    SELECT event_type, wk, n, jb_stat, p_value,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           round({FDR_Q} * bh_rank / m, 9) AS bh_threshold,
+           bh_rank <= coalesce(cutoff, 0) AS rejected
+    FROM crossed
+    """,
+    doc="Benjamini-Hochberg FDR control over a FAMILY of hypothesis "
+    "tests — the multiple-comparisons layer every per-segment "
+    "metrics sweep needs (run 25 normality tests and ~1.25 will "
+    "'fail' at alpha=.05; BH bounds the false-discovery RATE "
+    "instead). Family: Jarque-Bera per (event_type, ISO week); "
+    "p = exp(-JB/2) exact for chi-square df=2 (no CDF table "
+    "needed), rounded to 9dp before ANY comparison so a 1-ulp libm "
+    "exp() divergence cannot reorder ranks. BH step-up: rank by p "
+    "(total tiebreak), reject ranks <= the largest i with "
+    "p_i * m <= q * i — one window over the m-row test table "
+    "(segment-bounded, never fact-bounded). Moment sums ride the "
+    "stats_jarque_bera exact-DECIMAL discipline.",
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir).withColumn("wk", F.weekofyear("ts"))
+    x = _jb_exprs()
+    tests = _jb_sums_spark(e, ["event_type", "wk"]).select(
+        "event_type",
+        "wk",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"round({x['jb']}, 6)").alias("jb_stat"),
+        F.expr(f"round(exp(-({x['jb']}) / 2), 9)").alias("p_value"),
+    )
+    wrank = Window.orderBy("p_value", "event_type", "wk")
+    wall = Window.partitionBy()
+    ranked = tests.select(
+        "*",
+        F.row_number().over(wrank).alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    crossed = ranked.withColumn(
+        "cutoff",
+        F.max(
+            F.when(
+                F.col("p_value") * F.col("m") <= FDR_Q * F.col("bh_rank"),
+                F.col("bh_rank"),
+            )
+        ).over(wall),
+    )
+    return crossed.select(
+        "event_type",
+        "wk",
+        "n",
+        "jb_stat",
+        "p_value",
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        F.round(F.lit(FDR_Q) * F.col("bh_rank") / F.col("m"), 9).alias("bh_threshold"),
+        (F.col("bh_rank") <= F.coalesce(F.col("cutoff"), F.lit(0))).alias("rejected"),
+    )
+
+
+# --- Ljung-Box serial-correlation test (round 11) ----------------------
+
+LB_LAGS = 5
+LB_CHI2_5_95 = 11.070497693516351  # chi-square(5) 95% critical value
+
+
+def _lb_exprs() -> dict[str, str]:
+    """Closed-form Ljung-Box from exact sufficient statistics, as SQL
+    text shared verbatim by both engines (the time_autocorr_lag1 /
+    Jarque-Bera discipline). The mean-centered autocovariance is the
+    scaled integer identity
+      n^2*c_k = n^2*Sxy_k - n*S*(A_k + B_k) + (n-k)*S^2
+    (A_k/B_k = sums of the first/last n-k terms), so rho_k = c_k/c_0
+    divides two exactly-derived doubles and no engine ever centers a
+    float series."""
+    c0 = "(nd * nd * syyd - nd * sd * sd)"
+    out: dict[str, str] = {}
+    terms = []
+    for k in range(1, LB_LAGS + 1):
+        ck = (
+            f"(nd * nd * sxyd{k} - nd * sd * (ad{k} + bd{k})"
+            f" + (nd - {k}) * sd * sd)"
+        )
+        out[f"rho{k}"] = f"({ck} / {c0})"
+        terms.append(f"({ck} / {c0}) * ({ck} / {c0}) / (nd - {k})")
+    out["q"] = f"(nd * (nd + 2) * ({' + '.join(terms)}))"
+    return out
+
+
+_LB_LEAD_COLS_SQL = ",\n             ".join(
+    f"lead(yc, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y{k}"
+    for k in range(1, LB_LAGS + 1)
+)
+_LB_AGG_SQL = ",\n             ".join(
+    f"""CAST(sum(CAST(yc AS DECIMAL(19,0)) * y{k}) AS DECIMAL(30,0)) AS sxy{k},
+             CAST(sum(CASE WHEN y{k} IS NOT NULL THEN yc END) AS DECIMAL(20,0)) AS a{k},
+             CAST(sum(y{k}) AS DECIMAL(20,0)) AS b{k}"""
+    for k in range(1, LB_LAGS + 1)
+)
+_LB_DOUBLES_SQL = ",\n             ".join(
+    f"CAST(sxy{k} AS DOUBLE) AS sxyd{k}, CAST(a{k} AS DOUBLE) AS ad{k},"
+    f" CAST(b{k} AS DOUBLE) AS bd{k}"
+    for k in range(1, LB_LAGS + 1)
+)
+
+
+@register(
+    "time_ljung_box",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events WHERE ts IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, yc,
+             {_LB_LEAD_COLS_SQL}
+      FROM b
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(9,0)) AS n,
+             CAST(sum(yc) AS DECIMAL(20,0)) AS sy,
+             CAST(sum(CAST(yc AS DECIMAL(19,0)) * yc) AS DECIMAL(30,0)) AS syy,
+             {_LB_AGG_SQL}
+      FROM p GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(sy AS DOUBLE) AS sd,
+             CAST(syy AS DOUBLE) AS syyd,
+             {_LB_DOUBLES_SQL}
+      FROM s
+    )
+    SELECT event_type, n,
+           {", ".join(f"round({_lb_exprs()[f'rho{k}']}, 9) AS rho{k}"
+                      for k in range(1, LB_LAGS + 1))},
+           round({_lb_exprs()["q"]}, 6) AS q_lb,
+           {_lb_exprs()["q"]} > {LB_CHI2_5_95} AS serial_corr_at_05
+    FROM d
+    WHERE (nd * nd * syyd - nd * sd * sd) > 0
+    """,
+    doc=f"Ljung-Box portmanteau test (m={LB_LAGS} lags) per series — "
+    "'is the residual white noise', THE diagnostic gate after any "
+    "forecast fit (time_holt_linear / forecast_backtest_naive "
+    "produce the residuals this test judges). Lagged products come "
+    f"from {LB_LAGS} lead() columns in ONE window pass per series "
+    "(ts, event_id total order); every sufficient statistic is an "
+    "exact DECIMAL integer-cents sum, and the mean-centered "
+    "autocovariances use the scaled identity n^2*c_k = n^2*Sxy_k - "
+    "n*S*(A_k+B_k) + (n-k)*S^2 so NOTHING centers a float series — "
+    "both engines then run one shared double expression tree "
+    "(Q = n(n+2) sum rho_k^2/(n-k)) on identical inputs, compared "
+    "to the chi-square(m) 95% critical value as a literal. "
+    "Low-cardinality series keys range-partition the window; at "
+    "100 TB the same operator runs per (series, chunk) with m "
+    "boundary rows handed across chunks (the autocorr_lag1 note, "
+    "m-generalized).",
+)
+def time_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    b = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("yc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = b.select(
+        "event_type",
+        "yc",
+        *[F.lead("yc", k).over(w).alias(f"y{k}") for k in range(1, LB_LAGS + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum("yc").cast("decimal(20,0)").alias("sy"),
+        F.sum(F.col("yc").cast("decimal(19,0)") * F.col("yc"))
+        .cast("decimal(30,0)")
+        .alias("syy"),
+    ]
+    for k in range(1, LB_LAGS + 1):
+        aggs += [
+            F.sum(F.col("yc").cast("decimal(19,0)") * F.col(f"y{k}"))
+            .cast("decimal(30,0)")
+            .alias(f"sxy{k}"),
+            F.sum(F.when(F.col(f"y{k}").isNotNull(), F.col("yc")))
+            .cast("decimal(20,0)")
+            .alias(f"a{k}"),
+            F.sum(f"y{k}").cast("decimal(20,0)").alias(f"b{k}"),
+        ]
+    s = p.groupBy("event_type").agg(*aggs)
+    dcols = [
+        F.col("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sy").cast("double").alias("sd"),
+        F.col("syy").cast("double").alias("syyd"),
+    ]
+    for k in range(1, LB_LAGS + 1):
+        dcols += [
+            F.col(f"sxy{k}").cast("double").alias(f"sxyd{k}"),
+            F.col(f"a{k}").cast("double").alias(f"ad{k}"),
+            F.col(f"b{k}").cast("double").alias(f"bd{k}"),
+        ]
+    d = s.select(*dcols)
+    x = _lb_exprs()
+    return d.filter(F.expr("(nd * nd * syyd - nd * sd * sd) > 0")).select(
+        "event_type",
+        "n",
+        *[
+            F.expr(f"round({x[f'rho{k}']}, 9)").alias(f"rho{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+        F.expr(f"round({x['q']}, 6)").alias("q_lb"),
+        F.expr(f"{x['q']} > {LB_CHI2_5_95}").alias("serial_corr_at_05"),
+    )

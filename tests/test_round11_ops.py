@@ -163,3 +163,183 @@ def test_kmeans_int8_matches_numpy_reference(spark, sf_dir):
     }
     assert got == assign
     assert len(set(got.values())) > 1  # the fixture actually clusters
+
+
+# ------------------------------------------------ dialect battery 4
+
+
+def test_battery4_funnel_and_retention_reference(spark, sf_dir):
+    """Python re-derivation of retention()/windowFunnel()/moving-sum
+    semantics from the spec for every user."""
+    from api_weather_kafka_clickhouse_spark.operators.relational import (
+        WF_WINDOW_US,
+        clickhouse_dialect_battery4,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {
+        r["user_id"]: r
+        for r in clickhouse_dialect_battery4(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, "events", sf_dir)
+        .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_id",
+                    "event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+        .collect()
+    )
+    users: dict[int, list] = {}
+    for r in ev:
+        users.setdefault(r["user_id"], []).append(
+            (r["tsu"], r["event_id"], r["event_type"], r["cents"])
+        )
+    for uid, evs in users.items():
+        evs.sort()
+        vts = [t for t, _, ty, _ in evs if ty == "view"]
+        cts = [t for t, _, ty, _ in evs if ty == "click"]
+        pts = [t for t, _, ty, _ in evs if ty == "purchase"]
+        level = 0
+        if vts:
+            level = 1
+            for v in vts:
+                for c in cts:
+                    if v < c <= v + WF_WINDOW_US:
+                        level = max(level, 2)
+                        if any(c < p <= v + WF_WINDOW_US for p in pts):
+                            level = 3
+        g = got[uid]
+        assert g["funnel_24h"] == level, uid
+        ret = f"{int(bool(vts))},{int(bool(vts) and bool(cts))},{int(bool(vts) and bool(pts))}"
+        assert g["ret_flags"] == ret, uid
+        cents = [c for _, _, _, c in evs]
+        msum = [sum(cents[max(0, i - 2) : i + 1]) for i in range(len(cents))]
+        assert g["msum3"] == ",".join(map(str, msum)), uid
+        assert g["last_type"] == evs[-1][2], uid
+
+
+# ------------------------------------------------ JB / BH / Ljung-Box
+
+
+def test_jarque_bera_reference(spark, sf_dir):
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        stats_jarque_bera,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["event_type"]: r for r in stats_jarque_bera(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).select("event_type", "value").collect()
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    for ty, vals in groups.items():
+        x = np.array(vals, dtype=np.float64)
+        n = len(x)
+        m1 = x.mean()
+        m2 = ((x - m1) ** 2).mean()
+        m3 = ((x - m1) ** 3).mean()
+        m4 = ((x - m1) ** 4).mean()
+        skew = m3 / m2**1.5
+        kexc = m4 / m2**2 - 3
+        jb = n / 6 * (skew**2 + kexc**2 / 4)
+        g = got[ty]
+        assert abs(g["skew"] - skew) < 1e-4, ty
+        assert abs(g["kurt_excess"] - kexc) < 1e-4, ty
+        assert abs(g["jb_stat"] - jb) / max(jb, 1) < 1e-4, ty
+        assert g["n"] == n
+
+
+def test_fdr_bh_stepup_reference(spark, sf_dir):
+    """BH re-derived from the operator's own (p, rank) columns: the
+    rejected set must be exactly ranks 1..i* where i* is the largest
+    rank with p_i*m <= q*i (and all-or-nothing monotone)."""
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        FDR_Q,
+        stats_fdr_bh,
+    )
+
+    rows = stats_fdr_bh(spark, sf_dir).collect()
+    m = len(rows)
+    assert m > 10
+    by_rank = sorted(rows, key=lambda r: r["bh_rank"])
+    assert [r["bh_rank"] for r in by_rank] == list(range(1, m + 1))
+    # p non-decreasing in rank
+    ps = [r["p_value"] for r in by_rank]
+    assert ps == sorted(ps)
+    crossing = [r["bh_rank"] for r in by_rank if r["p_value"] * m <= FDR_Q * r["bh_rank"]]
+    cutoff = max(crossing) if crossing else 0
+    for r in by_rank:
+        assert r["rejected"] == (r["bh_rank"] <= cutoff), r
+
+
+def test_ljung_box_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        LB_LAGS,
+        time_ljung_box,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["event_type"]: r for r in time_ljung_box(spark, sf_dir).collect()}
+    ev = (
+        load(spark, "events", sf_dir)
+        .selectExpr("event_type", "ts", "event_id",
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append((r["ts"], r["event_id"], r["yc"]))
+    for ty, rows in series.items():
+        rows.sort()
+        y = np.array([c for _, _, c in rows], dtype=np.float64)
+        n = len(y)
+        yd = y - y.mean()
+        c0 = (yd * yd).sum()
+        q = 0.0
+        for k in range(1, LB_LAGS + 1):
+            rho = (yd[:-k] * yd[k:]).sum() / c0
+            assert abs(got[ty][f"rho{k}"] - rho) < 1e-6, (ty, k)
+            q += rho * rho / (n - k)
+        q *= n * (n + 2)
+        assert abs(got[ty]["q_lb"] - q) / max(q, 1) < 1e-6, ty
+
+
+# ------------------------------------------------ blob dedup / skew
+
+
+def test_blob_dedup_finds_every_planted_copy(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.multimodal import (
+        PHASH_COPY_BASE,
+        PHASH_COPY_MOD,
+        mm_blob_dedup,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = mm_blob_dedup(spark, sf_dir).collect()
+    planted = {
+        r["doc_id"]
+        for r in load(spark, "documents", sf_dir).select("doc_id").collect()
+        if r["doc_id"] % PHASH_COPY_MOD == 0
+    }
+    found = {}
+    for r in rows:
+        assert r["n_copies"] >= 2
+        assert r["bytes_saved"] == (r["n_copies"] - 1) * r["n_bytes"]
+        found[r["keep_id"]] = [int(x) for x in r["dup_ids"].split(",")]
+    assert set(found) == planted  # corpus itself has no exact dups
+    for keep, dups in found.items():
+        assert dups == [keep + PHASH_COPY_BASE]
+
+
+def test_partition_skew_shares_sum_to_one(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        profile_partition_skew,
+    )
+
+    rows = profile_partition_skew(spark, sf_dir).collect()
+    assert abs(sum(r["pct_rows"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["skew_ratio"] for r in rows) / len(rows) - 1.0) < 1e-3
+    assert sum(r["is_largest"] for r in rows) >= 1
+    assert all(r["n_orders"] <= r["n_rows"] for r in rows)
