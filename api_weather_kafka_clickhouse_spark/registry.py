@@ -143,92 +143,78 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # replica that has predicted the driver gate bit-for-bit nine
 # rounds running).
 #
-# Round-11 rotation queue (WAVE 3 — the 11 r8 names that did not
-# fit wave 2, by name): pareto_revenue_share, customer_rfm_segments,
-# events_ab_test_lift, events_gini_concentration,
-# events_dispersion_index, text_kwic, text_lexical_diversity,
-# text_autocomplete_index, embedding_cosine_histogram,
-# quality_winsorize, dedup_simhash_band_occupancy — plus the
-# round-10 additions (appended as they land):
-# mm_phash_band_pairs, stats_spearman_corr, stats_kendall_tau,
-# geo_quadkey_rollup, clickhouse_dialect_battery3,
-# text_ngram_novelty, time_hopping_windows, graph_bfs_layers,
-# text_zipf_fit, time_cusum_drift, stats_levene_bf,
-# join_interval_bucket, events_bot_detection, sim_cascade_rerank,
-# stats_friedman, geo_geohash_encode, events_ab_srm_check,
-# sample_neyman_allocation, text_cdc_chunking, dedup_cdc_chunks,
-# events_sequence_count, part_abc_classification,
-# events_dau_mau_stickiness, supplier_herfindahl,
-# time_sma_crossover.
-# After wave 3 every query registered through r10 has
-# >= 1 driver row, restoring the r7 invariant.
+# Round-11 rotation (WAVE 3, executed — the queue finally FIT the
+# free slots): the 46 non-anchor slots swap from the r10-green wave-2
+# occupants to (a) ALL 36 never-driver-gated names — the 11 r8 spill
+# names plus all 25 round-10 additions, (b) the two r01 re-gates
+# agg_conditional / unpivot_measures, whose ONLY driver rows were r01
+# hash FAILs (fixed in r02, local-green ever since, never re-proven
+# to the driver), and (c) the 8 round-11 additions (CDC Rabin kernel,
+# int8-lattice k-means, dialect battery 4, Jarque-Bera, BH-FDR,
+# Ljung-Box, blob dedup, partition-skew audit). The four family
+# anchors KEEP their slots. After this round EVERY registered query
+# has >= 1 driver CORRECTNESS row and the r01 hash-FAIL residue is
+# closed; rotated-out queries remain oracle-verified locally in
+# tests/test_oracle_parity.py (the replica that has predicted the
+# driver gate bit-for-bit ten rounds running).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no queue member covers these families)
-    "curation_funnel",  # KEEP: curation chain (gated r7-r9)
-    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r9)
-    "set_ops",  # KEEP: set-operations anchor (gated r1-r9)
-    "mm_phash_signatures",  # KEEP: multimodal (hash-checked as of r10)
-    # geo family — first driver rows EVER for the family
-    "geo_cell_density",
-    "geo_radius_join",
-    "geo_knn_grid",
-    "geo_dbscan_classify",
-    # stats battery round 2 — first driver rows
-    "stats_chi_square",
-    "stats_mann_whitney",
-    "stats_bootstrap_ci",
-    "stats_survival_km",
-    "stats_theil_sen",
-    "stats_kruskal_wallis",
-    "stats_runs_test",
-    # graph round 2 — first driver rows
-    "graph_pagerank",
-    "graph_kcore",
-    # quantized retrieval trio — first driver rows
-    "sim_mmr_rerank",
-    "embedding_binary_hamming",
-    "sample_kcenter_coreset",
-    # privacy family — first driver rows EVER for the family
-    "privacy_dp_counts",
-    "privacy_k_anonymity",
-    # dialect batteries — first driver rows
-    "clickhouse_dialect_battery",
-    "clickhouse_dialect_battery2",
-    # dedup — first driver rows
-    "dedup_jaccard_prefix",
-    # text analysis — first driver rows
-    "text_keyword_rake",
-    "text_pmi_collocations",
-    "text_bpe_merge_candidates",
-    "text_lang_confusion",
-    "text_hashing_trick_features",
-    # quality / audit — first driver rows
-    "quality_json_audit",
-    # time series — first driver rows
-    "time_holt_linear",
-    # event analytics — first driver rows
-    "events_markov_entropy",
-    "events_attribution_last_touch",
-    "events_anomaly_mad",
-    "events_sequence_match",
-    "events_top_paths",
-    "events_error_rate_wilson",
-    # customer / revenue analytics — first driver rows
-    "customer_order_gaps",
-    "orders_cohort_ltv",
-    "copurchase_pairs_lift",
-    "intervals_concurrency",
-    # embeddings — first driver rows
-    "embedding_pq_int8",
-    "embedding_truncate_recall",
-    # ML prep / sampling / curriculum — first driver rows
-    "feature_target_encoding",
-    "sample_balanced_downsample",
-    "curriculum_rank_distributed",
-    "mixture_token_budget",
-    # profiling / storage layout — first driver rows
-    "profile_table_stats",
-    "layout_zorder_key",
+    "curation_funnel",  # KEEP: curation chain (gated r7-r10)
+    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r10)
+    "set_ops",  # KEEP: set-operations anchor (gated r1-r10)
+    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10)
+    # --- the 11 r8 wave-3 spill names (queued since r9) ---
+    "pareto_revenue_share",
+    "customer_rfm_segments",
+    "events_ab_test_lift",
+    "events_gini_concentration",
+    "events_dispersion_index",
+    "text_kwic",
+    "text_lexical_diversity",
+    "text_autocomplete_index",
+    "embedding_cosine_histogram",
+    "quality_winsorize",
+    "dedup_simhash_band_occupancy",
+    # --- all 25 round-10 additions (queued since r10) ---
+    "mm_phash_band_pairs",
+    "stats_spearman_corr",
+    "stats_kendall_tau",
+    "geo_quadkey_rollup",
+    "clickhouse_dialect_battery3",
+    "text_ngram_novelty",
+    "time_hopping_windows",
+    "graph_bfs_layers",
+    "text_zipf_fit",
+    "time_cusum_drift",
+    "stats_levene_bf",
+    "join_interval_bucket",
+    "events_bot_detection",
+    "sim_cascade_rerank",
+    "stats_friedman",
+    "geo_geohash_encode",
+    "events_ab_srm_check",
+    "sample_neyman_allocation",
+    "text_cdc_chunking",
+    "dedup_cdc_chunks",
+    "events_sequence_count",
+    "part_abc_classification",
+    "events_dau_mau_stickiness",
+    "supplier_herfindahl",
+    "time_sma_crossover",
+    # --- r01 re-gates: their ONLY driver rows are r01 hash FAILs,
+    # fixed in r02 and local-green for nine rounds; the driver has
+    # never confirmed the fix (r10 verdict item 2) ---
+    "agg_conditional",
+    "unpivot_measures",
+    # --- the 8 round-11 additions (new code meets the driver cold) ---
+    "text_cdc_chunking_rabin",
+    "embedding_kmeans_int8",
+    "clickhouse_dialect_battery4",
+    "stats_jarque_bera",
+    "stats_fdr_bh",
+    "time_ljung_box",
+    "mm_blob_dedup",
+    "profile_partition_skew",
 )
 
 

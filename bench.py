@@ -88,6 +88,18 @@ HEADLINE = [
     "time_hopping_windows",
     "graph_bfs_layers",
     "mm_phash_band_pairs",
+    # round-11: the chunk-dedup family gets its bench entries (the r10
+    # verdict's item 4) — the md5 exact-SQL chunker vs its Arrow
+    # rolling-hash production kernel side by side ON THE CONTRACT LINE
+    # (the whole point of the kernel is the measured gap), the chunk
+    # equi-join dedup built on it, the two-stage cascade whose value
+    # claim is the cheap-stage/exact-stage split, and the 512-term
+    # codegen argmin of the int8-lattice k-means
+    "text_cdc_chunking",
+    "text_cdc_chunking_rabin",
+    "dedup_cdc_chunks",
+    "sim_cascade_rerank",
+    "embedding_kmeans_int8",
 ]
 
 
