@@ -1577,22 +1577,20 @@ def _i8_round_mean(s: int, n: int) -> int:
 
 
 def _i8_assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Nearest integer centroid, ties to the lowest cluster index —
-    pure codegen: k x dim literal squared-diff terms, an array_min +
-    array_position argmin; no UDF, no join, no shuffle."""
-    dists = F.array(
-        *[
-            sum(
-                ((F.col("q")[i] - F.lit(c[i])) * (F.col("q")[i] - F.lit(c[i]))
-                 for i in range(_DIM)),
-                F.lit(0).cast("bigint"),
-            )
-            for c in centroids
-        ]
-    )
+    """Nearest integer centroid, ties to the lowest cluster index, via
+    the family's Arrow-vectorized assignment (_assign_udf: one
+    n x d @ d x k matmul per batch). STILL exact: codes and centroids
+    are integers <= 254, so ||c||^2 and every partial sum of the
+    2 x*c products are integers far below 2^53 — float64 represents
+    each intermediate exactly, BLAS summation order cannot matter,
+    and np.argmin's first-minimum rule is array_position's tie rule.
+    (A codegen k x dim literal squared-diff formulation was tried
+    first and benched 5x slower than float Lloyd per iteration: 512
+    expanded terms blow the JIT method budget and fall back to
+    interpreted per-row eval — the Arrow matmul is the right shape,
+    exactly as it is for the float variant.)"""
     return codes.withColumn(
-        "cluster",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"),
+        "cluster", _assign_udf(centroids)(F.col("q")).cast("bigint")
     )
 
 
@@ -1703,8 +1701,9 @@ def _i8_oracle_sql(k: int, iters: int) -> str:
     "reproduce bit-for-bit and the family finally has a hash-checked "
     "member (the float variant's avg is summation-order-sensitive "
     "and stays rows-only by adjudication at its registration). "
-    "Assignment is pure codegen (k x dim literal squared diffs, "
-    "array_position argmin — no UDF, no join); the update is one "
+    "Assignment is the family's Arrow-vectorized matmul — exact "
+    "here because every float64 intermediate is an integer under "
+    "2^53 (see _i8_assign); the update is one "
     "map-side-combined groupBy of dim integer sums; only the k x dim "
     "centroid matrix reaches the driver per iteration. Lattice "
     "rounding can cost a point of SSE monotonicity vs float Lloyd "
