@@ -1704,12 +1704,19 @@ def time_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     "footers' worth of work per partition, not data.",
 )
 def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import stage_checkpoint
+
     li = load(spark, "lineitem", sf_dir)
-    parts = li.groupBy(
-        F.trunc("l_shipdate", "month").alias("part_month")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    # staged: the calendar-sized partition profile feeds the totals
+    # aggregate AND the final projection — unstaged, Catalyst expands
+    # the lineage twice and the FACT TABLE scans twice (seen in this
+    # round's plan audit); checkpointing ~12 rows buys one scan.
+    parts = stage_checkpoint(
+        li.groupBy(F.trunc("l_shipdate", "month").alias("part_month")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        ),
+        "partition_skew_parts",
     )
     tot = parts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),

@@ -1628,12 +1628,14 @@ def kmeans_int8_fit_assign(
     return assigned.select(id_col, "cluster"), centroids
 
 
-def _i8_oracle_sql(k: int, iters: int) -> str:
-    """Unrolled exact-integer Lloyd as DuckDB CTEs: per iteration one
+def _i8_lloyd_ctes(k: int, iters: int) -> list[str]:
+    """The unrolled exact-integer Lloyd as DuckDB CTE parts (shared by
+    the k-means oracle and the IVF-int8 oracle): per iteration one
     cross join against the k-row centroid table (argmin via
     row_number with the cluster tiebreak), one per-dim integer-sum
     update re-rounded to the lattice, empty clusters inheriting the
-    previous centroid."""
+    previous centroid. The final assignment CTE is a{iters}; the
+    centroids that PRODUCED it are cent{iters-1}."""
     parts = [
         f"""pts AS (
       SELECT vec_id,
@@ -1681,9 +1683,13 @@ def _i8_oracle_sql(k: int, iters: int) -> str:
       GROUP BY c.cluster, c.cv
     )"""
         )
+    return parts
+
+
+def _i8_oracle_sql(k: int, iters: int) -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_i8_lloyd_ctes(k, iters))
         + f"""
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"""
     )
@@ -1715,3 +1721,131 @@ def embedding_kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir)
     assigned, _ = kmeans_int8_fit_assign(_i8_codes(e))
     return assigned
+
+
+# --- IVF retrieval on the int8 lattice (round 11) -----------------------
+
+IVF8_TOP_K = 10
+
+
+def _i8_ivf_oracle_sql(k: int, iters: int) -> str:
+    t = iters - 1  # the centroids that produced the final assignment
+    l2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_i8_lloyd_ctes(k, iters))
+        + f""",
+    qs AS (
+      SELECT vec_id AS query_id, q AS qv FROM pts WHERE vec_id < {N_QUERIES}
+    ),
+    qd AS (
+      SELECT query_id, c.cluster,
+             {l2.format(d=_DIM, a="qv", b="c.cv")} AS d
+      FROM qs CROSS JOIN cent{t} c
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cluster) AS rn
+        FROM qd)
+      WHERE rn <= {IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS nbr_id
+      FROM probes p JOIN a{iters} a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.nbr_id,
+             {l2.format(d=_DIM, a="q2.qv", b="p2.q")} AS l2
+      FROM cand c
+      JOIN qs q2 ON q2.query_id = c.query_id
+      JOIN pts p2 ON p2.vec_id = c.nbr_id
+    )
+    SELECT query_id, nbr_id, CAST(l2 AS BIGINT) AS l2,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY l2, nbr_id) AS rn FROM scored)
+    WHERE rn <= {IVF8_TOP_K}"""
+    )
+
+
+@register(
+    "sim_ivf_int8",
+    oracle=_i8_ivf_oracle_sql(KMEANS_K, KMEANS_I8_ITERS),
+    doc=f"IVF ANN retrieval, hash-checked END TO END — the upgrade "
+    "sim_ivf_kmeans (rows-only: float Lloyd) cannot have: the coarse "
+    "quantizer is the integer-lattice k-means, queries probe the "
+    f"{IVF_PROBES} nearest cells by the SAME exact integer squared-L2 "
+    "the training assignment used (tie -> lowest cell), candidates "
+    "come from ONE equi-join on the cell id, and the rerank metric "
+    "is the exact integer L2 with an nbr_id total tiebreak — every "
+    "number in train, probe, and rank is integer arithmetic the "
+    "DuckDB oracle re-derives bit-for-bit (unrolled Lloyd CTEs + "
+    "probe/rerank CTEs). Same 100 TB shape as sim_ivf_kmeans: a few "
+    "training scans with k x dim partial sums, one repartition by "
+    f"cell, each query reads ~{IVF_PROBES}/{KMEANS_K} of the corpus; "
+    "the probe step is the family's Arrow matmul (exact on lattice "
+    "inputs, _i8_assign's argument), the rerank a 64-element "
+    "zip_with fold per CANDIDATE. Recall vs exhaustive integer L2 "
+    "is pinned in tests/test_round11_ops.py.",
+)
+def sim_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    codes = _i8_codes(e)
+    init = codes.orderBy("vec_id").limit(KMEANS_K).select("q").collect()
+    centroids = [list(r[0]) for r in init]
+    for _ in range(KMEANS_I8_ITERS - 1):
+        assigned = _i8_assign(codes, centroids)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_DIM)],
+            )
+            .collect()
+        )
+        new_c = list(centroids)
+        for r in stats:
+            new_c[int(r["cluster"])] = [
+                _i8_round_mean(int(r[f"s{i}"]), int(r["n"])) for i in range(_DIM)
+            ]
+        centroids = new_c
+    # final cells AND probes use the same centroids (cent{iters-1})
+    corpus = _i8_assign(codes, centroids).select(
+        F.col("vec_id").alias("nbr_id"), F.col("q").alias("nv"), "cluster"
+    )
+    qs = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    probes = qs.select(
+        "query_id",
+        "qv",
+        F.explode(_assign_topr_udf(centroids, IVF_PROBES)(F.col("qv"))).alias(
+            "cluster"
+        ),
+    )
+    cand = corpus.join(F.broadcast(probes), "cluster").filter(
+        F.col("nbr_id") != F.col("query_id")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("l2", "nbr_id")
+    return (
+        cand.withColumn("l2", l2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF8_TOP_K)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.col("l2").cast("bigint").alias("l2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -343,3 +343,57 @@ def test_partition_skew_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r["skew_ratio"] for r in rows) / len(rows) - 1.0) < 1e-3
     assert sum(r["is_largest"] for r in rows) >= 1
     assert all(r["n_orders"] <= r["n_rows"] for r in rows)
+
+
+# ------------------------------------------------ IVF on the lattice
+
+
+def test_ivf_int8_exact_within_probes_and_recall(spark, sf_dir):
+    """Two properties, both against an independent Python-int
+    re-derivation: (a) the returned list IS the exact top-k by
+    integer L2 within the probed cells, (b) recall@10 vs EXHAUSTIVE
+    integer L2 clears the bound that makes the index useful."""
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        _DIM,
+        _I8_SHIFT,
+        IVF8_TOP_K,
+        N_QUERIES,
+        sim_ivf_int8,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = load(spark, "embeddings", sf_dir).select("vec_id", "embedding").collect()
+    codes = {
+        r["vec_id"]: np.array(
+            [int(np.round(np.float64(x) * _I8_SHIFT)) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        for r in rows
+    }
+    got: dict[int, list] = {}
+    for r in sim_ivf_int8(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["nbr_id"], r["l2"]))
+    assert set(got) == set(range(N_QUERIES))
+    hit = tot = 0
+    for qid, lst in got.items():
+        lst.sort()
+        qv = codes[qid]
+        # (a) reported l2 values are the true integer distances
+        for _, nbr, l2 in lst:
+            d = int(((qv - codes[nbr]) ** 2).sum())
+            assert d == l2, (qid, nbr)
+        # ranks strictly ordered by (l2, nbr_id)
+        keys = [(l2, nbr) for _, nbr, l2 in lst]
+        assert keys == sorted(keys)
+        # (b) recall vs exhaustive
+        exact = sorted(
+            (int(((qv - c) ** 2).sum()), vid)
+            for vid, c in codes.items()
+            if vid != qid
+        )[:IVF8_TOP_K]
+        truth = {vid for _, vid in exact}
+        hit += len(truth & {nbr for _, nbr, _ in lst})
+        tot += len(truth)
+    assert hit / tot >= 0.5, f"recall@{IVF8_TOP_K} = {hit/tot:.2f}"
