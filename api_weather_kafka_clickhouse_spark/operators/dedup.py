@@ -1615,3 +1615,196 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _verify_pairs(cand, e, sizes=sz)
     return eager_release(out, "jaccard_prefix_pairs", e, pref)
+
+
+# --- SemDeDup on the int8 lattice (round 11) ----------------------------
+#
+# dedup_semdedup (above) stays rows-only: its cells come from float
+# Lloyd and its verify metric is a float cosine — neither is exactly
+# reproducible by a SQL oracle. This sibling is the hash-checked
+# member of the family: cells from the integer-lattice k-means
+# (similarity.embedding_kmeans_int8's machinery), and the cosine
+# threshold verified WITHOUT EVER DIVIDING — cos(x,y) >= t over
+# integer codes is the cross-multiplied integer predicate
+#   dot > 0  AND  dot^2 * D >= N * ||x||^2 * ||y||^2   (t^2 = N/D)
+# so candidate generation, verification, and the transitive closure
+# are all exact arithmetic both engines reproduce bit-for-bit.
+
+SEMDEDUP_I8_T2 = (441, 2500)  # t = 0.42 -> t^2 = 441/2500 exactly
+
+
+def _i8_l2_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _semdedup_i8_oracle() -> str:
+    from .similarity import _DIM, _i8_lloyd_ctes, KMEANS_K
+
+    n, d = SEMDEDUP_I8_T2
+    dot = (
+        f"list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> pa.q[i] * pb.q[i]))"
+    )
+    n2 = f"list_sum(list_transform(q, x -> x * x))"
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(_i8_lloyd_ctes(KMEANS_K, 2))
+        + f""",
+    pd AS (
+      SELECT p.vec_id, c.cluster,
+             {_i8_l2_sql("p.q", "c.cv", _DIM)} AS dist
+      FROM pts p CROSS JOIN cent1 c
+    ),
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM pd)
+      WHERE rn <= {SEMDEDUP_PROBES}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    norms AS (SELECT vec_id, q, {n2} AS n2 FROM pts),
+    pairs AS (
+      SELECT va, vb
+      FROM cand
+      JOIN norms pa ON pa.vec_id = va
+      JOIN norms pb ON pb.vec_id = vb
+      WHERE {dot} > 0
+        AND ({dot}) * ({dot}) * {d} >= {n} * pa.n2 * pb.n2
+    ),
+    edges AS (
+      SELECT va AS e_src, vb AS e_dst FROM pairs
+      UNION ALL
+      SELECT vb, va FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst
+      FROM reach JOIN edges e ON e.e_src = reach.r
+    ),
+    labels AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+    SELECT p.vec_id
+    FROM pts p LEFT JOIN labels l ON l.id = p.vec_id
+    WHERE l.canonical IS NULL OR l.canonical = p.vec_id"""
+    )
+
+
+@register(
+    "dedup_semdedup_int8",
+    oracle=_semdedup_i8_oracle(),
+    doc="SemDeDup, hash-checked end to end — the sibling "
+    "dedup_semdedup (float Lloyd cells + float cosine) can only ever "
+    "earn rows-only driver rows; this variant runs the SAME pipeline "
+    "shape (multi-probe cells bound the pair search, a cosine "
+    "threshold verifies, connected components keep the lowest id) "
+    "entirely in exact integer arithmetic: int8-lattice k-means "
+    f"cells (r={SEMDEDUP_PROBES} probes), and cos >= 0.42 as the "
+    "cross-multiplied predicate dot^2*2500 >= 441*|x|^2*|y|^2 with "
+    "dot > 0 (no division, no sqrt — products bounded by "
+    "(64*127^2)^2*2500 < 2^62). The DuckDB oracle re-derives "
+    "training, probing, verification, AND the transitive closure "
+    "(recursive CTE, min-label = the CC operator's canonical rule). "
+    "Same 100 TB shape as the float twin: sum(n_cell^2) candidate "
+    "cost, ids-only on the join wire, one CC. Quantization moves "
+    "the threshold by <= ~1% of cosine — acceptable for a dedup "
+    "band edge and the price of a bit-for-bit-checkable pipeline.",
+)
+def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import (
+        _DIM,
+        _assign_topr_udf,
+        _i8_assign,
+        _i8_codes,
+        _i8_round_mean,
+        KMEANS_K,
+    )
+
+    n_t2, d_t2 = SEMDEDUP_I8_T2
+    e = load(spark, "embeddings", sf_dir)
+    codes = _i8_codes(e)
+    init = codes.orderBy("vec_id").limit(KMEANS_K).select("q").collect()
+    centroids = [list(r[0]) for r in init]
+    # one update (iters=2 like the float twin): assign under cent0,
+    # fold the k x dim integer sums, probe with cent1
+    assigned = _i8_assign(codes, centroids)
+    stats = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_DIM)],
+        )
+        .collect()
+    )
+    new_c = list(centroids)
+    for r in stats:
+        new_c[int(r["cluster"])] = [
+            _i8_round_mean(int(r[f"s{i}"]), int(r["n"])) for i in range(_DIM)
+        ]
+    centroids = new_c
+    cells = codes.select(
+        "vec_id",
+        F.explode(
+            _assign_topr_udf(centroids, SEMDEDUP_PROBES)(F.col("q"))
+        ).alias("cell"),
+    ).persist()
+    ca = cells.select(F.col("vec_id").alias("va"), "cell")
+    cb = cells.select(F.col("vec_id").alias("vb"), "cell")
+    cand = (
+        ca.join(cb, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .dropDuplicates(["va", "vb"])
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    norms = codes.select("vec_id", "q", n2.alias("n2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.join(
+            norms.select(
+                F.col("vec_id").alias("va"),
+                F.col("q").alias("qa"),
+                F.col("n2").alias("na"),
+            ),
+            "va",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("vb"),
+                F.col("q").alias("qb"),
+                F.col("n2").alias("nb"),
+            ),
+            "vb",
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(d_t2)
+                >= F.lit(n_t2) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("va", "vb")
+    )
+    pairs = eager_release(pairs, "semdedup_i8_pairs", cells)
+    labels = connected_components(pairs, src="va", dst="vb")
+    dropped = labels.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return codes.select("vec_id").join(dropped, "vec_id", "left_anti")

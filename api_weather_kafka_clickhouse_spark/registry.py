@@ -143,6 +143,12 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # replica that has predicted the driver gate bit-for-bit nine
 # rounds running).
 #
+# Round-12 rotation queue (WAVE 4): queries registered AFTER the
+# wave-3 gate was pinned, by name — sim_ivf_int8 (hash-checked IVF
+# retrieval), dedup_semdedup_int8 (hash-checked SemDeDup). Swap them
+# into the gate next round for their first driver rows (the rotated-
+# out slots should be multi-round-green same-family redundancy).
+#
 # Round-11 rotation (WAVE 3, executed — the queue finally FIT the
 # free slots): the 46 non-anchor slots swap from the r10-green wave-2
 # occupants to (a) ALL 36 never-driver-gated names — the 11 r8 spill

@@ -397,3 +397,68 @@ def test_ivf_int8_exact_within_probes_and_recall(spark, sf_dir):
         hit += len(truth & {nbr for _, nbr, _ in lst})
         tot += len(truth)
     assert hit / tot >= 0.5, f"recall@{IVF8_TOP_K} = {hit/tot:.2f}"
+
+
+def test_semdedup_int8_subset_of_exact_and_recall(spark, sf_dir):
+    """The SemDeDup guarantees, re-derived for the lattice variant:
+    (a) never over-deletes — every dropped vector is dropped by the
+    exhaustive O(n^2) integer-threshold pipeline too (cells only
+    bound recall, each emitted pair is exact); (b) the multi-probe
+    cells keep pair recall useful."""
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.dedup import (
+        SEMDEDUP_I8_T2,
+        dedup_semdedup_int8,
+    )
+    from api_weather_kafka_clickhouse_spark.operators.similarity import (
+        _I8_SHIFT,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    rows = load(spark, "embeddings", sf_dir).select("vec_id", "embedding").collect()
+    ids = sorted(r["vec_id"] for r in rows)
+    codes = {
+        r["vec_id"]: np.array(
+            [int(np.round(np.float64(x) * _I8_SHIFT)) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        for r in rows
+    }
+    tn, td = SEMDEDUP_I8_T2
+    # exhaustive exact-integer pair graph
+    adj: dict[int, set] = {i: set() for i in ids}
+    n2 = {i: int((c * c).sum()) for i, c in codes.items()}
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            dot = int((codes[a] * codes[b]).sum())
+            if dot > 0 and dot * dot * td >= tn * n2[a] * n2[b]:
+                adj[a].add(b)
+                adj[b].add(a)
+    # exact transitive components -> exact dropped set
+    canon: dict[int, int] = {}
+    for i in ids:
+        if i in canon:
+            continue
+        comp, stack = [], [i]
+        seen = {i}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        m = min(comp)
+        for v in comp:
+            canon[v] = m
+    dropped_exact = {v for v, c in canon.items() if c != v}
+    survivors = {r["vec_id"] for r in dedup_semdedup_int8(spark, sf_dir).collect()}
+    dropped_got = set(ids) - survivors
+    assert dropped_got <= dropped_exact  # never over-deletes
+    assert dropped_exact, "fixture has no near-dups; test proves nothing"
+    # recall on the DROPPED set (the decision that matters)
+    assert len(dropped_got) / len(dropped_exact) >= 0.6, (
+        len(dropped_got),
+        len(dropped_exact),
+    )
