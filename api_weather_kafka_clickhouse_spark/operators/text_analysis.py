@@ -2371,90 +2371,6 @@ CDC_MIN_CHUNK = 16  # ignore sub-16-char chunks in the share join
 CDC_MIN_SHARED = 2  # candidate pair threshold
 
 
-@register(
-    "dedup_cdc_chunks",
-    oracle=f"""
-    WITH posu AS (
-      SELECT doc_id, text, strlen(text) AS n,
-             unnest(range(1, strlen(text) + 1)) AS pos
-      FROM documents WHERE strlen(text) > 0
-    ),
-    chars AS (
-      SELECT doc_id, pos, ascii(text[pos]) AS code,
-             CASE WHEN pos = 1 THEN 1
-                  WHEN pos <= n - {CDC_K} + 1
-                       AND CAST(('0x' || substr(md5(substr(text, pos, {CDC_K})), 1, 8))
-                                AS BIGINT) % {CDC_MASK + 1} = 0 THEN 1
-                  ELSE 0 END AS bflag
-      FROM posu
-    ),
-    assigned AS (
-      SELECT doc_id, pos, code,
-             sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS UNBOUNDED PRECEDING) AS chunk_id
-      FROM chars
-    ),
-    started AS (
-      SELECT doc_id, chunk_id, pos, code,
-             min(pos) OVER (PARTITION BY doc_id, chunk_id) AS start_pos
-      FROM assigned
-    ),
-    chunks AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars,
-             CAST(sum((pos - start_pos + 1) * code) % {CDC_MOD} AS BIGINT)
-               AS chunk_hash
-      FROM started GROUP BY doc_id, chunk_id, start_pos
-    ),
-    keyed AS (
-      SELECT DISTINCT doc_id, n_chars, chunk_hash
-      FROM chunks WHERE n_chars >= {CDC_MIN_CHUNK}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM keyed a JOIN keyed b
-      ON a.n_chars = b.n_chars AND a.chunk_hash = b.chunk_hash
-     AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= {CDC_MIN_SHARED}
-    """,
-    doc="CDC-chunk near-dup candidates: documents sharing >= "
-    f"{CDC_MIN_SHARED} content-defined chunks (of >= {CDC_MIN_CHUNK} "
-    "chars) pair up — the dedup-store identity applied to corpus "
-    "dedup, and the reason text_cdc_chunking exists: because "
-    "boundaries are content-defined, a shared passage yields "
-    "IDENTICAL (length, hash) chunk keys in both documents no matter "
-    "where it sits, so candidate generation is ONE equi-join on the "
-    "chunk key — the same never-all-pairs architecture as MinHash "
-    "banding but with exact substring identity instead of "
-    "probabilistic similarity (catches long verbatim quotes that "
-    "whole-doc MinHash dilutes below threshold). Per-doc chunk keys "
-    "are DISTINCT before the join so a passage repeated within one "
-    "document cannot inflate the pair count; viral boilerplate "
-    "chunks would get the dedup family's document-frequency cap at "
-    "real-corpus scale (noted, no-op here).",
-)
-def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = text_cdc_chunking(spark, sf_dir)
-    keyed = (
-        chunks.filter(F.col("n_chars") >= CDC_MIN_CHUNK)
-        .select("doc_id", "n_chars", "chunk_hash")
-        .distinct()
-    )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), "n_chars", "chunk_hash"
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), "n_chars", "chunk_hash"
-    )
-    return (
-        a.join(b, ["n_chars", "chunk_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= CDC_MIN_SHARED)
-    )
-
-
 # --- content-defined chunking, Arrow rolling-hash kernel (round 11) ----
 #
 # text_cdc_chunking (above) derives every boundary with a per-position
@@ -2677,3 +2593,91 @@ def cdc_rabin_exact_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_cdc_chunking_rabin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
     return d.select("doc_id", "text").mapInPandas(_cdc_rabin_batches, _CDC_SCHEMA)
+
+
+CDC_MIN_CHUNK = 16  # ignore sub-16-char chunks in the share join
+CDC_MIN_SHARED = 2  # candidate pair threshold
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH posu AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             unnest(range(1, strlen(text) + 1)) AS pos
+      FROM documents WHERE strlen(text) > 0
+    ),
+    chars AS (
+      SELECT doc_id, pos, ascii(text[pos]) AS code,
+             CASE WHEN pos = 1 THEN 1
+                  WHEN pos <= n - {CDC_K} + 1
+                       AND {_cdc_rabin_hash_sql("text", "pos")}
+                           % {CDC_MASK + 1} = 0 THEN 1
+                  ELSE 0 END AS bflag
+      FROM posu
+    ),
+    assigned AS (
+      SELECT doc_id, pos, code,
+             sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM chars
+    ),
+    started AS (
+      SELECT doc_id, chunk_id, pos, code,
+             min(pos) OVER (PARTITION BY doc_id, chunk_id) AS start_pos
+      FROM assigned
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars,
+             CAST(sum((pos - start_pos + 1) * code) % {CDC_MOD} AS BIGINT)
+               AS chunk_hash
+      FROM started GROUP BY doc_id, chunk_id, start_pos
+    ),
+    keyed AS (
+      SELECT DISTINCT doc_id, n_chars, chunk_hash
+      FROM chunks WHERE n_chars >= {CDC_MIN_CHUNK}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM keyed a JOIN keyed b
+      ON a.n_chars = b.n_chars AND a.chunk_hash = b.chunk_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {CDC_MIN_SHARED}
+    """,
+    doc="CDC-chunk near-dup candidates: documents sharing >= "
+    f"{CDC_MIN_SHARED} content-defined chunks (of >= {CDC_MIN_CHUNK} "
+    "chars) pair up — the dedup-store identity applied to corpus "
+    "dedup. Because boundaries are content-defined, a shared passage "
+    "yields IDENTICAL (length, hash) chunk keys in both documents no "
+    "matter where it sits, so candidate generation is ONE equi-join "
+    "on the chunk key — the never-all-pairs architecture of MinHash "
+    "banding with exact substring identity instead of probabilistic "
+    "similarity (catches long verbatim quotes whole-doc MinHash "
+    "dilutes below threshold). Round 11: the chunk stage now RIDES "
+    "THE PRODUCTION KERNEL (text_cdc_chunking_rabin's mapInPandas "
+    "rolling hash) instead of the per-char md5 explode — the gate "
+    "row therefore checks the production composition end to end, "
+    "and the oracle re-derives the polynomial boundaries in SQL. "
+    "Per-doc chunk keys are DISTINCT before the join so a passage "
+    "repeated within one document cannot inflate the pair count; "
+    "viral boilerplate chunks would get the dedup family's "
+    "document-frequency cap at real-corpus scale (noted, no-op "
+    "here).",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = text_cdc_chunking_rabin(spark, sf_dir)
+    keyed = (
+        chunks.filter(F.col("n_chars") >= CDC_MIN_CHUNK)
+        .select("doc_id", "n_chars", "chunk_hash")
+        .distinct()
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "n_chars", "chunk_hash")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "n_chars", "chunk_hash")
+    return (
+        a.join(b, ["n_chars", "chunk_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= CDC_MIN_SHARED)
+    )

@@ -100,6 +100,12 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "sim_cascade_rerank",
     "embedding_kmeans_int8",
+    # late round-11: the two hash-checked int8 siblings are new cost
+    # shapes (IVF probe pipeline over lattice cells; SemDeDup's
+    # integer-predicate verify + CC) — track them beside their float
+    # twins (sim_ivf_kmeans is not benched; dedup_semdedup is)
+    "sim_ivf_int8",
+    "dedup_semdedup_int8",
 ]
 
 
