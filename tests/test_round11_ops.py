@@ -462,3 +462,21 @@ def test_semdedup_int8_subset_of_exact_and_recall(spark, sf_dir):
         len(dropped_got),
         len(dropped_exact),
     )
+
+
+def test_rabin_kernel_property_random_strings():
+    """Hypothesis: the numpy kernel equals the pure-Python reference
+    on arbitrary text (ASCII fast path AND the ord() fallback),
+    including boundary-hostile shapes (len < K, len == K, repeats)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.characters(min_codepoint=32, max_codepoint=0x2FF)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=300))
+    def check(text: str) -> None:
+        got = _run_kernel([text]).get(0, [])
+        assert sorted(got) == _rabin_reference(text)
+
+    check()
