@@ -3176,3 +3176,257 @@ def time_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({x['q']}, 6)").alias("q_lb"),
         F.expr(f"{x['q']} > {LB_CHI2_5_95}").alias("serial_corr_at_05"),
     )
+
+
+# --- effect size + CUPED (round 11, experimentation practice) ----------
+
+CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period / post-period boundary
+
+
+def _cohens_exprs() -> dict[str, str]:
+    """Pooled-SD effect size from exact sufficient statistics, one
+    SQL text for both engines (the welch/JB discipline)."""
+    va = "((qa - aa * aa / na) / (na - 1))"
+    vb = "((qb - ab * ab / nb) / (nb - 1))"
+    pooled = f"(((na - 1) * {va} + (nb - 1) * {vb}) / (na + nb - 2))"
+    d = f"((aa / na - ab / nb) / sqrt({pooled}))"
+    return {
+        "d": d,
+        "g": f"({d} * (1 - 3 / (4 * (na + nb) - 9)))",
+        "pooled": pooled,
+    }
+
+
+@register(
+    "stats_cohens_d",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, user_id % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  AS DECIMAL(9,0)) AS cna,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(9,0)) AS cnb,
+             CAST(sum(CASE WHEN variant = 0 THEN yc ELSE 0 END)
+                  AS DECIMAL(20,0)) AS csa,
+             CAST(sum(CASE WHEN variant = 1 THEN yc ELSE 0 END)
+                  AS DECIMAL(20,0)) AS csb,
+             CAST(sum(CASE WHEN variant = 0
+                           THEN CAST(yc AS DECIMAL(19,0)) * yc ELSE 0 END)
+                  AS DECIMAL(30,0)) AS cqa,
+             CAST(sum(CASE WHEN variant = 1
+                           THEN CAST(yc AS DECIMAL(19,0)) * yc ELSE 0 END)
+                  AS DECIMAL(30,0)) AS cqb
+      FROM b GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type,
+             CAST(cna AS BIGINT) AS n_a, CAST(cnb AS BIGINT) AS n_b,
+             CAST(cna AS DOUBLE) AS na, CAST(cnb AS DOUBLE) AS nb,
+             CAST(csa AS DOUBLE) AS aa, CAST(csb AS DOUBLE) AS ab,
+             CAST(cqa AS DOUBLE) AS qa, CAST(cqb AS DOUBLE) AS qb
+      FROM g
+    )
+    SELECT event_type, n_a, n_b,
+           round(aa / na - ab / nb, 6) AS mean_diff_cents,
+           round(sqrt({_cohens_exprs()["pooled"]}), 6) AS pooled_sd,
+           round({_cohens_exprs()["d"]}, 9) AS cohens_d,
+           round({_cohens_exprs()["g"]}, 9) AS hedges_g
+    FROM d
+    """,
+    doc="Cohen's d / Hedges' g effect size per metric — the number an "
+    "A/B readout needs NEXT TO the p-value (stats_ttest_welch / "
+    "events_ab_test_lift tell you 'significant'; this tells you "
+    "'big enough to matter', in pooled-SD units, with the "
+    "small-sample g correction). Variant = user_id parity (the "
+    "events_ab_test_lift convention). Exact-DECIMAL sufficient "
+    "statistics in ONE conditional-aggregation scan (no second pass "
+    "per variant), then one shared double expression text for both "
+    "engines. Segment-bounded output.",
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    yc = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    isa = F.col("user_id") % 2 == 0
+    ycd = yc.cast("decimal(19,0)")
+    g = e.select(F.col("event_type"), isa.alias("ia"), yc.alias("yc"), (ycd * yc).alias("yq")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("decimal(9,0)").alias("cna"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("decimal(9,0)").alias("cnb"),
+        F.sum(F.when(F.col("ia"), F.col("yc")).otherwise(0)).cast("decimal(20,0)").alias("csa"),
+        F.sum(F.when(~F.col("ia"), F.col("yc")).otherwise(0)).cast("decimal(20,0)").alias("csb"),
+        F.sum(F.when(F.col("ia"), F.col("yq")).otherwise(0)).cast("decimal(30,0)").alias("cqa"),
+        F.sum(F.when(~F.col("ia"), F.col("yq")).otherwise(0)).cast("decimal(30,0)").alias("cqb"),
+    )
+    d = g.select(
+        "event_type",
+        F.col("cna").cast("bigint").alias("n_a"),
+        F.col("cnb").cast("bigint").alias("n_b"),
+        F.col("cna").cast("double").alias("na"),
+        F.col("cnb").cast("double").alias("nb"),
+        F.col("csa").cast("double").alias("aa"),
+        F.col("csb").cast("double").alias("ab"),
+        F.col("cqa").cast("double").alias("qa"),
+        F.col("cqb").cast("double").alias("qb"),
+    )
+    x = _cohens_exprs()
+    return d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("round(aa / na - ab / nb, 6)").alias("mean_diff_cents"),
+        F.expr(f"round(sqrt({x['pooled']}), 6)").alias("pooled_sd"),
+        F.expr(f"round({x['d']}, 9)").alias("cohens_d"),
+        F.expr(f"round({x['g']}, 9)").alias("hedges_g"),
+    )
+
+
+def _cuped_exprs() -> dict[str, str]:
+    """CUPED algebra as shared SQL text over exact per-variant and
+    global sufficient statistics (n/sp/so/spp/spo/soo + tn/tsp/tso/
+    tspp/tspo): theta from the GLOBAL pre/post covariance, per-variant
+    post and adjusted variances expanded so no per-user second pass
+    is ever needed:
+      var(adj) = var(post) - 2 theta cov(pre,post) + theta^2 var(pre).
+    """
+    theta = "((tn * tspo - tsp * tso) / (tn * tspp - tsp * tsp))"
+    mpre = "(tsp / tn)"
+    mean_post = "(so / n)"
+    mean_adj = f"({mean_post} - {theta} * (sp / n - {mpre}))"
+    var_post = "((soo - so * so / n) / (n - 1))"
+    var_pre = "((spp - sp * sp / n) / (n - 1))"
+    cov = "((spo - sp * so / n) / (n - 1))"
+    var_adj = (
+        f"({var_post} - 2 * {theta} * {cov}"
+        f" + {theta} * {theta} * {var_pre})"
+    )
+    return {
+        "theta": theta,
+        "mean_post": mean_post,
+        "mean_adj": mean_adj,
+        "var_post": var_post,
+        "var_adj": var_adj,
+        "red": f"(1 - {var_adj} / {var_post})",
+    }
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT variant,
+             CAST(count(*) AS DECIMAL(9,0)) AS n,
+             CAST(sum(pre) AS DECIMAL(22,0)) AS sp,
+             CAST(sum(post) AS DECIMAL(22,0)) AS so,
+             CAST(sum(CAST(pre AS DECIMAL(19,0)) * pre) AS DECIMAL(34,0)) AS spp,
+             CAST(sum(CAST(pre AS DECIMAL(19,0)) * post) AS DECIMAL(34,0)) AS spo,
+             CAST(sum(CAST(post AS DECIMAL(19,0)) * post) AS DECIMAL(34,0)) AS soo
+      FROM u GROUP BY variant
+    ),
+    t AS (
+      SELECT *,
+             CAST(sum(n) OVER () AS DOUBLE) AS tn,
+             CAST(sum(sp) OVER () AS DOUBLE) AS tsp,
+             CAST(sum(so) OVER () AS DOUBLE) AS tso,
+             CAST(sum(spp) OVER () AS DOUBLE) AS tspp,
+             CAST(sum(spo) OVER () AS DOUBLE) AS tspo
+      FROM g
+    ),
+    d AS (
+      SELECT CAST(variant AS BIGINT) AS variant,
+             CAST(n AS BIGINT) AS n_users,
+             CAST(n AS DOUBLE) AS n, CAST(sp AS DOUBLE) AS sp,
+             CAST(so AS DOUBLE) AS so, CAST(spp AS DOUBLE) AS spp,
+             CAST(spo AS DOUBLE) AS spo, CAST(soo AS DOUBLE) AS soo,
+             tn, tsp, tso, tspp, tspo
+      FROM t
+    )
+    SELECT variant, n_users,
+           round({_cuped_exprs()["theta"]}, 9) AS theta,
+           round({_cuped_exprs()["mean_post"]}, 6) AS mean_post,
+           round({_cuped_exprs()["mean_adj"]}, 6) AS mean_adjusted,
+           round({_cuped_exprs()["var_post"]}, 4) AS var_post,
+           round({_cuped_exprs()["var_adj"]}, 4) AS var_adjusted,
+           round({_cuped_exprs()["red"]}, 6) AS variance_reduction
+    FROM d
+    """,
+    doc="CUPED variance reduction — the standard pre-experiment-"
+    "covariate adjustment every mature A/B platform applies before "
+    "reading a metric: theta = cov(pre, post)/var(pre) from the "
+    "GLOBAL sample, adjusted metric = post - theta (pre - mean_pre), "
+    "reported per variant (user_id parity) with the realized "
+    "variance reduction 1 - var_adj/var_post. The identity "
+    "var(adj) = var(post) - 2 theta cov + theta^2 var(pre) means "
+    "everything comes from ONE per-user aggregate scan + one "
+    "6-number-per-variant rollup — no per-user second pass, no "
+    "re-scan with theta. Per-user pre/post sums are exact integer "
+    "cents; variant/global moments are exact DECIMAL; the double "
+    "algebra is one shared SQL text (the welch/JB/Ljung-Box "
+    "discipline). At 100 TB: fact scan -> user rollup (map-side "
+    "combined) -> 2-row output.",
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre_f = F.expr(f"ts < TIMESTAMP '{CUPED_SPLIT}'")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(pre_f, cents).otherwise(0)).cast("bigint").alias("pre"),
+        F.sum(F.when(~pre_f, cents).otherwise(0)).cast("bigint").alias("post"),
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "pre", "post"
+    )
+    pd_, po_ = F.col("pre").cast("decimal(19,0)"), F.col("post")
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum("pre").cast("decimal(22,0)").alias("sp"),
+        F.sum("post").cast("decimal(22,0)").alias("so"),
+        F.sum(pd_ * F.col("pre")).cast("decimal(34,0)").alias("spp"),
+        F.sum(pd_ * po_).cast("decimal(34,0)").alias("spo"),
+        F.sum(po_.cast("decimal(19,0)") * po_).cast("decimal(34,0)").alias("soo"),
+    )
+    wall = Window.partitionBy()
+    t = g.select(
+        "*",
+        F.sum("n").over(wall).cast("double").alias("tn"),
+        F.sum("sp").over(wall).cast("double").alias("tsp"),
+        F.sum("so").over(wall).cast("double").alias("tso"),
+        F.sum("spp").over(wall).cast("double").alias("tspp"),
+        F.sum("spo").over(wall).cast("double").alias("tspo"),
+    )
+    d = t.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("n").cast("double").alias("n"),
+        F.col("sp").cast("double").alias("sp"),
+        F.col("so").cast("double").alias("so"),
+        F.col("spp").cast("double").alias("spp"),
+        F.col("spo").cast("double").alias("spo"),
+        F.col("soo").cast("double").alias("soo"),
+        "tn", "tsp", "tso", "tspp", "tspo",
+    )
+    x = _cuped_exprs()
+    return d.select(
+        "variant",
+        "n_users",
+        F.expr(f"round({x['theta']}, 9)").alias("theta"),
+        F.expr(f"round({x['mean_post']}, 6)").alias("mean_post"),
+        F.expr(f"round({x['mean_adj']}, 6)").alias("mean_adjusted"),
+        F.expr(f"round({x['var_post']}, 4)").alias("var_post"),
+        F.expr(f"round({x['var_adj']}, 4)").alias("var_adjusted"),
+        F.expr(f"round({x['red']}, 6)").alias("variance_reduction"),
+    )

@@ -145,7 +145,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #
 # Round-12 rotation queue (WAVE 4): queries registered AFTER the
 # wave-3 gate was pinned, by name — sim_ivf_int8 (hash-checked IVF
-# retrieval), dedup_semdedup_int8 (hash-checked SemDeDup). Swap them
+# retrieval), dedup_semdedup_int8 (hash-checked SemDeDup),
+# stats_cohens_d (effect size), events_cuped_adjustment (CUPED
+# variance reduction). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

@@ -480,3 +480,73 @@ def test_rabin_kernel_property_random_strings():
         assert sorted(got) == _rabin_reference(text)
 
     check()
+
+
+# ------------------------------------------------ effect size / CUPED
+
+
+def test_cohens_d_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import stats_cohens_d
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["event_type"]: r for r in stats_cohens_d(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).selectExpr(
+        "event_type", "user_id % 2 = 0 AS ia",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc"
+    ).collect()
+    groups: dict[str, tuple[list, list]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], ([], []))[0 if r["ia"] else 1].append(r["yc"])
+    for ty, (a, b) in groups.items():
+        xa, xb = np.array(a, float), np.array(b, float)
+        pooled = ((len(xa) - 1) * xa.var(ddof=1) + (len(xb) - 1) * xb.var(ddof=1)) / (
+            len(xa) + len(xb) - 2
+        )
+        d = (xa.mean() - xb.mean()) / np.sqrt(pooled)
+        g = got[ty]
+        assert g["n_a"] == len(xa) and g["n_b"] == len(xb)
+        assert abs(g["cohens_d"] - d) < 1e-6, ty
+        corr = 1 - 3 / (4 * (len(xa) + len(xb)) - 9)
+        assert abs(g["hedges_g"] - d * corr) < 1e-6, ty
+
+
+def test_cuped_numpy_reference_and_guarantee(spark, sf_dir):
+    """Reference: per-user pre/post re-derived in Python, theta from
+    the global sample, adjusted stats per variant — plus the CUPED
+    guarantee var_adj <= var_post when theta is near-optimal (checked
+    via the operator's own outputs)."""
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        CUPED_SPLIT,
+        events_cuped_adjustment,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["variant"]: r for r in events_cuped_adjustment(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).selectExpr(
+        "user_id", f"ts < TIMESTAMP '{CUPED_SPLIT}' AS pre_f",
+        "CAST(round(value * 100) AS BIGINT) AS cents"
+    ).collect()
+    users: dict[int, list] = {}
+    for r in ev:
+        u = users.setdefault(r["user_id"], [0, 0])
+        u[0 if r["pre_f"] else 1] += r["cents"]
+    pre = np.array([v[0] for v in users.values()], float)
+    post = np.array([v[1] for v in users.values()], float)
+    n = len(pre)
+    theta = (n * (pre * post).sum() - pre.sum() * post.sum()) / (
+        n * (pre * pre).sum() - pre.sum() ** 2
+    )
+    for variant in (0, 1):
+        ids = np.array([uid % 2 == variant for uid in users], bool)
+        adj = post[ids] - theta * (pre[ids] - pre.mean())
+        g = got[variant]
+        assert g["n_users"] == int(ids.sum())
+        assert abs(g["theta"] - theta) < 1e-6
+        assert abs(g["mean_adjusted"] - adj.mean()) / max(abs(adj.mean()), 1) < 1e-6
+        assert abs(g["var_adjusted"] - adj.var(ddof=1)) / adj.var(ddof=1) < 1e-6
+        assert g["variance_reduction"] >= -0.05  # theta is global, per-variant
+        # var can tick up only by the cross-variant wobble, never much
