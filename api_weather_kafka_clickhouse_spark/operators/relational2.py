@@ -1736,3 +1736,148 @@ def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         (F.col("n_rows") == F.col("max_rows")).alias("is_largest"),
     )
+
+
+# --- Holt-Winters additive seasonal smoothing (round 11) ---------------
+
+HW_M = 7  # weekly season over the daily series
+HW_H = 7  # forecast horizon
+
+
+@register(
+    "time_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(x AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS step,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM d
+    ),
+    fold AS (
+      SELECT event_type, step, n_days, x AS level,
+             CAST(0.0 AS DOUBLE) AS trend,
+             [CAST(0.0 AS DOUBLE) for j in range(1, {HW_M} + 1)] AS seas
+      FROM s WHERE step = 1
+      UNION ALL
+      SELECT s.event_type, s.step, s.n_days,
+             0.5 * (s.x - f.seas[((s.step - 1) % {HW_M}) + 1])
+               + 0.5 * (f.level + f.trend) AS level,
+             0.5 * ((0.5 * (s.x - f.seas[((s.step - 1) % {HW_M}) + 1])
+                     + 0.5 * (f.level + f.trend)) - f.level)
+               + 0.5 * f.trend AS trend,
+             [CASE WHEN j = ((s.step - 1) % {HW_M}) + 1
+                   THEN 0.5 * (s.x
+                          - (0.5 * (s.x - f.seas[((s.step - 1) % {HW_M}) + 1])
+                             + 0.5 * (f.level + f.trend)))
+                        + 0.5 * f.seas[j]
+                   ELSE f.seas[j] END
+              for j in range(1, {HW_M} + 1)] AS seas
+      FROM fold f JOIN s ON s.event_type = f.event_type
+                        AND s.step = f.step + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(level, 6) AS level, round(trend, 6) AS trend,
+           array_to_string([CAST(round(seas[j], 6) AS VARCHAR)
+                            for j in range(1, {HW_M} + 1)], ',') AS seasonal,
+           round(level + {HW_H} * trend
+                 + seas[((n_days + {HW_H} - 1) % {HW_M}) + 1], 6)
+             AS forecast_h{HW_H}
+    FROM fold
+    WHERE step = n_days
+    """,
+    doc=f"Holt-Winters ADDITIVE seasonal smoothing (m={HW_M}, weekly "
+    "season over the daily series) — time_holt_linear plus the "
+    "seasonal state the weekday-cyclic volume actually needs; "
+    "alpha = beta = gamma = 0.5, so every smoothing step is a "
+    "binary-exact halving+add and both engines' folds agree bit for "
+    "bit (the holt_linear exactness argument extended to the "
+    "seasonal vector). Seasonal state initializes to zeros and "
+    "converges within the series' ~4 weekly cycles — one uniform "
+    "recurrence, no special-cased warm-up window. Same scale shape "
+    "as holt_linear: reduce FIRST (one map-side-combined day-bucket "
+    "aggregate), then fold the calendar-sized series per key — "
+    f"Spark carries (level, trend, {HW_M}-slot seasonal array, "
+    "counter) through one codegen higher-order aggregate; the "
+    "oracle mirrors it with a recursive CTE rebuilding the list "
+    "per step. Emits final state + the h={HW_H} forecast with the "
+    "phase-matched seasonal term.",
+)
+def time_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    series = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x").cast("double"),
+        ).alias("xs")
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(HW_M)])
+    init = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("trend"),
+        zeros.alias("seas"),
+        F.lit(0).alias("cnt"),
+    )
+
+    def step(acc, x):
+        cnt = acc.getField("cnt")
+        # 1-based seasonal slot of THIS step: ((cnt+1)-1) % m + 1
+        slot = (cnt % HW_M) + 1
+        s_prev = F.element_at(acc.getField("seas"), slot)
+        lvl = F.lit(0.5) * (x - s_prev) + F.lit(0.5) * (
+            acc.getField("level") + acc.getField("trend")
+        )
+        trd = F.lit(0.5) * (lvl - acc.getField("level")) + F.lit(0.5) * acc.getField(
+            "trend"
+        )
+        s_new = F.lit(0.5) * (x - lvl) + F.lit(0.5) * s_prev
+        seas_upd = F.transform(
+            acc.getField("seas"),
+            lambda v, j: F.when(j + 1 == slot, s_new).otherwise(v),
+        )
+        return F.when(
+            cnt == 0,
+            F.struct(
+                x.alias("level"),
+                F.lit(0.0).alias("trend"),
+                acc.getField("seas").alias("seas"),
+                F.lit(1).alias("cnt"),
+            ),
+        ).otherwise(
+            F.struct(
+                lvl.alias("level"),
+                trd.alias("trend"),
+                seas_upd.alias("seas"),
+                (cnt + 1).alias("cnt"),
+            )
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.aggregate("xs", init, step).alias("st"),
+    )
+    lvl = F.col("st").getField("level")
+    trd = F.col("st").getField("trend")
+    seas = F.col("st").getField("seas")
+    fc_slot = ((F.col("n_days") + HW_H - 1) % HW_M + 1).cast("int")
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(lvl, 6).alias("level"),
+        F.round(trd, 6).alias("trend"),
+        F.array_join(
+            F.transform(seas, lambda v: F.round(v, 6).cast("string")), ","
+        ).alias("seasonal"),
+        F.round(lvl + F.lit(float(HW_H)) * trd + F.element_at(seas, fc_slot), 6).alias(
+            f"forecast_h{HW_H}"
+        ),
+    )

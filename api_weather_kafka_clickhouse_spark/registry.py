@@ -147,7 +147,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # wave-3 gate was pinned, by name — sim_ivf_int8 (hash-checked IVF
 # retrieval), dedup_semdedup_int8 (hash-checked SemDeDup),
 # stats_cohens_d (effect size), events_cuped_adjustment (CUPED
-# variance reduction). Swap them
+# variance reduction), time_holt_winters (additive seasonal
+# smoothing). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

@@ -550,3 +550,44 @@ def test_cuped_numpy_reference_and_guarantee(spark, sf_dir):
         assert abs(g["var_adjusted"] - adj.var(ddof=1)) / adj.var(ddof=1) < 1e-6
         assert g["variance_reduction"] >= -0.05  # theta is global, per-variant
         # var can tick up only by the cross-variant wobble, never much
+
+
+def test_holt_winters_python_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        HW_H,
+        HW_M,
+        time_holt_winters,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["event_type"]: r for r in time_holt_winters(spark, sf_dir).collect()}
+    d = (
+        load(spark, "events", sf_dir)
+        .selectExpr("event_type", "date_trunc('day', ts) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in d:
+        series.setdefault(r["event_type"], []).append((r["day"], float(r["count"])))
+    for ty, rows in series.items():
+        rows.sort()
+        xs = [x for _, x in rows]
+        level, trend, seas = xs[0], 0.0, [0.0] * HW_M
+        for t in range(1, len(xs)):
+            slot = t % HW_M  # 0-based slot of step t+1 (cnt==t)
+            sp = seas[slot]
+            lvl = 0.5 * (xs[t] - sp) + 0.5 * (level + trend)
+            trend = 0.5 * (lvl - level) + 0.5 * trend
+            seas[slot] = 0.5 * (xs[t] - lvl) + 0.5 * sp
+            level = lvl
+        g = got[ty]
+        assert g["n_days"] == len(xs)
+        assert abs(g["level"] - level) < 1e-6
+        assert abs(g["trend"] - trend) < 1e-6
+        fc = level + HW_H * trend + seas[(len(xs) + HW_H - 1) % HW_M]
+        assert abs(g[f"forecast_h{HW_H}"] - fc) < 1e-6
+        got_seas = [float(v) for v in g["seasonal"].split(",")]
+        assert all(abs(a - b) < 1e-5 for a, b in zip(got_seas, seas))
+        assert any(abs(v) > 0.5 for v in seas)  # seasonality learned
