@@ -3430,3 +3430,96 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({x['var_adj']}, 4)").alias("var_adjusted"),
         F.expr(f"round({x['red']}, 6)").alias("variance_reduction"),
     )
+
+
+# --- A/B sample-size (power) analysis (round 11) ------------------------
+
+POWER_Z_ALPHA = 1.9599639845400545  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+POWER_MDE_PCT = 2  # minimum detectable effect, % of the metric mean
+
+
+@register(
+    "stats_power_analysis",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(9,0)) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DECIMAL(34,4)) AS s2
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+             CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2
+      FROM g
+    ),
+    m AS (
+      SELECT event_type, n_obs,
+             s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM d
+    )
+    SELECT event_type, n_obs,
+           round(mean, 6) AS mean,
+           round(sqrt(var), 6) AS sd,
+           round(mean * {POWER_MDE_PCT} / 100.0, 6) AS mde_abs,
+           CAST(ceil(2 * var
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                / ((mean * {POWER_MDE_PCT} / 100.0)
+                   * (mean * {POWER_MDE_PCT} / 100.0))) AS BIGINT)
+             AS n_per_arm,
+           CAST(ceil(2 * var
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                / ((mean * {POWER_MDE_PCT} / 100.0)
+                   * (mean * {POWER_MDE_PCT} / 100.0))) AS BIGINT)
+             <= n_obs / 2 AS currently_powered
+    FROM m
+    """,
+    doc=f"A/B sample-size calculator per metric — the question asked "
+    "BEFORE the experiment the rest of the A/B battery reads after: "
+    "n per arm = 2 sigma^2 (z_alpha/2 + z_beta)^2 / delta^2 for a "
+    f"{POWER_MDE_PCT}%-of-mean minimum detectable effect at "
+    "alpha=.05, power=.80 (z quantiles as literals — no CDF "
+    "inversion at query time). Variance from the exact-DECIMAL "
+    "moment discipline; one shared double expression; flags whether "
+    "the CURRENT traffic (n/2 per arm) already powers the test. "
+    "One map-side-combined groupBy; 5 result rows.",
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum(v).cast("decimal(24,2)").alias("s1"),
+        F.sum(v * v).cast("decimal(34,4)").alias("s2"),
+    )
+    d = g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.col("n").cast("double").alias("n"),
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+    )
+    m = d.select(
+        "event_type",
+        "n_obs",
+        F.expr("s1 / n").alias("mean"),
+        F.expr("(s2 - s1 * s1 / n) / (n - 1)").alias("var"),
+    )
+    zz = f"({POWER_Z_ALPHA} + {POWER_Z_BETA}) * ({POWER_Z_ALPHA} + {POWER_Z_BETA})"
+    mde = f"(mean * {POWER_MDE_PCT} / 100.0)"
+    n_arm = f"CAST(ceil(2 * var * {zz} / ({mde} * {mde})) AS BIGINT)"
+    return m.select(
+        "event_type",
+        "n_obs",
+        F.expr("round(mean, 6)").alias("mean"),
+        F.expr("round(sqrt(var), 6)").alias("sd"),
+        F.expr(f"round({mde}, 6)").alias("mde_abs"),
+        F.expr(n_arm).alias("n_per_arm"),
+        F.expr(f"{n_arm} <= n_obs / 2").alias("currently_powered"),
+    )

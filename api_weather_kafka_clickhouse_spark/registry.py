@@ -148,7 +148,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # retrieval), dedup_semdedup_int8 (hash-checked SemDeDup),
 # stats_cohens_d (effect size), events_cuped_adjustment (CUPED
 # variance reduction), time_holt_winters (additive seasonal
-# smoothing). Swap them
+# smoothing), graph_adamic_adar (rarity-weighted link prediction),
+# stats_power_analysis (A/B sample-size calculator). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

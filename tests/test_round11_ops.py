@@ -591,3 +591,70 @@ def test_holt_winters_python_reference(spark, sf_dir):
         got_seas = [float(v) for v in g["seasonal"].split(",")]
         assert all(abs(a - b) < 1e-5 for a, b in zip(got_seas, seas))
         assert any(abs(v) > 0.5 for v in seas)  # seasonality learned
+
+
+def test_adamic_adar_python_reference(spark, sf_dir):
+    import math
+
+    from api_weather_kafka_clickhouse_spark.operators.affinity import (
+        CN_TOP,
+        graph_adamic_adar,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    edges = {
+        (r["l_suppkey"], r["l_partkey"])
+        for r in load(spark, "lineitem", sf_dir)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    by_part: dict[int, list] = {}
+    for s, p in edges:
+        by_part.setdefault(p, []).append(s)
+    scores: dict[tuple, list] = {}
+    for p, supps in by_part.items():
+        if len(supps) < 2:
+            continue
+        wu = round(1_000_000 / math.log(len(supps)))
+        supps.sort()
+        for i, a in enumerate(supps):
+            for b in supps[i + 1 :]:
+                e = scores.setdefault((a, b), [0, 0])
+                e[0] += 1
+                e[1] += wu
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:CN_TOP]
+    got = sorted(
+        ((r["rk"], r["supp_a"], r["supp_b"], r["cn"], r["adamic_adar"])
+         for r in graph_adamic_adar(spark, sf_dir).collect())
+    )
+    assert len(got) == min(CN_TOP, len(scores))
+    for (rk, sa, sb, cn, aa), ((ea, eb), (ecn, emicro)) in zip(got, ranked):
+        assert (sa, sb, cn) == (ea, eb, ecn), rk
+        assert abs(aa - emicro / 1e6) < 1e-6, rk
+
+
+def test_power_analysis_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        POWER_MDE_PCT,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+        stats_power_analysis,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    got = {r["event_type"]: r for r in stats_power_analysis(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).select("event_type", "value").collect()
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    for ty, vals in groups.items():
+        x = np.array(vals, float)
+        mde = x.mean() * POWER_MDE_PCT / 100
+        n = int(np.ceil(2 * x.var(ddof=1) * (POWER_Z_ALPHA + POWER_Z_BETA) ** 2 / mde**2))
+        g = got[ty]
+        assert abs(g["n_per_arm"] - n) <= 1, ty  # ceil boundary slack
+        assert g["currently_powered"] == (g["n_per_arm"] <= g["n_obs"] / 2)
+        assert g["n_per_arm"] > 0
