@@ -1067,3 +1067,134 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "adamic_adar", e)
+
+
+# --- local clustering coefficient (round 11 continuation) ---------------
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      GROUP BY node
+    ), e AS (
+      SELECT CASE WHEN (du.degree, e0.u) < (dv.degree, e0.v) THEN u ELSE v END AS s,
+             CASE WHEN (du.degree, e0.u) < (dv.degree, e0.v) THEN v ELSE u END AS t
+      FROM e0
+      JOIN deg du ON du.node = e0.u
+      JOIN deg dv ON dv.node = e0.v
+    ), tri AS (
+      SELECT e1.s AS a, e1.t AS b2, e2.t AS c
+      FROM e e1
+      JOIN e e2 ON e2.s = e1.t
+      JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+    ), pertri AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b2 FROM tri
+      UNION ALL SELECT c FROM tri
+    ), tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM pertri GROUP BY node
+    )
+    SELECT d.node AS part, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1.0)), 9) AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.degree >= 2
+    """,
+    doc="Local clustering coefficient per node of the co-purchase "
+    "graph: 2*tri(v) / (deg(v)*(deg(v)-1)) — the community-structure "
+    "metric built directly on graph_triangles' machinery (how close "
+    "each part's neighborhood is to a clique; the per-node companion "
+    "to the global triangle census). Triangle enumeration reuses the "
+    "degree-orientation trick (out-degree O(sqrt(m)), wedge join "
+    "bounded O(m^1.5)); per-node counts come from exploding each "
+    "id-normalized triangle to its three corners — an edge-dimension "
+    "unionAll, never a fact-table pass — and the coefficient is ONE "
+    "final IEEE division of exact bigint counts, rounded for the "
+    "cross-engine hash. Degree table attaches by broadcast; nodes "
+    "with degree < 2 (coefficient undefined) are excluded in both "
+    "engines.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    li = load(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    # persisted: e0 feeds the degree union (twice) and the orientation
+    # join; e feeds the three wedge/closure arms (graph_triangles'
+    # staging rationale). Both are edge-dimension-sized.
+    e0 = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    e = (
+        e0.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.s") == F.col("e1.t")).join(
+        e3,
+        (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+    )
+    corners = (
+        tri.select(F.col("e1.s").alias("node"))
+        .unionAll(tri.select(F.col("e1.t").alias("node")))
+        .unionAll(tri.select(F.col("e2.t").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree").cast("double") - F.lit(1.0))
+                ),
+                9,
+            ).alias("clustering_coeff"),
+        )
+    )
+    return eager_release(out, "clustering_coeff", e0, deg, e)

@@ -16,7 +16,7 @@ sort/distinct ones, which AQE handles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -738,4 +738,163 @@ def clickhouse_dialect_battery4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uniq_types_upto2",
         msum3.alias("msum3"),
         F.element_at(F.col("seq"), -1).getField("event_type").alias("last_type"),
+    )
+
+
+# --- dialect battery 5 (round 11 continuation): array/sequence extras ---
+
+FUNNEL_TYPES = ("view", "click", "purchase")
+CORE_TYPES = ("view", "click")
+RARE_TYPES = ("error", "purchase")
+ENUM_UNIQ_CAP = 8  # arrayEnumerateUniq rendered for the first N steps
+
+
+@register(
+    "clickhouse_dialect_battery5",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             list(CAST(round(value * 100) AS BIGINT)
+                  ORDER BY ts, event_id) AS cents,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    spend AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sp,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC,
+                        event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ),
+    x AS (
+      SELECT user_id, cents, types,
+             list_sort(list_distinct(types)) AS dtypes
+      FROM g
+    )
+    SELECT x.user_id,
+           CAST(coalesce(list_sum([CASE WHEN cents[i + 1] > cents[i]
+                          THEN cents[i + 1] - cents[i] ELSE 0 END
+                 for i in range(1, len(cents))]), 0) AS BIGINT) AS delta_sum_c,
+           array_to_string([CAST(len([y for y in types[1:i]
+                                      if y = types[i]]) AS VARCHAR)
+                            for i in range(1, least(len(types),
+                                                    {ENUM_UNIQ_CAP}) + 1)],
+                           ',') AS enum_uniq,
+           array_to_string(list_filter(dtypes,
+               t -> t IN {FUNNEL_TYPES!r}), ',') AS funnel_overlap,
+           (len(list_filter({list(CORE_TYPES)!r}::VARCHAR[],
+                t -> list_contains(dtypes, t))) = {len(CORE_TYPES)})
+             AS has_all_core,
+           (len(list_filter({list(RARE_TYPES)!r}::VARCHAR[],
+                t -> list_contains(dtypes, t))) > 0) AS has_any_rare,
+           s.event_type AS top_spend_type,
+           s.sp AS top_spend_c
+    FROM x JOIN spend s ON s.user_id = x.user_id AND s.rn = 1
+    """,
+    doc="Dialect battery 5 — the array/sequence vocabulary the first "
+    "four batteries left uncovered: deltaSum (sum of POSITIVE "
+    "adjacent deltas over the (ts, event_id)-ordered per-user cents "
+    "— ClickHouse's monotonic-counter increase aggregate; exact "
+    "BIGINT), arrayEnumerateUniq (1-based occurrence number of each "
+    "step among its duplicates, rendered for the first "
+    f"{ENUM_UNIQ_CAP} steps — bounded quadratic in the CAP, never in "
+    "journey length), arrayIntersect against the funnel-step "
+    "constant (sorted CSV), hasAll/hasAny membership probes, and "
+    "topKWeighted(1) determinized as the (spend DESC, type ASC) "
+    "argmax — ClickHouse's sketch made exact, the battery-3 topK "
+    "rule. One order-bounded groupBy for the journey arrays plus "
+    "one (user, type)-grained aggregate for the weighted top-1 "
+    "(both shuffle on user_id — AQE coalesces the co-partitioned "
+    "join); all array algebra is codegen higher-order functions, "
+    "zero UDFs.",
+)
+def clickhouse_dialect_battery5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("tsu"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                    cents.alias("c"),
+                )
+            )
+        ).alias("seq")
+    )
+    x = g.select(
+        "user_id",
+        F.transform(F.col("seq"), lambda s: s.getField("c")).alias("cents"),
+        F.transform(F.col("seq"), lambda s: s.getField("et")).alias("types"),
+    ).select(
+        "user_id",
+        "cents",
+        "types",
+        F.array_sort(F.array_distinct("types")).alias("dtypes"),
+    )
+    diffs = F.transform(
+        F.slice(F.col("cents"), 2, F.size("cents") - 1),
+        lambda v, i: v - F.element_at(F.col("cents"), i + 1),
+    )
+    delta_sum = F.coalesce(
+        F.aggregate(
+            F.filter(diffs, lambda d: d > 0),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + d,
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    head = F.slice(F.col("types"), 1, ENUM_UNIQ_CAP)
+    enum_uniq = F.array_join(
+        F.transform(
+            head,
+            lambda t, i: F.size(
+                F.filter(
+                    F.slice(F.col("types"), 1, i + 1), lambda y: y == t
+                )
+            ).cast("string"),
+        ),
+        ",",
+    )
+    funnel = F.array(*[F.lit(t) for t in FUNNEL_TYPES])
+    overlap = F.array_join(
+        F.filter(F.col("dtypes"), lambda t: F.array_contains(funnel, t)), ","
+    )
+    has_all_core = F.forall(
+        F.array(*[F.lit(t) for t in CORE_TYPES]),
+        lambda t: F.array_contains(F.col("dtypes"), t),
+    )
+    has_any_rare = F.arrays_overlap(
+        F.col("dtypes"), F.array(*[F.lit(t) for t in RARE_TYPES])
+    )
+    spend = e.groupBy("user_id", "event_type").agg(
+        F.sum(cents).cast("bigint").alias("sp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("sp").desc(), F.col("event_type")
+    )
+    top = (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_spend_type"),
+            F.col("sp").alias("top_spend_c"),
+        )
+    )
+    return (
+        x.join(top, "user_id")
+        .select(
+            "user_id",
+            delta_sum.alias("delta_sum_c"),
+            enum_uniq.alias("enum_uniq"),
+            overlap.alias("funnel_overlap"),
+            has_all_core.alias("has_all_core"),
+            has_any_rare.alias("has_any_rare"),
+            "top_spend_type",
+            "top_spend_c",
+        )
     )

@@ -1881,3 +1881,314 @@ def time_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"forecast_h{HW_H}"
         ),
     )
+
+
+# --- OHLC candlestick bars (round 11 continuation) ----------------------
+
+
+@register(
+    "time_ohlc_bars",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             struct_pack(t := ts, e := event_id,
+                         c := CAST(round(value * 100) AS BIGINT)) AS pt,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           min(pt).c AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           max(pt).c AS close_c,
+           CAST(sum(cents) AS BIGINT) AS gross_c,
+           (max(pt).c >= min(pt).c) AS bar_up
+    FROM x GROUP BY 1, 2
+    """,
+    doc="OHLC candlestick downsampling — the standard first/max/min/"
+    "last bar aggregation every time-series store ships (ClickHouse "
+    "any/max/min/anyLast over ordered buckets, TimescaleDB "
+    "time_bucket + first/last): per (event_type, day) the opening "
+    "and closing tick, the high/low, tick count and gross sum. "
+    "Open/close are selected by lexicographic MIN/MAX over a "
+    "(ts, event_id, cents) struct — the (ts, event_id) prefix is "
+    "unique, so the pick is total-order deterministic in both "
+    "engines with no window pass; everything is exact integer "
+    "cents. ONE map-side-combined groupBy aggregate over the scan "
+    "(no window, no sort): at 100 TB this is the cheapest possible "
+    "shape — partial struct-min/max combine inside each input "
+    "partition, only (type, day)-dimension rows ever shuffle.",
+)
+def time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pt = F.struct(
+        F.col("ts").alias("t"), F.col("event_id").alias("e"), cents.alias("c")
+    )
+    g = (
+        e.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            pt.alias("pt"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.min("pt").getField("c").alias("open_c"),
+            F.max("cents").cast("bigint").alias("high_c"),
+            F.min("cents").cast("bigint").alias("low_c"),
+            F.max("pt").getField("c").alias("close_c"),
+            F.sum("cents").cast("bigint").alias("gross_c"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "n_ticks",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        "gross_c",
+        (F.col("close_c") >= F.col("open_c")).alias("bar_up"),
+    )
+
+
+# --- LTTB downsampling (round 11 continuation) --------------------------
+
+# largestTriangleThreeBuckets output size: first + last + one pick per
+# interior bucket. n <= LTTB_OUT series pass through unsampled.
+LTTB_OUT = 12
+LTTB_B = LTTB_OUT - 2
+
+
+def _lttb_lo(k: str, n: str = "n") -> str:
+    """1-based first interior step of bucket k (SQL text, k 1-based)."""
+    return f"(2 + (({k} - 1) * ({n} - 2)) // {LTTB_B})"
+
+
+def _lttb_hi(k: str, n: str = "n") -> str:
+    return f"(1 + ({k} * ({n} - 2)) // {LTTB_B})"
+
+
+@register(
+    "time_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type,
+             list(struct_pack(x := CAST(rn AS BIGINT), day := day, y := y)
+                  ORDER BY rn) AS pts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS rn FROM d)
+      GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, pts, n, 0 AS k,
+             CAST(1 AS BIGINT) AS ax, pts[1].y AS ay,
+             CAST([] AS STRUCT(x BIGINT, day DATE, y BIGINT)[]) AS sel
+      FROM p WHERE n > {LTTB_OUT}
+      UNION ALL
+      SELECT event_type, pts, n, kb,
+             best.x AS ax, best.y AS ay,
+             list_append(sel, struct_pack(x := best.x, day := best.day,
+                                          y := best.y)) AS sel
+      FROM (
+        SELECT event_type, pts, n, kb, sel,
+               list_sort([struct_pack(
+                   area := abs(CAST(ax * md - sxd AS HUGEINT)
+                                 * CAST(p2.y - ay AS HUGEINT)
+                               - CAST(ax - p2.x AS HUGEINT)
+                                 * CAST(syd - ay * md AS HUGEINT)),
+                   negx := -p2.x, x := p2.x, day := p2.day, y := p2.y)
+                 for p2 in pts[lo:hi]])[-1] AS best
+        FROM (
+          SELECT event_type, pts, n, sel, ax, ay, k + 1 AS kb,
+                 {_lttb_lo("(k + 1)")} AS lo,
+                 {_lttb_hi("(k + 1)")} AS hi,
+                 CASE WHEN k + 1 = {LTTB_B} THEN CAST(1 AS HUGEINT)
+                      ELSE CAST({_lttb_hi("(k + 2)")} - {_lttb_lo("(k + 2)")} + 1
+                                AS HUGEINT) END AS md,
+                 CASE WHEN k + 1 = {LTTB_B} THEN CAST(pts[n].x AS HUGEINT)
+                      ELSE CAST(list_sum([p3.x for p3 in
+                           pts[{_lttb_lo("(k + 2)")}:{_lttb_hi("(k + 2)")}]])
+                           AS HUGEINT) END AS sxd,
+                 CASE WHEN k + 1 = {LTTB_B} THEN CAST(pts[n].y AS HUGEINT)
+                      ELSE CAST(list_sum([p3.y for p3 in
+                           pts[{_lttb_lo("(k + 2)")}:{_lttb_hi("(k + 2)")}]])
+                           AS HUGEINT) END AS syd
+          FROM f WHERE k < {LTTB_B}
+        )
+      )
+    ),
+    sampled AS (
+      SELECT event_type, n,
+             [pts[1]] || sel || [pts[n]] AS keep
+      FROM f WHERE k = {LTTB_B}
+      UNION ALL
+      SELECT event_type, n, pts AS keep FROM p WHERE n <= {LTTB_OUT}
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           array_to_string([CAST(s.x AS VARCHAR) for s in keep], ',') AS steps,
+           array_to_string([CAST(s.day AS VARCHAR) for s in keep], ',') AS days,
+           array_to_string([CAST(s.y AS VARCHAR) for s in keep], ',') AS cents
+    FROM sampled
+    """,
+    doc="Largest-Triangle-Three-Buckets downsampling of the per-type "
+    "daily revenue series to "
+    f"{LTTB_OUT} points (ClickHouse largestTriangleThreeBuckets, the "
+    "Grafana/plotting standard that preserves visual extremes where "
+    "time_downsample_m4 preserves per-bucket min/max/first/last): "
+    "first and last points always kept; each interior bucket "
+    "contributes the point maximizing the triangle area with the "
+    "PREVIOUSLY selected point and the next bucket's centroid — a "
+    "left-to-right sequential recurrence. Exactness: with x = step "
+    "index and y = integer cents, the area comparison is cleared of "
+    "its 1/(2m) denominators — |(ax*m - sx)(py - ay) - (ax - px)"
+    "(sy - ay*m)| — so selection is pure integer arithmetic "
+    "(HUGEINT / bounded DECIMAL), ties broken toward the smaller "
+    "step; no float ever enters. Scale shape: reduce FIRST to the "
+    "calendar-bounded daily series (one map-side-combined "
+    "aggregate), then ONE codegen higher-order fold per series "
+    "carries (prev point, selection) through the "
+    f"{LTTB_B} buckets — the holt_winters fold pattern; the oracle "
+    "mirrors it with a recursive CTE. Series with n <= "
+    f"{LTTB_OUT} pass through unsampled in both engines.",
+)
+def time_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("y"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("dpts")
+    )
+    series = series.select(
+        "event_type",
+        F.transform(
+            F.col("dpts"),
+            lambda s, i: F.struct(
+                (i + 1).cast("bigint").alias("x"),
+                s.getField("day").alias("day"),
+                s.getField("y").alias("y"),
+            ),
+        ).alias("pts"),
+        F.size("dpts").cast("bigint").alias("n"),
+    )
+
+    pts, n = F.col("pts"), F.col("n")
+    B = F.lit(LTTB_B)
+
+    def idiv(a: F.Column, b: F.Column) -> F.Column:
+        return ((a - a % b) / b).cast("bigint")
+
+    def lo_of(kb: F.Column) -> F.Column:
+        return F.lit(2) + idiv((kb - 1) * (n - 2), B)
+
+    def hi_of(kb: F.Column) -> F.Column:
+        return F.lit(1) + idiv(kb * (n - 2), B)
+
+    def step(acc: F.Column, k: F.Column) -> F.Column:
+        ax, ay, sel = acc.getField("ax"), acc.getField("ay"), acc.getField("sel")
+        lo, hi = lo_of(k), hi_of(k)
+        bucket = F.slice(pts, lo.cast("int"), (hi - lo + 1).cast("int"))
+        is_last = k == LTTB_B
+        lo2, hi2 = lo_of(k + 1), hi_of(k + 1)
+        nxt = F.slice(pts, lo2.cast("int"), (hi2 - lo2 + 1).cast("int"))
+        last_pt = F.element_at(pts, -1)
+        # Bounds (documented): steps < 10^5 days, per-day cents < 10^13
+        # => every product stays far under the 38-digit decimal cap.
+        md = (
+            F.when(is_last, F.lit(1)).otherwise(F.size(nxt)).cast("decimal(6,0)")
+        )
+        sxd = (
+            F.when(is_last, last_pt.getField("x"))
+            .otherwise(
+                F.aggregate(
+                    nxt,
+                    F.lit(0).cast("bigint"),
+                    lambda a2, p3: a2 + p3.getField("x"),
+                )
+            )
+            .cast("decimal(12,0)")
+        )
+        syd = (
+            F.when(is_last, last_pt.getField("y"))
+            .otherwise(
+                F.aggregate(
+                    nxt,
+                    F.lit(0).cast("bigint"),
+                    lambda a2, p3: a2 + p3.getField("y"),
+                )
+            )
+            .cast("decimal(21,0)")
+        )
+        axd = ax.cast("decimal(6,0)")
+        ayd = ay.cast("decimal(14,0)")
+        t1f = (axd * md - sxd).cast("decimal(13,0)")
+        b1 = (syd - ayd * md).cast("decimal(22,0)")
+
+        def area(p2: F.Column) -> F.Column:
+            ydiff = (p2.getField("y") - ay).cast("decimal(15,0)")
+            xdiff = (ax - p2.getField("x")).cast("decimal(6,0)")
+            return F.abs(t1f * ydiff - xdiff * b1)
+
+        scored = F.transform(
+            bucket,
+            lambda p2: F.struct(
+                area(p2).alias("area"),
+                (-p2.getField("x")).alias("negx"),
+                p2.getField("x").alias("x"),
+                p2.getField("day").alias("day"),
+                p2.getField("y").alias("y"),
+            ),
+        )
+        best = F.array_max(scored)
+        pick = F.struct(
+            best.getField("x").alias("x"),
+            best.getField("day").alias("day"),
+            best.getField("y").alias("y"),
+        )
+        return F.struct(
+            best.getField("x").alias("ax"),
+            best.getField("y").alias("ay"),
+            F.concat(sel, F.array(pick)).alias("sel"),
+        )
+
+    init = F.struct(
+        F.lit(1).cast("bigint").alias("ax"),
+        F.element_at(pts, 1).getField("y").alias("ay"),
+        F.slice(pts, 1, 0).alias("sel"),
+    )
+    folded = F.aggregate(F.sequence(F.lit(1), F.lit(LTTB_B)), init, step)
+    keep = F.when(n <= LTTB_OUT, pts).otherwise(
+        F.concat(
+            F.array(F.element_at(pts, 1)),
+            folded.getField("sel"),
+            F.array(F.element_at(pts, -1)),
+        )
+    )
+    return series.select(
+        "event_type",
+        n.alias("n_days"),
+        F.size(keep).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(keep, lambda s: s.getField("x").cast("string")), ","
+        ).alias("steps"),
+        F.array_join(
+            F.transform(keep, lambda s: s.getField("day").cast("string")), ","
+        ).alias("days"),
+        F.array_join(
+            F.transform(keep, lambda s: s.getField("y").cast("string")), ","
+        ).alias("cents"),
+    )

@@ -14,6 +14,7 @@ Design for scale:
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -1847,5 +1848,264 @@ def sim_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nbr_id",
             F.col("l2").cast("bigint").alias("l2"),
             F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# --- NDCG retrieval evaluation (round 11 continuation) -------------------
+
+NDCG_K = 10
+# Rank discounts 1/log2(rank+1) quantized once in PYTHON to integer
+# micro-units and injected as the same literal list into both engines:
+# DCG becomes an exact BIGINT sum (order-invariant), so no engine ever
+# evaluates log2 — the stats_fdr_bh libm discipline, made exact.
+NDCG_W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+NDCG_IW = [sum(NDCG_W[: r + 1]) for r in range(NDCG_K)]  # ideal cumsums
+
+
+@register(
+    "sim_ndcg_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+    ),
+    ranked AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.label AS nbr_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                        c.vec_id) AS rank
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {NDCG_K}),
+    w(rank, wt) AS (VALUES {",".join(f"({r + 1}, {w})" for r, w in enumerate(NDCG_W))}),
+    iw(n_rel, iwt) AS (VALUES (0, 0),{",".join(f"({r + 1}, {c})" for r, c in enumerate(NDCG_IW))}),
+    per_q AS (
+      SELECT t.query_id, t.q_label,
+             CAST(sum(CASE WHEN t.nbr_label = t.q_label THEN w.wt ELSE 0 END)
+                  AS BIGINT) AS dcg_u,
+             CAST(sum(CASE WHEN t.nbr_label = t.q_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_topk,
+             min(CASE WHEN t.nbr_label = t.q_label THEN t.rank END) AS first_hit
+      FROM topk t JOIN w ON w.rank = t.rank
+      GROUP BY t.query_id, t.q_label
+    ),
+    lab AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM v GROUP BY label
+    )
+    SELECT p.query_id, p.q_label,
+           CAST(l.n_label - 1 AS BIGINT) AS n_rel_total,
+           p.hits_topk, p.dcg_u,
+           CAST(iw.iwt AS BIGINT) AS idcg_u,
+           round(CASE WHEN iw.iwt > 0
+                      THEN CAST(p.dcg_u AS DOUBLE) / iw.iwt ELSE 0.0 END, 6)
+             AS ndcg,
+           round(CAST(p.hits_topk AS DOUBLE) / {NDCG_K}, 6) AS precision_at_k,
+           round(CASE WHEN p.first_hit IS NULL THEN 0.0
+                      ELSE 1.0 / p.first_hit END, 9) AS reciprocal_rank
+    FROM per_q p
+    JOIN lab l ON l.label = p.q_label
+    JOIN iw ON iw.n_rel = least({NDCG_K}, l.n_label - 1)
+    """,
+    doc="Ranked-retrieval quality evaluation — NDCG@10, precision@k "
+    "and reciprocal rank per query, relevance = label match (the "
+    "eval harness every similarity-search deployment runs beside "
+    "sim_recall_report's set-overlap recall; NDCG grades WHERE in "
+    "the ranking the relevant hits landed, not just how many). The "
+    "ranking is the exact brute-force cosine order (rounded, "
+    "nbr_id tiebreak). Rank discounts 1/log2(r+1) are quantized "
+    "once in Python to integer micro-units and injected as the SAME "
+    "literal table into both engines, so DCG/IDCG are exact BIGINT "
+    "sums — order-invariant, no per-row libm anywhere — and NDCG is "
+    "one final rounded division. IDCG comes from the precomputed "
+    "ideal-cumsum lookup at min(K, n_relevant). Queries broadcast; "
+    "the corpus never shuffles; per-label totals are "
+    "dimension-sized.",
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    corpus = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        to_double("embedding").alias("nbr_vec"),
+        F.col("label").alias("nbr_label"),
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        to_double("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("nbr_id")
+    ).withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= NDCG_K
+    )
+    rel = (F.col("nbr_label") == F.col("q_label")).cast("int")
+    wts = F.array(*[F.lit(x) for x in NDCG_W])
+    per_q = topk.groupBy("query_id", "q_label").agg(
+        F.sum(rel.cast("bigint") * F.element_at(wts, F.col("rank")))
+        .cast("bigint")
+        .alias("dcg_u"),
+        F.sum(rel).cast("bigint").alias("hits_topk"),
+        F.min(F.when(rel == 1, F.col("rank"))).alias("first_hit"),
+    )
+    lab = corpus.groupBy(F.col("nbr_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label")
+    )
+    iw = F.array(*[F.lit(x) for x in NDCG_IW])  # 1-indexed cumsums
+    joined = per_q.join(
+        F.broadcast(lab), per_q["q_label"] == lab["label"]
+    ).withColumn("n_rel_total", (F.col("n_label") - 1).cast("bigint"))
+    ideal_r = F.least(F.lit(NDCG_K), F.col("n_rel_total"))
+    idcg = F.when(ideal_r >= 1, F.element_at(iw, ideal_r.cast("int"))).otherwise(
+        F.lit(0)
+    )
+    return joined.select(
+        "query_id",
+        "q_label",
+        "n_rel_total",
+        "hits_topk",
+        "dcg_u",
+        idcg.cast("bigint").alias("idcg_u"),
+        F.round(
+            F.when(
+                idcg > 0, F.col("dcg_u").cast("double") / idcg.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+        F.round(F.col("hits_topk").cast("double") / F.lit(float(NDCG_K)), 6).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            F.when(F.col("first_hit").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("first_hit").cast("double")
+            ),
+            9,
+        ).alias("reciprocal_rank"),
+    )
+
+
+# --- embedding-space quality control (round 11 continuation) ------------
+
+# Outlier rule: squared distance to the own-label lattice centroid
+# exceeding OUT_NUM/OUT_DEN x the label's (discrete lower) median.
+OUT_NUM, OUT_DEN = 5, 2  # 2.5x
+
+
+@register(
+    "quality_embedding_outliers",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_I8_SHIFT}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, g.i AS dim,
+             CAST(sum(q[g.i] + {_I8_SHIFT}) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts, generate_series(1, {_DIM}) AS g(i)
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label,
+             list((2 * s + n) // (2 * n) - {_I8_SHIFT} ORDER BY dim) AS cv,
+             CAST(max(n) AS BIGINT) AS n_label
+      FROM sums GROUP BY label
+    ),
+    d AS (
+      SELECT p.vec_id, p.label, c.n_label,
+             CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+                  i -> (p.q[i] - c.cv[i]) * (p.q[i] - c.cv[i])))
+                  AS BIGINT) AS d2
+      FROM pts p JOIN cent c ON c.label = p.label
+    ),
+    m AS (
+      SELECT label,
+             CAST(max(CASE WHEN rn = (n_label + 1) // 2 THEN d2 END)
+                  AS BIGINT) AS med_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                         ORDER BY d2, vec_id) AS rn
+            FROM d)
+      GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.d2, m.med_d2,
+           (d.d2 * {OUT_DEN} > m.med_d2 * {OUT_NUM}) AS is_outlier
+    FROM d JOIN m ON m.label = d.label
+    """,
+    doc="Embedding-space quality control for a labeled corpus: flag "
+    "vectors whose squared distance to their OWN label's centroid "
+    f"exceeds {OUT_NUM}/{OUT_DEN}x the label's median — the standard "
+    "mislabeled-example / embedding-drift screen a training-data "
+    "pipeline runs before fine-tuning (outliers are either label "
+    "noise or distribution drift; both poison training). Exact end "
+    "to end on the int8 lattice: codes are round(x*127), the "
+    "per-label centroid is the half-away-from-zero integer mean "
+    "(the kmeans_int8 shifted idiom), distances are integer "
+    "squared-L2, the threshold is the DISCRETE lower median "
+    "(an order statistic actually in the data), and the flag is a "
+    "cross-multiplied integer predicate — no division, no float, "
+    "no libm. Shape: one scan for the label-dimension sums "
+    "(map-side combine), centroids broadcast back, one window for "
+    "the per-label median over label-partitioned d2 — at 100 TB "
+    "every stage shuffles label-bounded or row-local data only.",
+)
+def quality_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _I8_SHIFT).cast("bigint"),
+    )
+    pts = e.select("vec_id", "label", q.alias("q"))
+    sums = pts.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.col("q")[i] + _I8_SHIFT).cast("bigint").alias(f"s{i}")
+            for i in range(_DIM)
+        ],
+    )
+
+    def imean(s: F.Column, n: F.Column) -> F.Column:
+        a = 2 * s + n
+        return ((a - a % (2 * n)) / (2 * n)).cast("bigint") - _I8_SHIFT
+
+    cent = sums.select(
+        "label",
+        F.col("n").alias("n_label"),
+        F.array(*[imean(F.col(f"s{i}"), F.col("n")) for i in range(_DIM)]).alias(
+            "cv"
+        ),
+    )
+    d = pts.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        "n_label",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("label").orderBy("d2", "vec_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    med = (
+        ranked.filter(
+            F.col("rn") == F.floor((F.col("n_label") + 1) / 2).cast("int")
+        )
+        .groupBy("label")
+        .agg(F.max("d2").cast("bigint").alias("med_d2"))
+    )
+    return (
+        d.join(F.broadcast(med), "label")
+        .select(
+            "vec_id",
+            "label",
+            "d2",
+            "med_d2",
+            (F.col("d2") * OUT_DEN > F.col("med_d2") * OUT_NUM).alias("is_outlier"),
         )
     )

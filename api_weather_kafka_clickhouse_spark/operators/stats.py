@@ -3523,3 +3523,136 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(n_arm).alias("n_per_arm"),
         F.expr(f"{n_arm} <= n_obs / 2").alias("currently_powered"),
     )
+
+
+# --- permutation test (round 11 continuation) ---------------------------
+
+# Number of label-shuffle replicates. Production permutation tests draw
+# fresh random relabelings; the hash-checkable twin derives replicate r's
+# assignment from md5(user:r) parity (the privacy_dp_counts seeding), so
+# both engines reproduce the identical permutation family.
+PERM_B = 32
+
+
+@register(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      FROM events GROUP BY 1, 2
+    ),
+    reps AS (SELECT CAST(r.range AS INT) AS rep FROM range(0, {PERM_B + 1}) r),
+    asg AS (
+      SELECT u.event_type, u.sc, p.rep,
+             CASE WHEN p.rep = 0 THEN user_id % 2
+                  ELSE CAST(('0x' || substr(md5('perm:' ||
+                         CAST(user_id AS VARCHAR) || ':' ||
+                         CAST(p.rep AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+             END AS grp
+      FROM u CROSS JOIN reps p
+    ),
+    g AS (
+      SELECT event_type, rep,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN grp = 0 THEN sc ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN grp = 1 THEN sc ELSE 0 END) AS BIGINT) AS sb
+      FROM asg GROUP BY 1, 2
+    ),
+    stat AS (
+      SELECT event_type, rep, na + nb AS n_users,
+             abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) AS st
+      FROM g
+    ),
+    obs AS (SELECT event_type, n_users, st AS obs_st FROM stat WHERE rep = 0)
+    SELECT o.event_type,
+           CAST(o.n_users AS BIGINT) AS n_users,
+           round(o.obs_st, 6) AS obs_abs_diff_cents,
+           CAST(sum(CASE WHEN s.st >= o.obs_st THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge,
+           round((1.0 + sum(CASE WHEN s.st >= o.obs_st THEN 1 ELSE 0 END))
+                 / {PERM_B + 1}.0, 6) AS p_value
+    FROM obs o JOIN stat s ON s.event_type = o.event_type AND s.rep > 0
+    GROUP BY o.event_type, o.n_users, o.obs_st
+    """,
+    doc="Permutation test on the per-user mean metric difference "
+    "(variant = user_id parity, the A/B convention): the "
+    "distribution-free alternative to stats_ttest_welch — relabel "
+    f"users {PERM_B} times, recompute |mean(A) - mean(B)|, and the "
+    "p-value is the add-one-smoothed fraction of relabelings at "
+    "least as extreme as the observed split. Replicate assignments "
+    "are md5(user:rep)-parity (the privacy_dp_counts determinism "
+    "trick), so the permutation family is identical in both "
+    "engines; the statistic is |sa/na - sb/nb| from exact BIGINT "
+    "sufficient sums — two IEEE divisions and a subtraction, no "
+    "libm, bit-reproducible everywhere. Cost shape: the user-level "
+    f"reduction is ONE map-side-combined aggregate; only the (user x "
+    f"type)-dimension table replicates x{PERM_B + 1}, and the "
+    "replicate aggregate shuffles (type, rep)-bounded rows — at "
+    "100 TB the fact scan happens once, the permutation loop never "
+    "touches it.",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    u = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sc")
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(PERM_B))).alias("rep")
+    seed = F.concat(
+        F.lit("perm:"),
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("rep").cast("string"),
+    )
+    hash_grp = F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("long") % 2
+    asg = u.select("event_type", "sc", "user_id", reps).select(
+        "event_type",
+        "sc",
+        "rep",
+        F.when(F.col("rep") == 0, F.col("user_id") % 2)
+        .otherwise(hash_grp)
+        .alias("grp"),
+    )
+    g = asg.groupBy("event_type", "rep").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("grp") == 0, F.col("sc")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("grp") == 1, F.col("sc")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    stat = g.select(
+        "event_type",
+        "rep",
+        (F.col("na") + F.col("nb")).alias("n_users"),
+        F.abs(
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        ).alias("st"),
+    )
+    obs = stat.filter(F.col("rep") == 0).select(
+        "event_type", "n_users", F.col("st").alias("obs_st")
+    )
+    perms = stat.filter(F.col("rep") > 0).select("event_type", "st")
+    ge = F.when(F.col("st") >= F.col("obs_st"), 1).otherwise(0)
+    return (
+        perms.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type", "n_users", "obs_st")
+        .agg(
+            F.sum(ge).cast("bigint").alias("n_ge"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("obs_st"), 6).alias("obs_abs_diff_cents"),
+            "n_ge",
+            F.round(
+                (F.lit(1.0) + F.col("n_ge")) / F.lit(float(PERM_B + 1)), 6
+            ).alias("p_value"),
+        )
+    )

@@ -149,7 +149,15 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # stats_cohens_d (effect size), events_cuped_adjustment (CUPED
 # variance reduction), time_holt_winters (additive seasonal
 # smoothing), graph_adamic_adar (rarity-weighted link prediction),
-# stats_power_analysis (A/B sample-size calculator). Swap them
+# stats_power_analysis (A/B sample-size calculator), and the
+# round-11 continuation batch: time_ohlc_bars (OHLC candlestick
+# downsampling), graph_clustering_coeff (per-node community
+# metric), sim_ndcg_eval (ranked-retrieval NDCG/MRR eval),
+# stats_permutation_test (hash-deterministic label shuffle),
+# clickhouse_dialect_battery5 (deltaSum / arrayEnumerateUniq /
+# arrayIntersect / topKWeighted), time_lttb_downsample
+# (largestTriangleThreeBuckets), quality_embedding_outliers
+# (label-centroid distance QC on the int8 lattice). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #
