@@ -724,3 +724,187 @@ def join_interval_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- nearest-direction as-of join (round 11 continuation) ---------------
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'error' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bwd_id,
+             last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bwd_us,
+             first_value(CASE WHEN event_type = 'error' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_id,
+             first_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_us
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           CASE WHEN bwd_id IS NULL AND fwd_id IS NULL THEN NULL
+                WHEN fwd_id IS NULL THEN bwd_id
+                WHEN bwd_id IS NULL THEN fwd_id
+                WHEN epoch_us(ts) - bwd_us <= fwd_us - epoch_us(ts)
+                  THEN bwd_id ELSE fwd_id END AS nearest_error_id,
+           CASE WHEN bwd_id IS NULL AND fwd_id IS NULL THEN NULL
+                WHEN fwd_id IS NULL THEN 'backward'
+                WHEN bwd_id IS NULL THEN 'forward'
+                WHEN epoch_us(ts) - bwd_us <= fwd_us - epoch_us(ts)
+                  THEN 'backward' ELSE 'forward' END AS direction,
+           CAST(CASE WHEN bwd_id IS NULL AND fwd_id IS NULL THEN NULL
+                WHEN fwd_id IS NULL THEN epoch_us(ts) - bwd_us
+                WHEN bwd_id IS NULL THEN fwd_us - epoch_us(ts)
+                ELSE least(epoch_us(ts) - bwd_us, fwd_us - epoch_us(ts))
+                END AS BIGINT) AS abs_delta_us
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+    doc="Nearest-direction as-of join: each purchase matched to the "
+    "CLOSEST error by the same user in either time direction (pandas "
+    "merge_asof(direction='nearest'); join_asof is backward-only, "
+    "join_asof_tolerance backward-bounded). Same scalable shape as "
+    "join_asof — union both streams, ONE shuffle on user_id, then a "
+    "running last_value over the past and a first_value over the "
+    "future in the same sort order (two frames over one window "
+    "spec, no second shuffle, no per-row probe join). Distances are "
+    "exact integer microseconds; the backward candidate wins exact "
+    "ties. Same-timestamp errors are governed by the (ts, event_id) "
+    "tuple order — the forward frame starts at CURRENT ROW, so both "
+    "engines cut identically.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    is_err = F.col("event_type") == "error"
+    err_id = F.when(is_err, F.col("event_id"))
+    err_us = F.when(is_err, F.unix_micros("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(err_id, ignorenulls=True).over(wb).alias("bwd_id"),
+        F.last(err_us, ignorenulls=True).over(wb).alias("bwd_us"),
+        F.first(err_id, ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first(err_us, ignorenulls=True).over(wf).alias("fwd_us"),
+    )
+    p_us = F.unix_micros("ts")
+    d_bwd = p_us - F.col("bwd_us")
+    d_fwd = F.col("fwd_us") - p_us
+    both_null = F.col("bwd_id").isNull() & F.col("fwd_id").isNull()
+    backward_wins = d_bwd <= d_fwd
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(F.col("fwd_id").isNull(), F.col("bwd_id"))
+        .when(F.col("bwd_id").isNull(), F.col("fwd_id"))
+        .when(backward_wins, F.col("bwd_id"))
+        .otherwise(F.col("fwd_id"))
+        .alias("nearest_error_id"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(F.col("fwd_id").isNull(), F.lit("backward"))
+        .when(F.col("bwd_id").isNull(), F.lit("forward"))
+        .when(backward_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(F.col("fwd_id").isNull(), d_bwd)
+        .when(F.col("bwd_id").isNull(), d_fwd)
+        .otherwise(F.least(d_bwd, d_fwd))
+        .cast("bigint")
+        .alias("abs_delta_us"),
+    )
+
+
+# --- phonetic blocking for entity resolution (round 11 continuation) ----
+
+# Simplified-Soundex blocking key, ONE SQL text shared verbatim by both
+# engines (the jarque_bera discipline). Deliberately not java/duckdb
+# soundex builtins (absent/divergent): first letter preserved, vowels +
+# h/w/y dropped from the tail, consonants mapped to the classic Soundex
+# digit classes, first three digits zero-padded. Coarser than classic
+# Soundex (no run collapsing - RE2 has no backreferences, so a shared
+# regex can't express it), which for BLOCKING only trades a few extra
+# candidate pairs for engine-exact reproducibility.
+PHONETIC_KEY_SQL = (
+    "upper(substr({w}, 1, 1)) || rpad(substr(translate(translate("
+    "substr({w}, 2), 'aeiouyhw', ''), 'bfpvcgjkqszxdtlmnr', "
+    "'111122222222334556'), 1, 3), 3, '0')"
+)
+
+
+@register(
+    "er_phonetic_blocking",
+    oracle=f"""
+    WITH k AS (
+      SELECT p_partkey, split_part(p_name, ' ', 1) AS word,
+             {PHONETIC_KEY_SQL.format(w="split_part(p_name, ' ', 1)")}
+               AS block_key
+      FROM part
+    )
+    SELECT block_key,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS candidate_pairs,
+           array_to_string(list_sort(list_distinct(list(word))), ',')
+             AS words
+    FROM k GROUP BY block_key
+    """,
+    doc="Phonetic blocking for entity resolution: bucket part records "
+    "by a simplified-Soundex key of the leading name word, so the "
+    "expensive pairwise matcher (fuzzy_match_damerau / "
+    "fuzzy_match_blocked) only runs INSIDE blocks — the classic "
+    "quadratic-to-near-linear ER reduction, robust to the "
+    "vowel-confusion misspellings exact-prefix blocking misses "
+    "('grean'/'green' share G650). Emits per-block size, distinct-word census, the "
+    "candidate-pair count the matcher would price, and the member "
+    "words. The key is one shared SQL expression (translate + "
+    "substr chains, no regex, no UDF) evaluated identically by "
+    "both engines; one map-side-combined groupBy — blocking 100 TB "
+    "costs a scan plus a block-dimension shuffle.",
+)
+def er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, "part", sf_dir)
+    word = F.expr("split_part(p_name, ' ', 1)")
+    key = F.expr(PHONETIC_KEY_SQL.format(w="split_part(p_name, ' ', 1)"))
+    k = p.select(word.alias("word"), key.alias("block_key"))
+    return k.groupBy("block_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("word").cast("bigint").alias("n_words"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("word"))), ","
+        ).alias("words"),
+    )

@@ -1080,3 +1080,71 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise / F.lit(DP_EPSILON), 6).alias("noise"),
         F.round(F.col("true_count") + noise / F.lit(DP_EPSILON), 6).alias("noisy_count"),
     )
+
+
+# --- pseudonymization vault join (round 11 continuation) ----------------
+
+# Fixed salt so the surrogate keys are reproducible across engines; a
+# production vault derives them with a SECRET key (HMAC) and rotates it.
+PSEUDO_SALT = "vault-2024"
+
+
+@register(
+    "privacy_pseudonymize_join",
+    oracle=f"""
+    WITH vault AS (
+      SELECT DISTINCT user_id,
+             substr(md5('{PSEUDO_SALT}:' || CAST(user_id AS VARCHAR)), 1, 16)
+               AS pseudonym
+      FROM events
+    )
+    SELECT v.pseudonym,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+           CAST(min(date_trunc('day', e.ts)) AS DATE) AS first_day,
+           CAST(max(date_trunc('day', e.ts)) AS DATE) AS last_day
+    FROM events e JOIN vault v ON v.user_id = e.user_id
+    GROUP BY v.pseudonym
+    """,
+    doc="Pseudonymization vault join — the third leg of the privacy "
+    "battery (privacy_k_anonymity audits, privacy_dp_counts "
+    "releases noisy aggregates; this one REPLACES the identifier): "
+    "a per-user surrogate key from a salted digest, the raw id "
+    "dropped before anything leaves the query, and downstream "
+    "analytics joined and aggregated entirely by pseudonym. "
+    "Referential integrity survives (same-user rows still group "
+    "together; row counts and totals are preserved — the audit "
+    "columns), while linkage back to user_id requires the vault "
+    "table, which a production deployment derives with a SECRET "
+    "HMAC key and stores under access control; the fixed salt here "
+    "documents the pattern and keeps both engines reproducible. "
+    "Shape: the vault is user-dimension-sized and broadcasts onto "
+    "the fact scan; one map-side-combined aggregate by pseudonym — "
+    "pseudonymizing 100 TB costs exactly one extra broadcast "
+    "hash join over the plain per-user rollup.",
+)
+def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    vault = e.select("user_id").distinct().select(
+        "user_id",
+        F.substring(
+            F.md5(F.concat(F.lit(f"{PSEUDO_SALT}:"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("pseudonym"),
+    )
+    return (
+        e.join(F.broadcast(vault), "user_id")
+        .groupBy("pseudonym")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.to_date(F.min(F.date_trunc("day", "ts"))).alias("first_day"),
+            F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day"),
+        )
+    )

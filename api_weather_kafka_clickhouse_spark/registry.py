@@ -157,7 +157,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # clickhouse_dialect_battery5 (deltaSum / arrayEnumerateUniq /
 # arrayIntersect / topKWeighted), time_lttb_downsample
 # (largestTriangleThreeBuckets), quality_embedding_outliers
-# (label-centroid distance QC on the int8 lattice). Swap them
+# (label-centroid distance QC on the int8 lattice),
+# join_asof_nearest (nearest-direction as-of), privacy_pseudonymize_
+# join (salted surrogate-key vault), er_phonetic_blocking
+# (simplified-Soundex ER blocking). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

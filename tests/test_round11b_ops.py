@@ -364,3 +364,121 @@ def test_embedding_outliers_matches_python_int_reference(spark, sf_dir):
             assert row["d2"] == d2s[v]
             assert row["med_d2"] == med
             assert row["is_outlier"] == (d2s[v] * OUT_DEN > med * OUT_NUM)
+
+
+# ------------------------------------------------ join_asof_nearest
+
+
+def test_asof_nearest_matches_pandas_reference(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    pe = pdf[pdf["event_type"].isin(["purchase", "error"])].copy()
+    pe["us"] = pe["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    got = {
+        r["purchase_id"]: r
+        for r in SPECS["join_asof_nearest"].fn(spark, sf_dir).collect()
+    }
+    purchases = pe[pe["event_type"] == "purchase"]
+    assert set(got) == set(purchases["event_id"])
+    for uid, g in pe.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        errs = g[g["event_type"] == "error"]
+        for p in g[g["event_type"] == "purchase"].itertuples(index=False):
+            row = got[p.event_id]
+            if errs.empty:
+                assert row["nearest_error_id"] is None
+                assert row["direction"] is None
+                continue
+            # backward: last error at-or-before in (ts, event_id) order;
+            # forward: first at-or-after. Nearest by |dt|, backward ties.
+            key = (p.ts, p.event_id)
+            before = errs[
+                (errs["ts"] < p.ts)
+                | ((errs["ts"] == p.ts) & (errs["event_id"] < p.event_id))
+            ]
+            after = errs[
+                (errs["ts"] > p.ts)
+                | ((errs["ts"] == p.ts) & (errs["event_id"] > p.event_id))
+            ]
+            assert key is not None
+            b = before.iloc[-1] if len(before) else None
+            f = after.iloc[0] if len(after) else None
+            if b is None:
+                exp_id, exp_dir, exp_d = f["event_id"], "forward", f["us"] - p.us
+            elif f is None:
+                exp_id, exp_dir, exp_d = b["event_id"], "backward", p.us - b["us"]
+            elif p.us - b["us"] <= f["us"] - p.us:
+                exp_id, exp_dir, exp_d = b["event_id"], "backward", p.us - b["us"]
+            else:
+                exp_id, exp_dir, exp_d = f["event_id"], "forward", f["us"] - p.us
+            assert row["nearest_error_id"] == exp_id
+            assert row["direction"] == exp_dir
+            assert row["abs_delta_us"] == exp_d
+
+
+# ------------------------------------------------ privacy_pseudonymize_join
+
+
+def test_pseudonymize_preserves_per_user_aggregates(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    got = SPECS["privacy_pseudonymize_join"].fn(spark, sf_dir).collect()
+    from api_weather_kafka_clickhouse_spark.operators.relational3 import (
+        PSEUDO_SALT,
+    )
+
+    by_pseudo = {r["pseudonym"]: r for r in got}
+    # no raw identifier column escapes
+    assert "user_id" not in got[0].asDict()
+    # referential integrity: every user maps to one pseudonym and the
+    # per-user aggregates survive the rename (hashlib re-derivation)
+    assert len(by_pseudo) == pdf["user_id"].nunique()
+    for uid, g in pdf.groupby("user_id"):
+        ps = hashlib.md5(f"{PSEUDO_SALT}:{uid}".encode()).hexdigest()[:16]
+        row = by_pseudo[ps]
+        assert row["n_events"] == len(g)
+        assert row["total_cents"] == g["cents"].sum()
+        assert row["n_types"] == g["event_type"].nunique()
+
+
+# ------------------------------------------------ er_phonetic_blocking
+
+
+def _phonetic_key(word: str) -> str:
+    digits = {c: d for c, d in zip("bfpvcgjkqszxdtlmnr", "111122222222334556")}
+    tail = "".join(
+        digits.get(c, c) for c in word[1:] if c not in set("aeiouyhw")
+    )
+    return word[0].upper() + (tail[:3] + "000")[:3]
+
+
+def test_phonetic_blocking_matches_python_reference(spark, sf_dir):
+    import duckdb
+
+    words = [
+        w[0].split(" ")[0]
+        for w in duckdb.sql(
+            f"SELECT p_name FROM '{sf_dir}/part.parquet'"
+        ).fetchall()
+    ]
+    got = {r["block_key"]: r for r in SPECS["er_phonetic_blocking"].fn(spark, sf_dir).collect()}
+    blocks: dict[str, list[str]] = {}
+    for w in words:
+        blocks.setdefault(_phonetic_key(w), []).append(w)
+    assert set(got) == set(blocks)
+    for key, ws in blocks.items():
+        row = got[key]
+        n = len(ws)
+        assert row["n_parts"] == n
+        assert row["n_words"] == len(set(ws))
+        assert row["candidate_pairs"] == n * (n - 1) // 2
+        assert row["words"] == ",".join(sorted(set(ws)))
+
+
+def test_phonetic_key_groups_misspellings():
+    # vowel-confusion misspellings land in the same block (the class
+    # the simplified key targets; run-collapse typos like smal/small
+    # need classic Soundex and are documented as out of scope)
+    assert _phonetic_key("green") == _phonetic_key("grean") == "G650"
+    assert _phonetic_key("goldenrod") == "G435"
+    # distinct sounds stay apart
+    assert _phonetic_key("blue") != _phonetic_key("green")
