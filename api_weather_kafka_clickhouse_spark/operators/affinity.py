@@ -1198,3 +1198,111 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "clustering_coeff", e0, deg, e)
+
+
+# --- degree assortativity (round 11 continuation) -----------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      GROUP BY node
+    ), ends AS (
+      SELECT du.d AS x, dv.d AS y FROM e0
+        JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+      UNION ALL
+      SELECT dv.d, du.d FROM e0
+        JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(sum(x) AS DECIMAL(20,0)) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(15,0)) * x) AS DECIMAL(32,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(15,0)) * y) AS DECIMAL(32,0)) AS sxy
+      FROM ends
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the co-purchase graph — Newman's r: "
+    "the Pearson correlation of endpoint degrees over every edge "
+    "(each edge contributes both orientations, the standard "
+    "undirected convention). r > 0 means hubs attach to hubs "
+    "(social-network shape), r < 0 hubs fan out to leaves "
+    "(hub-and-spoke catalog shape) — the one-number summary that "
+    "decides whether degree-based skew mitigation (salting hot "
+    "parts) will matter downstream. Exact DECIMAL sufficient sums "
+    "(m2, Sx, Sxx, Sxy) reduced in one pass over the "
+    "edge-dimension endpoint list; r is a single shared-shape "
+    "double expression of six exact inputs, rounded for the hash. "
+    "The degree table is node-dimension-sized and attaches by "
+    "broadcast; nothing fact-sized ever shuffles.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.stage import eager_release
+
+    li = load(spark, "lineitem", sf_dir)
+    bt = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = bt.alias("a"), bt.alias("c")
+    e0 = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dux"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dvx"))
+    joined = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ends = joined.select(
+        F.col("dux").alias("x"), F.col("dvx").alias("y")
+    ).unionAll(joined.select(F.col("dvx").alias("x"), F.col("dux").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("decimal(20,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(15,0)") * F.col("x"))
+        .cast("decimal(32,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(15,0)") * F.col("y"))
+        .cast("decimal(32,0)")
+        .alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    md, sxd = F.col("m2").cast("double"), F.col("sx").cast("double")
+    out = s.crossJoin(F.broadcast(n_nodes)).select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        "n_nodes",
+        F.round(
+            (md * F.col("sxy").cast("double") - sxd * sxd)
+            / (md * F.col("sxx").cast("double") - sxd * sxd),
+            9,
+        ).alias("assortativity"),
+    )
+    return eager_release(out, "assortativity", e0, deg)

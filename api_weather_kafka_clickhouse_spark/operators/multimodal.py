@@ -497,3 +497,113 @@ def mm_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ids"),
         ((F.col("n_copies") - 1) * F.col("n_bytes")).cast("bigint").alias("bytes_saved"),
     )
+
+
+# --- container-format sniffing (round 11 continuation) ------------------
+
+# Synthetic container headers planted by doc_id % 4 (the fixture trick
+# of mm_phash_band_pairs: the detector must EARN its answer from the
+# bytes; the planted label only grades it).
+MAGIC_PNG = "89504E470D0A1A0A"
+MAGIC_JPEG = "FFD8FF"
+MAGIC_RIFF = "52494646"  # 'RIFF'; bytes 9-12 'WAVE' finish the claim
+MAGIC_WAVE = "57415645"
+_RIFF_STUB = MAGIC_RIFF + "00000000" + MAGIC_WAVE  # RIFF + size + WAVE
+
+
+@register(
+    "mm_magic_sniff",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'audio/wav' ELSE 'application/octet-stream'
+             END AS planted_mime,
+             CASE doc_id % 4
+               WHEN 0 THEN from_hex('{MAGIC_PNG}') || encode(text)
+               WHEN 1 THEN from_hex('{MAGIC_JPEG}') || encode(text)
+               WHEN 2 THEN from_hex('{_RIFF_STUB}') || encode(text)
+               ELSE encode(text)
+             END AS payload
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT doc_id, planted_mime, octet_length(payload) AS n_bytes,
+             CASE
+               WHEN substr(hex(payload), 1, 16) = '{MAGIC_PNG}'
+                 THEN 'image/png'
+               WHEN substr(hex(payload), 1, 6) = '{MAGIC_JPEG}'
+                 THEN 'image/jpeg'
+               WHEN substr(hex(payload), 1, 8) = '{MAGIC_RIFF}'
+                AND substr(hex(payload), 17, 8) = '{MAGIC_WAVE}'
+                 THEN 'audio/wav'
+               ELSE 'application/octet-stream'
+             END AS detected_mime
+      FROM aug
+    )
+    SELECT detected_mime,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN detected_mime <> planted_mime THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch
+    FROM sniffed GROUP BY detected_mime
+    """,
+    doc="Container-format sniffing at the binary layer — the ingest "
+    "router every multimodal pipeline needs BEFORE decode: detect "
+    "PNG / JPEG / RIFF-WAVE from the payload's magic bytes (RIFF "
+    "requires BOTH the 'RIFF' prefix and 'WAVE' at bytes 9-12, the "
+    "real two-probe rule) instead of trusting caller-supplied "
+    "metadata, then route by detected type. Headers are planted "
+    "deterministically by doc_id so the oracle can grade the "
+    "detector (n_mismatch must be 0 — the planted label never "
+    "feeds the detection branch). Detection reads a fixed-length "
+    "byte prefix (Spark: hex of substr(payload); DuckDB: substr of "
+    "hex — same values), so at 100 TB the sniff costs a prefix "
+    "comparison per blob, never a payload scan, and the per-mime "
+    "rollup is one map-side-combined aggregate.",
+)
+def mm_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    mod = F.col("doc_id") % 4
+    planted = (
+        F.when(mod == 0, "image/png")
+        .when(mod == 1, "image/jpeg")
+        .when(mod == 2, "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    raw = F.encode("text", "UTF-8")
+    payload = (
+        F.when(mod == 0, F.concat(F.lit(bytes.fromhex(MAGIC_PNG)), raw))
+        .when(mod == 1, F.concat(F.lit(bytes.fromhex(MAGIC_JPEG)), raw))
+        .when(mod == 2, F.concat(F.lit(bytes.fromhex(_RIFF_STUB)), raw))
+        .otherwise(raw)
+    )
+    aug = d.select(
+        "doc_id", planted.alias("planted_mime"), payload.alias("payload")
+    )
+    head = F.hex(F.expr("substring(payload, 1, 12)"))
+    detected = (
+        F.when(F.substring(head, 1, 16) == MAGIC_PNG, "image/png")
+        .when(F.substring(head, 1, 6) == MAGIC_JPEG, "image/jpeg")
+        .when(
+            (F.substring(head, 1, 8) == MAGIC_RIFF)
+            & (F.substring(head, 17, 8) == MAGIC_WAVE),
+            "audio/wav",
+        )
+        .otherwise("application/octet-stream")
+    )
+    sniffed = aug.select(
+        "planted_mime",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        detected.alias("detected_mime"),
+    )
+    return sniffed.groupBy("detected_mime").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(
+            F.when(F.col("detected_mime") != F.col("planted_mime"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )

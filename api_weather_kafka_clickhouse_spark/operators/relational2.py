@@ -5,6 +5,8 @@ assignment, LIMIT/OFFSET pagination, scalar string/date battery 2.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2191,4 +2193,362 @@ def time_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(keep, lambda s: s.getField("y").cast("string")), ","
         ).alias("cents"),
+    )
+
+
+# --- dominant-period detection (round 11 continuation) ------------------
+
+# Candidate periods (days) for the spectral scan; 7/14 are the
+# weekly-cycle candidates real traffic shows (the synthetic corpus has
+# none — period 2, the Nyquist alternation of flat noise, wins there,
+# which is itself the honest reading).
+DFT_PERIODS = (2, 3, 4, 5, 6, 7, 8, 9, 10, 14)
+# cos/sin of 2*pi*r/p quantized ONCE in Python to integer micro-units
+# and injected as the same literal table into both engines (the
+# sim_ndcg_eval discipline): the Goertzel-style power at period p needs
+# only the per-residue-class sums, so no engine ever calls cos/sin and
+# the whole spectrum is exact integer arithmetic.
+DFT_COEF = [
+    (p, r, round(math.cos(2 * math.pi * r / p) * 1_000_000),
+     round(math.sin(2 * math.pi * r / p) * 1_000_000))
+    for p in DFT_PERIODS
+    for r in range(p)
+]
+_DFT_COEF_SQL = ",".join(f"({p},{r},{c},{s})" for p, r, c, s in DFT_COEF)
+
+
+@register(
+    "time_dominant_period",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS t,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+      FROM d
+    ),
+    coef(p, r, cmu, smu) AS (VALUES {_DFT_COEF_SQL}),
+    res AS (
+      SELECT s.event_type, c.p, c.r, max(c.cmu) AS cmu, max(c.smu) AS smu,
+             CAST(sum(s.n * s.x - s.sx) AS BIGINT) AS yr,
+             max(s.n) AS n
+      FROM s JOIN coef c ON c.r = s.t % c.p
+      GROUP BY s.event_type, c.p, c.r
+    ),
+    pw AS (
+      SELECT event_type, p AS period, max(n) AS n_days,
+             CAST(sum(cmu * yr) AS BIGINT) AS a_mu,
+             CAST(sum(smu * yr) AS BIGINT) AS b_mu
+      FROM res GROUP BY event_type, p
+    )
+    SELECT event_type, CAST(period AS BIGINT) AS period, n_days, a_mu, b_mu,
+           CAST(CAST(a_mu AS DECIMAL(18,0)) * a_mu
+                + CAST(b_mu AS DECIMAL(18,0)) * b_mu AS VARCHAR) AS power_str,
+           CAST(row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY CAST(a_mu AS DECIMAL(18,0)) * a_mu
+                      + CAST(b_mu AS DECIMAL(18,0)) * b_mu DESC, period)
+             AS BIGINT) AS power_rank
+    FROM pw
+    """,
+    doc="Dominant-period detection over the per-type daily series — "
+    "the seasonality scan behind 'is this metric weekly-cyclic?' "
+    "(feeds the m choice of time_holt_winters and the window of "
+    "time_seasonal_decompose). Spectral power at each candidate "
+    "period via the residue-class identity: cos(2 pi t/p) depends "
+    "only on t mod p, so the DFT projection collapses to "
+    "sum_r coef[p,r] * S_r over the p per-residue sums — the "
+    "coefficients are quantized once in Python to integer "
+    "micro-units and shipped as the SAME literal table to both "
+    "engines (no engine ever evaluates cos/sin), and the series is "
+    "mean-centered exactly by the scaled identity y = n*x - sum(x). "
+    "Everything through the power ranking is exact integer/decimal "
+    "arithmetic; power itself is emitted as a STRING because a "
+    "30-digit decimal must not decay to float in either engine's "
+    "output path. Shape: one day-bucket reduce, one broadcast join "
+    "against the 68-row coefficient table, two "
+    "dimension-bounded aggregates — the fact table is scanned "
+    "once.",
+)
+def time_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    s = d.select(
+        "event_type",
+        "x",
+        (F.row_number().over(wt) - 1).alias("t"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("n"),
+        F.sum("x").over(wa).cast("bigint").alias("sx"),
+    )
+    coef = spark.createDataFrame(
+        DFT_COEF, "p int, r int, cmu bigint, smu bigint"
+    )
+    res = (
+        s.join(F.broadcast(coef), F.col("r") == F.col("t") % F.col("p"))
+        .groupBy("event_type", "p", "r")
+        .agg(
+            F.max("cmu").alias("cmu"),
+            F.max("smu").alias("smu"),
+            F.sum(F.col("n") * F.col("x") - F.col("sx"))
+            .cast("bigint")
+            .alias("yr"),
+            F.max("n").alias("n"),
+        )
+    )
+    pw = res.groupBy("event_type", F.col("p").alias("period")).agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.col("cmu") * F.col("yr")).cast("bigint").alias("a_mu"),
+        F.sum(F.col("smu") * F.col("yr")).cast("bigint").alias("b_mu"),
+    )
+    power = F.col("a_mu").cast("decimal(18,0)") * F.col("a_mu") + F.col(
+        "b_mu"
+    ).cast("decimal(18,0)") * F.col("b_mu")
+    wr = Window.partitionBy("event_type").orderBy(power.desc(), "period")
+    return pw.select(
+        "event_type",
+        F.col("period").cast("bigint").alias("period"),
+        "n_days",
+        "a_mu",
+        "b_mu",
+        power.cast("string").alias("power_str"),
+        F.row_number().over(wr).cast("bigint").alias("power_rank"),
+    )
+
+
+# --- dynamic time warping (round 11 continuation) -----------------------
+
+
+@register(
+    "time_dtw_distance",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, list(x ORDER BY day) AS xs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.xs AS xs, b.xs AS ys, a.n AS n, b.n AS m
+      FROM ser a JOIN ser b ON a.event_type < b.event_type
+    ),
+    f AS (
+      SELECT type_a, type_b, xs, ys, n, m, CAST(0 AS BIGINT) AS k,
+             [abs(xs[1] - ys[1])] AS dp
+      FROM pairs
+      UNION ALL
+      SELECT type_a, type_b, xs, ys, n, m, k + 1,
+             list_append(dp,
+               abs(xs[(k + 1) // m + 1] - ys[(k + 1) % m + 1])
+               + CASE
+                   WHEN (k + 1) // m = 0 THEN dp[k + 1]
+                   WHEN (k + 1) % m = 0 THEN dp[k + 1 - m + 1]
+                   ELSE least(dp[k + 1], dp[k + 1 - m + 1], dp[k + 1 - m])
+                 END) AS dp
+      FROM f WHERE k < n * m - 1
+    )
+    SELECT type_a, type_b, n AS n_a, m AS n_b,
+           dp[n * m] AS dtw,
+           round(CAST(dp[n * m] AS DOUBLE) / (n + m), 6) AS dtw_normalized
+    FROM f WHERE k = n * m - 1
+    """,
+    doc="Dynamic-time-warping distance between every pair of per-type "
+    "daily series — the elastic similarity measure that matches "
+    "shifted/stretched shapes where a pointwise L1 would punish a "
+    "one-day lag (the clustering/nearest-neighbor metric of choice "
+    "for calendar series). Full O(n*m) DP with |a - b| cost on "
+    "exact integer daily counts: both engines run the SAME "
+    "flattened recurrence — cell k (row-major) = cost + "
+    "min(left, up, diag) over the append-only DP list — Spark as "
+    "one codegen higher-order fold over sequence(0, n*m-1) per "
+    "pair, DuckDB as the mirroring recursive CTE; every value is "
+    "BIGINT, so the distance hashes identically. Scale shape: the "
+    "fact table reduces FIRST to the calendar-bounded series (one "
+    "map-side-combined aggregate); the DP runs on day-dimension "
+    "arrays (n*m cells per pair, pairs = type-dimension choose 2), "
+    "never on fact rows — at 100 TB the DP cost is unchanged while "
+    "the reduce scan parallelizes.",
+)
+def time_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    ser = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = ser.select(
+        F.col("event_type").alias("type_a"), F.col("xs").alias("xs"), F.col("n").alias("n")
+    )
+    b = ser.select(
+        F.col("event_type").alias("type_b"), F.col("xs").alias("ys"), F.col("n").alias("m")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+
+    xs, ys, n, m = F.col("xs"), F.col("ys"), F.col("n"), F.col("m")
+
+    def cost(k: F.Column) -> F.Column:
+        i, j = ((k - k % m) / m).cast("bigint"), k % m
+        return F.abs(
+            F.element_at(xs, (i + 1).cast("int"))
+            - F.element_at(ys, (j + 1).cast("int"))
+        )
+
+    def merge(dp: F.Column, k: F.Column) -> F.Column:
+        i, j = ((k - k % m) / m).cast("bigint"), k % m
+        ksz = F.size(dp)  # == k (cells 0..k-1 stored at 1..k)
+        left = F.element_at(dp, ksz)
+        up = F.element_at(dp, (ksz - m + 1).cast("int"))
+        diag = F.element_at(dp, (ksz - m).cast("int"))
+        prev = (
+            F.when((i == 0) & (j == 0), F.lit(0).cast("bigint"))
+            .when(i == 0, left)
+            .when(j == 0, up)
+            .otherwise(F.least(left, up, diag))
+        )
+        return F.concat(dp, F.array(cost(k) + prev))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(0), (n * m - 1).cast("int")),
+        F.slice(F.array(F.lit(0).cast("bigint")), 1, 0),
+        merge,
+    )
+    dtw = F.element_at(dp, (n * m).cast("int"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        n.alias("n_a"),
+        m.alias("n_b"),
+        dtw.alias("dtw"),
+        F.round(dtw.cast("double") / (n + m).cast("double"), 6).alias(
+            "dtw_normalized"
+        ),
+    )
+
+
+# --- Bollinger-band breach detection (round 11 continuation) ------------
+
+BOLL_W = 20  # SMA window (days, current row inclusive)
+BOLL_K = 2  # band half-width in sample standard deviations
+
+
+@register(
+    "time_bollinger_breach",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             CAST(sum(x) OVER fr AS DECIMAL(25,0)) AS s,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * x) OVER fr
+                  AS DECIMAL(30,0)) AS q,
+             CAST(count(*) OVER fr AS BIGINT) AS n
+      FROM daily
+      WINDOW fr AS (ORDER BY day
+                    ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+      SELECT day, x, s, q, n,
+             CAST(x AS DECIMAL(25,0)) * n - s AS dev_n,
+             CAST({BOLL_K * BOLL_K} AS DECIMAL(25,0)) * n
+               * (n * q - s * s) / (n - 1) AS band_n
+      FROM w WHERE n = {BOLL_W}
+    )
+    SELECT day, x,
+           round(CAST(s AS DOUBLE) / n, 6) AS sma,
+           round(sqrt(CAST((n * q - s * s) AS DOUBLE) / (n * (n - 1))), 6)
+             AS sigma,
+           CASE WHEN dev_n > 0 AND dev_n * dev_n > band_n THEN 'upper'
+                WHEN dev_n < 0 AND dev_n * dev_n > band_n THEN 'lower'
+                ELSE 'inside' END AS band_position
+    FROM t
+    """,
+    doc="Bollinger-band breach detection over the daily revenue "
+    f"series (SMA{BOLL_W} +/- {BOLL_K} sample standard deviations): "
+    "the volatility-normalized outlier flag traders and SRE burn-"
+    "rate alerts both use — 'is today extreme RELATIVE TO its own "
+    "recent volatility', where a fixed threshold would misfire "
+    "across regimes; every warmed-up day is emitted with its band "
+    "position so the gate exercises real values even when nothing "
+    "breaches. The BREACH TEST never touches a float: "
+    "|x - s/n| > k*sigma is cross-multiplied to "
+    "(x*n - s)^2 * (n-1) > k^2 * n * (n*q - s^2) over exact "
+    "DECIMAL window sums of integer cents (the sma_crossover "
+    "discipline squared), so the flagged set hashes identically; "
+    "displayed sma/sigma are presentation-only rounded doubles. "
+    "Warm-up rows are excluded by frame COUNT, not dates. One "
+    "day-bucket reduce then ROWS-frame windows over the calendar-"
+    "bounded series — scan-bound at any fact scale.",
+)
+def time_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    fr = Window.orderBy("day").rowsBetween(-(BOLL_W - 1), 0)
+    w = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(fr).cast("decimal(25,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x"))
+        .over(fr)
+        .cast("decimal(30,0)")
+        .alias("q"),
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n"),
+    ).filter(F.col("n") == BOLL_W)
+    dev_n = F.col("x").cast("decimal(25,0)") * F.col("n") - F.col("s")
+    band_n = (
+        F.lit(BOLL_K * BOLL_K).cast("decimal(25,0)")
+        * F.col("n")
+        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        / (F.col("n") - 1)
+    )
+    t = w.select(
+        "day",
+        "x",
+        "s",
+        "q",
+        "n",
+        dev_n.alias("dev_n"),
+        band_n.alias("band_n"),
+    )
+    over = F.col("dev_n") * F.col("dev_n") > F.col("band_n")
+    return t.select(
+        "day",
+        "x",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("sma"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ),
+            6,
+        ).alias("sigma"),
+        F.when((F.col("dev_n") > 0) & over, "upper")
+        .when((F.col("dev_n") < 0) & over, "lower")
+        .otherwise("inside")
+        .alias("band_position"),
     )

@@ -1148,3 +1148,245 @@ def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day"),
         )
     )
+
+
+# --- skyline / Pareto frontier (round 11 continuation) ------------------
+
+
+@register(
+    "orders_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders
+    ),
+    w AS (
+      SELECT *,
+             max(day) OVER (
+               PARTITION BY grp ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_day_cheaper,
+             max(day) OVER (PARTITION BY grp, price_c)
+               AS best_day_same_price
+      FROM pts
+    )
+    SELECT grp, o_orderkey, price_c, day
+    FROM w
+    WHERE (best_day_cheaper IS NULL OR best_day_cheaper < day)
+      AND day = best_day_same_price
+    """,
+    doc="Skyline (Pareto-frontier) query per priority class: the "
+    "orders not DOMINATED by any other — no other order is both "
+    "cheaper-or-equal and more-recent-or-equal with at least one "
+    "strict — the multi-criteria shortlist operator (best "
+    "price/recency trade-offs) that no single ORDER BY can express. "
+    "Implemented as the sort-based skyline, NOT the naive O(n^2) "
+    "dominance self-join: within each class, a point survives iff "
+    "(a) every STRICTLY cheaper point is strictly older — one "
+    "running max(day) over a RANGE frame ending 1 PRECEDING on "
+    "price, which excludes price ties exactly like the textbook "
+    "strict-prefix — and (b) it carries the max day among its exact "
+    "price peers (equal-price older points are dominated; exact "
+    "(price, day) duplicates dominate nothing and all survive). "
+    "Two window passes over one grp-partitioned sort, exact integer "
+    "cents/epoch-days — O(n log n) per class at any scale, and the "
+    "windows shuffle only (grp)-partitioned rows once.",
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir)
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    w_cheaper = (
+        Window.partitionBy("grp")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("grp", "price_c")
+    wdf = pts.select(
+        "*",
+        F.max("day").over(w_cheaper).alias("best_day_cheaper"),
+        F.max("day").over(w_same).alias("best_day_same_price"),
+    )
+    return wdf.filter(
+        (F.col("best_day_cheaper").isNull() | (F.col("best_day_cheaper") < F.col("day")))
+        & (F.col("day") == F.col("best_day_same_price"))
+    ).select("grp", "o_orderkey", "price_c", "day")
+
+
+# --- declarative data-quality rules (round 11 continuation) -------------
+
+
+@register(
+    "profile_dq_rules",
+    oracle="""
+    WITH r1 AS (
+      SELECT 'orders.custkey_resolves' AS rule, 'referential' AS kind,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    r2 AS (
+      SELECT 'lineitem.orderkey_resolves', 'referential',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r3 AS (
+      SELECT 'lineitem.price_positive', 'range',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem
+    ),
+    r4 AS (
+      SELECT 'lineitem.discount_in_unit_interval', 'range',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    ),
+    r5 AS (
+      SELECT 'orders.orderdate_in_epoch', 'range',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                            OR o_orderdate >= TIMESTAMP '2026-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+    ),
+    r6 AS (
+      SELECT 'events.props_not_null', 'completeness',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+    ),
+    r7 AS (
+      SELECT 'events.event_id_unique', 'uniqueness',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+      FROM events
+    ),
+    r8 AS (
+      SELECT 'documents.n_chars_matches_text', 'consistency',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_chars <> strlen(text) THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM documents
+    ),
+    allr AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+      UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+      UNION ALL SELECT * FROM r7 UNION ALL SELECT * FROM r8
+    )
+    SELECT rule, kind, n_checked, n_violations,
+           (n_violations = 0) AS passed,
+           round(1.0 - CAST(n_violations AS DOUBLE) / n_checked, 6)
+             AS pass_rate
+    FROM allr
+    """,
+    doc="Declarative data-quality rule audit — the Great-Expectations-"
+    "style contract check a warehouse runs after every load, as one "
+    "query: referential integrity (orphan orders / lineitems, via "
+    "left-join null probes), range rules (positive prices, discount "
+    "in [0,1], dates inside the corpus epoch), completeness (null "
+    "props), uniqueness (event_id), and cross-column consistency "
+    "(n_chars == strlen(text)). One row per rule with checked/"
+    "violation counts, a boolean verdict, and the pass rate. All "
+    "counts exact integers. Shape: each rule is one scan or one "
+    "broadcast-dimension left join with a map-side-combined "
+    "conditional aggregate; the union'd verdict table is "
+    "rule-dimension-sized — at 100 TB the audit costs the scans, "
+    "never a shuffle of fact rows, and fails loudly instead of "
+    "letting a bad load poison downstream training data.",
+)
+def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    e = load(spark, "events", sf_dir)
+    d = load(spark, "documents", sf_dir)
+
+    def rule(name: str, kind: str, checked, violations) -> DataFrame:
+        return checked.agg(
+            F.lit(name).alias("rule"),
+            F.lit(kind).alias("kind"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(violations, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    r1 = rule(
+        "orders.custkey_resolves",
+        "referential",
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left",
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    r2 = rule(
+        "lineitem.orderkey_resolves",
+        "referential",
+        li.join(
+            o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left"
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    r3 = rule("lineitem.price_positive", "range", li, F.col("l_extendedprice") <= 0)
+    r4 = rule(
+        "lineitem.discount_in_unit_interval",
+        "range",
+        li,
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    )
+    r5 = rule(
+        "orders.orderdate_in_epoch",
+        "range",
+        o,
+        (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+        | (F.col("o_orderdate") >= F.lit("2026-01-01").cast("timestamp_ntz")),
+    )
+    r6 = rule("events.props_not_null", "completeness", e, F.col("props").isNull())
+    r7 = e.agg(
+        F.lit("events.event_id_unique").alias("rule"),
+        F.lit("uniqueness").alias("kind"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    r8 = rule(
+        "documents.n_chars_matches_text",
+        "consistency",
+        d,
+        F.col("n_chars") != F.length("text"),
+    )
+    allr = r1
+    for r in (r2, r3, r4, r5, r6, r7, r8):
+        allr = allr.unionAll(r)
+    return allr.select(
+        "rule",
+        "kind",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+        F.round(
+            F.lit(1.0) - F.col("n_violations").cast("double") / F.col("n_checked"),
+            6,
+        ).alias("pass_rate"),
+    )

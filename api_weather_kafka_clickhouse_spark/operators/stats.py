@@ -3656,3 +3656,301 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# --- HMM Viterbi decoding (round 11 continuation) -----------------------
+
+# Fixed two-state engagement HMM (Quiet=0 / Active=1). Decoding with
+# FIXED parameters is the production shape (the model is trained
+# offline; the engine's job is the sequence labeling). All log-probs
+# are quantized ONCE in Python to integer micro-nats, so every Viterbi
+# score is an exact BIGINT sum and both engines (and the pure-Python
+# reference) agree bit for bit; ties prefer the lower state index.
+HMM_START = {0: 0.6, 1: 0.4}
+HMM_TRANS = {(0, 0): 0.8, (0, 1): 0.2, (1, 0): 0.3, (1, 1): 0.7}
+HMM_EMIT = {
+    0: {"view": 0.45, "click": 0.25, "signup": 0.15, "error": 0.10,
+        "purchase": 0.05},
+    1: {"purchase": 0.35, "click": 0.30, "view": 0.15, "signup": 0.10,
+        "error": 0.10},
+}
+_MU = 1_000_000
+HMM_START_MU = {s: round(_math.log(p) * _MU) for s, p in HMM_START.items()}
+HMM_TRANS_MU = {k: round(_math.log(p) * _MU) for k, p in HMM_TRANS.items()}
+HMM_EMIT_MU = {
+    s: {t: round(_math.log(p) * _MU) for t, p in d.items()}
+    for s, d in HMM_EMIT.items()
+}
+HMM_PATH_HEAD = 16  # rendered path prefix length
+
+
+def _hmm_emit_case(state: int, var: str) -> str:
+    whens = " ".join(
+        f"WHEN '{t}' THEN ({mu})" for t, mu in sorted(HMM_EMIT_MU[state].items())
+    )
+    return f"CASE {var} {whens} END"
+
+
+@register(
+    "stats_hmm_viterbi",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS obs
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, obs, CAST(len(obs) AS BIGINT) AS n, 1 AS k,
+             CAST({HMM_START_MU[0]} + {_hmm_emit_case(0, "obs[1]")} AS BIGINT)
+               AS s0,
+             CAST({HMM_START_MU[1]} + {_hmm_emit_case(1, "obs[1]")} AS BIGINT)
+               AS s1,
+             [0] AS p0, [1] AS p1
+      FROM g
+      UNION ALL
+      SELECT user_id, obs, n, k + 1,
+             CAST(greatest(s0 + ({HMM_TRANS_MU[(0, 0)]}),
+                           s1 + ({HMM_TRANS_MU[(1, 0)]}))
+                  + {_hmm_emit_case(0, "obs[k + 1]")} AS BIGINT) AS s0,
+             CAST(greatest(s0 + ({HMM_TRANS_MU[(0, 1)]}),
+                           s1 + ({HMM_TRANS_MU[(1, 1)]}))
+                  + {_hmm_emit_case(1, "obs[k + 1]")} AS BIGINT) AS s1,
+             list_append(CASE WHEN s0 + ({HMM_TRANS_MU[(0, 0)]})
+                                   >= s1 + ({HMM_TRANS_MU[(1, 0)]})
+                              THEN p0 ELSE p1 END, 0) AS p0,
+             list_append(CASE WHEN s0 + ({HMM_TRANS_MU[(0, 1)]})
+                                   >= s1 + ({HMM_TRANS_MU[(1, 1)]})
+                              THEN p0 ELSE p1 END, 1) AS p1
+      FROM f WHERE k < n
+    ),
+    last AS (
+      SELECT user_id, n, s0, s1,
+             CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS best_state,
+             CASE WHEN s1 > s0 THEN s1 ELSE s0 END AS best_score_mu,
+             CASE WHEN s1 > s0 THEN p1 ELSE p0 END AS path
+      FROM f WHERE k = n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_steps,
+           CAST(best_state AS BIGINT) AS best_state, best_score_mu,
+           CAST(list_sum(path) AS BIGINT) AS n_active,
+           CAST(coalesce(list_sum([CASE WHEN path[i + 1] <> path[i]
+                          THEN 1 ELSE 0 END
+                 for i in range(1, len(path))]), 0) AS BIGINT) AS n_switches,
+           array_to_string(path[1:least(len(path), {HMM_PATH_HEAD})],
+                           '') AS path_head
+    FROM last
+    """,
+    doc="HMM Viterbi decoding of each user's event journey under a "
+    "fixed two-state engagement model (Quiet/Active) — the "
+    "sequence-labeling operator behind regime segmentation, "
+    "bot-vs-human windows, and churn-phase tagging, where "
+    "events_markov_entropy measures a chain and this one LABELS it "
+    "with the latent state path. Decoding with fixed offline-"
+    "trained parameters is the production shape. Exactness: all "
+    "log-probs are quantized once in Python to integer micro-nats "
+    "and injected into both engines (the sim_ndcg_eval/"
+    "dominant_period discipline), so every Viterbi score is an "
+    "exact BIGINT sum, argmax ties prefer state 0, and the decoded "
+    "path hashes identically; the two candidate paths ride the "
+    "fold, so no backtracking pass is needed. Shape: ONE "
+    "order-bounded groupBy builds the per-user journey, then the "
+    "DP folds per user (Spark: codegen higher-order aggregate; "
+    "oracle: recursive CTE) — work is O(total events x states^2) "
+    "with journey-local state, no shuffle inside the recursion.",
+)
+def stats_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    g = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
+                )
+            ),
+            lambda s: s.getField("event_type"),
+        ).alias("obs")
+    )
+
+    def emit(state: int, sym: F.Column) -> F.Column:
+        expr = None
+        for t, mu in sorted(HMM_EMIT_MU[state].items()):
+            expr = (
+                F.when(sym == t, F.lit(mu))
+                if expr is None
+                else expr.when(sym == t, F.lit(mu))
+            )
+        return expr.cast("bigint")
+
+    obs = F.col("obs")
+    t00, t01 = HMM_TRANS_MU[(0, 0)], HMM_TRANS_MU[(0, 1)]
+    t10, t11 = HMM_TRANS_MU[(1, 0)], HMM_TRANS_MU[(1, 1)]
+    init = F.struct(
+        (F.lit(HMM_START_MU[0]).cast("bigint") + emit(0, F.element_at(obs, 1))).alias("s0"),
+        (F.lit(HMM_START_MU[1]).cast("bigint") + emit(1, F.element_at(obs, 1))).alias("s1"),
+        F.array(F.lit(0)).alias("p0"),
+        F.array(F.lit(1)).alias("p1"),
+    )
+
+    def step(acc: F.Column, sym: F.Column) -> F.Column:
+        s0, s1 = acc.getField("s0"), acc.getField("s1")
+        p0, p1 = acc.getField("p0"), acc.getField("p1")
+        c00, c10 = s0 + t00, s1 + t10
+        c01, c11 = s0 + t01, s1 + t11
+        ns0 = F.greatest(c00, c10) + emit(0, sym)
+        ns1 = F.greatest(c01, c11) + emit(1, sym)
+        np0 = F.concat(F.when(c00 >= c10, p0).otherwise(p1), F.array(F.lit(0)))
+        np1 = F.concat(F.when(c01 >= c11, p0).otherwise(p1), F.array(F.lit(1)))
+        return F.struct(
+            ns0.alias("s0"), ns1.alias("s1"), np0.alias("p0"), np1.alias("p1")
+        )
+
+    folded = g.select(
+        "user_id",
+        F.size(obs).cast("bigint").alias("n_steps"),
+        F.aggregate(
+            F.slice(obs, 2, F.greatest(F.size(obs) - 1, F.lit(0))), init, step
+        ).alias("st"),
+    )
+    s0, s1 = F.col("st").getField("s0"), F.col("st").getField("s1")
+    best1 = s1 > s0
+    path = F.when(best1, F.col("st").getField("p1")).otherwise(
+        F.col("st").getField("p0")
+    )
+    switches = F.coalesce(
+        F.aggregate(
+            F.zip_with(
+                F.slice(path, 2, F.greatest(F.size(path) - 1, F.lit(0))),
+                F.slice(path, 1, F.greatest(F.size(path) - 1, F.lit(0))),
+                lambda a, b: F.when(a != b, 1).otherwise(0),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return folded.select(
+        "user_id",
+        "n_steps",
+        F.when(best1, 1).otherwise(0).cast("bigint").alias("best_state"),
+        F.when(best1, s1).otherwise(s0).alias("best_score_mu"),
+        F.aggregate(
+            path, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("n_active"),
+        switches.alias("n_switches"),
+        F.array_join(
+            F.transform(
+                F.slice(path, 1, F.least(F.size(path), F.lit(HMM_PATH_HEAD))),
+                lambda v: v.cast("string"),
+            ),
+            "",
+        ).alias("path_head"),
+    )
+
+
+# --- McNemar paired test (round 11 continuation) ------------------------
+
+# Chi-square(1) critical value at alpha = 0.05 (the chi_square/ANOVA
+# literal-critical-value convention: no engine evaluates a CDF).
+MCNEMAR_SPLIT = "2024-01-16 00:00:00"
+MCNEMAR_CHI2_CRIT = 3.841459
+MCNEMAR_HEAVY = 7  # 'heavy purchaser' threshold (per-half purchase count)
+
+
+@register(
+    "stats_mcnemar",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '{MCNEMAR_SPLIT}'
+                           THEN 1 ELSE 0 END) >= {MCNEMAR_HEAVY}
+                  THEN 1 ELSE 0 END AS before_flag,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '{MCNEMAR_SPLIT}'
+                           THEN 1 ELSE 0 END) >= {MCNEMAR_HEAVY}
+                  THEN 1 ELSE 0 END AS after_flag
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN before_flag = 1 AND after_flag = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN before_flag = 1 AND after_flag = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+             CAST(sum(CASE WHEN before_flag = 0 AND after_flag = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+             CAST(sum(CASE WHEN before_flag = 0 AND after_flag = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      FROM u
+    )
+    SELECT n_users, n_both, n_lost, n_gained, n_neither,
+           round(CAST((n_lost - n_gained) AS DOUBLE)
+                 * (n_lost - n_gained) / nullif(n_lost + n_gained, 0), 9)
+             AS mcnemar_chi2,
+           (CAST((n_lost - n_gained) AS DOUBLE) * (n_lost - n_gained)
+            > {MCNEMAR_CHI2_CRIT} * nullif(n_lost + n_gained, 0))
+             AS reject_h0
+    FROM s
+    """,
+    doc="McNemar's test for PAIRED binary outcomes: did each user's "
+    "heavy-purchaser status (>= MCNEMAR_HEAVY purchases in the "
+    "half) change between the two halves of the observation "
+    "window? The before/after pair per user makes this "
+    "the correct test where stats_chi_square's independence test "
+    "would be wrong (the same users appear in both columns, so the "
+    "samples aren't independent) — only the DISCORDANT pairs "
+    "(lost/gained) carry information, and the statistic is "
+    "(b-c)^2/(b+c) on exact integer counts against the literal "
+    "chi-square(1) critical value (the ANOVA convention: no CDF is "
+    "ever evaluated, and the rejection flag is cross-multiplied so "
+    "even the division is display-only). One map-side-combined "
+    "per-user reduce then a 2x2 fold to a single row.",
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    split = F.lit(MCNEMAR_SPLIT).cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(is_p & (F.col("ts") < split), 1).otherwise(0))
+            >= MCNEMAR_HEAVY,
+            1,
+        )
+        .otherwise(0)
+        .alias("before_flag"),
+        F.when(
+            F.sum(F.when(is_p & (F.col("ts") >= split), 1).otherwise(0))
+            >= MCNEMAR_HEAVY,
+            1,
+        )
+        .otherwise(0)
+        .alias("after_flag"),
+    )
+    bf, af = F.col("before_flag"), F.col("after_flag")
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when((bf == 1) & (af == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.when((bf == 1) & (af == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lost"),
+        F.sum(F.when((bf == 0) & (af == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gained"),
+        F.sum(F.when((bf == 0) & (af == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neither"),
+    )
+    diff = (F.col("n_lost") - F.col("n_gained")).cast("double")
+    disc = F.nullif(F.col("n_lost") + F.col("n_gained"), F.lit(0))
+    return s.select(
+        "n_users",
+        "n_both",
+        "n_lost",
+        "n_gained",
+        "n_neither",
+        F.round(diff * diff / disc, 9).alias("mcnemar_chi2"),
+        (diff * diff > F.lit(MCNEMAR_CHI2_CRIT) * disc).alias("reject_h0"),
+    )

@@ -160,7 +160,15 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # (label-centroid distance QC on the int8 lattice),
 # join_asof_nearest (nearest-direction as-of), privacy_pseudonymize_
 # join (salted surrogate-key vault), er_phonetic_blocking
-# (simplified-Soundex ER blocking). Swap them
+# (simplified-Soundex ER blocking), time_dominant_period
+# (residue-class DFT seasonality scan), mm_magic_sniff (container
+# magic-byte routing), time_dtw_distance (exact-integer dynamic
+# time warping), orders_skyline_pareto (sort-based Pareto
+# frontier), time_bollinger_breach (volatility-normalized breach
+# flags), stats_hmm_viterbi (integer micro-nat Viterbi decoding),
+# profile_dq_rules (declarative data-quality contract audit),
+# graph_assortativity (Newman's degree-correlation r),
+# stats_mcnemar (paired binary before/after test). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

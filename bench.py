@@ -106,6 +106,13 @@ HEADLINE = [
     # twins (sim_ivf_kmeans is not benched; dedup_semdedup is)
     "sim_ivf_int8",
     "dedup_semdedup_int8",
+    # round-11 continuation: the deliberate x33 replication of the
+    # user-dimension table (the permutation family's cost shape,
+    # beside bootstrap_ci's x64 corpus replication) and the 64-sum
+    # wide aggregate + broadcast-centroid distance pass of the
+    # embedding QC screen
+    "stats_permutation_test",
+    "quality_embedding_outliers",
 ]
 
 

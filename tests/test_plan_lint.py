@@ -79,6 +79,21 @@ NESTED_LOOP_SANCTIONED = {
     # broadcast query set x corpus (non-equi vec_id <> cond) — build
     # side = N_QUERIES rows, a query-dimension constant
     "sim_cascade_rerank": 1,
+    # NDCG eval ranks the same broadcast-query-set x corpus scan as
+    # sim_topk_bruteforce (non-equi vec_id <> cond; build side =
+    # N_QUERIES rows)
+    "sim_ndcg_eval": 1,
+    # the 68-row literal cos/sin coefficient table broadcasts against
+    # the day-bucketed series with join key r == t % p (an expression
+    # of BOTH sides, so Catalyst cannot extract an equi-key); 68
+    # predicate tests per calendar row is constant work — the
+    # dimension here is the candidate-period grid, fixed at authoring
+    # time
+    "time_dominant_period": 1,
+    # the type-dimension series table self-pairs with a < b (5 rows
+    # by data; inherently non-equi, the fuzzy_match_levenshtein
+    # argument on an even smaller dimension)
+    "time_dtw_distance": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

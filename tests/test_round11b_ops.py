@@ -482,3 +482,393 @@ def test_phonetic_key_groups_misspellings():
     assert _phonetic_key("goldenrod") == "G435"
     # distinct sounds stay apart
     assert _phonetic_key("blue") != _phonetic_key("green")
+
+
+# ------------------------------------------------ time_dominant_period
+
+
+def test_dominant_period_matches_python_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        DFT_PERIODS,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    daily = (
+        pdf.groupby(["event_type", "day"]).size().rename("x").reset_index()
+    ).sort_values(["event_type", "day"])
+    got = {
+        (r["event_type"], r["period"]): r
+        for r in SPECS["time_dominant_period"].fn(spark, sf_dir).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        xs = g["x"].tolist()
+        n, sx = len(xs), sum(xs)
+        ys = [n * x - sx for x in xs]  # exact mean-centering (scaled)
+        powers = {}
+        for p in DFT_PERIODS:
+            # independent: quantize cos/sin HERE from math, then exact
+            # integer sums — same spec, separate derivation
+            a = sum(
+                round(math.cos(2 * math.pi * (t % p) / p) * 1_000_000) * y
+                for t, y in enumerate(ys)
+            )
+            b = sum(
+                round(math.sin(2 * math.pi * (t % p) / p) * 1_000_000) * y
+                for t, y in enumerate(ys)
+            )
+            powers[p] = (a * a + b * b, a, b)
+        order = sorted(powers, key=lambda p: (-powers[p][0], p))
+        for rank, p in enumerate(order, start=1):
+            row = got[(et, p)]
+            assert row["a_mu"] == powers[p][1]
+            assert row["b_mu"] == powers[p][2]
+            assert int(row["power_str"]) == powers[p][0]
+            assert row["power_rank"] == rank
+            assert row["n_days"] == n
+
+
+# ------------------------------------------------ mm_magic_sniff
+
+
+def test_magic_sniff_detects_planted_headers(spark, sf_dir):
+    import duckdb
+
+    from api_weather_kafka_clickhouse_spark.operators.multimodal import (
+        _RIFF_STUB,
+        MAGIC_JPEG,
+        MAGIC_PNG,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expect: dict[str, list[int]] = {}
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        mod = doc_id % 4
+        if mod == 0:
+            blob, mime = bytes.fromhex(MAGIC_PNG) + raw, "image/png"
+        elif mod == 1:
+            blob, mime = bytes.fromhex(MAGIC_JPEG) + raw, "image/jpeg"
+        elif mod == 2:
+            blob, mime = bytes.fromhex(_RIFF_STUB) + raw, "audio/wav"
+        else:
+            blob, mime = raw, "application/octet-stream"
+        # independent sniffer: bytes, not hex strings
+        if blob[:8] == bytes.fromhex(MAGIC_PNG):
+            det = "image/png"
+        elif blob[:3] == bytes.fromhex(MAGIC_JPEG):
+            det = "image/jpeg"
+        elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            det = "audio/wav"
+        else:
+            det = "application/octet-stream"
+        assert det == mime  # fixture self-consistency
+        expect.setdefault(det, []).append(len(blob))
+    got = {
+        r["detected_mime"]: r for r in SPECS["mm_magic_sniff"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for mime, sizes in expect.items():
+        row = got[mime]
+        assert row["n_blobs"] == len(sizes)
+        assert row["total_bytes"] == sum(sizes)
+        assert row["n_mismatch"] == 0
+
+
+# ------------------------------------------------ time_dtw_distance
+
+
+def _dtw_2d(a: list[int], b: list[int]) -> int:
+    """Textbook two-dimensional DTW DP (not the operators' flattened
+    append-only formulation)."""
+    n, m = len(a), len(b)
+    inf = float("inf")
+    dp = [[inf] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+    return int(dp[n][m])
+
+
+def test_dtw_matches_textbook_dp(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    daily = (
+        pdf.groupby(["event_type", "day"]).size().rename("x").reset_index()
+    ).sort_values(["event_type", "day"])
+    series = {et: g["x"].tolist() for et, g in daily.groupby("event_type")}
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in SPECS["time_dtw_distance"].fn(spark, sf_dir).collect()
+    }
+    types = sorted(series)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    assert set(got) == expected_pairs
+    for a, b in expected_pairs:
+        row = got[(a, b)]
+        d = _dtw_2d(series[a], series[b])
+        assert row["dtw"] == d
+        assert row["dtw_normalized"] == pytest.approx(
+            round(d / (len(series[a]) + len(series[b])), 6), abs=1e-12
+        )
+
+
+def test_dtw_properties():
+    # identical series: zero; shift tolerance: cheaper than L1
+    assert _dtw_2d([1, 2, 3], [1, 2, 3]) == 0
+    l1 = sum(abs(x - y) for x, y in zip([0, 9, 0, 0], [0, 0, 9, 0]))
+    assert _dtw_2d([0, 9, 0, 0], [0, 0, 9, 0]) < l1
+
+
+# ------------------------------------------------ orders_skyline_pareto
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    import duckdb
+    from datetime import date
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT),
+                   CAST(o_orderdate AS DATE)
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    epoch = date(1970, 1, 1)
+    pts: dict[str, list[tuple[int, int, int]]] = {}
+    for grp, key, price, d in rows:
+        pts.setdefault(grp, []).append((key, price, (d - epoch).days))
+    got = {
+        (r["grp"], r["o_orderkey"]): r
+        for r in SPECS["orders_skyline_pareto"].fn(spark, sf_dir).collect()
+    }
+    # brute-force O(n^2) dominance — the definition, not the
+    # operator's sort-based shortcut
+    expect = set()
+    for grp, members in pts.items():
+        for key, price, day in members:
+            dominated = any(
+                p2 <= price and d2 >= day and (p2 < price or d2 > day)
+                for _, p2, d2 in members
+            )
+            if not dominated:
+                expect.add((grp, key))
+    assert set(got) == expect
+    for (grp, key), r in got.items():
+        orig = next(m for m in pts[grp] if m[0] == key)
+        assert (r["price_c"], r["day"]) == (orig[1], orig[2])
+
+
+# ------------------------------------------------ time_bollinger_breach
+
+
+def test_bollinger_matches_pandas_rolling(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        BOLL_K,
+        BOLL_W,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    daily = pdf.groupby("day")["cents"].sum().sort_index()
+    got = {
+        str(r["day"]): r
+        for r in SPECS["time_bollinger_breach"].fn(spark, sf_dir).collect()
+    }
+    sma = daily.rolling(BOLL_W).mean()
+    sd = daily.rolling(BOLL_W).std(ddof=1)
+    n_expected = 0
+    for day, x in daily.items():
+        if pd.isna(sma[day]):
+            continue
+        n_expected += 1
+        row = got[str(day.date())]
+        assert row["x"] == x
+        assert row["sma"] == pytest.approx(sma[day], rel=1e-9)
+        assert row["sigma"] == pytest.approx(sd[day], rel=1e-6)
+        if x > sma[day] + BOLL_K * sd[day]:
+            expect = "upper"
+        elif x < sma[day] - BOLL_K * sd[day]:
+            expect = "lower"
+        else:
+            expect = "inside"
+        assert row["band_position"] == expect
+    assert len(got) == n_expected
+
+
+# ------------------------------------------------ stats_hmm_viterbi
+
+
+def _viterbi_backpointer(obs, start_mu, trans_mu, emit_mu):
+    """Textbook Viterbi with a backpointer MATRIX and a reverse pass —
+    not the operators' carried-candidate-paths fold."""
+    n_states = 2
+    v = [[None] * n_states for _ in obs]
+    bp = [[None] * n_states for _ in obs]
+    for s in range(n_states):
+        v[0][s] = start_mu[s] + emit_mu[s][obs[0]]
+    for t in range(1, len(obs)):
+        for s in range(n_states):
+            # tie prefers the LOWER predecessor index
+            cands = [v[t - 1][p] + trans_mu[(p, s)] for p in range(n_states)]
+            best_p = 0 if cands[0] >= cands[1] else 1
+            v[t][s] = cands[best_p] + emit_mu[s][obs[t]]
+            bp[t][s] = best_p
+    last = 1 if v[-1][1] > v[-1][0] else 0
+    path = [last]
+    for t in range(len(obs) - 1, 0, -1):
+        path.append(bp[t][path[-1]])
+    path.reverse()
+    return v[-1][path[-1]], path
+
+
+def test_viterbi_matches_textbook_backpointer(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        HMM_EMIT_MU,
+        HMM_PATH_HEAD,
+        HMM_START_MU,
+        HMM_TRANS_MU,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    got = {
+        r["user_id"]: r
+        for r in SPECS["stats_hmm_viterbi"].fn(spark, sf_dir).collect()
+    }
+    for uid, g in pdf.groupby("user_id"):
+        obs = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        score, path = _viterbi_backpointer(
+            obs, HMM_START_MU, HMM_TRANS_MU, HMM_EMIT_MU
+        )
+        row = got[uid]
+        assert row["n_steps"] == len(obs)
+        assert row["best_score_mu"] == score
+        assert row["best_state"] == path[-1]
+        assert row["n_active"] == sum(path)
+        assert row["n_switches"] == sum(
+            1 for a, b in zip(path, path[1:]) if a != b
+        )
+        assert row["path_head"] == "".join(
+            map(str, path[:HMM_PATH_HEAD])
+        )
+
+
+def test_hmm_probabilities_are_normalized():
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        HMM_EMIT,
+        HMM_START,
+        HMM_TRANS,
+    )
+
+    assert sum(HMM_START.values()) == pytest.approx(1.0)
+    for s in (0, 1):
+        assert sum(HMM_EMIT[s].values()) == pytest.approx(1.0)
+        assert HMM_TRANS[(s, 0)] + HMM_TRANS[(s, 1)] == pytest.approx(1.0)
+
+
+# ------------------------------------------------ profile_dq_rules
+
+
+def test_dq_rules_matches_duckdb_recount(spark, sf_dir):
+    import duckdb
+
+    got = {r["rule"]: r for r in SPECS["profile_dq_rules"].fn(spark, sf_dir).collect()}
+    assert len(got) == 8
+    # independent recount of three rules straight off the parquet
+    orphans = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf_dir}/orders.parquet' o
+            WHERE o.o_custkey NOT IN
+              (SELECT c_custkey FROM '{sf_dir}/customer.parquet')"""
+    ).fetchone()[0]
+    assert got["orders.custkey_resolves"]["n_violations"] == orphans
+    dup = duckdb.sql(
+        f"""SELECT count(*) - count(DISTINCT event_id)
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchone()[0]
+    assert got["events.event_id_unique"]["n_violations"] == dup
+    bad_len = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf_dir}/documents.parquet'
+            WHERE n_chars <> length(text)"""
+    ).fetchone()[0]
+    assert got["documents.n_chars_matches_text"]["n_violations"] == bad_len
+    for r in got.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert 0.0 <= r["pass_rate"] <= 1.0
+
+
+# ------------------------------------------------ graph_assortativity
+
+
+def test_assortativity_matches_python_reference(spark, sf_dir):
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{sf_dir}/lineitem.parquet')
+        SELECT a.l_partkey, c.l_partkey
+        FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                         AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    ys = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    m2 = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    expect = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    row = SPECS["graph_assortativity"].fn(spark, sf_dir).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(deg)
+    assert row["assortativity"] == pytest.approx(round(expect, 9), abs=1e-9)
+
+
+# ------------------------------------------------ stats_mcnemar
+
+
+def test_mcnemar_matches_pandas_reference(spark, sf_dir):
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        MCNEMAR_CHI2_CRIT,
+        MCNEMAR_HEAVY,
+        MCNEMAR_SPLIT,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    split = pd.Timestamp(MCNEMAR_SPLIT)
+    p = pdf[pdf["event_type"] == "purchase"]
+    b, c_ = 0, 0
+    both = neither = 0
+    for uid in pdf["user_id"].unique():
+        g = p[p["user_id"] == uid]
+        bf = (g["ts"] < split).sum() >= MCNEMAR_HEAVY
+        af = (g["ts"] >= split).sum() >= MCNEMAR_HEAVY
+        if bf and af:
+            both += 1
+        elif bf:
+            b += 1
+        elif af:
+            c_ += 1
+        else:
+            neither += 1
+    row = SPECS["stats_mcnemar"].fn(spark, sf_dir).collect()[0]
+    assert (row["n_both"], row["n_lost"], row["n_gained"], row["n_neither"]) == (
+        both,
+        b,
+        c_,
+        neither,
+    )
+    if b + c_:
+        chi2 = (b - c_) ** 2 / (b + c_)
+        assert row["mcnemar_chi2"] == pytest.approx(round(chi2, 9), abs=1e-12)
+        assert row["reject_h0"] == (chi2 > MCNEMAR_CHI2_CRIT)
