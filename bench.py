@@ -113,6 +113,13 @@ HEADLINE = [
     # embedding QC screen
     "stats_permutation_test",
     "quality_embedding_outliers",
+    # the per-user Viterbi DP fold (path arrays riding a codegen
+    # aggregate — the sequence-labeling cost shape), the pairwise DTW
+    # fold over day-dimension series, and the 8-rule multi-table
+    # audit (five scans + two reference joins in one query)
+    "stats_hmm_viterbi",
+    "time_dtw_distance",
+    "profile_dq_rules",
 ]
 
 
