@@ -2080,15 +2080,28 @@ def quality_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cv"
         ),
     )
-    d = pts.join(F.broadcast(cent), "label").select(
-        "vec_id",
-        "label",
-        "n_label",
-        F.aggregate(
-            F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+    from ..plans.stage import eager_release
+
+    # persisted: the narrow (vec_id, label, d2) distance table feeds
+    # BOTH the per-label median window and the final projection —
+    # unstaged, the quantize+zip_with distance pass (and its parquet
+    # scan) replays per consumer (4 scans measured in this round's
+    # plan audit). 32 bytes/row, far smaller than the codes.
+    d = (
+        pts.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            "n_label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+        .persist()
     )
     w = Window.partitionBy("label").orderBy("d2", "vec_id")
     ranked = d.withColumn("rn", F.row_number().over(w))
@@ -2099,13 +2112,11 @@ def quality_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.max("d2").cast("bigint").alias("med_d2"))
     )
-    return (
-        d.join(F.broadcast(med), "label")
-        .select(
-            "vec_id",
-            "label",
-            "d2",
-            "med_d2",
-            (F.col("d2") * OUT_DEN > F.col("med_d2") * OUT_NUM).alias("is_outlier"),
-        )
+    out = d.join(F.broadcast(med), "label").select(
+        "vec_id",
+        "label",
+        "d2",
+        "med_d2",
+        (F.col("d2") * OUT_DEN > F.col("med_d2") * OUT_NUM).alias("is_outlier"),
     )
+    return eager_release(out, "embedding_outliers", d)

@@ -168,7 +168,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # flags), stats_hmm_viterbi (integer micro-nat Viterbi decoding),
 # profile_dq_rules (declarative data-quality contract audit),
 # graph_assortativity (Newman's degree-correlation r),
-# stats_mcnemar (paired binary before/after test). Swap them
+# stats_mcnemar (paired binary before/after test),
+# text_bpe_tokenize (vocab-dimension BPE merge application),
+# mm_scene_cuts (frame-signature shot-boundary detection). Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

@@ -872,3 +872,106 @@ def test_mcnemar_matches_pandas_reference(spark, sf_dir):
         chi2 = (b - c_) ** 2 / (b + c_)
         assert row["mcnemar_chi2"] == pytest.approx(round(chi2, 9), abs=1e-12)
         assert row["reject_h0"] == (chi2 > MCNEMAR_CHI2_CRIT)
+
+
+# ------------------------------------------------ text_bpe_tokenize
+
+
+def _bpe_reference(word: str) -> int:
+    """Python re-derivation of the delimiter-replace formulation via
+    str.replace (an independent string engine, same documented
+    algorithm)."""
+    from api_weather_kafka_clickhouse_spark.operators.text_analysis import (
+        BPE_MERGES,
+        BPE_PASSES,
+        BPE_WORD_CAP,
+    )
+
+    w = word[:BPE_WORD_CAP]
+    s = "|" + "|".join(w) + "|"
+    for x, y in BPE_MERGES:
+        for _ in range(BPE_PASSES):
+            s = s.replace(f"|{x}|{y}|", f"|{x}{y}|")
+    return s.count("|") - 1
+
+
+def test_bpe_tokenize_matches_python_reference(spark, sf_dir):
+    import re
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r["doc_id"]: r for r in SPECS["text_bpe_tokenize"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in docs:
+        words = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        n_tokens = sum(_bpe_reference(w) for w in words)
+        n_chars = sum(min(len(w), 24) for w in words)
+        row = got[doc_id]
+        assert row["n_words"] == len(words)
+        assert row["n_bpe_tokens"] == n_tokens
+        assert row["n_chars_az"] == n_chars
+        assert row["chars_per_token"] == pytest.approx(
+            round(n_chars / n_tokens, 6), abs=1e-12
+        )
+
+
+def test_bpe_merges_actually_compress():
+    # the rules must do real work on common English patterns
+    assert _bpe_reference("the") == 1  # t+h -> th, th+e -> the
+    assert _bpe_reference("and") == 1
+    assert _bpe_reference("thorn") < len("thorn")
+    # single chars and unknown alphabets pass through 1 token/char
+    assert _bpe_reference("x") == 1
+    assert _bpe_reference("zzz") == 3
+
+
+# ------------------------------------------------ mm_scene_cuts
+
+
+def test_scene_cuts_matches_python_reference(spark, sf_dir):
+    import duckdb
+
+    from api_weather_kafka_clickhouse_spark.operators.multimodal import (
+        CUT_DELTA,
+        CUT_HEAD,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r["doc_id"]: r for r in SPECS["mm_scene_cuts"].fn(spark, sf_dir).collect()
+    }
+    n_expected = 0
+    for doc_id, text in docs:
+        nf = len(text) // 100
+        if nf < 1:
+            assert doc_id not in got
+            continue
+        n_expected += 1
+        sigs = [
+            sum(ord(c) for c in text[i * 100 : i * 100 + 100]) for i in range(nf)
+        ]
+        cuts = [
+            i
+            for i in range(1, nf)
+            if abs(sigs[i] - sigs[i - 1]) > CUT_DELTA
+        ]
+        row = got[doc_id]
+        assert row["n_frames"] == nf
+        assert row["n_cuts"] == len(cuts)
+        assert row["first_cut_idx"] == (cuts[0] if cuts else None)
+        assert row["cuts_head"] == ",".join(map(str, cuts[:CUT_HEAD]))
+    assert len(got) == n_expected
+
+
+def test_scene_cuts_flag_rate_is_meaningful(spark, sf_dir):
+    # the threshold must neither fire on every transition nor never
+    rows = SPECS["mm_scene_cuts"].fn(spark, sf_dir).collect()
+    total_cuts = sum(r["n_cuts"] for r in rows)
+    total_transitions = sum(r["n_frames"] - 1 for r in rows)
+    assert 0 < total_cuts < total_transitions
