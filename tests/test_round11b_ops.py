@@ -975,3 +975,33 @@ def test_scene_cuts_flag_rate_is_meaningful(spark, sf_dir):
     total_cuts = sum(r["n_cuts"] for r in rows)
     total_transitions = sum(r["n_frames"] - 1 for r in rows)
     assert 0 < total_cuts < total_transitions
+
+
+def test_dtw_flat_formulation_equals_textbook_on_unequal_lengths():
+    """The engines share a flattened row-major recurrence; real data
+    only exercises equal-length series (every type spans the same 30
+    days), so pin the formulation itself on unequal lengths."""
+    import random
+
+    def dtw_flat(a, b):
+        n, m = len(a), len(b)
+        dp = []
+        for k in range(n * m):
+            i, j = k // m, k % m
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                prev = 0
+            elif i == 0:
+                prev = dp[k - 1]
+            elif j == 0:
+                prev = dp[k - m]
+            else:
+                prev = min(dp[k - 1], dp[k - m], dp[k - m - 1])
+            dp.append(c + prev)
+        return dp[-1]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = [rng.randint(0, 50) for _ in range(rng.randint(1, 12))]
+        b = [rng.randint(0, 50) for _ in range(rng.randint(1, 12))]
+        assert dtw_flat(a, b) == _dtw_2d(a, b)
