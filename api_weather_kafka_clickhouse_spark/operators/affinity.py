@@ -31,6 +31,47 @@ PAIR_MIN_SUPPORT = 3
 # structure actually exists at test scale.
 TRI_MIN_SUPPORT = 2
 
+# Shared co-purchase graph substrate (graph_triangles / graph_kcore /
+# graph_clustering_coeff / graph_assortativity): the support-filtered
+# edge list and its degree table, ONE source of truth in both engines
+# (round-11 review: the construction had been inlined four times).
+EDGE_CTE_SQL = f"""b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    )"""
+
+
+def _copurchase_e0(li: DataFrame) -> DataFrame:
+    """Support-filtered co-purchase edge list (u < v), unpersisted —
+    callers decide staging."""
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
+def _degrees(e0: DataFrame) -> DataFrame:
+    """Undirected degree table (node, d) of an (u, v) edge list."""
+    return (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+
 
 @register(
     "copurchase_pairs_lift",
@@ -118,14 +159,7 @@ def copurchase_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangles",
     oracle=f"""
-    WITH b AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e0 AS (
-      SELECT a.l_partkey AS u, c.l_partkey AS v
-      FROM b a JOIN b c
-        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
-    ), deg AS (
+    WITH {EDGE_CTE_SQL}, deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
       GROUP BY node
@@ -167,8 +201,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stage import eager_release
 
     li = load(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = b.alias("a"), b.alias("c")
     # persisted: the edge list feeds the degree union (twice) and the
     # orientation join, and the ORIENTED list feeds all three arms of
     # the wedge+closure self-join — without staging, Catalyst plans
@@ -176,24 +208,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~6x total (measured: 30 scans / 102 aggregates in the unstaged
     # plan, zero ReusedExchange). Both lists are edge-sized (graph
     # dimension), not fact-sized. Released via eager_release below.
-    e0 = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()
-    )
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
+    e0 = _copurchase_e0(li).persist()
+    deg = _degrees(e0)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
@@ -781,13 +797,7 @@ def _kcore_iter_ctes() -> str:
 @register(
     "graph_kcore",
     oracle=f"""
-    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (
-      SELECT a.l_partkey AS u, c.l_partkey AS v
-      FROM b a JOIN b c
-        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
-    ),
+    WITH {EDGE_CTE_SQL},
     adj0 AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v AS s, u AS t FROM e0),
     {_kcore_iter_ctes()},
     surv AS (
@@ -821,19 +831,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stage import eager_release
 
     li = load(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = b.alias("a"), b.alias("c")
-    e0 = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    e0 = _copurchase_e0(li)
     adj = (
         e0.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(e0.select(F.col("v").alias("s"), F.col("u").alias("t")))
@@ -1075,14 +1073,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_clustering_coeff",
     oracle=f"""
-    WITH b AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e0 AS (
-      SELECT a.l_partkey AS u, c.l_partkey AS v
-      FROM b a JOIN b c
-        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
-    ), deg AS (
+    WITH {EDGE_CTE_SQL}, deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS degree
       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
       GROUP BY node
@@ -1130,30 +1121,11 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stage import eager_release
 
     li = load(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = b.alias("a"), b.alias("c")
     # persisted: e0 feeds the degree union (twice) and the orientation
     # join; e feeds the three wedge/closure arms (graph_triangles'
     # staging rationale). Both are edge-dimension-sized.
-    e0 = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()
-    )
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .persist()
-    )
+    e0 = _copurchase_e0(li).persist()
+    deg = _degrees(e0).select("node", F.col("d").alias("degree")).persist()
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
     lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
@@ -1206,14 +1178,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_assortativity",
     oracle=f"""
-    WITH b AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e0 AS (
-      SELECT a.l_partkey AS u, c.l_partkey AS v
-      FROM b a JOIN b c
-        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
-    ), deg AS (
+    WITH {EDGE_CTE_SQL}, deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
       GROUP BY node
@@ -1257,27 +1222,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stage import eager_release
 
     li = load(spark, "lineitem", sf_dir)
-    bt = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = bt.alias("a"), bt.alias("c")
-    e0 = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()
-    )
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-        .persist()
-    )
+    e0 = _copurchase_e0(li).persist()
+    deg = _degrees(e0).persist()
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dux"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dvx"))
     joined = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")

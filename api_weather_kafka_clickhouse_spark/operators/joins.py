@@ -901,7 +901,13 @@ def er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.groupBy("block_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.countDistinct("word").cast("bigint").alias("n_words"),
-        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        # n(n-1) is even, so the subtract-mod idiom divides exactly in
+        # integers — Spark's / on bigint is DOUBLE and loses exactness
+        # past 2^53 (round-11 review finding)
+        F.expr(
+            "(count(1) * (count(1) - 1)"
+            " - (count(1) * (count(1) - 1)) % 2) DIV 2"
+        )
         .cast("bigint")
         .alias("candidate_pairs"),
         F.array_join(

@@ -2470,17 +2470,22 @@ BOLL_K = 2  # band half-width in sample standard deviations
     ),
     t AS (
       SELECT day, x, s, q, n,
-             CAST(x AS DECIMAL(25,0)) * n - s AS dev_n,
-             CAST({BOLL_K * BOLL_K} AS DECIMAL(25,0)) * n
-               * (n * q - s * s) / (n - 1) AS band_n
+             CAST(CAST(x AS HUGEINT) * n - CAST(s AS HUGEINT) AS HUGEINT)
+               AS dev_n,
+             CAST({BOLL_K * BOLL_K} AS HUGEINT) * n
+               * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+                  - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+               AS band_sq
       FROM w WHERE n = {BOLL_W}
     )
     SELECT day, x,
            round(CAST(s AS DOUBLE) / n, 6) AS sma,
            round(sqrt(CAST((n * q - s * s) AS DOUBLE) / (n * (n - 1))), 6)
              AS sigma,
-           CASE WHEN dev_n > 0 AND dev_n * dev_n > band_n THEN 'upper'
-                WHEN dev_n < 0 AND dev_n * dev_n > band_n THEN 'lower'
+           CASE WHEN dev_n > 0
+                 AND dev_n * dev_n * (n - 1) > band_sq THEN 'upper'
+                WHEN dev_n < 0
+                 AND dev_n * dev_n * (n - 1) > band_sq THEN 'lower'
                 ELSE 'inside' END AS band_position
     FROM t
     """,
@@ -2493,9 +2498,10 @@ BOLL_K = 2  # band half-width in sample standard deviations
     "position so the gate exercises real values even when nothing "
     "breaches. The BREACH TEST never touches a float: "
     "|x - s/n| > k*sigma is cross-multiplied to "
-    "(x*n - s)^2 * (n-1) > k^2 * n * (n*q - s^2) over exact "
-    "DECIMAL window sums of integer cents (the sma_crossover "
-    "discipline squared), so the flagged set hashes identically; "
+    "(x*n - s)^2 * (n-1) > k^2 * n * (n*q - s^2) over exact window "
+    "sums of integer cents — 38-cap DECIMAL in Spark, HUGEINT in "
+    "the oracle (a DIVIDED band decays to DOUBLE in DuckDB, the "
+    "round-11 review catch) — so the flagged set hashes identically; "
     "displayed sma/sigma are presentation-only rounded doubles. "
     "Warm-up rows are excluded by frame COUNT, not dates. One "
     "day-bucket reduce then ROWS-frame windows over the calendar-"
@@ -2520,11 +2526,14 @@ def time_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(fr).cast("bigint").alias("n"),
     ).filter(F.col("n") == BOLL_W)
     dev_n = F.col("x").cast("decimal(25,0)") * F.col("n") - F.col("s")
-    band_n = (
+    # cross-multiplied by n^2 (n-1): dev^2 (n-1) > k^2 n (nq - s^2) —
+    # Spark evaluates both sides in 38-cap DECIMAL (values < 10^32,
+    # exact at scale 0); the oracle mirrors in HUGEINT. A divided
+    # band would decay to DOUBLE in DuckDB (round-11 review finding).
+    band_sq = (
         F.lit(BOLL_K * BOLL_K).cast("decimal(25,0)")
         * F.col("n")
         * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-        / (F.col("n") - 1)
     )
     t = w.select(
         "day",
@@ -2533,9 +2542,11 @@ def time_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         "n",
         dev_n.alias("dev_n"),
-        band_n.alias("band_n"),
+        band_sq.alias("band_sq"),
     )
-    over = F.col("dev_n") * F.col("dev_n") > F.col("band_n")
+    over = (
+        F.col("dev_n") * F.col("dev_n") * (F.col("n") - 1) > F.col("band_sq")
+    )
     return t.select(
         "day",
         "x",

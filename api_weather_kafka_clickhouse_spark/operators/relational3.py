@@ -1094,8 +1094,7 @@ PSEUDO_SALT = "vault-2024"
     oracle=f"""
     WITH vault AS (
       SELECT DISTINCT user_id,
-             substr(md5('{PSEUDO_SALT}:' || CAST(user_id AS VARCHAR)), 1, 16)
-               AS pseudonym
+             md5('{PSEUDO_SALT}:' || CAST(user_id AS VARCHAR)) AS pseudonym
       FROM events
     )
     SELECT v.pseudonym,
@@ -1129,10 +1128,11 @@ def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir)
     vault = e.select("user_id").distinct().select(
         "user_id",
-        F.substring(
-            F.md5(F.concat(F.lit(f"{PSEUDO_SALT}:"), F.col("user_id").cast("string"))),
-            1,
-            16,
+        # full 128-bit digest: a 64-bit prefix invites birthday
+        # collisions at 10^9+ users, silently merging two users'
+        # aggregates (round-11 review finding)
+        F.md5(
+            F.concat(F.lit(f"{PSEUDO_SALT}:"), F.col("user_id").cast("string"))
         ).alias("pseudonym"),
     )
     return (

@@ -433,7 +433,7 @@ def test_pseudonymize_preserves_per_user_aggregates(spark, sf_dir):
     # per-user aggregates survive the rename (hashlib re-derivation)
     assert len(by_pseudo) == pdf["user_id"].nunique()
     for uid, g in pdf.groupby("user_id"):
-        ps = hashlib.md5(f"{PSEUDO_SALT}:{uid}".encode()).hexdigest()[:16]
+        ps = hashlib.md5(f"{PSEUDO_SALT}:{uid}".encode()).hexdigest()
         row = by_pseudo[ps]
         assert row["n_events"] == len(g)
         assert row["total_cents"] == g["cents"].sum()
