@@ -1390,3 +1390,165 @@ def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     )
+
+
+# --- near-duplicate payment audit (round 11 continuation) ---------------
+
+# A pair of orders is a duplicate-payment suspect when the same
+# customer is billed within DUP_WINDOW_DAYS for amounts differing by
+# at most DUP_TOL_PCT% of the larger (cross-multiplied:
+# 100*|a-b| <= pct*max(a,b)).
+DUP_WINDOW_DAYS = 14
+DUP_TOL_PCT = 2
+
+
+@register(
+    "orders_near_duplicate_payments",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(abs(a.day - b.day) AS BIGINT) AS days_apart,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_diff,
+           (a.cents = b.cents) AS exact_amount
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.day - b.day) <= {DUP_WINDOW_DAYS}
+     AND 100 * abs(a.cents - b.cents) <= {DUP_TOL_PCT} * greatest(a.cents, b.cents)
+    """,
+    doc="Near-duplicate payment detection — the accounts-payable audit "
+    "query (double-billing / double-submission screening): pairs of "
+    "orders by the SAME customer within "
+    f"{DUP_WINDOW_DAYS} days whose amounts differ by at most "
+    f"{DUP_TOL_PCT}% of the larger. The tolerance is cross-multiplied "
+    "on exact integer cents (100*|a-b| <= pct*max(a,b)) — no float "
+    "predicate — and days "
+    "are exact epoch integers. Shape: a self-join EQUI-keyed on "
+    "o_custkey (the date/amount tolerances are residual predicates "
+    "AFTER the hash join, never a nested loop), so pair generation "
+    "is per-customer-bounded: 100x the orders is 100x the work with "
+    "the same shuffle shape, and AQE splits any mega-customer "
+    "partition. The skyline/fuzzy-join family's answer to 'find me "
+    "suspicious pairs' on the money axis.",
+)
+def orders_near_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (
+            F.abs(F.col("a.day") - F.col("b.day")) <= DUP_WINDOW_DAYS
+        )
+        & (
+            100 * F.abs(F.col("a.cents") - F.col("b.cents"))
+            <= DUP_TOL_PCT * F.greatest(F.col("a.cents"), F.col("b.cents"))
+        ),
+    )
+    return pairs.select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("order_a"),
+        F.col("b.o_orderkey").alias("order_b"),
+        F.col("a.cents").alias("cents_a"),
+        F.col("b.cents").alias("cents_b"),
+        F.abs(F.col("a.day") - F.col("b.day")).cast("bigint").alias("days_apart"),
+        F.abs(F.col("a.cents") - F.col("b.cents"))
+        .cast("bigint")
+        .alias("cents_diff"),
+        (F.col("a.cents") == F.col("b.cents")).alias("exact_amount"),
+    )
+
+
+# --- supplier lead-time profile (round 11 continuation) -----------------
+
+
+@register(
+    "supplier_leadtime_profile",
+    oracle="""
+    WITH lt AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT suppkey, days,
+             row_number() OVER (PARTITION BY suppkey
+                                ORDER BY days, suppkey) AS rn,
+             count(*) OVER (PARTITION BY suppkey) AS n
+      FROM lt
+    )
+    SELECT suppkey,
+           CAST(max(n) AS BIGINT) AS n_shipments,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(CASE WHEN rn = (n + 3) // 4 THEN days END)
+                AS BIGINT) AS p25_days,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END)
+                AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN days END)
+                AS BIGINT) AS p75_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM r GROUP BY suppkey
+    """,
+    doc="Per-supplier lead-time profile: order date -> ship date in "
+    "exact integer days, summarized as min / discrete lower "
+    "quartiles / max — the SLA scorecard behind supplier ranking "
+    "and promise-date models (q1/q21 ask who was LATE; this "
+    "profiles how long everyone actually takes). Quartiles are the "
+    "repo's DISCRETE lower order statistics (index ceil(q*n), "
+    "values actually in the data — interpolation's last-ulp floats "
+    "could flip a hash), picked by row_number in ONE "
+    "supplier-partitioned sort, no percentile UDAF. Shape: one "
+    "fact-fact equi-join on orderkey (the join_flagship shuffle "
+    "shape; at 100 TB pre-bucketing both tables on orderkey removes "
+    "it), then a supplier-partitioned window + rollup — "
+    "supplier-dimension output.",
+)
+def supplier_leadtime_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    w = Window.partitionBy("suppkey").orderBy("days", "suppkey")
+    wc = Window.partitionBy("suppkey")
+    r = lt.select(
+        "suppkey",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(idx: F.Column) -> F.Column:
+        return F.max(F.when(F.col("rn") == idx, F.col("days"))).cast("bigint")
+
+    n = F.col("n")
+    return r.groupBy("suppkey").agg(
+        F.max("n").cast("bigint").alias("n_shipments"),
+        F.min("days").cast("bigint").alias("min_days"),
+        at(F.floor((n + 3) / 4).cast("long")).alias("p25_days"),
+        at(F.floor((n + 1) / 2).cast("long")).alias("p50_days"),
+        at(F.floor((3 * n + 3) / 4).cast("long")).alias("p75_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

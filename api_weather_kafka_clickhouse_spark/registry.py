@@ -170,7 +170,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # graph_assortativity (Newman's degree-correlation r),
 # stats_mcnemar (paired binary before/after test),
 # text_bpe_tokenize (vocab-dimension BPE merge application),
-# mm_scene_cuts (frame-signature shot-boundary detection). Swap them
+# mm_scene_cuts (frame-signature shot-boundary detection),
+# orders_near_duplicate_payments (double-billing audit pairs),
+# supplier_leadtime_profile (discrete-quartile SLA scorecard).
+# Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).
 #

@@ -1005,3 +1005,82 @@ def test_dtw_flat_formulation_equals_textbook_on_unequal_lengths():
         a = [rng.randint(0, 50) for _ in range(rng.randint(1, 12))]
         b = [rng.randint(0, 50) for _ in range(rng.randint(1, 12))]
         assert dtw_flat(a, b) == _dtw_2d(a, b)
+
+
+# ------------------------------------------------ orders_near_duplicate_payments
+
+
+def test_near_duplicate_payments_matches_bruteforce(spark, sf_dir):
+    import duckdb
+    from datetime import date
+
+    from api_weather_kafka_clickhouse_spark.operators.relational3 import (
+        DUP_TOL_PCT,
+        DUP_WINDOW_DAYS,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT),
+                   CAST(o_orderdate AS DATE)
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    epoch = date(1970, 1, 1)
+    by_cust: dict[int, list] = {}
+    for key, cust, cents, d in rows:
+        by_cust.setdefault(cust, []).append((key, cents, (d - epoch).days))
+    expect = set()
+    for cust, orders in by_cust.items():
+        for i, (ka, ca, da) in enumerate(orders):
+            for kb, cb, db in orders[i + 1 :]:
+                lo, hi = min(ka, kb), max(ka, kb)
+                if (
+                    abs(da - db) <= DUP_WINDOW_DAYS
+                    and 100 * abs(ca - cb) <= DUP_TOL_PCT * max(ca, cb)
+                ):
+                    expect.add((cust, lo, hi))
+    got = {
+        (r["custkey"], r["order_a"], r["order_b"]): r
+        for r in SPECS["orders_near_duplicate_payments"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == expect
+    for r in got.values():
+        assert r["cents_diff"] == abs(r["cents_a"] - r["cents_b"])
+        assert r["exact_amount"] == (r["cents_a"] == r["cents_b"])
+        assert 0 <= r["days_apart"] <= DUP_WINDOW_DAYS
+
+
+# ------------------------------------------------ supplier_leadtime_profile
+
+
+def test_leadtime_profile_matches_sorted_reference(spark, sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT l.l_suppkey,
+                   datediff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE))
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    by_supp: dict[int, list[int]] = {}
+    for s, d in rows:
+        by_supp.setdefault(s, []).append(d)
+    got = {
+        r["suppkey"]: r
+        for r in SPECS["supplier_leadtime_profile"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_supp)
+    for s, days in by_supp.items():
+        days.sort()
+        n = len(days)
+        row = got[s]
+        assert row["n_shipments"] == n
+        assert row["min_days"] == days[0]
+        assert row["max_days"] == days[-1]
+        # discrete lower order statistics at ceil(q*n)
+        assert row["p25_days"] == days[(n + 3) // 4 - 1]
+        assert row["p50_days"] == days[(n + 1) // 2 - 1]
+        assert row["p75_days"] == days[(3 * n + 3) // 4 - 1]
+        assert row["p25_days"] <= row["p50_days"] <= row["p75_days"]
