@@ -3954,3 +3954,106 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff * diff / disc, 9).alias("mcnemar_chi2"),
         (diff * diff > F.lit(MCNEMAR_CHI2_CRIT) * disc).alias("reject_h0"),
     )
+
+
+# --- Cochran-Armitage trend test (round 11 continuation) ----------------
+
+# Chi-square(1) critical value at alpha = 0.05 (shared with McNemar).
+CA_CHI2_CRIT_MICRO = 3_841_459  # crit * 1e6, exact integer literal
+
+
+@register(
+    "stats_cochran_armitage",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(x) AS HUGEINT) AS xx,
+             CAST(sum(w * x) AS HUGEINT) AS a,
+             CAST(sum(w * n) AS HUGEINT) AS b,
+             CAST(sum(w * w * n) AS HUGEINT) AS c,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_events, CAST(xx AS BIGINT) AS n_success,
+           n_groups,
+           CAST(a AS BIGINT) AS sum_wx, CAST(b AS BIGINT) AS sum_wn,
+           CAST(c AS BIGINT) AS sum_w2n,
+           round(CAST((nn * a - xx * b) * (nn * a - xx * b) AS DOUBLE) * nn
+                 / (CAST(xx AS DOUBLE) * (nn - xx) * (nn * c - b * b)), 9)
+             AS ca_chi2,
+           ((nn * a - xx * b) * (nn * a - xx * b) * nn * 1000000
+            > {CA_CHI2_CRIT_MICRO} * xx * (nn - xx) * (nn * c - b * b))
+             AS reject_h0
+    FROM s
+    """,
+    doc="Cochran-Armitage test for TREND in proportions across the "
+    "ORDERED weekday groups (scores w = 0..6, Monday to Sunday): "
+    "does the purchase share drift monotonically through the week? "
+    "The right test where stats_chi_square's omnibus independence "
+    "test wastes power — a trend alternative concentrates the "
+    "statistic on one ordered degree of freedom (dose-response / "
+    "funnel-depth analysis is the same shape). Statistic "
+    "z^2 = (N*A - X*B)^2 * N / (X (N-X) (N*C - B^2)) from five "
+    "exact integer sufficient sums (A = sum w x, B = sum w n, "
+    "C = sum w^2 n) — ONE double division at the end, and the "
+    "rejection flag is fully cross-multiplied against the literal "
+    "chi-square(1) critical value in integer micro-units (HUGEINT "
+    "oracle / 38-cap DECIMAL Spark, the Bollinger pattern), so no "
+    "float ever decides. One map-side-combined weekday aggregate "
+    "then a 7-row fold.",
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.clickhouse import toDayOfWeek
+
+    e = load(spark, "events", sf_dir)
+    g = e.groupBy((toDayOfWeek("ts") - 1).cast("bigint").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    s = g.agg(
+        F.sum("n").cast("decimal(20,0)").alias("nn"),
+        F.sum("x").cast("decimal(20,0)").alias("xx"),
+        F.sum(F.col("w") * F.col("x")).cast("decimal(20,0)").alias("a"),
+        F.sum(F.col("w") * F.col("n")).cast("decimal(20,0)").alias("b"),
+        F.sum(F.col("w") * F.col("w") * F.col("n"))
+        .cast("decimal(20,0)")
+        .alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    t = F.col("nn") * F.col("a") - F.col("xx") * F.col("b")
+    varc = F.col("nn") * F.col("c") - F.col("b") * F.col("b")
+    chi2 = F.round(
+        (t * t).cast("double")
+        * F.col("nn").cast("double")
+        / (
+            F.col("xx").cast("double")
+            * (F.col("nn") - F.col("xx")).cast("double")
+            * varc.cast("double")
+        ),
+        9,
+    )
+    lhs = (t * t).cast("decimal(38,0)") * F.col("nn") * F.lit(1_000_000)
+    rhs = (
+        F.lit(CA_CHI2_CRIT_MICRO).cast("decimal(38,0)")
+        * F.col("xx")
+        * (F.col("nn") - F.col("xx"))
+        * varc
+    )
+    return s.select(
+        F.col("nn").cast("bigint").alias("n_events"),
+        F.col("xx").cast("bigint").alias("n_success"),
+        "n_groups",
+        F.col("a").cast("bigint").alias("sum_wx"),
+        F.col("b").cast("bigint").alias("sum_wn"),
+        F.col("c").cast("bigint").alias("sum_w2n"),
+        chi2.alias("ca_chi2"),
+        (lhs > rhs).alias("reject_h0"),
+    )

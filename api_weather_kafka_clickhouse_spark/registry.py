@@ -172,7 +172,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # text_bpe_tokenize (vocab-dimension BPE merge application),
 # mm_scene_cuts (frame-signature shot-boundary detection),
 # orders_near_duplicate_payments (double-billing audit pairs),
-# supplier_leadtime_profile (discrete-quartile SLA scorecard).
+# supplier_leadtime_profile (discrete-quartile SLA scorecard),
+# stats_cochran_armitage (ordered-group trend in proportions),
+# graph_modularity (Newman Q of the nation partition).
 # Swap them
 # into the gate next round for their first driver rows (the rotated-
 # out slots should be multi-round-green same-family redundancy).

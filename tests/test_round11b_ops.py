@@ -1084,3 +1084,78 @@ def test_leadtime_profile_matches_sorted_reference(spark, sf_dir):
         assert row["p50_days"] == days[(n + 1) // 2 - 1]
         assert row["p75_days"] == days[(3 * n + 3) // 4 - 1]
         assert row["p25_days"] <= row["p50_days"] <= row["p75_days"]
+
+
+# ------------------------------------------------ stats_cochran_armitage
+
+
+def test_cochran_armitage_matches_python_reference(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    pdf["w"] = pdf["ts"].dt.dayofweek  # pandas: Monday=0 == isodow-1
+    g = pdf.groupby("w").agg(
+        n=("event_id", "size"),
+        x=("event_type", lambda s: (s == "purchase").sum()),
+    )
+    N, X = int(g["n"].sum()), int(g["x"].sum())
+    A = int(sum(w * r.x for w, r in g.iterrows()))
+    B = int(sum(w * r.n for w, r in g.iterrows()))
+    C = int(sum(w * w * r.n for w, r in g.iterrows()))
+    t = N * A - X * B
+    chi2 = t * t * N / (X * (N - X) * (N * C - B * B))
+    row = SPECS["stats_cochran_armitage"].fn(spark, sf_dir).collect()[0]
+    assert (row["n_events"], row["n_success"]) == (N, X)
+    assert (row["sum_wx"], row["sum_wn"], row["sum_w2n"]) == (A, B, C)
+    assert row["ca_chi2"] == pytest.approx(round(chi2, 9), abs=1e-12)
+    assert row["reject_h0"] == (chi2 > 3.841459)
+
+
+# ------------------------------------------------ graph_modularity
+
+
+def test_modularity_matches_python_reference(spark, sf_dir):
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""
+        WITH ep AS (SELECT DISTINCT l_suppkey, l_partkey
+                    FROM '{sf_dir}/lineitem.parquet')
+        SELECT DISTINCT a.l_suppkey, b.l_suppkey
+        FROM ep a JOIN ep b ON a.l_partkey = b.l_partkey
+                           AND a.l_suppkey < b.l_suppkey
+        """
+    ).fetchall()
+    com = dict(
+        duckdb.sql(
+            f"SELECT s_suppkey, s_nationkey FROM '{sf_dir}/supplier.parquet'"
+        ).fetchall()
+    )
+    m = len(edges)
+    deg: dict[int, int] = {}
+    intra: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        if com[u] == com[v]:
+            intra[com[u]] = intra.get(com[u], 0) + 1
+    dsum: dict[int, int] = {}
+    nnodes: dict[int, int] = {}
+    for node, d in deg.items():
+        c = com[node]
+        dsum[c] = dsum.get(c, 0) + d
+        nnodes[c] = nnodes.get(c, 0) + 1
+    got = {
+        r["community"]: r
+        for r in SPECS["graph_modularity"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(dsum)
+    q_total = 0.0
+    for c in dsum:
+        row = got[c]
+        assert row["n_nodes"] == nnodes[c]
+        assert row["degree_sum"] == dsum[c]
+        assert row["intra_edges"] == intra.get(c, 0)
+        contrib = (4 * m * intra.get(c, 0) - dsum[c] ** 2) / (4 * m * m)
+        assert row["q_contribution"] == pytest.approx(round(contrib, 9), abs=1e-12)
+        q_total += contrib
+    # modularity of any partition is bounded
+    assert -0.5 <= q_total <= 1.0
