@@ -1764,3 +1764,47 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trimmed_mean"),
         F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("raw_mean"),
     )
+
+
+# --- bitmap-word exact distinct (round 12) ------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+    FROM events GROUP BY 1
+    """,
+    doc="Exact per-day distinct users via TWO-LEVEL BITMAP aggregation "
+    "— the ClickHouse groupBitmap / roaring-bitmap shape "
+    "(reference's engine ships groupBitmap for exactly this): stage "
+    "1 groups by (day, user_id >> 6) and ORs the 64-bit word "
+    "1 << (user_id & 63); stage 2 sums popcounts per day. The "
+    "oracle is count(DISTINCT user_id) — an INDEPENDENT algorithm, "
+    "so the gate proves the bitmap math, not a shared formulation. "
+    "Scale shape: the shuffle carries one 8-byte word per POPULATED "
+    "64-id block instead of one row per raw id (1B daily users -> "
+    "16M words), map-side combine ORs words before the exchange, "
+    "and both stages are plain hash aggregates — no count-distinct "
+    "expansion, no sort. This is the exact-cardinality fallback "
+    "when agg_approx_distinct's HLL error bound is not acceptable "
+    "(billing-grade dedup counts).",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    words = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.shiftright(F.col("user_id"), 6).alias("word_idx"),
+        F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("bit"),
+    ).groupBy("day", "word_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("bit_or(bit)").alias("word"),
+    )
+    return words.groupBy("day").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )

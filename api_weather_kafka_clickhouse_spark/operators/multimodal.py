@@ -627,7 +627,10 @@ CUT_HEAD = 16  # rendered cut-position prefix
                    for j in range(1,
                      len(substr(text, i * 100 + 1, 100)) + 1)]) AS BIGINT)
                AS sig
-      FROM (SELECT doc_id, text, unnest(range(0, strlen(text) // 100)) AS i
+      -- length() = CHARACTER count, matching the Spark side's
+      -- F.length/F.ascii (char/codepoint-based); strlen would diverge
+      -- on non-ASCII text (round-11 ADVICE).
+      FROM (SELECT doc_id, text, unnest(range(0, length(text) // 100)) AS i
             FROM documents)
     ),
     d AS (
@@ -649,8 +652,11 @@ CUT_HEAD = 16  # rendered cut-position prefix
     FROM d GROUP BY doc_id
     """,
     doc="Scene-cut detection over the synthetic video layout (frame = "
-    "100-byte region of the payload, the mm_frame_sample contract): "
-    "a cut where the frame signature — the exact integer byte-sum, "
+    "100-CHARACTER region of the payload — char/codepoint-based in "
+    "BOTH engines (F.length/F.ascii vs length()/ord(), round-11 "
+    "ADVICE fix), so the parity contract survives a non-ASCII "
+    "corpus; == bytes on the pinned-ASCII fixtures): "
+    "a cut where the frame signature — the exact integer code-sum, "
     "the stand-in for a real decoder's per-frame luminance/histogram "
     "— jumps more than CUT_DELTA against the previous frame. This "
     "is the shot-boundary pass a video-training pipeline runs to "

@@ -2563,3 +2563,131 @@ def time_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inside")
         .alias("band_position"),
     )
+
+
+# --- alpha-beta (g-h) tracking filter (round 12) ------------------------
+
+# Fixed-point g-h tracker: gains g = 1/4, h = 1/16 applied with
+# TRUNCATED integer division (toward zero — `r - r % 4` keeps the
+# dividend's sign in BOTH engines, unlike DuckDB's floor-dividing
+# `//`), the embedded-systems fixed-point idiom. Every state value is
+# an exact BIGINT in cents, so the whole trajectory hash-checks.
+AB_G_DEN = 4  # level gain 1/4
+AB_H_DEN = 16  # velocity gain 1/16
+
+
+@register(
+    "time_alpha_beta_filter",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS z
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT pri, z,
+             row_number() OVER (PARTITION BY pri ORDER BY day) AS step,
+             count(*) OVER (PARTITION BY pri) AS n_days
+      FROM d
+    ),
+    fold AS (
+      SELECT pri, step, n_days, z AS x, CAST(0 AS BIGINT) AS v,
+             CAST(0 AS BIGINT) AS sar, CAST(0 AS BIGINT) AS mar
+      FROM s WHERE step = 1
+      UNION ALL
+      SELECT s.pri, s.step, s.n_days,
+             CAST(f.x + f.v + CAST(((s.z - f.x - f.v)
+                    - (s.z - f.x - f.v) % {AB_G_DEN}) / {AB_G_DEN}
+                  AS BIGINT) AS BIGINT) AS x,
+             CAST(f.v + CAST(((s.z - f.x - f.v)
+                    - (s.z - f.x - f.v) % {AB_H_DEN}) / {AB_H_DEN}
+                  AS BIGINT) AS BIGINT) AS v,
+             CAST(f.sar + abs(s.z - f.x - f.v) AS BIGINT) AS sar,
+             CAST(greatest(f.mar, abs(s.z - f.x - f.v)) AS BIGINT) AS mar
+      FROM fold f JOIN s ON s.pri = f.pri AND s.step = f.step + 1
+    )
+    SELECT pri AS o_orderpriority, CAST(n_days AS BIGINT) AS n_days,
+           x AS level_cents, v AS vel_cents,
+           sar AS sum_abs_resid, mar AS max_abs_resid
+    FROM fold WHERE step = n_days
+    """,
+    doc="Alpha-beta (g-h) tracking filter over each order priority's "
+    "daily revenue — the fixed-gain Kalman cousin every telemetry "
+    "/ SLA tracker runs when a full Kalman's covariance updates "
+    "are overkill: predict level+velocity, correct by gains g=1/4, "
+    "h=1/16 of the residual. EXACT fixed-point arithmetic: state "
+    "in integer cents, gains applied by truncated division "
+    "(r - r % 4, keeping the dividend's sign identically in Spark "
+    "and DuckDB — their % agree; a bare // would floor-diverge on "
+    "negative residuals), so level, velocity, and the tracking-"
+    "error summaries (sum/max |residual|) hash bit-for-bit. Shape: "
+    "ONE map-side-combined day-bucket reduce touches the fact "
+    "table, then the fold runs per key over the calendar-bounded "
+    "series (Spark: codegen higher-order aggregate over the sorted "
+    "day array, the time_holt_linear contract; oracle: recursive "
+    "CTE) — O(days) state per key, scan-bound at 100 TB.",
+)
+def time_alpha_beta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("z")
+    )
+    series = d.groupBy("pri").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "z"))),
+            lambda s: s.getField("z"),
+        ).alias("zs")
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("x"),
+        F.lit(0).cast("bigint").alias("v"),
+        F.lit(0).cast("bigint").alias("sar"),
+        F.lit(0).cast("bigint").alias("mar"),
+        F.lit(False).alias("started"),
+    )
+
+    def trunc_div(r, den):
+        return ((r - r % F.lit(den)) / F.lit(den)).cast("long")
+
+    def step(acc, z):
+        x, v = acc.getField("x"), acc.getField("v")
+        r = z - x - v
+        nx = (x + v + trunc_div(r, AB_G_DEN)).cast("long")
+        nv = (v + trunc_div(r, AB_H_DEN)).cast("long")
+        return F.when(
+            acc.getField("started"),
+            F.struct(
+                nx.alias("x"),
+                nv.alias("v"),
+                (acc.getField("sar") + F.abs(r)).cast("long").alias("sar"),
+                F.greatest(acc.getField("mar"), F.abs(r)).cast("long").alias("mar"),
+                F.lit(True).alias("started"),
+            ),
+        ).otherwise(
+            F.struct(
+                z.cast("long").alias("x"),
+                F.lit(0).cast("long").alias("v"),
+                F.lit(0).cast("long").alias("sar"),
+                F.lit(0).cast("long").alias("mar"),
+                F.lit(True).alias("started"),
+            )
+        )
+
+    folded = series.select(
+        F.col("pri"),
+        F.size("zs").cast("bigint").alias("n_days"),
+        F.aggregate("zs", init, step).alias("st"),
+    )
+    return folded.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_days",
+        F.col("st").getField("x").alias("level_cents"),
+        F.col("st").getField("v").alias("vel_cents"),
+        F.col("st").getField("sar").alias("sum_abs_resid"),
+        F.col("st").getField("mar").alias("max_abs_resid"),
+    )

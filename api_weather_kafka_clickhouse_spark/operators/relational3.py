@@ -1281,7 +1281,10 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     r8 AS (
       SELECT 'documents.n_chars_matches_text', 'consistency',
              CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN n_chars <> strlen(text) THEN 1 ELSE 0 END)
+             -- length() = CHARACTER count, matching Spark F.length
+             -- (strlen is byte-based and diverges on non-ASCII text;
+             -- round-11 ADVICE)
+             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
                   AS BIGINT)
       FROM documents
     ),
@@ -1303,7 +1306,9 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left-join null probes), range rules (positive prices, discount "
     "in [0,1], dates inside the corpus epoch), completeness (null "
     "props), uniqueness (event_id), and cross-column consistency "
-    "(n_chars == strlen(text)). One row per rule with checked/"
+    "(n_chars == length(text), character-based in BOTH engines so "
+    "the contract survives a non-ASCII corpus). One row per rule "
+    "with checked/"
     "violation counts, a boolean verdict, and the pass rate. All "
     "counts exact integers. Shape: each rule is one scan or one "
     "broadcast-dimension left join with a map-side-combined "
@@ -1552,3 +1557,246 @@ def supplier_leadtime_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(F.floor((3 * n + 3) / 4).cast("long")).alias("p75_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+# --- t-closeness audit (round 12) ---------------------------------------
+
+# A group is t-close when the Earth Mover's Distance between its
+# sensitive-band distribution and the GLOBAL one is <= t = 1/5 (the
+# classic 0.2). Exact rational: num/den with num = sum_k |cumg_k*N -
+# cumC_k*n_g| and den = (m-1)*n_g*N.
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 5
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    bands AS (SELECT DISTINCT band FROM c),
+    grps AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_g
+      FROM c GROUP BY 1, 2
+    ),
+    gtot AS (
+      SELECT band,
+             CAST(sum(count(*)) OVER (ORDER BY band) AS HUGEINT) AS cum_c,
+             CAST((SELECT count(*) FROM c) AS HUGEINT) AS nn
+      FROM c GROUP BY band
+    ),
+    cell AS (
+      SELECT c_mktsegment, c_nationkey, band,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT g.c_mktsegment, g.c_nationkey, g.n_g, b.band,
+             coalesce(cell.cnt, 0) AS cnt
+      FROM grps g CROSS JOIN bands b
+      LEFT JOIN cell ON cell.c_mktsegment = g.c_mktsegment
+                    AND cell.c_nationkey = g.c_nationkey
+                    AND cell.band = b.band
+    ),
+    cum AS (
+      SELECT c_mktsegment, c_nationkey, n_g, grid.band,
+             CAST(sum(cnt) OVER (PARTITION BY c_mktsegment, c_nationkey
+                                 ORDER BY grid.band) AS HUGEINT) AS cum_g,
+             gtot.cum_c, gtot.nn,
+             CAST((SELECT count(*) FROM bands) AS BIGINT) AS m
+      FROM grid JOIN gtot ON gtot.band = grid.band
+    )
+    SELECT c_mktsegment, c_nationkey,
+           CAST(n_g AS BIGINT) AS group_size,
+           CAST(max(m) AS BIGINT) AS m_bands,
+           CAST(sum(abs(cum_g * nn - cum_c * n_g)) AS BIGINT) AS emd_num,
+           round(CAST(sum(abs(cum_g * nn - cum_c * n_g)) AS DOUBLE)
+                 / (CAST(max(m) - 1 AS DOUBLE) * n_g * max(nn)), 6) AS emd,
+           (sum(abs(cum_g * nn - cum_c * n_g)) * {T_CLOSE_DEN}
+            > {T_CLOSE_NUM} * (max(m) - 1) * n_g * max(nn)) AS violates_t
+    FROM cum GROUP BY c_mktsegment, c_nationkey, n_g
+    """,
+    doc="t-closeness audit — the third rung of the release ladder "
+    "after privacy_k_anonymity's k/l checks (k-anonymity stops "
+    "linkage, l-diversity stops single-value leakage, t-closeness "
+    "stops DISTRIBUTION leakage: a group whose balance bands skew "
+    "far from the global mix still tells an attacker plenty). For "
+    "each (segment, nation) class, the ordered-attribute Earth "
+    "Mover's Distance between the class's sensitive-band "
+    "distribution and the global one, as the EXACT rational "
+    "sum_k |cumg_k*N - cumC_k*n_g| / ((m-1)*n_g*N); the verdict "
+    "flag is fully cross-multiplied (HUGEINT oracle / 38-cap "
+    "DECIMAL Spark), the displayed emd is presentation-only. "
+    "OPERAND BOUND: each |term| <= n_g*N and the flag lhs <= "
+    "5*m*N^2 — inside 38 digits to N ~ 1e16 customers. Shape: one "
+    "band-count aggregate, a DIMENSION-BOUNDED grid (classes x "
+    "sensitive bands, both catalog-sized — the crossJoin is "
+    "broadcast and justified), one cumulative window per class, one "
+    "reduce. At 100 TB the only row-bounded pass is the first "
+    "aggregate; everything downstream is class-bounded.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir).select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    cell = c.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    grps = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    from pyspark.sql import Window
+
+    bands = c.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("c_band"))
+    glob = bands.select(
+        "band",
+        F.sum("c_band").over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("decimal(20,0)").alias("cum_c"),
+    )
+    nn = c.count()  # driver scalar: one exact total, catalog-bounded
+    m = bands.count()
+    grid = (
+        grps.crossJoin(F.broadcast(glob))  # classes x bands: dimension-bounded
+        .join(
+            cell,
+            ["c_mktsegment", "c_nationkey", "band"],
+            "left",
+        )
+        .fillna({"cnt": 0})
+    )
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n_g",
+        "cum_c",
+        F.sum("cnt").over(w).cast("decimal(20,0)").alias("cum_g"),
+    )
+    term = F.abs(
+        F.col("cum_g") * F.lit(nn).cast("decimal(20,0)")
+        - F.col("cum_c") * F.col("n_g").cast("decimal(20,0)")
+    )
+    agg = cum.groupBy("c_mktsegment", "c_nationkey", "n_g").agg(
+        F.sum(term).cast("decimal(38,0)").alias("emd_num_d")
+    )
+    den = F.lit(m - 1).cast("decimal(38,0)") * F.col("n_g") * F.lit(nn)
+    return agg.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.col("n_g").cast("bigint").alias("group_size"),
+        F.lit(m).cast("bigint").alias("m_bands"),
+        F.col("emd_num_d").cast("bigint").alias("emd_num"),
+        F.round(
+            F.col("emd_num_d").cast("double")
+            / (F.lit(float(m - 1)) * F.col("n_g").cast("double") * F.lit(float(nn))),
+            6,
+        ).alias("emd"),
+        (
+            F.col("emd_num_d") * F.lit(T_CLOSE_DEN)
+            > F.lit(T_CLOSE_NUM).cast("decimal(38,0)") * den
+        ).alias("violates_t"),
+    )
+
+
+# --- golden-record survivorship (round 12) ------------------------------
+
+# Entities simulate the same customer landed from ER_SOURCES upstream
+# systems: entity_id = c_custkey // ER_SOURCES, each row one "source
+# record". The survivorship rules are the classic MDM set.
+ER_SOURCES = 3
+
+
+@register(
+    "er_survivorship_golden",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey // {ER_SOURCES} AS entity_id, c_custkey, c_name,
+             c_mktsegment, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    attrs AS (
+      SELECT entity_id,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(min(c_custkey) AS BIGINT) AS canonical_key,
+             (min(struct_pack(a := -length(c_name), b := c_name))).b
+               AS golden_name,
+             (max(struct_pack(a := c_custkey, b := c_mktsegment))).b
+               AS latest_segment,
+             CAST(max(bal_cents) AS BIGINT) AS best_bal_cents
+      FROM src GROUP BY entity_id
+    ),
+    nmode AS (
+      SELECT entity_id,
+             (min(struct_pack(a := -cnt, b := c_nationkey))).b AS modal_nation
+      FROM (SELECT entity_id, c_nationkey, count(*) AS cnt
+            FROM src GROUP BY 1, 2)
+      GROUP BY entity_id
+    )
+    SELECT a.entity_id, n_sources, canonical_key, golden_name,
+           latest_segment, best_bal_cents,
+           CAST(modal_nation AS BIGINT) AS modal_nation
+    FROM attrs a JOIN nmode USING (entity_id)
+    """,
+    doc="Golden-record survivorship merge — the step AFTER "
+    "er_phonetic_blocking finds matches: collapse each matched "
+    "entity's source records into one canonical row under the "
+    "classic MDM rule set (min key as canonical id, longest name "
+    "with lexicographic tie-break, segment from the latest record, "
+    "most favorable balance, modal nation with min tie-break). Every rule is a deterministic struct-ordered "
+    "min/max aggregate (the cookbook's arg-min/max discipline: "
+    "Spark F.min(F.struct(...)) == DuckDB min(struct_pack(...)), "
+    "each with a unique ordering prefix), so the golden table "
+    "hashes identically — no first()/any_value() nondeterminism. "
+    "Shape: two map-side-combined aggregates (attributes, nation "
+    "mode) and one entity-keyed join; work is source-row-bounded "
+    "in pass 1 and entity-bounded after, the exact shape that "
+    "survives a 100 TB customer lake.",
+)
+def er_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    src = c.select(
+        (F.col("c_custkey") - F.col("c_custkey") % ER_SOURCES)
+        .cast("bigint")
+        .alias("ek"),  # == custkey // ER_SOURCES * ER_SOURCES (exact)
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    ).withColumn("entity_id", (F.col("ek") / ER_SOURCES).cast("bigint")).drop("ek")
+    attrs = src.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.min("c_custkey").cast("bigint").alias("canonical_key"),
+        F.min(F.struct((-F.length("c_name")).alias("a"), F.col("c_name").alias("b")))
+        .getField("b")
+        .alias("golden_name"),
+        F.max(
+            F.struct(F.col("c_custkey").alias("a"), F.col("c_mktsegment").alias("b"))
+        )
+        .getField("b")
+        .alias("latest_segment"),
+        F.max("bal_cents").cast("bigint").alias("best_bal_cents"),
+    )
+    nmode = (
+        src.groupBy("entity_id", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("entity_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("a"), F.col("c_nationkey").alias("b"))
+            )
+            .getField("b")
+            .cast("bigint")
+            .alias("modal_nation")
+        )
+    )
+    return attrs.join(nmode, "entity_id")

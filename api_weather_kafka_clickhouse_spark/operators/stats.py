@@ -3682,13 +3682,35 @@ HMM_EMIT_MU = {
     for s, d in HMM_EMIT.items()
 }
 HMM_PATH_HEAD = 16  # rendered path prefix length
+# Out-of-alphabet emission penalty: log(1e-9) in micro-nats. Without
+# an ELSE branch a single unknown event_type would NULL every score,
+# path, and output column for that user IN BOTH ENGINES — the gate
+# would still hash-match while emitting meaningless rows (round-11
+# ADVICE). The penalty is state-independent, so an unknown symbol
+# cannot flip the decoded state; it only (heavily) debits the score,
+# and a corpus schema change shows up as a crashed score instead of a
+# silent NULL.
+HMM_UNKNOWN_MU = round(_math.log(1e-9) * _MU)
 
 
 def _hmm_emit_case(state: int, var: str) -> str:
     whens = " ".join(
         f"WHEN '{t}' THEN ({mu})" for t, mu in sorted(HMM_EMIT_MU[state].items())
     )
-    return f"CASE {var} {whens} END"
+    return f"CASE {var} {whens} ELSE ({HMM_UNKNOWN_MU}) END"
+
+
+def _hmm_emit_col(state: int, sym) -> "F.Column":
+    """Spark twin of :func:`_hmm_emit_case` — module-level so the
+    unknown-symbol ELSE branch is directly unit-testable."""
+    expr = None
+    for t, mu in sorted(HMM_EMIT_MU[state].items()):
+        expr = (
+            F.when(sym == t, F.lit(mu))
+            if expr is None
+            else expr.when(sym == t, F.lit(mu))
+        )
+    return expr.otherwise(F.lit(HMM_UNKNOWN_MU)).cast("bigint")
 
 
 @register(
@@ -3750,8 +3772,11 @@ def _hmm_emit_case(state: int, var: str) -> str:
     "and injected into both engines (the sim_ndcg_eval/"
     "dominant_period discipline), so every Viterbi score is an "
     "exact BIGINT sum, argmax ties prefer state 0, and the decoded "
-    "path hashes identically; the two candidate paths ride the "
-    "fold, so no backtracking pass is needed. Shape: ONE "
+    "path hashes identically; an out-of-alphabet symbol takes the "
+    "state-independent HMM_UNKNOWN_MU penalty (log 1e-9) in BOTH "
+    "engines instead of silently NULLing the user's row, so a "
+    "corpus schema change fails loudly; the two candidate paths "
+    "ride the fold, so no backtracking pass is needed. Shape: ONE "
     "order-bounded groupBy builds the per-user journey, then the "
     "DP folds per user (Spark: codegen higher-order aggregate; "
     "oracle: recursive CTE) — work is O(total events x states^2) "
@@ -3772,15 +3797,7 @@ def stats_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("obs")
     )
 
-    def emit(state: int, sym: F.Column) -> F.Column:
-        expr = None
-        for t, mu in sorted(HMM_EMIT_MU[state].items()):
-            expr = (
-                F.when(sym == t, F.lit(mu))
-                if expr is None
-                else expr.when(sym == t, F.lit(mu))
-            )
-        return expr.cast("bigint")
+    emit = _hmm_emit_col
 
     obs = F.col("obs")
     t00, t01 = HMM_TRANS_MU[(0, 0)], HMM_TRANS_MU[(0, 1)]
@@ -3958,8 +3975,17 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Cochran-Armitage trend test (round 11 continuation) ----------------
 
-# Chi-square(1) critical value at alpha = 0.05 (shared with McNemar).
-CA_CHI2_CRIT_MICRO = 3_841_459  # crit * 1e6, exact integer literal
+# Chi-square(1) critical value at alpha = 0.05 as the exact rational
+# 10322/2687: |10322/2687 - 3.84145882069...| < 5.6e-8, four times
+# TIGHTER than the former 1e6 micro-unit literal (err 2e-7) while
+# multiplying the rejection lhs by 2687 instead of 1_000_000 — 372x
+# more DECIMAL(38)/HUGEINT headroom (round-11 ADVICE). Score
+# centering would NOT have helped: both rejection operands
+# t = N*A - X*B and varc = N*C - B^2 are algebraically invariant
+# under any score shift w -> w - c, so the only lever is the
+# critical-value denominator.
+CA_CHI2_CRIT_NUM = 10_322
+CA_CHI2_CRIT_DEN = 2_687
 
 
 @register(
@@ -3987,8 +4013,8 @@ CA_CHI2_CRIT_MICRO = 3_841_459  # crit * 1e6, exact integer literal
            round(CAST((nn * a - xx * b) * (nn * a - xx * b) AS DOUBLE) * nn
                  / (CAST(xx AS DOUBLE) * (nn - xx) * (nn * c - b * b)), 9)
              AS ca_chi2,
-           ((nn * a - xx * b) * (nn * a - xx * b) * nn * 1000000
-            > {CA_CHI2_CRIT_MICRO} * xx * (nn - xx) * (nn * c - b * b))
+           ((nn * a - xx * b) * (nn * a - xx * b) * nn * {CA_CHI2_CRIT_DEN}
+            > {CA_CHI2_CRIT_NUM} * xx * (nn - xx) * (nn * c - b * b))
              AS reject_h0
     FROM s
     """,
@@ -4002,11 +4028,18 @@ CA_CHI2_CRIT_MICRO = 3_841_459  # crit * 1e6, exact integer literal
     "z^2 = (N*A - X*B)^2 * N / (X (N-X) (N*C - B^2)) from five "
     "exact integer sufficient sums (A = sum w x, B = sum w n, "
     "C = sum w^2 n) — ONE double division at the end, and the "
-    "rejection flag is fully cross-multiplied against the literal "
-    "chi-square(1) critical value in integer micro-units (HUGEINT "
+    "rejection flag is fully cross-multiplied against the exact "
+    "rational chi-square(1) critical value 10322/2687 (HUGEINT "
     "oracle / 38-cap DECIMAL Spark, the Bollinger pattern), so no "
-    "float ever decides. One map-side-combined weekday aggregate "
-    "then a 7-row fold.",
+    "float ever decides. OPERAND BOUND (round-11 ADVICE): lhs = "
+    "t^2*N*2687 with |t| <= 6*X*N stays under 1e38 to N ~ 4e6 "
+    "adversarial and ~7e9 at the measured ~N^3 growth (2.5e23 at "
+    "1e5 events after the 372x literal reduction); the binding "
+    "term is now rhs = 10322*X(N-X)*(NC-B^2) <= 2.4e4*N^4, inside "
+    "DECIMAL(38)/HUGEINT to N ~ 2.5e8 events — past that, run the "
+    "test per month-partition. Centering the scores would not "
+    "help: t and NC-B^2 are shift-invariant. One map-side-combined "
+    "weekday aggregate then a 7-row fold.",
 )
 def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.clickhouse import toDayOfWeek
@@ -4040,9 +4073,9 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    lhs = (t * t).cast("decimal(38,0)") * F.col("nn") * F.lit(1_000_000)
+    lhs = (t * t).cast("decimal(38,0)") * F.col("nn") * F.lit(CA_CHI2_CRIT_DEN)
     rhs = (
-        F.lit(CA_CHI2_CRIT_MICRO).cast("decimal(38,0)")
+        F.lit(CA_CHI2_CRIT_NUM).cast("decimal(38,0)")
         * F.col("xx")
         * (F.col("nn") - F.col("xx"))
         * varc
@@ -4056,4 +4089,135 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("sum_w2n"),
         chi2.alias("ca_chi2"),
         (lhs > rhs).alias("reject_h0"),
+    )
+
+
+# --- SPRT sequential A/B monitor (round 12) -----------------------------
+
+# Wald's sequential probability ratio test between H0: p = 0.10 and
+# H1: p = 0.30 conversion at alpha = beta = 0.05 — wide hypotheses, the
+# "did the big lift land" launch monitor. Per-event log-likelihood-
+# ratio increments and the decision boundaries are quantized ONCE in
+# Python to integer micro-nats (the Viterbi/NDCG discipline), so the
+# whole walk is an exact BIGINT cumulative sum in both engines.
+SPRT_P0, SPRT_P1 = 0.10, 0.30
+SPRT_ALPHA = SPRT_BETA = 0.05
+SPRT_S_MU = round(_math.log(SPRT_P1 / SPRT_P0) * _MU)  # success step
+SPRT_F_MU = round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * _MU)
+SPRT_A_MU = round(_math.log((1 - SPRT_BETA) / SPRT_ALPHA) * _MU)  # accept H1
+SPRT_B_MU = round(_math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * _MU)  # accept H0
+
+
+@register(
+    "stats_sprt_ab_monitor",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(('0x' || substr(md5('sprt:' || CAST(user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2 AS arm,
+             ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST({SPRT_S_MU} AS BIGINT)
+                  ELSE CAST({SPRT_F_MU} AS BIGINT) END AS inc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      FROM events
+    ),
+    w AS (
+      SELECT arm, succ, inc,
+             row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+               AS step,
+             CAST(sum(inc) OVER (PARTITION BY arm ORDER BY ts, event_id)
+                  AS BIGINT) AS walk
+      FROM e
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(succ) AS BIGINT) AS n_success,
+           CAST(max(walk) FILTER (step = (SELECT max(w2.step) FROM w w2
+                                          WHERE w2.arm = w.arm))
+                AS BIGINT) AS llr_final_mu,
+           CAST(min(walk) AS BIGINT) AS walk_min_mu,
+           CAST(max(walk) AS BIGINT) AS walk_max_mu,
+           CAST(min(CASE WHEN walk >= {SPRT_A_MU} OR walk <= {SPRT_B_MU}
+                         THEN step END) AS BIGINT) AS decision_step,
+           CASE (min(CASE WHEN walk >= {SPRT_A_MU} OR walk <= {SPRT_B_MU}
+                          THEN struct_pack(a := step, b := walk) END)).b
+                  >= {SPRT_A_MU}
+                WHEN TRUE THEN 'accept_h1'
+                WHEN FALSE THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM w GROUP BY arm
+    """,
+    doc="Wald SPRT sequential A/B monitor — the always-valid "
+    "alternative to events_ab_test_lift's fixed-horizon z-test: "
+    "peek after EVERY event without inflating alpha, stop the "
+    "moment the evidence crosses a boundary. Users hash-split into "
+    "two arms (the md5 determinism pattern); each arm's event "
+    "stream becomes an exact integer micro-nat log-likelihood walk "
+    "(success/failure increments and both Wald boundaries "
+    "ln((1-b)/a), ln(b/(1-a)) quantized once in Python and "
+    "injected into both engines), and the emitted verdict is the "
+    "FIRST boundary crossing, found by a deterministic "
+    "struct-ordered min over flagged steps — no float ever "
+    "decides. Shape: one arm-partitioned ordered window (cumsum + "
+    "row_number) then a map-side-combined rollup; at 100 TB the "
+    "sort is per-arm time order, exactly the order the events "
+    "already arrive in from ingest, so the production form rides "
+    "the existing time layout (B4/B5 sort keys) instead of "
+    "reshuffling.",
+)
+def stats_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sprt:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    inc = F.when(F.col("event_type") == "purchase", F.lit(SPRT_S_MU)).otherwise(
+        F.lit(SPRT_F_MU)
+    ).cast("long")
+    succ = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    base = e.select(
+        arm.alias("arm"), F.col("ts"), F.col("event_id"), inc.alias("inc"), succ.alias("succ")
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    walked = base.select(
+        "arm",
+        "succ",
+        F.row_number().over(w).alias("step"),
+        F.sum("inc").over(w).cast("bigint").alias("walk"),
+    )
+    crossed = F.when(
+        (F.col("walk") >= SPRT_A_MU) | (F.col("walk") <= SPRT_B_MU),
+        F.struct(F.col("step").alias("a"), F.col("walk").alias("b")),
+    )
+    agg = walked.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("succ").cast("bigint").alias("n_success"),
+        F.max(F.struct(F.col("step").alias("a"), F.col("walk").alias("b")))
+        .getField("b")
+        .alias("llr_final_mu"),
+        F.min("walk").cast("bigint").alias("walk_min_mu"),
+        F.max("walk").cast("bigint").alias("walk_max_mu"),
+        F.min(crossed).alias("cross"),
+    )
+    cw = F.col("cross").getField("b")
+    return agg.select(
+        "arm",
+        "n_events",
+        "n_success",
+        "llr_final_mu",
+        "walk_min_mu",
+        "walk_max_mu",
+        F.col("cross").getField("a").cast("bigint").alias("decision_step"),
+        F.when(cw >= SPRT_A_MU, F.lit("accept_h1"))
+        .when(cw <= SPRT_B_MU, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
     )

@@ -50,207 +50,87 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
     return deco
 
 
-# The driver evaluates only the FIRST 50 registered queries each round
-# (verified against CORRECTNESS_r01.json: exactly the first 50 entries
-# in registration order). This list pins the 50 driver-visible slots.
+# The driver evaluates only the FIRST 50 entries of this tuple each
+# round (verified against CORRECTNESS_r01.json). Four family anchors
+# keep slots (their families have no other gate-able member); the rest
+# rotate so every registered query eventually earns a driver row.
+# Full rotation history (waves 1-4, rounds 3-12): CHANGES_r12.md
+# appendix "Rotation history". Rotated-out queries remain
+# oracle-verified locally in tests/test_oracle_parity.py — the replica
+# that has predicted the driver gate bit-for-bit eleven rounds running.
 #
-# Rotation history: r3 swapped 11 redundant slots for first-time gate
-# rows (corpus pipeline, tf-idf, funnel/retention, salted-skew, ...).
-# Round-5 rotation (round 2 of the plan at the r4 verdict): 12 slots
-# that were green in BOTH r3 and r4 and are same-family redundancy
-# (3 of 6 TPC-H, 3 of 8 joins, 2 of 6 windows, 2 of 7 aggs, 1 of 4
-# text, 1 of 3 multimodal) swapped for 12 oracle-checked queries that
-# have never had a driver CORRECTNESS row: 5 more TPC-H shapes
-# (q4/q6/q10/q14/q19), the left outer join, lag/lead windows,
-# grouping-sets, and 4 LLM-corpus operators (decontamination,
-# repetition-ratio quality gate, sequence packing, deterministic
-# shuffle). Every §2 family keeps >= 1 gate row, so a regression in a
-# rotated-out query's family stays driver-visible; rotated-out queries
-# remain oracle-verified locally in tests/test_oracle_parity.py
-# (the replica that predicted rounds 2-4's driver results bit-for-bit).
+# Round-12 rotation (WAVE 4, executed): the 46 non-anchor slots hold
+# (a) the 4 stale-oracle re-gates — dedup_simhash / dedup_embedding_lsh
+# (rows-only upgraded to hash-checked in r8/r7) and agg_approx_distinct
+# / agg_approx_percentile (upgraded to sketch-bounds oracles in r8) —
+# whose ONLY driver rows were r01 `no_oracle` entries (r11 verdict
+# item 2); (b) ALL 32 queued never-driver-gated names: the 7
+# pre-continuation r11 additions and the 25 r11-continuation
+# operators; (c) 10 round-12 additions (new code meets the driver
+# cold, the r9-r11 discipline).
 #
-# Round-6 rotation (round 3 of the plan, executed): 16 slots that
-# were green in r5 and same-family redundancy (5 TPC-H, 2 joins,
-# 2 windows, 2 aggs, 1 behavioral, 4 text) swapped for 16
-# oracle-checked queries with no driver CORRECTNESS row ever: 5 more
-# TPC-H shapes (q7/q12/q15/q17/q22), the cross join, first/last/nth
-# window frames, cube, the scalar string+date batteries, the ML-prep
-# holdout split, per-key EWMA, and the four round-5 operators
-# (transitive clustering ×3 + PII scrub — new code meets the driver
-# oracle, not just the local replica). Every §2 family keeps >= 1
-# gate row; rotated-out queries remain oracle-verified locally in
-# tests/test_oracle_parity.py (the replica that has predicted the
-# driver gate bit-for-bit five rounds running).
-#
-# Round-7 rotation (round 4, the FINAL batch, executed): the union of
-# CORRECTNESS_r01..r06 keys shows exactly 45 registered queries with
-# no driver row ever (35 oracle-checked + 10 rows-only by design; 8
-# rows-only after this round's sim_ann_lsh/sim_ivf_label oracle
-# upgrades) —
-# fewer than the 54 the r6 plan estimated because q4/q6/q10/q11/q14/
-# q19/q21 and several scalar/relational shapes were gated in r5's
-# rotation. All 45 fit the 50 slots at once. Two multi-round-green
-# anchors (funnel_stages, set_ops) keep the behavioral and set-op
-# families — whose ONLY members they are — driver-visible; the other
-# three slots gate three operators ADDED this round (curation_funnel,
-# join_bloom_prefilter, dedup_keep_longest), since every other family
-# already keeps first-time rows from the 45. After this round every query
-# registered BEFORE the r7 rotation has >= 1 driver CORRECTNESS row;
-# rotated-out queries remain oracle-verified locally in
-# tests/test_oracle_parity.py (the replica that has predicted the
-# driver gate bit-for-bit six rounds running).
-#
-# Round-8 rotation (round 5, executed): the seven round-7 additions
-# that had no driver row after r7 (agg_percentile_exact, split_kfold,
-# sample_temperature, agg_mode_per_group, events_latest_per_key,
-# events_path_transitions, text_vocab_coverage — all oracle-checked,
-# green in the local replica) swapped in for seven r7-green
-# same-family-redundant slots (q13/q16 of 5 TPC-H rows,
-# agg_boolean/agg_bitwise of 8 agg rows, text_token_regex of 9 text
-# rows, sample_fixed_per_stratum/sample_topk_quality_per_source of 6
-# sampling rows). Every §2 family keeps >= 1 gate row; rotated-out
-# queries remain oracle-verified locally in
-# tests/test_oracle_parity.py (the replica that has predicted the
-# driver gate bit-for-bit seven rounds running). After this round
-# EVERY registered query has >= 1 driver CORRECTNESS row and the
-# rotation program ends; new queries added in r8+ queue below.
-#
-# Round-9 rotation (round 6, WAVE 1 of 2 — the 80-name r8 queue
-# outnumbers the 50 slots): 46 slots swap from multi-round-green
-# same-family-redundant queries to the first wave of never-driver-
-# gated r8 additions, prioritizing the families with zero driver rows
-# ever (graph_*, stats_*, time_*, the retrieval stack, the new
-# join/window/agg shapes). Four slots KEEP their previous occupants
-# because the queue has no other member of their family:
-# q8_market_share (TPC-H battery), curation_funnel (curation chain),
-# set_ops (set operations anchor), mm_phash_signatures (multimodal,
-# rows-only by design). Rotated-out queries remain oracle-verified
-# locally in tests/test_oracle_parity.py (the replica that has
-# predicted the driver gate bit-for-bit eight rounds running).
-#
-# Round-10 rotation (round 6 WAVE 2, executed): the 46 non-anchor
-# slots swap from the r9-green wave-1 occupants to 46 of the 57
-# queued never-driver-gated names — ALL 23 round-9 additions (the
-# geo family, the stats battery, PageRank/k-core, the quantized
-# retrieval trio, privacy_dp_counts, dialect battery 2, RAKE, Holt,
-# JSON audit, Markov entropy) plus 23 of the 34 r8 wave-2 names.
-# The four family anchors KEEP their slots (the queue has no other
-# member of their family): q8_market_share (TPC-H), curation_funnel
-# (curation chain), set_ops (set operations), mm_phash_signatures
-# (multimodal). The wave-1 occupants rotated out all earned their
-# first driver rows in CORRECTNESS_r09 (50/50 green) and remain
-# oracle-verified locally in tests/test_oracle_parity.py (the
-# replica that has predicted the driver gate bit-for-bit nine
-# rounds running).
-#
-# Round-12 rotation queue (WAVE 4): queries registered AFTER the
-# wave-3 gate was pinned, by name — sim_ivf_int8 (hash-checked IVF
-# retrieval), dedup_semdedup_int8 (hash-checked SemDeDup),
-# stats_cohens_d (effect size), events_cuped_adjustment (CUPED
-# variance reduction), time_holt_winters (additive seasonal
-# smoothing), graph_adamic_adar (rarity-weighted link prediction),
-# stats_power_analysis (A/B sample-size calculator), and the
-# round-11 continuation batch: time_ohlc_bars (OHLC candlestick
-# downsampling), graph_clustering_coeff (per-node community
-# metric), sim_ndcg_eval (ranked-retrieval NDCG/MRR eval),
-# stats_permutation_test (hash-deterministic label shuffle),
-# clickhouse_dialect_battery5 (deltaSum / arrayEnumerateUniq /
-# arrayIntersect / topKWeighted), time_lttb_downsample
-# (largestTriangleThreeBuckets), quality_embedding_outliers
-# (label-centroid distance QC on the int8 lattice),
-# join_asof_nearest (nearest-direction as-of), privacy_pseudonymize_
-# join (salted surrogate-key vault), er_phonetic_blocking
-# (simplified-Soundex ER blocking), time_dominant_period
-# (residue-class DFT seasonality scan), mm_magic_sniff (container
-# magic-byte routing), time_dtw_distance (exact-integer dynamic
-# time warping), orders_skyline_pareto (sort-based Pareto
-# frontier), time_bollinger_breach (volatility-normalized breach
-# flags), stats_hmm_viterbi (integer micro-nat Viterbi decoding),
-# profile_dq_rules (declarative data-quality contract audit),
-# graph_assortativity (Newman's degree-correlation r),
-# stats_mcnemar (paired binary before/after test),
-# text_bpe_tokenize (vocab-dimension BPE merge application),
-# mm_scene_cuts (frame-signature shot-boundary detection),
-# orders_near_duplicate_payments (double-billing audit pairs),
-# supplier_leadtime_profile (discrete-quartile SLA scorecard),
-# stats_cochran_armitage (ordered-group trend in proportions),
-# graph_modularity (Newman Q of the nation partition).
-# Swap them
-# into the gate next round for their first driver rows (the rotated-
-# out slots should be multi-round-green same-family redundancy).
-#
-# Round-11 rotation (WAVE 3, executed — the queue finally FIT the
-# free slots): the 46 non-anchor slots swap from the r10-green wave-2
-# occupants to (a) ALL 36 never-driver-gated names — the 11 r8 spill
-# names plus all 25 round-10 additions, (b) the two r01 re-gates
-# agg_conditional / unpivot_measures, whose ONLY driver rows were r01
-# hash FAILs (fixed in r02, local-green ever since, never re-proven
-# to the driver), and (c) the 8 round-11 additions (CDC Rabin kernel,
-# int8-lattice k-means, dialect battery 4, Jarque-Bera, BH-FDR,
-# Ljung-Box, blob dedup, partition-skew audit). The four family
-# anchors KEEP their slots. After this round EVERY registered query
-# has >= 1 driver CORRECTNESS row and the r01 hash-FAIL residue is
-# closed; rotated-out queries remain oracle-verified locally in
-# tests/test_oracle_parity.py (the replica that has predicted the
-# driver gate bit-for-bit ten rounds running).
+# Live queue for the NEXT rotation (wave 5): empty — every name
+# registered at pin time is either in the gate below or
+# multi-round-green. Queries registered after this pin must be added
+# here BY NAME in the same commit (driver-contract memory rule 4).
 _PRIORITY: tuple[str, ...] = (
-    # family keeps (no queue member covers these families)
-    "curation_funnel",  # KEEP: curation chain (gated r7-r10)
-    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r10)
-    "set_ops",  # KEEP: set-operations anchor (gated r1-r10)
-    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10)
-    # --- the 11 r8 wave-3 spill names (queued since r9) ---
-    "pareto_revenue_share",
-    "customer_rfm_segments",
-    "events_ab_test_lift",
-    "events_gini_concentration",
-    "events_dispersion_index",
-    "text_kwic",
-    "text_lexical_diversity",
-    "text_autocomplete_index",
-    "embedding_cosine_histogram",
-    "quality_winsorize",
-    "dedup_simhash_band_occupancy",
-    # --- all 25 round-10 additions (queued since r10) ---
-    "mm_phash_band_pairs",
-    "stats_spearman_corr",
-    "stats_kendall_tau",
-    "geo_quadkey_rollup",
-    "clickhouse_dialect_battery3",
-    "text_ngram_novelty",
-    "time_hopping_windows",
-    "graph_bfs_layers",
-    "text_zipf_fit",
-    "time_cusum_drift",
-    "stats_levene_bf",
-    "join_interval_bucket",
-    "events_bot_detection",
-    "sim_cascade_rerank",
-    "stats_friedman",
-    "geo_geohash_encode",
-    "events_ab_srm_check",
-    "sample_neyman_allocation",
-    "text_cdc_chunking",
-    "dedup_cdc_chunks",
-    "events_sequence_count",
-    "part_abc_classification",
-    "events_dau_mau_stickiness",
-    "supplier_herfindahl",
-    "time_sma_crossover",
-    # --- r01 re-gates: their ONLY driver rows are r01 hash FAILs,
-    # fixed in r02 and local-green for nine rounds; the driver has
-    # never confirmed the fix (r10 verdict item 2) ---
-    "agg_conditional",
-    "unpivot_measures",
-    # --- the 8 round-11 additions (new code meets the driver cold) ---
-    "text_cdc_chunking_rabin",
-    "embedding_kmeans_int8",
-    "clickhouse_dialect_battery4",
-    "stats_jarque_bera",
-    "stats_fdr_bh",
-    "time_ljung_box",
-    "mm_blob_dedup",
-    "profile_partition_skew",
+    # family keeps (no other gate-able member of their family)
+    "curation_funnel",  # KEEP: curation chain (gated r7-r11)
+    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r11)
+    "set_ops",  # KEEP: set-operations anchor (gated r1-r11)
+    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10-r11)
+    # --- stale-oracle re-gates (upgraded oracles never driver-proven) ---
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    # --- wave 4a: the 7 pre-continuation r11 additions ---
+    "sim_ivf_int8",
+    "dedup_semdedup_int8",
+    "stats_cohens_d",
+    "events_cuped_adjustment",
+    "time_holt_winters",
+    "graph_adamic_adar",
+    "stats_power_analysis",
+    # --- wave 4b: the 25 round-11-continuation operators ---
+    "time_ohlc_bars",
+    "graph_clustering_coeff",
+    "sim_ndcg_eval",
+    "stats_permutation_test",
+    "clickhouse_dialect_battery5",
+    "time_lttb_downsample",
+    "quality_embedding_outliers",
+    "join_asof_nearest",
+    "privacy_pseudonymize_join",
+    "er_phonetic_blocking",
+    "time_dominant_period",
+    "mm_magic_sniff",
+    "time_dtw_distance",
+    "orders_skyline_pareto",
+    "time_bollinger_breach",
+    "stats_hmm_viterbi",
+    "profile_dq_rules",
+    "graph_assortativity",
+    "stats_mcnemar",
+    "text_bpe_tokenize",
+    "mm_scene_cuts",
+    "orders_near_duplicate_payments",
+    "supplier_leadtime_profile",
+    "stats_cochran_armitage",
+    "graph_modularity",
+    # --- wave 4c: round-12 additions (placeholders below are
+    # multi-round-green and get swapped out one-for-one as each new
+    # r12 operator lands; any still here at round close stay gated) ---
+    "agg_bitmap_distinct",  # r12: bitmap-word exact distinct
+    "privacy_t_closeness",  # r12: EMD release audit
+    "er_survivorship_golden",  # r12: MDM golden record
+    "time_alpha_beta_filter",  # r12: fixed-point g-h tracker
+    "stats_sprt_ab_monitor",  # r12: Wald sequential A/B
+    "sim_topk_bruteforce",
+    "sample_stratified",
+    "stats_chi_square",
+    "time_bucket_hourly",
+    "events_rolling_dau",
 )
 
 

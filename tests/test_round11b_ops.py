@@ -708,17 +708,21 @@ def test_bollinger_matches_pandas_rolling(spark, sf_dir):
 def _viterbi_backpointer(obs, start_mu, trans_mu, emit_mu):
     """Textbook Viterbi with a backpointer MATRIX and a reverse pass —
     not the operators' carried-candidate-paths fold."""
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        HMM_UNKNOWN_MU,
+    )
+
     n_states = 2
     v = [[None] * n_states for _ in obs]
     bp = [[None] * n_states for _ in obs]
     for s in range(n_states):
-        v[0][s] = start_mu[s] + emit_mu[s][obs[0]]
+        v[0][s] = start_mu[s] + emit_mu[s].get(obs[0], HMM_UNKNOWN_MU)
     for t in range(1, len(obs)):
         for s in range(n_states):
             # tie prefers the LOWER predecessor index
             cands = [v[t - 1][p] + trans_mu[(p, s)] for p in range(n_states)]
             best_p = 0 if cands[0] >= cands[1] else 1
-            v[t][s] = cands[best_p] + emit_mu[s][obs[t]]
+            v[t][s] = cands[best_p] + emit_mu[s].get(obs[t], HMM_UNKNOWN_MU)
             bp[t][s] = best_p
     last = 1 if v[-1][1] > v[-1][0] else 0
     path = [last]
@@ -757,6 +761,41 @@ def test_viterbi_matches_textbook_backpointer(spark, sf_dir):
         assert row["path_head"] == "".join(
             map(str, path[:HMM_PATH_HEAD])
         )
+
+
+def test_hmm_unknown_symbol_takes_penalty_not_null(spark):
+    """Round-11 ADVICE: an event_type outside the 5-symbol alphabet
+    must take the large-negative HMM_UNKNOWN_MU penalty in BOTH
+    engines, never silently NULL the user's decoded row."""
+    import duckdb
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        HMM_EMIT_MU,
+        HMM_UNKNOWN_MU,
+        _hmm_emit_case,
+        _hmm_emit_col,
+    )
+
+    from pyspark.sql import functions as F
+
+    for s in (0, 1):
+        # DuckDB CASE fragment
+        got = duckdb.sql(
+            f"SELECT {_hmm_emit_case(s, chr(39) + 'bogus' + chr(39))}"
+        ).fetchone()[0]
+        assert got == HMM_UNKNOWN_MU
+        # Spark twin
+        row = spark.range(1).select(
+            _hmm_emit_col(s, F.lit("bogus")).alias("mu"),
+            _hmm_emit_col(s, F.lit("view")).alias("known"),
+        ).collect()[0]
+        assert row["mu"] == HMM_UNKNOWN_MU
+        assert row["known"] == HMM_EMIT_MU[s]["view"]
+    # the penalty dominates every in-alphabet emission by orders of
+    # magnitude, so unknowns debit the score without flipping states
+    assert HMM_UNKNOWN_MU < min(
+        mu for d in HMM_EMIT_MU.values() for mu in d.values()
+    ) * 2
 
 
 def test_hmm_probabilities_are_normalized():
@@ -1106,7 +1145,10 @@ def test_cochran_armitage_matches_python_reference(spark, sf_dir):
     assert (row["n_events"], row["n_success"]) == (N, X)
     assert (row["sum_wx"], row["sum_wn"], row["sum_w2n"]) == (A, B, C)
     assert row["ca_chi2"] == pytest.approx(round(chi2, 9), abs=1e-12)
-    assert row["reject_h0"] == (chi2 > 3.841459)
+    # exact-integer form of chi2 > 10322/2687 (the registered rational)
+    assert row["reject_h0"] == (
+        t * t * N * 2687 > 10322 * X * (N - X) * (N * C - B * B)
+    )
 
 
 # ------------------------------------------------ graph_modularity
