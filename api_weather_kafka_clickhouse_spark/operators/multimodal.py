@@ -713,3 +713,121 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("cuts_head"),
     )
+
+
+# --- voice-activity segments (round 12) ---------------------------------
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, i AS frame_idx,
+             CAST(list_sum([ord(substr(substr(text, i * 100 + 1, 100), j, 1))
+                   for j in range(1,
+                     len(substr(text, i * 100 + 1, 100)) + 1)]) AS BIGINT)
+               AS energy
+      FROM (SELECT doc_id, text, unnest(range(0, length(text) // 100)) AS i
+            FROM documents)
+    ),
+    t AS (
+      SELECT doc_id, frame_idx, energy,
+             CAST(sum(energy) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS total_energy,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_frames
+      FROM f
+    ),
+    -- active = frame energy above the doc's mean frame energy,
+    -- cross-multiplied so no float decides
+    act AS (
+      SELECT doc_id, frame_idx, n_frames,
+             (energy * n_frames > total_energy) AS active
+      FROM t
+    ),
+    isl AS (
+      SELECT doc_id, frame_idx, n_frames,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM act WHERE active
+    ),
+    seg AS (
+      SELECT doc_id, max(n_frames) AS n_frames, grp,
+             CAST(count(*) AS BIGINT) AS seg_len,
+             CAST(min(frame_idx) AS BIGINT) AS seg_start
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(seg_len) AS BIGINT) AS n_active,
+           CAST(max(seg_len) AS BIGINT) AS longest_segment,
+           CAST(min(seg_start) AS BIGINT) AS first_active_idx
+    FROM seg GROUP BY doc_id
+    """,
+    doc="Voice-activity detection over the synthetic audio layout "
+    "(frame = 100-char region, char/codepoint-based in both engines "
+    "like mm_scene_cuts): a frame is ACTIVE when its energy — the "
+    "exact integer code-sum standing in for a real decoder's frame "
+    "RMS — exceeds the document's mean frame energy "
+    "(cross-multiplied, no float decides), and consecutive active "
+    "frames merge into segments via the gaps-and-islands "
+    "row_number difference. This is the silence-trimming pass an "
+    "audio-training pipeline runs before transcription or segment "
+    "sampling; the real energy kernel drops into the signature "
+    "expression. Shape: frame fan-out stays JVM-side "
+    "(sequence+explode), then TWO doc-partitioned windows (mean, "
+    "islands) and one rollup — work is frames-per-doc bounded, "
+    "shuffle is one doc-keyed exchange, 16 bytes per frame "
+    "regardless of frame payload size. Survives 100 TB of audio "
+    "because only signatures move.",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    nf = F.floor(F.length("text") / 100).cast("bigint")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
+    ).filter(F.length("text") >= 100)
+    frame_str = F.col("text").substr(
+        (F.col("frame_idx") * 100 + 1).cast("int"), F.lit(100)
+    )
+    energy = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(frame_str)),
+            lambda j: F.ascii(frame_str.substr(j, F.lit(1))),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    f = frames.select("doc_id", "frame_idx", energy.alias("energy"))
+    wdoc = Window.partitionBy("doc_id")
+    t = f.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.sum("energy").over(wdoc).cast("bigint").alias("total_energy"),
+        F.count(F.lit(1)).over(wdoc).cast("bigint").alias("n_frames"),
+    )
+    act = t.filter(
+        F.col("energy") * F.col("n_frames") > F.col("total_energy")
+    )
+    word = Window.partitionBy("doc_id").orderBy("frame_idx")
+    isl = act.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        (F.col("frame_idx") - F.row_number().over(word)).alias("grp"),
+    )
+    seg = isl.groupBy("doc_id", "grp").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("seg_len"),
+        F.min("frame_idx").cast("bigint").alias("seg_start"),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.max("n_frames").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_len").cast("bigint").alias("n_active"),
+        F.max("seg_len").cast("bigint").alias("longest_segment"),
+        F.min("seg_start").cast("bigint").alias("first_active_idx"),
+    )

@@ -2691,3 +2691,140 @@ def time_alpha_beta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").getField("sar").alias("sum_abs_resid"),
         F.col("st").getField("mar").alias("max_abs_resid"),
     )
+
+
+# --- spectral entropy of the candidate-period spectrum (round 12) -------
+
+# Concentration verdict: the spectrum is "peaked" when the dominant
+# period holds more than CONC_NUM/CONC_DEN of total power (1/3 rather
+# than 1/2 so the near-noise fixture exercises BOTH verdicts).
+CONC_NUM, CONC_DEN = 1, 3
+
+
+@register(
+    "time_spectral_entropy",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS t,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+      FROM d
+    ),
+    coef(p, r, cmu, smu) AS (VALUES {{_DFT_COEF_SQL}}),
+    res AS (
+      SELECT s.event_type, c.p, c.r, max(c.cmu) AS cmu, max(c.smu) AS smu,
+             CAST(sum(s.n * s.x - s.sx) AS BIGINT) AS yr
+      FROM s JOIN coef c ON c.r = s.t % c.p
+      GROUP BY s.event_type, c.p, c.r
+    ),
+    pw AS (
+      SELECT event_type, p AS period,
+             CAST(CAST(sum(cmu * yr) AS HUGEINT) * sum(cmu * yr)
+                  + CAST(sum(smu * yr) AS HUGEINT) * sum(smu * yr)
+                  AS HUGEINT) AS power
+      FROM res GROUP BY event_type, p
+    ),
+    tot AS (
+      SELECT event_type, period, power,
+             CAST(sum(power) OVER (PARTITION BY event_type) AS HUGEINT)
+               AS total
+      FROM pw
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_periods,
+           CAST(max(total) AS VARCHAR) AS total_power_str,
+           CAST(max(power) AS VARCHAR) AS max_power_str,
+           CAST((min(struct_pack(a := -power, b := period))).b AS BIGINT)
+             AS dominant_period,
+           CAST(sum(CAST(CASE WHEN power = 0 THEN 0 ELSE
+                  round(-(CAST(power AS DOUBLE) / CAST(total AS DOUBLE))
+                        * ln(CAST(power AS DOUBLE) / CAST(total AS DOUBLE)),
+                        9) END AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats,
+           (max(power) * {CONC_DEN} > {CONC_NUM} * max(total))
+             AS is_concentrated
+    FROM tot GROUP BY event_type
+    """.replace("{_DFT_COEF_SQL}", _DFT_COEF_SQL),
+    doc="Spectral entropy of each stream's candidate-period power "
+    "spectrum — the single-number 'is this series periodic or "
+    "noisy?' gauge (low entropy = one period dominates = "
+    "forecastable; high = white-noise-like), the feature a 100 TB "
+    "metric warehouse computes per series to ROUTE between "
+    "seasonal and naive forecasters (time_holt_winters vs "
+    "time_forecast_backtest_naive). Powers come from the "
+    "time_dominant_period residue-class DFT (quantized trig "
+    "literals, exact HUGEINT/DECIMAL integer powers); the "
+    "CONCENTRATION VERDICT (dominant period holds > 1/3 of total "
+    "power) and the dominant-period argmax are decided entirely in "
+    "exact integer arithmetic with struct-ordered tie-breaks. The "
+    "displayed entropy uses the cookbook's sanctioned per-row "
+    "ln discipline: each term is one IEEE division + ln rounded to "
+    "9dp BEFORE an order-invariant DECIMAL(18,9) sum, so both "
+    "engines emit the identical double. Shape: one day-bucket "
+    "reduce, one broadcast coefficient join, dimension-bounded "
+    "aggregates (types x 10 periods) — fact scan happens once.",
+)
+def time_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    s = d.select(
+        "event_type",
+        "x",
+        (F.row_number().over(wt) - 1).alias("t"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("n"),
+        F.sum("x").over(wa).cast("bigint").alias("sx"),
+    )
+    coef = spark.createDataFrame(DFT_COEF, "p int, r int, cmu bigint, smu bigint")
+    res = (
+        s.join(F.broadcast(coef), F.col("r") == F.col("t") % F.col("p"))
+        .groupBy("event_type", "p", "r")
+        .agg(
+            F.max("cmu").alias("cmu"),
+            F.max("smu").alias("smu"),
+            F.sum(F.col("n") * F.col("x") - F.col("sx"))
+            .cast("bigint")
+            .alias("yr"),
+        )
+    )
+    pw = res.groupBy("event_type", F.col("p").alias("period")).agg(
+        (
+            F.sum(F.col("cmu") * F.col("yr")).cast("decimal(38,0)")
+            * F.sum(F.col("cmu") * F.col("yr"))
+            + F.sum(F.col("smu") * F.col("yr")).cast("decimal(38,0)")
+            * F.sum(F.col("smu") * F.col("yr"))
+        ).alias("power")
+    )
+    tot = pw.select(
+        "event_type",
+        "period",
+        "power",
+        F.sum("power").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    p_frac = F.col("power").cast("double") / F.col("total").cast("double")
+    term = F.when(F.col("power") == 0, F.lit(0.0)).otherwise(
+        F.round(-p_frac * F.log(p_frac), 9)
+    )
+    return tot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.max("total").cast("string").alias("total_power_str"),
+        F.max("power").cast("string").alias("max_power_str"),
+        F.min(F.struct((-F.col("power")).alias("a"), F.col("period").alias("b")))
+        .getField("b")
+        .cast("bigint")
+        .alias("dominant_period"),
+        F.sum(term.cast("decimal(18,9)")).cast("double").alias("entropy_nats"),
+        (
+            F.max("power") * F.lit(CONC_DEN)
+            > F.lit(CONC_NUM).cast("decimal(38,0)") * F.max("total")
+        ).alias("is_concentrated"),
+    )

@@ -1729,6 +1729,35 @@ def embedding_kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF8_TOP_K = 10
 
 
+def _i8_lloyd_fit(codes: DataFrame) -> list[list[int]]:
+    """The exact-integer Lloyd training loop shared by sim_ivf_int8
+    and decontaminate_embedding_near: KMEANS_I8_ITERS - 1 update
+    rounds from the first-K init, so the returned centroids are the
+    cent{iters-1} table that produces the oracle's a{iters}
+    assignment. The only .collect()s are k x dim centroid stats —
+    bounded driver metadata, the family's documented exception."""
+    init = codes.orderBy("vec_id").limit(KMEANS_K).select("q").collect()
+    centroids = [list(r[0]) for r in init]
+    for _ in range(KMEANS_I8_ITERS - 1):
+        assigned = _i8_assign(codes, centroids)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_DIM)],
+            )
+            .collect()
+        )
+        new_c = list(centroids)
+        for r in stats:
+            new_c[int(r["cluster"])] = [
+                _i8_round_mean(int(r[f"s{i}"]), int(r["n"])) for i in range(_DIM)
+            ]
+        centroids = new_c
+    return centroids
+
+
+
 def _i8_ivf_oracle_sql(k: int, iters: int) -> str:
     t = iters - 1  # the centroids that produced the final assignment
     l2 = (
@@ -1798,24 +1827,7 @@ def _i8_ivf_oracle_sql(k: int, iters: int) -> str:
 def sim_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "embeddings", sf_dir)
     codes = _i8_codes(e)
-    init = codes.orderBy("vec_id").limit(KMEANS_K).select("q").collect()
-    centroids = [list(r[0]) for r in init]
-    for _ in range(KMEANS_I8_ITERS - 1):
-        assigned = _i8_assign(codes, centroids)
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_DIM)],
-            )
-            .collect()
-        )
-        new_c = list(centroids)
-        for r in stats:
-            new_c[int(r["cluster"])] = [
-                _i8_round_mean(int(r[f"s{i}"]), int(r["n"])) for i in range(_DIM)
-            ]
-        centroids = new_c
+    centroids = _i8_lloyd_fit(codes)
     # final cells AND probes use the same centroids (cent{iters-1})
     corpus = _i8_assign(codes, centroids).select(
         F.col("vec_id").alias("nbr_id"), F.col("q").alias("nv"), "cluster"
@@ -2120,3 +2132,262 @@ def quality_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2") * OUT_DEN > F.col("med_d2") * OUT_NUM).alias("is_outlier"),
     )
     return eager_release(out, "embedding_outliers", d)
+
+
+# --- ColBERT-style MaxSim late interaction (round 12) -------------------
+
+# The 64-d vector is treated as MAXSIM_SUBS = 8 contiguous 8-d
+# sub-vectors — the stand-in for per-token embeddings (a real ColBERT
+# stores one sub-vector per token; the fixed split keeps the fixture
+# honest while exercising the exact same max-over-tokens plan).
+MAXSIM_SUBS = 8
+MAXSIM_SUBDIM = 8
+MAXSIM_K = 5
+MAXSIM_NQ = 16  # fixed bounded query workload, the sim_topk convention
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id,
+             [CAST(round(x * 127) AS BIGINT) for x in
+              CAST(embedding AS DOUBLE[])] AS c
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS nbr_id,
+             list_sum([
+               list_max([
+                 list_sum([q.c[s * {MAXSIM_SUBDIM} + i]
+                           * d.c[t * {MAXSIM_SUBDIM} + i]
+                           for i in range(1, {MAXSIM_SUBDIM + 1})])
+                 for t in range(0, {MAXSIM_SUBS})])
+               for s in range(0, {MAXSIM_SUBS})]) AS maxsim
+      FROM codes q JOIN codes d ON q.vec_id <> d.vec_id
+      WHERE q.vec_id < {MAXSIM_NQ}
+    )
+    SELECT query_id, nbr_id, CAST(maxsim AS BIGINT) AS maxsim, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY maxsim DESC, nbr_id) AS rn
+          FROM pairs)
+    WHERE rn <= {MAXSIM_K}
+    """,
+    doc="ColBERT-style late-interaction MaxSim retrieval: score(q, d) "
+    "= sum over query sub-vectors of the MAX dot product against any "
+    "document sub-vector — the multi-vector ranking function behind "
+    "ColBERT/PLAID-class retrievers, where per-token matching beats "
+    "single-vector cosine on long documents. Runs END TO END on the "
+    "int8 lattice (codes = round(x*127), the "
+    "embedding_quantize_int8 discipline), so every one of the 64 "
+    "sub-dot-products, each max, and the final sum is exact integer "
+    "arithmetic both engines reproduce bit-for-bit; ranking "
+    "tie-breaks on nbr_id. Shape: the fixed "
+    f"{MAXSIM_NQ}-query code matrix ships as a closure constant and "
+    "ONE Arrow einsum per batch scores every (query, doc, sub, sub) "
+    "interaction — the r11 kmeans lesson applied (codegen for "
+    "scalar trees, Arrow for k x dim matrices: the nested-HOF "
+    "formulation benched 4x slower); int64 end to end, so still "
+    "exact. One corpus scan, no join, one top-k window. At "
+    "100 TB the corpus side would first prune through an IVF/LSH "
+    "candidate stage (sim_ivf_int8); MaxSim is the rerank law, "
+    "priced per candidate, exactly as PLAID prices it.",
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    codes = _i8_codes(e)
+    # bounded driver metadata: the MAXSIM_NQ x 64 query code matrix
+    # (the family's documented .collect() exception)
+    qrows = codes.filter(F.col("vec_id") < MAXSIM_NQ).orderBy("vec_id").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["q"] for r in qrows], dtype=np.int64).reshape(
+        len(qrows), MAXSIM_SUBS, MAXSIM_SUBDIM
+    )
+
+    def score_batches(batches):
+        # One einsum per Arrow batch: (Q,s,d) x (B,t,d) -> (Q,B,s,t),
+        # max over t, sum over s — the r11 kmeans lesson (codegen for
+        # scalar trees, Arrow for k x dim matrices: the nested-HOF
+        # formulation of the same score benched 4.4 s at sf0.1, this
+        # kernel 0.47 s best-of-3). EXACT: int64 throughout; |dot| <= 64*127^2.
+        for pdf in batches:
+            dm = np.stack(pdf["q"].map(np.asarray)).astype(np.int64)
+            b = dm.shape[0]
+            dsub = dm.reshape(b, MAXSIM_SUBS, MAXSIM_SUBDIM)
+            inter = np.einsum("qsd,btd->qbst", qmat, dsub)
+            scores = inter.max(axis=3).sum(axis=2)  # (Q, B) int64
+            nbr = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, b),
+                    "nbr_id": np.tile(nbr, len(qids)),
+                    "maxsim": scores.reshape(-1),
+                }
+            )
+
+    pairs = codes.mapInPandas(
+        score_batches, schema="query_id bigint, nbr_id bigint, maxsim bigint"
+    ).filter(F.col("query_id") != F.col("nbr_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("nbr_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MAXSIM_K)
+        .select("query_id", "nbr_id", "maxsim", "rank")
+    )
+
+
+# --- embedding-space decontamination (round 12) -------------------------
+
+# Eval set = vec_id % DECON_EVAL_MOD == 0 (the held-out benchmark
+# proxy); a train vector is contaminated when cosine >= 1/4 against
+# ANY eval vector. Candidates come from the eval vectors' multi-probe
+# IVF cells, so the search is cells-restricted like dedup_semdedup —
+# approximate BY DESIGN in recall but fully deterministic, and every
+# retained number is exact integer arithmetic (recall vs brute force
+# pinned in tests/test_round12_ops.py).
+DECON_EVAL_MOD = 20
+DECON_TAU_NUM, DECON_TAU_DEN = 1, 4
+
+
+def _decon_oracle_sql() -> str:
+    k, iters = KMEANS_K, KMEANS_I8_ITERS
+    t = iters - 1
+    l2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    dot = "list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[i]))"
+    return (
+        "WITH "
+        + ",\n    ".join(_i8_lloyd_ctes(k, iters))
+        + f""",
+    norms AS (
+      SELECT vec_id, q,
+             {dot.format(d=_DIM, a="q", b="q")} AS nn
+      FROM pts
+    ),
+    ev AS (
+      SELECT n.vec_id AS eval_id, n.q AS evq, n.nn AS ne
+      FROM norms n WHERE n.vec_id % {DECON_EVAL_MOD} = 0
+    ),
+    evd AS (
+      SELECT eval_id, evq, ne, c.cluster,
+             {l2.format(d=_DIM, a="evq", b="c.cv")} AS d
+      FROM ev CROSS JOIN cent{t} c
+    ),
+    probes AS (
+      SELECT eval_id, evq, ne, cluster FROM (
+        SELECT eval_id, evq, ne, cluster,
+               row_number() OVER (PARTITION BY eval_id
+                                  ORDER BY d, cluster) AS rn
+        FROM evd)
+      WHERE rn <= {IVF_PROBES}
+    ),
+    tr AS (
+      SELECT n.vec_id, n.q AS tv, n.nn AS nt, a.cluster
+      FROM norms n JOIN a{iters} a USING (vec_id)
+      WHERE n.vec_id % {DECON_EVAL_MOD} <> 0
+    ),
+    pairs AS (
+      SELECT t2.vec_id, p.eval_id,
+             {dot.format(d=_DIM, a="t2.tv", b="p.evq")} AS dp,
+             t2.nt, p.ne
+      FROM tr t2 JOIN probes p ON p.cluster = t2.cluster
+    ),
+    hits AS (
+      SELECT vec_id, eval_id,
+             CAST((dp * dp * 1000000) // (nt * ne) AS BIGINT)
+               AS sim2_micro
+      FROM pairs
+      WHERE dp > 0 AND dp * dp * {DECON_TAU_DEN * DECON_TAU_DEN}
+                       >= {DECON_TAU_NUM * DECON_TAU_NUM} * nt * ne
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_eval_matches,
+           CAST((min(struct_pack(a := -sim2_micro, b := eval_id))).b
+                AS BIGINT) AS best_eval_id,
+           CAST(max(sim2_micro) AS BIGINT) AS best_sim2_micro
+    FROM hits GROUP BY vec_id"""
+    )
+
+
+@register(
+    "decontaminate_embedding_near",
+    oracle=_decon_oracle_sql(),
+    doc="Embedding-space decontamination — the semantic sibling the "
+    "family was missing (decontaminate_ngram_overlap catches "
+    "verbatim leaks, decontaminate_bloom scales membership, "
+    "decontaminate_longest_span catches partial copies; none catch "
+    "a PARAPHRASED benchmark item, which is exactly what "
+    "near-duplicate embedding matches find — the D4RT/semantic-"
+    "decontamination argument). Every eval vector probes its "
+    f"{IVF_PROBES} nearest int8-k-means cells (same trained "
+    "centroids, same exact integer L2 as sim_ivf_int8), candidate "
+    "train vectors come from ONE cell equi-join, and the "
+    "contamination verdict cosine >= 1/4 is fully cross-multiplied "
+    "on the int8 lattice (dp^2 * 16 >= nt * ne with a dp > 0 sign "
+    "guard) — no float ever decides; the reported similarity is "
+    "exact integer micro-cos^2 via floor division of positives. "
+    "Cells-restricted recall is approximate by design "
+    "(multi-probe), pinned against brute force in pytest; "
+    "determinism is total, so the gate hash-checks END TO END. "
+    "Shape: train scans + one repartition by cell; each eval item "
+    f"touches ~{IVF_PROBES}/{KMEANS_K} of the corpus — the "
+    "100 TB decontamination shape (eval sets are thousands of "
+    "rows; the corpus is the big side and is never all-paired).",
+)
+def decontaminate_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    codes = _i8_codes(e)
+    centroids = _i8_lloyd_fit(codes)
+    norm = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = _i8_assign(codes, centroids).withColumn("nn", norm)
+    ev = assigned.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("q").alias("evq"), F.col("nn").alias("ne")
+    )
+    probes = ev.select(
+        "eval_id",
+        "evq",
+        "ne",
+        F.explode(_assign_topr_udf(centroids, IVF_PROBES)(F.col("evq"))).alias(
+            "cluster"
+        ),
+    )
+    tr = assigned.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
+        "vec_id", F.col("q").alias("tv"), F.col("nn").alias("nt"), "cluster"
+    )
+    dp = F.aggregate(
+        F.zip_with(F.col("tv"), F.col("evq"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = tr.join(F.broadcast(probes), "cluster").select(
+        "vec_id", "eval_id", dp.alias("dp"), "nt", "ne"
+    )
+    hits = pairs.filter(
+        (F.col("dp") > 0)
+        & (
+            F.col("dp") * F.col("dp") * F.lit(DECON_TAU_DEN * DECON_TAU_DEN)
+            >= F.lit(DECON_TAU_NUM * DECON_TAU_NUM) * F.col("nt") * F.col("ne")
+        )
+    ).select(
+        "vec_id",
+        "eval_id",
+        F.expr("(dp * dp * 1000000) div (nt * ne)").alias("sim2_micro"),
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+        F.min(
+            F.struct((-F.col("sim2_micro")).alias("a"), F.col("eval_id").alias("b"))
+        )
+        .getField("b")
+        .cast("bigint")
+        .alias("best_eval_id"),
+        F.max("sim2_micro").cast("bigint").alias("best_sim2_micro"),
+    )

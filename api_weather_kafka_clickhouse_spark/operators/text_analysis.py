@@ -2814,3 +2814,110 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --- URL extraction + domain rollup (round 12) --------------------------
+
+# Shared RE2-safe pattern (no backreferences, no capture groups — both
+# engines run IDENTICAL text with explicit group 0).
+URL_RE = r"https?://[a-z0-9.-]+(?:/[a-z0-9._/-]*)?"
+
+
+@register(
+    "text_url_domains",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' https://host' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 3 = 1 THEN
+               'see http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.example.org/a ' || text
+                    || ' and https://host' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/'
+             ELSE text END AS text
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{URL_RE}', 0)) AS url
+      FROM planted
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             split_part(regexp_replace(url, '^https?://', ''), '/', 1)
+               AS domain,
+             CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END AS is_https
+      FROM urls
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(is_https) AS BIGINT) AS n_https,
+           min(url) AS first_url
+    FROM parsed GROUP BY domain
+    """,
+    doc="URL extraction and per-domain rollup — the link-analysis pass "
+    "a crawl-curation pipeline runs to score outlink density, spot "
+    "link farms, and build per-domain quality priors (domain-level "
+    "filtering is how C4/RefinedWeb-style corpora cut boilerplate "
+    "sites). The corpus has no URLs, so they are PLANTED "
+    "deterministically from doc_id (the mm_magic_sniff discipline: "
+    "the detector must find exactly what was planted, making the "
+    "extraction machinery itself the thing under test). One "
+    "RE2-safe regex literal — no capture groups, explicit group 0 "
+    "— is shared verbatim by Spark and DuckDB, then domains split "
+    "off with identical split_part calls. Shape: extraction is a "
+    "stateless row-local scan (pushes through any partitioning), "
+    "the rollup one map-side-combined aggregate keyed by domain — "
+    "web-scale friendly since domain cardinality, not corpus size, "
+    "bounds the reduce.",
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    planted = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" https://host"),
+                (did % 7).cast("string"),
+                F.lit(".example.com/p/"),
+                did.cast("string"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("see http://cdn"),
+                (did % 5).cast("string"),
+                F.lit(".example.org/a "),
+                F.col("text"),
+                F.lit(" and https://host"),
+                (did % 7).cast("string"),
+                F.lit(".example.com/"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(planted, F.lit(URL_RE), 0)).alias("url"),
+    )
+    parsed = urls.select(
+        "doc_id",
+        "url",
+        F.split_part(
+            F.regexp_replace("url", r"^https?://", ""), F.lit("/"), F.lit(1)
+        ).alias("domain"),
+        F.when(F.col("url").startswith("https://"), 1).otherwise(0).alias(
+            "is_https"
+        ),
+    )
+    return parsed.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("is_https").cast("bigint").alias("n_https"),
+        F.min("url").alias("first_url"),
+    )

@@ -126,11 +126,11 @@ _PRIORITY: tuple[str, ...] = (
     "er_survivorship_golden",  # r12: MDM golden record
     "time_alpha_beta_filter",  # r12: fixed-point g-h tracker
     "stats_sprt_ab_monitor",  # r12: Wald sequential A/B
-    "sim_topk_bruteforce",
-    "sample_stratified",
-    "stats_chi_square",
-    "time_bucket_hourly",
-    "events_rolling_dau",
+    "mm_audio_vad_segments",  # r12: VAD islands
+    "text_url_domains",  # r12: crawl link analysis
+    "sim_maxsim_late_interaction",  # r12: ColBERT MaxSim
+    "time_spectral_entropy",  # r12: periodicity router
+    "decontaminate_embedding_near",  # r12: semantic decontamination
 )
 
 

@@ -28,23 +28,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q18_large_volume_customer",
     "join_flagship_revenue",
-    "join_left_outer",
     "join_asof",
     "agg_rollup",
     "agg_distinct_multi",
     "window_topk_per_group",
-    "window_running_sum",
     "sessionize",
-    "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "text_token_stats",
-    "text_bigram_topk",
     "text_tfidf_topk",
     "text_segment_dedup",  # round-6: corpus-wide segment dedup + reassembly
     "decontaminate_bloom",  # round-6: zero-shuffle Bloom decontamination
@@ -120,6 +115,22 @@ HEADLINE = [
     "stats_hmm_viterbi",
     "time_dtw_distance",
     "profile_dq_rules",
+    # round-12 (five sub-second same-family entries pruned above to
+    # stay inside the 1900-char contract line): the wave-4 one-pass
+    # aggregate shapes (OHLC candles, the LTTB fold, the RANGE-frame
+    # skyline), the residue-class coefficient join powering the
+    # entropy router, and the four new r12 shapes — nested 8x8 HOF
+    # MaxSim interaction, the IVF-cell decontamination pipeline, the
+    # bitmap-word distinct (two hash aggregates, zero count-distinct
+    # expansion), and the arm-partitioned SPRT walk
+    "time_ohlc_bars",
+    "time_lttb_downsample",
+    "orders_skyline_pareto",
+    "time_spectral_entropy",
+    "sim_maxsim_late_interaction",
+    "decontaminate_embedding_near",
+    "agg_bitmap_distinct",
+    "stats_sprt_ab_monitor",
 ]
 
 

@@ -94,6 +94,14 @@ NESTED_LOOP_SANCTIONED = {
     # by data; inherently non-equi, the fuzzy_match_levenshtein
     # argument on an even smaller dimension)
     "time_dtw_distance": 1,
+    # r12: DELIBERATE grid cross join — equivalence classes x the
+    # sensitive-band cumulative table; the broadcast build is the
+    # band DIMENSION (~12 rows by data, attribute-bounded)
+    "privacy_t_closeness": 1,
+    # r12: the same 68-row literal coefficient table as
+    # time_dominant_period, joined r == t % p (expression of both
+    # sides — no extractable equi-key); constant work per day row
+    "time_spectral_entropy": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

@@ -231,3 +231,257 @@ def test_sprt_matches_python_walk(spark, sf_dir):
         decisions.add(row["decision"])
     # the monitor must actually DECIDE somewhere in the fixture
     assert decisions & {"accept_h1", "accept_h0"}
+
+
+# ------------------------------------------------ mm_audio_vad_segments
+
+
+def test_vad_segments_match_python_islands(spark, sf_dir):
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE length(text) >= 100 ORDER BY doc_id"
+    ).fetchdf()
+    got = {
+        r["doc_id"]: r
+        for r in SPECS["mm_audio_vad_segments"].fn(spark, sf_dir).collect()
+    }
+    seen_docs = 0
+    for _, rec in pdf.iterrows():
+        text = rec["text"]
+        n = len(text) // 100
+        energies = [
+            sum(ord(c) for c in text[i * 100 : i * 100 + 100]) for i in range(n)
+        ]
+        total = sum(energies)
+        active = [e * n > total for e in energies]
+        # islands of consecutive True
+        segs = []
+        start = None
+        for i, a in enumerate(active):
+            if a and start is None:
+                start = i
+            if not a and start is not None:
+                segs.append((start, i - start))
+                start = None
+        if start is not None:
+            segs.append((start, n - start))
+        row = got.get(rec["doc_id"])
+        if not segs:
+            assert row is None  # all-quiet docs emit nothing
+            continue
+        seen_docs += 1
+        assert row["n_frames"] == n
+        assert row["n_segments"] == len(segs)
+        assert row["n_active"] == sum(l for _, l in segs)
+        assert row["longest_segment"] == max(l for _, l in segs)
+        assert row["first_active_idx"] == segs[0][0]
+    assert seen_docs > 0
+    # multi-segment docs must exist or the island merge is untested
+    assert any(r["n_segments"] > 1 for r in got.values())
+
+
+# ------------------------------------------------ text_url_domains
+
+
+def test_url_domains_match_python_re(spark, sf_dir):
+    import re
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchdf()
+    pat = re.compile(r"https?://[a-z0-9.-]+(?:/[a-z0-9._/-]*)?")
+    agg: dict[str, dict] = {}
+    for _, rec in pdf.iterrows():
+        did, text = int(rec["doc_id"]), rec["text"]
+        if did % 3 == 0:
+            text = f"{text} https://host{did % 7}.example.com/p/{did}"
+        elif did % 3 == 1:
+            text = (
+                f"see http://cdn{did % 5}.example.org/a {text}"
+                f" and https://host{did % 7}.example.com/"
+            )
+        for url in pat.findall(text):
+            dom = re.sub(r"^https?://", "", url).split("/", 1)[0]
+            a = agg.setdefault(
+                dom, {"n_urls": 0, "docs": set(), "n_https": 0, "first": url}
+            )
+            a["n_urls"] += 1
+            a["docs"].add(did)
+            a["n_https"] += url.startswith("https://")
+            a["first"] = min(a["first"], url)
+    got = {
+        r["domain"]: r
+        for r in SPECS["text_url_domains"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for dom, a in agg.items():
+        row = got[dom]
+        assert row["n_urls"] == a["n_urls"]
+        assert row["n_docs"] == len(a["docs"])
+        assert row["n_https"] == a["n_https"]
+        assert row["first_url"] == a["first"]
+    # both schemes and multi-URL docs must appear or the regex/group
+    # handling is undertested
+    assert any(a["n_https"] == 0 for a in agg.values())
+    assert any(a["n_https"] > 0 for a in agg.values())
+
+
+# ------------------------------------------------ sim_maxsim_late_interaction
+
+
+def test_maxsim_matches_numpy_reference(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    codes = {
+        vid: np.round(np.array(emb, dtype=np.float64) * 127).astype(np.int64)
+        for vid, emb in vecs
+    }
+    got: dict[int, list] = {}
+    for r in SPECS["sim_maxsim_late_interaction"].fn(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    for qid in [v for v in codes if v < 16]:
+        qsubs = codes[qid].reshape(8, 8)
+        scored = []
+        for did, dc in codes.items():
+            if did == qid:
+                continue
+            dsubs = dc.reshape(8, 8)
+            # per query sub-vector, max dot against any doc sub-vector
+            score = int((qsubs @ dsubs.T).max(axis=1).sum())
+            scored.append((score, did))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rows = sorted(got[qid], key=lambda r: r["rank"])
+        assert [(r["maxsim"], r["nbr_id"]) for r in rows] == scored[:5]
+    # MaxSim must differ from plain full-vector dot somewhere, or the
+    # max-over-subvectors structure is untested
+    qid = min(v for v in codes if v < 16)
+    qsubs = codes[qid].reshape(8, 8)
+    full = {
+        did: int(codes[qid] @ dc)
+        for did, dc in codes.items()
+        if did != qid
+    }
+    maxsim = {
+        did: int((qsubs @ dc.reshape(8, 8).T).max(axis=1).sum())
+        for did, dc in codes.items()
+        if did != qid
+    }
+    top_full = sorted(full, key=lambda d: (-full[d], d))[:5]
+    top_ms = sorted(maxsim, key=lambda d: (-maxsim[d], d))[:5]
+    assert top_full != top_ms
+
+
+# ------------------------------------------------ time_spectral_entropy
+
+
+def test_spectral_entropy_matches_python_dft(spark, sf_dir):
+    from decimal import Decimal
+
+    from api_weather_kafka_clickhouse_spark.operators.relational2 import (
+        DFT_COEF,
+        DFT_PERIODS,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    got = {
+        r["event_type"]: r
+        for r in SPECS["time_spectral_entropy"].fn(spark, sf_dir).collect()
+    }
+    coef = {(p, r): (c, s) for p, r, c, s in DFT_COEF}
+    for et, g in pdf.groupby("event_type"):
+        days = g.groupby("day").size().sort_index()
+        xs = days.tolist()
+        n, sx = len(xs), sum(xs)
+        ys = [n * x - sx for x in xs]  # exact mean-centering, scaled by n
+        powers = {}
+        for p in DFT_PERIODS:
+            a = sum(coef[(p, t % p)][0] * y for t, y in enumerate(ys))
+            b = sum(coef[(p, t % p)][1] * y for t, y in enumerate(ys))
+            powers[p] = a * a + b * b
+        total = sum(powers.values())
+        terms = []
+        for p in sorted(powers):
+            pw = powers[p]
+            if pw == 0:
+                terms.append(Decimal(0))
+            else:
+                frac = pw / total  # one IEEE division, like both engines
+                terms.append(
+                    Decimal(str(round(-frac * math.log(frac), 9)))
+                )
+        entropy = float(sum(terms))
+        dom = sorted(powers, key=lambda p: (-powers[p], p))[0]
+        row = got[et]
+        assert row["n_periods"] == len(DFT_PERIODS)
+        assert row["total_power_str"] == str(total)
+        assert row["max_power_str"] == str(max(powers.values()))
+        assert row["dominant_period"] == dom
+        assert row["entropy_nats"] == pytest.approx(entropy, abs=1e-9)
+        assert row["is_concentrated"] == (max(powers.values()) * 3 > total)
+    assert {r["is_concentrated"] for r in got.values()} == {True, False}
+
+
+# ------------------------------------------------ decontaminate_embedding_near
+
+
+def _decon_brute_force(sf_dir):
+    """Exhaustive int8 contamination ground truth (no cells)."""
+    import duckdb
+    import numpy as np
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    codes = {
+        vid: np.round(np.array(e, dtype=np.float64) * 127).astype(np.int64)
+        for vid, e in vecs
+    }
+    evals = {v: c for v, c in codes.items() if v % 20 == 0}
+    hits: dict[int, list] = {}
+    for tid, tc in codes.items():
+        if tid % 20 == 0:
+            continue
+        nt = int(tc @ tc)
+        for eid, ec in evals.items():
+            dp = int(tc @ ec)
+            ne = int(ec @ ec)
+            if dp > 0 and dp * dp * 16 >= nt * ne:
+                hits.setdefault(tid, []).append(
+                    (int((dp * dp * 1_000_000) // (nt * ne)), eid)
+                )
+    return hits
+
+
+def test_decontaminate_embedding_recall_and_exactness(spark, sf_dir):
+    truth = _decon_brute_force(sf_dir)
+    got = {
+        r["vec_id"]: r
+        for r in SPECS["decontaminate_embedding_near"].fn(spark, sf_dir).collect()
+    }
+    # soundness: every reported hit is a TRUE contamination with the
+    # exact brute-force similarity and match count <= truth's
+    for vid, row in got.items():
+        assert vid in truth
+        sims = truth[vid]
+        assert row["n_eval_matches"] <= len(sims)
+        best = sorted(sims, key=lambda t: (-t[0], t[1]))[0]
+        # the probed best can be at most the global best
+        assert row["best_sim2_micro"] <= best[0]
+        assert (row["best_sim2_micro"], row["best_eval_id"]) in [
+            (s, e) for s, e in sims
+        ]
+    # recall: multi-probe cells must find most of the true positives
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.6, recall
+    assert len(truth) > 20  # fixture actually contains contamination
