@@ -1373,3 +1373,102 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eager_release(out, "modularity", edges)
+
+
+# --- neighborhood-Jaccard link prediction (round 12, wave-5 queue) -------
+
+
+@register(
+    "graph_jaccard_links",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS d
+      FROM e GROUP BY l_suppkey
+    ),
+    p AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM e a JOIN e b ON a.l_partkey = b.l_partkey
+                       AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT supp_a, supp_b, inter,
+             da.d + db.d - inter AS uni,
+             (inter * 1000000) // (da.d + db.d - inter) AS j_micro
+      FROM p JOIN deg da ON da.l_suppkey = p.supp_a
+             JOIN deg db ON db.l_suppkey = p.supp_b
+    )
+    SELECT supp_a, supp_b, inter, CAST(uni AS BIGINT) AS uni,
+           CAST(j_micro AS BIGINT) AS j_micro,
+           round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY j_micro DESC, inter DESC, supp_a, supp_b) AS rk
+          FROM j)
+    WHERE rk <= {CN_TOP}
+    """,
+    doc="Neighborhood-Jaccard link prediction over the supplier-part "
+    "bipartite projection — the third classic measure beside "
+    "graph_common_neighbors (raw overlap, hub-inflated) and "
+    "graph_adamic_adar (rarity-weighted): |N(u) & N(v)| / "
+    "|N(u) | N(v)| normalizes by BOTH catalogs, so two boutique "
+    "suppliers sharing half their range outrank two megacarriers "
+    "sharing a sliver. Ranking is exact integer arithmetic end to "
+    "end: the rational i/(du+dv-i) orders by the key "
+    "floor(i*1e6/union) with (inter, supp_a, supp_b) tie-breaks — "
+    "floor division of positives agrees across engines; the "
+    "displayed jaccard is one IEEE division rounded 6dp. Shape: "
+    "the same part-bounded pair fanout as the siblings (candidates "
+    "only via shared parts — never supplier x supplier), degrees "
+    "attach by two dimension joins, one top-K window. Part fanout "
+    "bounds the shuffle at 100 TB; AQE splits commodity-part skew.",
+)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    e = li.select("l_suppkey", "l_partkey").distinct()
+    deg = e.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ea = e.select(F.col("l_suppkey").alias("supp_a"), "l_partkey")
+    eb = e.select(F.col("l_suppkey").alias("supp_b"), "l_partkey")
+    p = (
+        ea.join(eb, "l_partkey")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    da = deg.select(F.col("l_suppkey").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_suppkey").alias("supp_b"), F.col("d").alias("db"))
+    j = (
+        p.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "inter",
+            (F.col("da") + F.col("db") - F.col("inter")).alias("uni"),
+            F.expr("(inter * 1000000) div (da + db - inter)").alias("j_micro"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("j_micro").desc(), F.col("inter").desc(), "supp_a", "supp_b"
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= CN_TOP)
+        .select(
+            "supp_a",
+            "supp_b",
+            "inter",
+            F.col("uni").cast("bigint").alias("uni"),
+            F.col("j_micro").cast("bigint").alias("j_micro"),
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias(
+                "jaccard"
+            ),
+            "rk",
+        )
+    )

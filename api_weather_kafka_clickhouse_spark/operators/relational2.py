@@ -2828,3 +2828,88 @@ def time_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(CONC_NUM).cast("decimal(38,0)") * F.max("total")
         ).alias("is_concentrated"),
     )
+
+
+# --- exponentially-decayed engagement score (round 12, wave-5 queue) ------
+
+# Per-day decay factor 7/8, quantized ONCE in Python to integer
+# micro-units per integer age (the quantized-libm discipline): both
+# engines join the SAME literal (age, weight) table, so every score is
+# an exact BIGINT sum of cents x micro-weights.
+DECAY_NUM, DECAY_DEN = 7, 8
+DECAY_MAX_AGE = 63
+DECAY_W = [
+    (d, round((DECAY_NUM / DECAY_DEN) ** d * 1_000_000))
+    for d in range(DECAY_MAX_AGE + 1)
+]
+_DECAY_SQL = ",".join(f"({d},{w})" for d, w in DECAY_W)
+
+
+@register(
+    "events_decay_weighted_score",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    anchor AS (SELECT max(day) AS d0 FROM d),
+    decay(age, w) AS (VALUES {_DECAY_SQL}),
+    scored AS (
+      SELECT user_id, n, cents,
+             datediff('day', day, d0) AS age
+      FROM d CROSS JOIN anchor
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(cents * w) AS BIGINT) AS score_micro,
+           round(CAST(sum(cents * w) AS DOUBLE) / 1e6 / 100, 6)
+             AS decayed_value
+    FROM scored JOIN decay ON decay.age = scored.age
+    GROUP BY user_id
+    """,
+    doc="Exponentially time-decayed engagement score per user (daily "
+    "decay 7/8, ~5.4-day half-life) — the recency-weighted feature "
+    "every feature store and churn model keeps warm, where "
+    "yesterday's purchase outweighs last month's. Determinism: the "
+    "decay curve is quantized ONCE in Python to a 64-row literal "
+    "(age, micro-weight) table injected into BOTH engines (the "
+    "sim_ndcg_eval / dominant-period discipline) — no engine ever "
+    "evaluates pow() — and every score is an exact BIGINT sum of "
+    "cents x micro-weights; the displayed dollar value is "
+    "presentation-only. Shape: one (user, day) reduce over the "
+    "facts, a 1-row anchor broadcast, a 64-row decay-table "
+    "broadcast equi-join on age, one user rollup — scan-bound, and "
+    "the incremental form (multiply yesterday's store by 7/8, add "
+    "today) drops into the streaming agg stores.",
+)
+def events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    anchor = d.agg(F.max("day").alias("d0"))
+    decay = spark.createDataFrame(DECAY_W, "age int, w bigint")
+    scored = d.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "n",
+        "cents",
+        F.datediff(F.col("d0"), F.col("day")).alias("age"),
+    )
+    j = scored.join(F.broadcast(decay), "age")
+    return j.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("cents") * F.col("w")).cast("bigint").alias("score_micro"),
+        F.round(
+            F.sum(F.col("cents") * F.col("w")).cast("double") / 1e6 / 100, 6
+        ).alias("decayed_value"),
+    )

@@ -1800,3 +1800,204 @@ def er_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attrs.join(nmode, "entity_id")
+
+
+# --- activity-segment migration matrix (round 12, wave-5 queue) ----------
+
+RFM_SPLIT_DAYS = 15  # first half = days 0-14 from the corpus start
+
+
+@register(
+    "events_rfm_migration",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    anchor AS (SELECT min(day) AS d0 FROM d),
+    halves AS (
+      SELECT user_id,
+             CASE WHEN datediff('day', d0, day) < {RFM_SPLIT_DAYS}
+                  THEN 1 ELSE 2 END AS half,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d CROSS JOIN anchor GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT user_id, half,
+             CASE ntile(3) OVER (PARTITION BY half ORDER BY n, user_id)
+                  WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END
+               AS segment
+      FROM halves
+    ),
+    m AS (
+      SELECT coalesce(a.user_id, b.user_id) AS user_id,
+             coalesce(a.segment, 'absent') AS seg_from,
+             coalesce(b.segment, 'absent') AS seg_to
+      FROM (SELECT * FROM seg WHERE half = 1) a
+      FULL OUTER JOIN (SELECT * FROM seg WHERE half = 2) b
+        USING (user_id)
+    )
+    SELECT seg_from, seg_to,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS sample_user
+    FROM m GROUP BY 1, 2
+    """,
+    doc="Activity-segment migration matrix — the period-over-period "
+    "cohort movement table (the RFM-migration / 'customer health "
+    "flow' report) a growth warehouse refreshes weekly: split the "
+    "corpus window at day 15, tercile each half's per-user activity "
+    "into low/mid/high (ntile over the TOTAL order (n, user_id) — "
+    "Spark and DuckDB share ntile's balanced-bucket definition, so "
+    "the cut is deterministic), and count users per (from, to) "
+    "cell, with churn-in/out captured by the full-outer 'absent' "
+    "coalesce. All counts exact; sample_user is a deterministic "
+    "min. Shape: one user x half reduce over the facts, one "
+    "half-partitioned ntile window over the USER dimension, one "
+    "user-keyed full outer join, and a 16-cell rollup — after the "
+    "first reduce nothing row-bounded moves, the 100 TB shape for "
+    "any period-migration report.",
+)
+def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, "events", sf_dir)
+    d = e.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+    anchor = d.agg(F.min("day").alias("d0"))
+    halves = (
+        d.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            F.when(F.datediff(F.col("day"), F.col("d0")) < RFM_SPLIT_DAYS, 1)
+            .otherwise(2)
+            .alias("half"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("half").orderBy("n", "user_id")
+    seg = halves.select(
+        "user_id",
+        "half",
+        F.when(F.ntile(3).over(w) == 1, "low")
+        .when(F.ntile(3).over(w) == 2, "mid")
+        .otherwise("high")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 1).select("user_id", F.col("segment").alias("s1"))
+    b = seg.filter(F.col("half") == 2).select("user_id", F.col("segment").alias("s2"))
+    m = a.join(b, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce(F.col("s1"), F.lit("absent")).alias("seg_from"),
+        F.coalesce(F.col("s2"), F.lit("absent")).alias("seg_to"),
+    )
+    return m.groupBy("seg_from", "seg_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("sample_user"),
+    )
+
+
+# --- sorted-neighborhood ER blocking (round 12, wave-5 queue) ------------
+
+SNM_WINDOW = 4  # each record pairs with the next 3 in sort order
+SNM_BAL_CENTS = 50_000  # "close balance" verify: within $500
+
+
+def _snm_oracle_sql() -> str:
+    legs = "\n      UNION ALL\n".join(
+        f"""      SELECT c_custkey, c_nationkey, bal,
+             lead(c_custkey, {k}) OVER win{k} AS nbr_key,
+             lead(c_nationkey, {k}) OVER win{k} AS nbr_nation,
+             lead(bal, {k}) OVER win{k} AS nbr_bal,
+             {k} AS win_offset
+      FROM s
+      WINDOW win{k} AS (ORDER BY sort_key, c_custkey)"""
+        for k in range(1, SNM_WINDOW)
+    )
+    return f"""
+    WITH s AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             -- multi-attribute sort key: the SNM discipline (sort once,
+             -- compare only within a sliding window)
+             c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)
+               || '|' || c_name AS sort_key
+      FROM customer
+    ),
+    w AS (
+{legs}
+    )
+    SELECT c_custkey AS cust_a, nbr_key AS cust_b,
+           CAST(win_offset AS BIGINT) AS win_offset,
+           CAST(abs(bal - nbr_bal) AS BIGINT) AS bal_diff_cents
+    FROM w
+    WHERE nbr_key IS NOT NULL
+      AND c_nationkey = nbr_nation
+      AND abs(bal - nbr_bal) < {SNM_BAL_CENTS}
+    """
+
+
+@register(
+    "er_sorted_neighborhood",
+    oracle=_snm_oracle_sql(),
+    doc="Sorted-neighborhood ER blocking — the OTHER classic blocking "
+    "method beside er_phonetic_blocking's hash-bucket keys: sort "
+    "once on a multi-attribute key (segment | nation | name) and "
+    "compare each record only against the next "
+    f"{SNM_WINDOW - 1} in sort order, so candidate generation is "
+    "O(N log N + N*w) instead of O(N^2) — the method of choice when "
+    "a single blocking key splits true matches across buckets but "
+    "sort-adjacency keeps them close. The cheap verify (same "
+    "nation, balances within $500 in exact cents) emits candidate "
+    "pairs for the survivorship stage (er_survivorship_golden). "
+    "Determinism: total sort order (key, custkey); the window "
+    "fan-out is a CONSTANT-factor lead() per offset, not a join. "
+    "Shape at 100 TB: one range-partitioned sort (Spark's sort is "
+    "already a TeraSort), then w-1 lead windows over it — "
+    "boundary-crossing pairs are handled by the same window "
+    "machinery, and no pair generation ever leaves the local "
+    "sort run except at partition edges.",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, "customer", sf_dir)
+    s = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit("|"),
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_name"),
+        ).alias("sort_key"),
+    )
+    win = Window.orderBy("sort_key", "c_custkey")
+    legs = []
+    for k in range(1, SNM_WINDOW):
+        legs.append(
+            s.select(
+                F.col("c_custkey").alias("cust_a"),
+                "c_nationkey",
+                "bal",
+                F.lead("c_custkey", k).over(win).alias("cust_b"),
+                F.lead("c_nationkey", k).over(win).alias("nbr_nation"),
+                F.lead("bal", k).over(win).alias("nbr_bal"),
+                F.lit(k).cast("bigint").alias("win_offset"),
+            )
+        )
+    w = legs[0]
+    for leg in legs[1:]:
+        w = w.unionByName(leg)
+    return w.filter(
+        F.col("cust_b").isNotNull()
+        & (F.col("c_nationkey") == F.col("nbr_nation"))
+        & (F.abs(F.col("bal") - F.col("nbr_bal")) < SNM_BAL_CENTS)
+    ).select(
+        "cust_a",
+        "cust_b",
+        "win_offset",
+        F.abs(F.col("bal") - F.col("nbr_bal")).cast("bigint").alias(
+            "bal_diff_cents"
+        ),
+    )

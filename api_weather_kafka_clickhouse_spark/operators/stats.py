@@ -4221,3 +4221,98 @@ def stats_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# --- Beta-binomial smoothed ranking (round 12, wave-5 queue) -------------
+
+# Empirical-Bayes shrinkage: prior Beta(a, b) with a + b = BB_K
+# pseudo-counts centered on the GLOBAL conversion rate (a = K*X/T), so
+# a 2-of-2 user does not outrank a 190-of-1000 one. The smoothed score
+# (x + a)/(n + K) = (x*T + K*X) / ((n + K) * T); T > 0 is common to
+# every row, so ordering needs only num = x*T + K*X and den = n + K.
+BB_K = 20
+BB_TOP = 25
+
+
+@register(
+    "stats_beta_binomial_ranking",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tt, CAST(sum(x) AS BIGINT) AS xx
+      FROM u
+    ),
+    s AS (
+      SELECT user_id, n, x,
+             round(CAST(x AS DOUBLE) / n, 9) AS raw_rate,
+             round(CAST(x * tt + {BB_K} * xx AS DOUBLE)
+                   / (CAST(n + {BB_K} AS DOUBLE) * tt), 9) AS smoothed,
+             x * tt + {BB_K} * xx AS num, n + {BB_K} AS den
+      FROM u CROSS JOIN g
+    )
+    SELECT user_id, n, x, raw_rate, smoothed, CAST(rn AS BIGINT) AS rank
+    FROM (
+      -- EXACT rational ordering: s_i > s_j <=> num_i*den_j > num_j*den_i;
+      -- equivalent single-key form: order by the rational num/den via
+      -- the integer pair (num*1e6) // den (floor of positives), ties
+      -- broken by the exact cross-multiplication via num, then user_id
+      SELECT *, row_number() OVER (
+        ORDER BY (num * 1000000) // den DESC, num DESC, user_id) AS rn
+      FROM s)
+    WHERE rn <= {BB_TOP}
+    """,
+    doc="Empirical-Bayes beta-binomial ranking of users by smoothed "
+    "conversion rate — the shrinkage ranking every marketplace/ads "
+    "warehouse uses where raw rates would crown tiny-n flukes "
+    "(same law as Laplace-smoothed CTR; the prior is "
+    f"{BB_K} pseudo-events at the global rate). Ordering is EXACT: "
+    "the score (x*T + K*X)/((n+K)*T) shares the positive factor T "
+    "across rows, so rank orders the integer rational num/den by "
+    "the key floor((num*1e6)/den) with num then user_id as "
+    "tie-breaks — a DEFINED deterministic policy both engines "
+    "compute in exact integer arithmetic, within 1e-6 of the pure "
+    "rational order; the two DISPLAYED rates are single IEEE "
+    "divisions rounded to 9dp. OPERAND BOUND: num = x*T + K*X <= "
+    "(max_x + K) * T; the *1e6 rank key needs num*1e6 < 2^63, i.e. "
+    "T * max_x < 9e12 — partition the ranking by month past that "
+    "(the Bollinger/CA documentation pattern). Shape: one user "
+    "reduce, one 1-row global broadcast, one top-K window — "
+    "scan-bound at 100 TB.",
+)
+def stats_beta_binomial_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "events", sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    g = u.agg(
+        F.sum("n").cast("bigint").alias("tt"), F.sum("x").cast("bigint").alias("xx")
+    )
+    s = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n",
+        "x",
+        F.round(F.col("x").cast("double") / F.col("n"), 9).alias("raw_rate"),
+        F.round(
+            (F.col("x") * F.col("tt") + F.lit(BB_K) * F.col("xx")).cast("double")
+            / ((F.col("n") + F.lit(BB_K)).cast("double") * F.col("tt")),
+            9,
+        ).alias("smoothed"),
+        (F.col("x") * F.col("tt") + F.lit(BB_K) * F.col("xx")).alias("num"),
+        (F.col("n") + F.lit(BB_K)).alias("den"),
+    )
+    w = Window.orderBy(
+        F.expr("(num * 1000000) div den").desc(), F.col("num").desc(), "user_id"
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BB_TOP)
+        .select("user_id", "n", "x", "raw_rate", "smoothed", "rank")
+    )

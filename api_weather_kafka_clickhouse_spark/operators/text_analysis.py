@@ -2921,3 +2921,78 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_https").cast("bigint").alias("n_https"),
         F.min("url").alias("first_url"),
     )
+
+
+# --- vocabulary capture-recapture (round 12, wave-5 queue) ---------------
+
+
+@register(
+    "text_vocab_capture_recapture",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, doc_id % 2 AS half,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    seen AS (
+      SELECT lang, t,
+             max(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+      FROM tok GROUP BY lang, t
+    )
+    SELECT lang,
+           CAST(sum(in_a) AS BIGINT) AS n_a,
+           CAST(sum(in_b) AS BIGINT) AS n_b,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS true_vocab,
+           round((CAST(sum(in_a) AS DOUBLE) + 1)
+                 * (CAST(sum(in_b) AS DOUBLE) + 1)
+                 / (CAST(sum(in_a * in_b) AS DOUBLE) + 1) - 1, 6)
+             AS chapman_estimate
+    FROM seen GROUP BY lang
+    """,
+    doc="Capture-recapture (Chapman) estimation of per-language "
+    "vocabulary size from two independent samples — the 'unseen "
+    "species' diagnostic a tokenizer team runs to ask how much "
+    "vocabulary the NEXT crawl shard will add (Good-Turing's "
+    "cousin): sample A = words seen in even doc_ids, sample B = odd; "
+    "N-hat = (|A|+1)(|B|+1)/(|AB|+1) - 1. The fixture conveniently "
+    "contains the whole population, so true_vocab sits beside the "
+    "estimate and the gate hash-checks estimator AND ground truth "
+    "(all four inputs exact integer counts; the estimate is a "
+    "two-operation double expression both engines evaluate "
+    "identically — each intermediate is IEEE-determined from "
+    "integer-valued operands). Shape: one token explode, ONE "
+    "(lang, token)-keyed reduce carrying two bit flags (the A/B "
+    "membership collapses to max() aggregates — no join between "
+    "the samples, no distinct expansion), then a lang-dimension "
+    "rollup. Vocabulary-bounded after the first reduce; at 100 TB "
+    "the explode dominates and is embarrassingly parallel.",
+)
+def text_vocab_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, "documents", sf_dir)
+    tok = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
+    )
+    seen = tok.groupBy("lang", "t").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    na = F.sum("in_a").cast("bigint")
+    nb = F.sum("in_b").cast("bigint")
+    nm = F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+    return seen.groupBy("lang").agg(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        nm.alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("true_vocab"),
+        F.round(
+            (na.cast("double") + F.lit(1.0))
+            * (nb.cast("double") + F.lit(1.0))
+            / (nm.cast("double") + F.lit(1.0))
+            - F.lit(1.0),
+            6,
+        ).alias("chapman_estimate"),
+    )

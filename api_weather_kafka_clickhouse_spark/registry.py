@@ -69,10 +69,14 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # operators; (c) 10 round-12 additions (new code meets the driver
 # cold, the r9-r11 discipline).
 #
-# Live queue for the NEXT rotation (wave 5): empty — every name
-# registered at pin time is either in the gate below or
-# multi-round-green. Queries registered after this pin must be added
-# here BY NAME in the same commit (driver-contract memory rule 4).
+# Live queue for the NEXT rotation (wave 5) — queries registered after
+# the wave-4 pin, by name (add here in the same commit as @register):
+#   stats_beta_binomial_ranking (empirical-Bayes smoothed ranking),
+#   events_rfm_migration (period-over-period segment matrix),
+#   graph_jaccard_links (neighborhood-Jaccard link prediction),
+#   er_sorted_neighborhood (windowed SNM blocking),
+#   text_vocab_capture_recapture (Chapman vocabulary estimation),
+#   events_decay_weighted_score (quantized-decay engagement feature).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r11)

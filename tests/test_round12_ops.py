@@ -485,3 +485,206 @@ def test_decontaminate_embedding_recall_and_exactness(spark, sf_dir):
     recall = len(set(got) & set(truth)) / len(truth)
     assert recall >= 0.6, recall
     assert len(truth) > 20  # fixture actually contains contamination
+
+
+# ------------------------------------------------ stats_beta_binomial_ranking
+
+
+def test_beta_binomial_ranking_matches_python(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    g = pdf.groupby("user_id").agg(
+        n=("event_id", "size"),
+        x=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    T, X = int(g["n"].sum()), int(g["x"].sum())
+    rows = []
+    for uid, r in g.iterrows():
+        num = int(r["x"]) * T + 20 * X
+        den = int(r["n"]) + 20
+        rows.append((num * 1_000_000 // den, num, uid, int(r["n"]), int(r["x"])))
+    rows.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    got = sorted(
+        SPECS["stats_beta_binomial_ranking"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    for rank, (row, ref) in enumerate(zip(got, rows), start=1):
+        assert row["rank"] == rank
+        assert row["user_id"] == ref[2]
+        assert row["n"] == ref[3] and row["x"] == ref[4]
+        num, den = ref[1], ref[3] + 20
+        assert row["smoothed"] == pytest.approx(
+            round(num / (den * T), 9), abs=1e-12
+        )
+    # shrinkage must actually reorder someone vs the raw-rate ranking
+    raw = sorted(g.index, key=lambda u: (-g.loc[u, "x"] / g.loc[u, "n"], u))
+    smoothed = [r[2] for r in rows]
+    assert raw[: len(got)] != smoothed[: len(got)]
+
+
+# ------------------------------------------------ events_rfm_migration
+
+
+def test_rfm_migration_matches_python_ntile(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    d0 = pdf["day"].min()
+    pdf["half"] = ((pdf["day"] - d0).dt.days >= 15).astype(int) + 1
+
+    def ntile3(counts):  # balanced buckets over the total order (n, uid)
+        order = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(order)
+        base, rem = divmod(n, 3)
+        sizes = [base + (1 if i < rem else 0) for i in range(3)]
+        seg = {}
+        i = 0
+        for b, size in enumerate(sizes):
+            for uid, _ in order[i : i + size]:
+                seg[uid] = ["low", "mid", "high"][b]
+            i += size
+        return seg
+
+    seg1 = ntile3(pdf[pdf["half"] == 1].groupby("user_id").size().to_dict())
+    seg2 = ntile3(pdf[pdf["half"] == 2].groupby("user_id").size().to_dict())
+    users = set(seg1) | set(seg2)
+    ref: dict[tuple, list] = {}
+    for u in users:
+        key = (seg1.get(u, "absent"), seg2.get(u, "absent"))
+        ref.setdefault(key, []).append(u)
+    got = {
+        (r["seg_from"], r["seg_to"]): r
+        for r in SPECS["events_rfm_migration"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ref)
+    for key, us in ref.items():
+        assert got[key]["n_users"] == len(us)
+        assert got[key]["sample_user"] == min(us)
+
+
+# ------------------------------------------------ graph_jaccard_links
+
+
+def test_jaccard_links_matches_python_sets(spark, sf_dir):
+    import duckdb
+
+    edges = duckdb.sql(
+        f"SELECT DISTINCT l_suppkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    nbrs: dict[int, set] = {}
+    for s, p in edges:
+        nbrs.setdefault(s, set()).add(p)
+    scored = []
+    supps = sorted(nbrs)
+    for i, a in enumerate(supps):
+        for b in supps[i + 1 :]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter == 0:
+                continue
+            uni = len(nbrs[a] | nbrs[b])
+            scored.append((inter * 1_000_000 // uni, inter, a, b, uni))
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    got = sorted(
+        SPECS["graph_jaccard_links"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    for row, ref in zip(got, scored):
+        assert (row["supp_a"], row["supp_b"]) == (ref[2], ref[3])
+        assert row["inter"] == ref[1]
+        assert row["uni"] == ref[4]
+        assert row["j_micro"] == ref[0]
+
+
+# ------------------------------------------------ er_sorted_neighborhood
+
+
+def test_sorted_neighborhood_matches_python_window(spark, sf_dir):
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT * FROM '{sf_dir}/customer.parquet'"
+    ).fetchdf()
+    pdf["bal"] = (pdf["c_acctbal"] * 100).round().astype("int64")
+    pdf["sort_key"] = (
+        pdf["c_mktsegment"]
+        + "|"
+        + pdf["c_nationkey"].astype(str)
+        + "|"
+        + pdf["c_name"]
+    )
+    ordered = pdf.sort_values(["sort_key", "c_custkey"]).reset_index(drop=True)
+    ref = set()
+    for i in range(len(ordered)):
+        for k in (1, 2, 3):
+            if i + k >= len(ordered):
+                continue
+            a, b = ordered.iloc[i], ordered.iloc[i + k]
+            if a["c_nationkey"] == b["c_nationkey"] and abs(
+                int(a["bal"]) - int(b["bal"])
+            ) < 50_000:
+                ref.add(
+                    (int(a["c_custkey"]), int(b["c_custkey"]), k,
+                     abs(int(a["bal"]) - int(b["bal"])))
+                )
+    got = {
+        (r["cust_a"], r["cust_b"], r["win_offset"], r["bal_diff_cents"])
+        for r in SPECS["er_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    }
+    assert got == ref
+    assert len(ref) > 0  # the fixture must produce candidates
+
+
+# ------------------------------------------------ text_vocab_capture_recapture
+
+
+def test_capture_recapture_matches_python_sets(spark, sf_dir):
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchdf()
+    got = {
+        r["lang"]: r
+        for r in SPECS["text_vocab_capture_recapture"].fn(spark, sf_dir).collect()
+    }
+    for lang, g in pdf.groupby("lang"):
+        a: set = set()
+        b: set = set()
+        for _, rec in g.iterrows():
+            words = rec["text"].split(" ")
+            (a if rec["doc_id"] % 2 == 0 else b).update(words)
+        row = got[lang]
+        assert row["n_a"] == len(a)
+        assert row["n_b"] == len(b)
+        assert row["n_both"] == len(a & b)
+        assert row["true_vocab"] == len(a | b)
+        est = (len(a) + 1) * (len(b) + 1) / (len(a & b) + 1) - 1
+        assert row["chapman_estimate"] == pytest.approx(round(est, 6), abs=1e-9)
+
+
+# ------------------------------------------------ events_decay_weighted_score
+
+
+def test_decay_score_matches_python_fold(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    d0 = pdf["day"].max()
+    weights = {d: round((7 / 8) ** d * 1_000_000) for d in range(64)}
+    got = {
+        r["user_id"]: r
+        for r in SPECS["events_decay_weighted_score"].fn(spark, sf_dir).collect()
+    }
+    for uid, g in pdf.groupby("user_id"):
+        ages = (d0 - g["day"]).dt.days
+        score = int(sum(int(c) * weights[int(a)] for c, a in zip(g["cents"], ages)))
+        row = got[uid]
+        assert row["n_events"] == len(g)
+        assert row["total_cents"] == int(g["cents"].sum())
+        assert row["score_micro"] == score
+        assert row["decayed_value"] == pytest.approx(
+            round(score / 1e6 / 100, 6), abs=1e-9
+        )
+    # decay must actually matter: someone's decayed value differs from
+    # what a flat weight would give (score != total * w0)
+    assert any(
+        r["score_micro"] != r["total_cents"] * 1_000_000 for r in got.values()
+    )
