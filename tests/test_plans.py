@@ -324,3 +324,49 @@ def test_vocab_coverage_and_transitions_plan_shape(spark, sf_dir):
     assert checks.partial_aggregate_count(tr) >= 1
     assert checks.has_broadcast_join(tr)
     assert all("props" not in s and "value" not in s for s in checks.scan_read_schema(tr))
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    """agg_bitmap_distinct's whole point: exact distinct WITHOUT the
+    count-distinct Expand node — two plain hash aggregates (each with
+    a partial phase) and nothing else."""
+    df = SPECS["agg_bitmap_distinct"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    assert "Expand" not in plan, plan
+    assert checks.partial_aggregate_count(df) >= 2, plan
+
+
+def test_decay_score_joins_are_broadcast(spark, sf_dir):
+    """The 1-row anchor and the 64-row decay table must both attach by
+    broadcast — the fact side never shuffles for them."""
+    df = SPECS["events_decay_weighted_score"].fn(spark, sf_dir)
+    assert checks.has_broadcast_join(df)
+    assert checks.unbounded_nested_loop_count(df) <= 1  # 1-row scalar anchor
+
+
+def test_sorted_neighborhood_is_windows_not_joins(spark, sf_dir):
+    """SNM's value claim: candidate generation via lead() windows over
+    ONE sort — no self-join anywhere in the plan."""
+    df = SPECS["er_sorted_neighborhood"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_maxsim_is_arrow_batched_single_scan(spark, sf_dir):
+    """MaxSim scores through ONE Arrow-batched kernel over one corpus
+    scan: no nested-loop join, no row-at-a-time BatchEvalPython."""
+    df = SPECS["sim_maxsim_late_interaction"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert checks.unbounded_nested_loop_count(df) == 0, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_vad_segments_shuffle_is_doc_keyed_only(spark, sf_dir):
+    """VAD fans frames out JVM-side then reduces within doc-keyed
+    windows: the plan carries no join and no Python nodes."""
+    df = SPECS["mm_audio_vad_segments"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
