@@ -2725,9 +2725,14 @@ CONC_NUM, CONC_DEN = 1, 3
       GROUP BY s.event_type, c.p, c.r
     ),
     pw AS (
+      -- products promoted to HUGEINT BEFORE the sum: cmu*yr in BIGINT
+      -- could overflow loudly here and silently (wraparound) on the
+      -- Spark side (round-12 review catch)
       SELECT event_type, p AS period,
-             CAST(CAST(sum(cmu * yr) AS HUGEINT) * sum(cmu * yr)
-                  + CAST(sum(smu * yr) AS HUGEINT) * sum(smu * yr)
+             CAST(sum(CAST(cmu AS HUGEINT) * yr)
+                    * sum(CAST(cmu AS HUGEINT) * yr)
+                  + sum(CAST(smu AS HUGEINT) * yr)
+                    * sum(CAST(smu AS HUGEINT) * yr)
                   AS HUGEINT) AS power
       FROM res GROUP BY event_type, p
     ),
@@ -2796,12 +2801,20 @@ def time_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("yr"),
         )
     )
+    # products promoted to DECIMAL before the sum — an int64 cmu*yr
+    # sum would wrap SILENTLY in Spark while DuckDB promotes to
+    # HUGEINT (round-12 review catch). OPERAND BOUND: |cmu| <= 1e6 and
+    # |yr| <= N * max_daily_count, so the decimal(18,0)*bigint product
+    # (cap 38) is exact to |yr| ~ 1e19 and the summed a_mu/b_mu keep
+    # the squared power inside 38 digits to per-type volumes ~ 1e8
+    # events/day across a 7-year calendar — far past the fixture and
+    # any single-month partition.
+    a_mu = F.sum(F.col("cmu").cast("decimal(18,0)") * F.col("yr"))
+    b_mu = F.sum(F.col("smu").cast("decimal(18,0)") * F.col("yr"))
     pw = res.groupBy("event_type", F.col("p").alias("period")).agg(
         (
-            F.sum(F.col("cmu") * F.col("yr")).cast("decimal(38,0)")
-            * F.sum(F.col("cmu") * F.col("yr"))
-            + F.sum(F.col("smu") * F.col("yr")).cast("decimal(38,0)")
-            * F.sum(F.col("smu") * F.col("yr"))
+            a_mu.cast("decimal(38,0)") * a_mu
+            + b_mu.cast("decimal(38,0)") * b_mu
         ).alias("power")
     )
     tot = pw.select(
@@ -2865,10 +2878,15 @@ _DECAY_SQL = ",".join(f"({d},{w})" for d, w in DECAY_W)
     SELECT user_id,
            CAST(sum(n) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS total_cents,
-           CAST(sum(cents * w) AS BIGINT) AS score_micro,
-           round(CAST(sum(cents * w) AS DOUBLE) / 1e6 / 100, 6)
+           -- LEFT join + weight 0: an event older than the table's
+           -- horizon stops scoring but MUST keep counting in
+           -- n_events/total_cents (review catch: an inner join would
+           -- silently drop it from both, and even vanish users whose
+           -- events are all old)
+           CAST(sum(cents * coalesce(w, 0)) AS BIGINT) AS score_micro,
+           round(CAST(sum(cents * coalesce(w, 0)) AS DOUBLE) / 1e6 / 100, 6)
              AS decayed_value
-    FROM scored JOIN decay ON decay.age = scored.age
+    FROM scored LEFT JOIN decay ON decay.age = scored.age
     GROUP BY user_id
     """,
     doc="Exponentially time-decayed engagement score per user (daily "
@@ -2880,8 +2898,11 @@ _DECAY_SQL = ",".join(f"({d},{w})" for d, w in DECAY_W)
     "sim_ndcg_eval / dominant-period discipline) — no engine ever "
     "evaluates pow() — and every score is an exact BIGINT sum of "
     "cents x micro-weights; the displayed dollar value is "
-    "presentation-only. Shape: one (user, day) reduce over the "
-    "facts, a 1-row anchor broadcast, a 64-row decay-table "
+    "presentation-only. Events beyond the 63-day horizon score 0 "
+    "via a LEFT join (never an inner join, which would silently "
+    "drop them from n_events/total_cents — round-12 review catch). "
+    "Shape: one (user, day) reduce over the facts, a 1-row anchor "
+    "broadcast, a 64-row decay-table "
     "broadcast equi-join on age, one user rollup — scan-bound, and "
     "the incremental form (multiply yesterday's store by 7/8, add "
     "today) drops into the streaming agg stores.",
@@ -2904,12 +2925,13 @@ def events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.datediff(F.col("d0"), F.col("day")).alias("age"),
     )
-    j = scored.join(F.broadcast(decay), "age")
+    j = scored.join(F.broadcast(decay), "age", "left")
+    wz = F.coalesce(F.col("w"), F.lit(0).cast("bigint"))
     return j.groupBy("user_id").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("cents").cast("bigint").alias("total_cents"),
-        F.sum(F.col("cents") * F.col("w")).cast("bigint").alias("score_micro"),
+        F.sum(F.col("cents") * wz).cast("bigint").alias("score_micro"),
         F.round(
-            F.sum(F.col("cents") * F.col("w")).cast("double") / 1e6 / 100, 6
+            F.sum(F.col("cents") * wz).cast("double") / 1e6 / 100, 6
         ).alias("decayed_value"),
     )

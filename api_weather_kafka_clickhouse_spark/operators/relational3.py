@@ -1659,10 +1659,20 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
         ).cast("decimal(20,0)").alias("cum_c"),
     )
-    nn = c.count()  # driver scalar: one exact total, catalog-bounded
-    m = bands.count()
+    # ONE bounded-metadata collect (~12 band rows) yields both scalars
+    # AND the literal cumulative table — the round-12 review catch:
+    # separate c.count()/bands.count() actions each re-scanned the
+    # customer table, and re-using the uncollected `glob` would have
+    # recomputed it a second time inside the grid join
+    band_rows = glob.collect()
+    m = len(band_rows)
+    nn = max(int(r["cum_c"]) for r in band_rows)
+    glob_lit = spark.createDataFrame(
+        [(int(r["band"]), int(r["cum_c"])) for r in band_rows],
+        "band bigint, cum_c_l bigint",
+    ).select("band", F.col("cum_c_l").cast("decimal(20,0)").alias("cum_c"))
     grid = (
-        grps.crossJoin(F.broadcast(glob))  # classes x bands: dimension-bounded
+        grps.crossJoin(F.broadcast(glob_lit))  # classes x bands: dim-bounded
         .join(
             cell,
             ["c_mktsegment", "c_nationkey", "band"],
@@ -1902,34 +1912,47 @@ SNM_BAL_CENTS = 50_000  # "close balance" verify: within $500
 
 
 def _snm_oracle_sql() -> str:
+    leads = "\n".join(
+        f"""             lead(c_custkey, {k}) OVER win AS nbr_key_{k},
+             lead(c_nationkey, {k}) OVER win AS nbr_nation_{k},
+             lead(bal, {k}) OVER win AS nbr_bal_{k},"""
+        for k in range(1, SNM_WINDOW)
+    )
     legs = "\n      UNION ALL\n".join(
-        f"""      SELECT c_custkey, c_nationkey, bal,
-             lead(c_custkey, {k}) OVER win{k} AS nbr_key,
-             lead(c_nationkey, {k}) OVER win{k} AS nbr_nation,
-             lead(bal, {k}) OVER win{k} AS nbr_bal,
-             {k} AS win_offset
-      FROM s
-      WINDOW win{k} AS (ORDER BY sort_key, c_custkey)"""
+        f"""      SELECT c_custkey AS cust_a, nbr_key_{k} AS cust_b,
+             {k} AS win_offset, c_nationkey, bal,
+             nbr_nation_{k} AS nbr_nation, nbr_bal_{k} AS nbr_bal
+      FROM w"""
         for k in range(1, SNM_WINDOW)
     )
     return f"""
     WITH s AS (
       SELECT c_custkey, c_nationkey, c_mktsegment,
              CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
-             -- multi-attribute sort key: the SNM discipline (sort once,
-             -- compare only within a sliding window)
-             c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)
-               || '|' || c_name AS sort_key
+             -- within-block sort key (blocked SNM: the window is
+             -- PARTITIONED by segment, so blocks parallelize and the
+             -- leading attribute need not ride the key)
+             CAST(c_nationkey AS VARCHAR) || '|' || c_name AS sort_key
       FROM customer
     ),
+    -- ONE window computes every lead (round-12 review catch: a union
+    -- of separately-windowed legs re-sorts the table w-1 times)
     w AS (
+      SELECT c_custkey, c_nationkey, bal,
+{leads}
+             sort_key
+      FROM s
+      WINDOW win AS (PARTITION BY c_mktsegment
+                     ORDER BY sort_key, c_custkey)
+    ),
+    pairs AS (
 {legs}
     )
-    SELECT c_custkey AS cust_a, nbr_key AS cust_b,
+    SELECT cust_a, cust_b,
            CAST(win_offset AS BIGINT) AS win_offset,
            CAST(abs(bal - nbr_bal) AS BIGINT) AS bal_diff_cents
-    FROM w
-    WHERE nbr_key IS NOT NULL
+    FROM pairs
+    WHERE cust_b IS NOT NULL
       AND c_nationkey = nbr_nation
       AND abs(bal - nbr_bal) < {SNM_BAL_CENTS}
     """
@@ -1938,23 +1961,27 @@ def _snm_oracle_sql() -> str:
 @register(
     "er_sorted_neighborhood",
     oracle=_snm_oracle_sql(),
-    doc="Sorted-neighborhood ER blocking — the OTHER classic blocking "
-    "method beside er_phonetic_blocking's hash-bucket keys: sort "
-    "once on a multi-attribute key (segment | nation | name) and "
-    "compare each record only against the next "
+    doc="BLOCKED sorted-neighborhood ER blocking — the OTHER classic "
+    "blocking method beside er_phonetic_blocking's hash-bucket "
+    "keys: within each segment BLOCK, sort once on (nation | name) "
+    "and compare each record only against the next "
     f"{SNM_WINDOW - 1} in sort order, so candidate generation is "
-    "O(N log N + N*w) instead of O(N^2) — the method of choice when "
-    "a single blocking key splits true matches across buckets but "
-    "sort-adjacency keeps them close. The cheap verify (same "
-    "nation, balances within $500 in exact cents) emits candidate "
-    "pairs for the survivorship stage (er_survivorship_golden). "
-    "Determinism: total sort order (key, custkey); the window "
-    "fan-out is a CONSTANT-factor lead() per offset, not a join. "
-    "Shape at 100 TB: one range-partitioned sort (Spark's sort is "
-    "already a TeraSort), then w-1 lead windows over it — "
-    "boundary-crossing pairs are handled by the same window "
-    "machinery, and no pair generation ever leaves the local "
-    "sort run except at partition edges.",
+    "O(N log N + N*w) instead of O(N^2) — the method of choice "
+    "when a single blocking key splits true matches across buckets "
+    "but sort-adjacency keeps them close (the segment partition is "
+    "the standard SNM+blocking hybrid: pure global SNM would "
+    "funnel the whole sort through ONE Spark window task). The "
+    "cheap verify (same nation, balances within $500 in exact "
+    "cents) emits candidate pairs for the survivorship stage "
+    "(er_survivorship_golden). Determinism: total per-block order "
+    "(sort key, custkey). Plan shape (asserted in test_plans.py): "
+    "ONE segment-partitioned Window computes ALL the leads — "
+    "Catalyst collapses same-window functions, so the table sorts "
+    "once per block, not once per offset (round-12 review catch: "
+    "the first formulation unioned three separately-windowed legs "
+    "and paid the sort three times) — then a constant-factor "
+    "array-explode; no join anywhere. At 100 TB blocks "
+    "parallelize across executors and each sorts locally.",
 )
 def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1963,41 +1990,54 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.select(
         "c_custkey",
         "c_nationkey",
+        "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
         F.concat(
-            F.col("c_mktsegment"),
-            F.lit("|"),
-            F.col("c_nationkey").cast("string"),
-            F.lit("|"),
-            F.col("c_name"),
+            F.col("c_nationkey").cast("string"), F.lit("|"), F.col("c_name")
         ).alias("sort_key"),
     )
-    win = Window.orderBy("sort_key", "c_custkey")
-    legs = []
+    # ONE segment-partitioned window computes every lead — Catalyst
+    # collapses same-window functions into a single Window operator, so
+    # the table sorts ONCE per partition (the round-12 review catch: a
+    # union of separately-windowed legs re-sorted it w-1 times, and an
+    # UNPARTITIONED window funnels all rows through one task).
+    win = Window.partitionBy("c_mktsegment").orderBy("sort_key", "c_custkey")
+    # leads materialize in their own Project first — Spark refuses
+    # window expressions inside a generator
+    lead_cols = []
     for k in range(1, SNM_WINDOW):
-        legs.append(
-            s.select(
-                F.col("c_custkey").alias("cust_a"),
-                "c_nationkey",
-                "bal",
-                F.lead("c_custkey", k).over(win).alias("cust_b"),
-                F.lead("c_nationkey", k).over(win).alias("nbr_nation"),
-                F.lead("bal", k).over(win).alias("nbr_bal"),
+        lead_cols += [
+            F.lead("c_custkey", k).over(win).alias(f"nbr_key_{k}"),
+            F.lead("c_nationkey", k).over(win).alias(f"nbr_nation_{k}"),
+            F.lead("bal", k).over(win).alias(f"nbr_bal_{k}"),
+        ]
+    leaded = s.select("c_custkey", "c_nationkey", "bal", *lead_cols)
+    nbrs = F.array(
+        *[
+            F.struct(
                 F.lit(k).cast("bigint").alias("win_offset"),
+                F.col(f"nbr_key_{k}").alias("cust_b"),
+                F.col(f"nbr_nation_{k}").alias("nbr_nation"),
+                F.col(f"nbr_bal_{k}").alias("nbr_bal"),
             )
-        )
-    w = legs[0]
-    for leg in legs[1:]:
-        w = w.unionByName(leg)
+            for k in range(1, SNM_WINDOW)
+        ]
+    )
+    w = leaded.select(
+        F.col("c_custkey").alias("cust_a"),
+        "c_nationkey",
+        "bal",
+        F.explode(nbrs).alias("nbr"),
+    )
     return w.filter(
-        F.col("cust_b").isNotNull()
-        & (F.col("c_nationkey") == F.col("nbr_nation"))
-        & (F.abs(F.col("bal") - F.col("nbr_bal")) < SNM_BAL_CENTS)
+        F.col("nbr.cust_b").isNotNull()
+        & (F.col("c_nationkey") == F.col("nbr.nbr_nation"))
+        & (F.abs(F.col("bal") - F.col("nbr.nbr_bal")) < SNM_BAL_CENTS)
     ).select(
         "cust_a",
-        "cust_b",
-        "win_offset",
-        F.abs(F.col("bal") - F.col("nbr_bal")).cast("bigint").alias(
-            "bal_diff_cents"
-        ),
+        F.col("nbr.cust_b").alias("cust_b"),
+        F.col("nbr.win_offset").alias("win_offset"),
+        F.abs(F.col("bal") - F.col("nbr.nbr_bal"))
+        .cast("bigint")
+        .alias("bal_diff_cents"),
     )

@@ -122,9 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_leadtime_profile",
     "stats_cochran_armitage",
     "graph_modularity",
-    # --- wave 4c: round-12 additions (placeholders below are
-    # multi-round-green and get swapped out one-for-one as each new
-    # r12 operator lands; any still here at round close stay gated) ---
+    # --- wave 4c: the 10 round-12 additions (new code meets the
+    # driver cold, the r9-r11 discipline) ---
     "agg_bitmap_distinct",  # r12: bitmap-word exact distinct
     "privacy_t_closeness",  # r12: EMD release audit
     "er_survivorship_golden",  # r12: MDM golden record

@@ -603,27 +603,25 @@ def test_sorted_neighborhood_matches_python_window(spark, sf_dir):
         f"SELECT * FROM '{sf_dir}/customer.parquet'"
     ).fetchdf()
     pdf["bal"] = (pdf["c_acctbal"] * 100).round().astype("int64")
-    pdf["sort_key"] = (
-        pdf["c_mktsegment"]
-        + "|"
-        + pdf["c_nationkey"].astype(str)
-        + "|"
-        + pdf["c_name"]
-    )
-    ordered = pdf.sort_values(["sort_key", "c_custkey"]).reset_index(drop=True)
+    pdf["sort_key"] = pdf["c_nationkey"].astype(str) + "|" + pdf["c_name"]
     ref = set()
-    for i in range(len(ordered)):
-        for k in (1, 2, 3):
-            if i + k >= len(ordered):
-                continue
-            a, b = ordered.iloc[i], ordered.iloc[i + k]
-            if a["c_nationkey"] == b["c_nationkey"] and abs(
-                int(a["bal"]) - int(b["bal"])
-            ) < 50_000:
-                ref.add(
-                    (int(a["c_custkey"]), int(b["c_custkey"]), k,
-                     abs(int(a["bal"]) - int(b["bal"])))
-                )
+    # blocked SNM: the window never crosses a segment block
+    for _, block in pdf.groupby("c_mktsegment"):
+        ordered = block.sort_values(["sort_key", "c_custkey"]).reset_index(
+            drop=True
+        )
+        for i in range(len(ordered)):
+            for k in (1, 2, 3):
+                if i + k >= len(ordered):
+                    continue
+                a, b = ordered.iloc[i], ordered.iloc[i + k]
+                if a["c_nationkey"] == b["c_nationkey"] and abs(
+                    int(a["bal"]) - int(b["bal"])
+                ) < 50_000:
+                    ref.add(
+                        (int(a["c_custkey"]), int(b["c_custkey"]), k,
+                         abs(int(a["bal"]) - int(b["bal"])))
+                    )
     got = {
         (r["cust_a"], r["cust_b"], r["win_offset"], r["bal_diff_cents"])
         for r in SPECS["er_sorted_neighborhood"].fn(spark, sf_dir).collect()
@@ -675,7 +673,7 @@ def test_decay_score_matches_python_fold(spark, sf_dir):
     }
     for uid, g in pdf.groupby("user_id"):
         ages = (d0 - g["day"]).dt.days
-        score = int(sum(int(c) * weights[int(a)] for c, a in zip(g["cents"], ages)))
+        score = int(sum(int(c) * weights.get(int(a), 0) for c, a in zip(g["cents"], ages)))
         row = got[uid]
         assert row["n_events"] == len(g)
         assert row["total_cents"] == int(g["cents"].sum())
@@ -688,3 +686,20 @@ def test_decay_score_matches_python_fold(spark, sf_dir):
     assert any(
         r["score_micro"] != r["total_cents"] * 1_000_000 for r in got.values()
     )
+
+
+def test_bitmap_bit63_survives_signed_long_in_spark(spark):
+    """The Spark half of the sign-bit pin (round-12 review catch: the
+    first version asserted only a Python emulation): shiftleft(1L, 63)
+    is the negative min-long, and bit_or + bit_count must still count
+    that bit exactly once through the real aggregation pipeline."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 63), (0, 0), (0, 63)], "g int, bitpos int"
+    ).select("g", F.expr("shiftleft(1L, bitpos)").alias("bit"))
+    row = df.groupBy("g").agg(
+        F.expr("bit_or(bit)").alias("word")
+    ).select(F.bit_count("word").alias("n"), "word").collect()[0]
+    assert row["n"] == 2
+    assert row["word"] < 0  # the sign bit really is set

@@ -86,13 +86,23 @@ def test_bitmap_word_popcount_equals_set_cardinality(ids):
     assert len(words) == len({i >> 6 for i in ids})
 
 
-def test_bitmap_bit63_survives_signed_long():
-    """id % 64 == 63 sets the sign bit of a 64-bit long; bit_count on
-    the two's-complement value must still count it once (the Spark
-    shiftleft(1L, 63) case)."""
-    w = (1 << 63) | 1
-    signed = w - (1 << 64) if w >= (1 << 63) else w  # as Java long
-    assert bin(signed & ((1 << 64) - 1)).count("1") == 2
+def test_bitmap_bit63_survives_signed_long_in_duckdb():
+    """id % 64 == 63 sets the sign bit of a 64-bit integer; popcount
+    of the two's-complement word must still count it once. NOTE:
+    DuckDB raises on `1::BIGINT << 63` (overflow) where Spark's
+    shiftleft silently wraps to min-long — pinned here because it is
+    exactly why agg_bitmap_distinct's oracle uses count(DISTINCT)
+    rather than mirroring the shift. The Spark twin lives in
+    test_round12_ops.py (needs the session)."""
+    import duckdb
+    import pytest as _pytest
+
+    got = duckdb.sql(
+        "SELECT bit_count(((-9223372036854775807 - 1) | 1)::BIGINT)"
+    ).fetchone()
+    assert got == (2,)
+    with _pytest.raises(duckdb.OutOfRangeException):
+        duckdb.sql("SELECT 1::BIGINT << 63").fetchall()
 
 
 # ------------------------------------------------ rational-literal pins
