@@ -870,3 +870,108 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.greatest(v, F.col("lo")), F.col("hi")), 6).alias("winsorized"),
         ((v < F.col("lo")) | (v > F.col("hi"))).alias("clipped"),
     )
+
+
+# --- PPS systematic sampling (round 12, wave-5 queue) --------------------
+
+PPS_K = 50  # target draws
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT pk, wt,
+             CAST(sum(wt) OVER (ORDER BY pk) AS BIGINT) AS cum,
+             CAST(sum(wt) OVER () AS BIGINT) AS tot
+      FROM w
+    ),
+    r AS (
+      SELECT CAST(('0x' || substr(md5('pps:427'), 1, 12)) AS BIGINT)
+             % (SELECT max(tot) FROM c) AS r0
+    ),
+    s AS (
+      SELECT pk, wt, cum, tot, r0,
+             CASE WHEN cum * {PPS_K} >= r0
+                  THEN (cum * {PPS_K} - r0) // tot + 1 ELSE 0 END AS sel,
+             CASE WHEN (cum - wt) * {PPS_K} >= r0
+                  THEN ((cum - wt) * {PPS_K} - r0) // tot + 1 ELSE 0 END
+               AS sel_prev
+      FROM c CROSS JOIN r
+    )
+    SELECT pk AS l_partkey, wt AS weight,
+           CAST(sel - sel_prev AS BIGINT) AS n_hits,
+           round(least(1.0, CAST({PPS_K} AS DOUBLE) * wt / tot), 6)
+             AS incl_prob
+    FROM s WHERE sel - sel_prev > 0
+    """,
+    doc=f"Probability-proportional-to-size SYSTEMATIC sampling of "
+    f"{PPS_K} part draws weighted by lifetime order quantity — the "
+    "one-pass fixed-size weighted design survey statisticians and "
+    "data-mixture builders use when Bernoulli/Poisson sampling's "
+    "random size is unacceptable (sample_weighted's HT cousin with "
+    "a deterministic draw count). Fully exact: the selection grid "
+    "r + j*T over cumulative weights is cross-multiplied by k (no "
+    "rational step is ever materialized), the start offset r is the "
+    "md5-deterministic integer mod T both engines derive "
+    "identically, and per-item hit counts are differences of "
+    "integer floor divisions of NON-NEGATIVE operands (floor == "
+    "trunc, engine-agreed); oversized items legitimately draw "
+    "n_hits > 1. OPERAND BOUND: cum*k <= T*k stays in BIGINT to "
+    "T ~ 1.8e17 total units. Shape: one part reduce over the "
+    "facts, then a part-DIMENSION cumulative window (catalog-"
+    "bounded; a 100 TB deployment range-partitions the dimension "
+    "and offsets r per range), output is the selected sample.",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    w = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt")
+    )
+    cum_w = Window.orderBy("pk").rowsBetween(Window.unboundedPreceding, 0)
+    c = w.select(
+        "pk",
+        "wt",
+        F.sum("wt").over(cum_w).cast("bigint").alias("cum"),
+        F.sum("wt").over(
+            Window.orderBy("pk").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("tot"),
+    )
+    r0 = (
+        F.conv(F.substring(F.md5(F.lit("pps:427")), 1, 12), 16, 10).cast("long")
+        % F.col("tot")
+    )
+    s = c.select(
+        "pk",
+        "wt",
+        "cum",
+        "tot",
+        r0.alias("r0"),
+    )
+    sel = F.when(
+        F.col("cum") * PPS_K >= F.col("r0"),
+        F.expr(f"(cum * {PPS_K} - r0) div tot") + 1,
+    ).otherwise(F.lit(0))
+    sel_prev = F.when(
+        (F.col("cum") - F.col("wt")) * PPS_K >= F.col("r0"),
+        F.expr(f"((cum - wt) * {PPS_K} - r0) div tot") + 1,
+    ).otherwise(F.lit(0))
+    out = s.select(
+        F.col("pk").alias("l_partkey"),
+        F.col("wt").alias("weight"),
+        (sel - sel_prev).cast("bigint").alias("n_hits"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(float(PPS_K)) * F.col("wt") / F.col("tot")),
+            6,
+        ).alias("incl_prob"),
+    )
+    return out.filter(F.col("n_hits") > 0)

@@ -2935,3 +2935,213 @@ def events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cents") * wz).cast("double") / 1e6 / 100, 6
         ).alias("decayed_value"),
     )
+
+
+# --- maximum drawdown (round 12, wave-5 queue) ---------------------------
+
+
+@register(
+    "time_max_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS z
+      FROM orders GROUP BY 1, 2
+    ),
+    dd AS (
+      -- drawdown of the daily revenue LEVEL (a cumulative-revenue
+      -- curve over all-positive flows is monotone and never draws
+      -- down): decline from the best day seen so far
+      SELECT pri, day, z,
+             CAST(max(z) OVER (PARTITION BY pri ORDER BY day)
+                  AS BIGINT) AS peak,
+             CAST(max(z) OVER (PARTITION BY pri ORDER BY day)
+                  AS BIGINT) - z AS drawdown
+      FROM d
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST((min(struct_pack(a := -drawdown, b := day))).b AS DATE)
+             AS trough_day
+    FROM dd GROUP BY pri
+    """,
+    doc="Maximum drawdown of each priority's DAILY revenue level — "
+    "the largest decline from the best day seen so far, the risk "
+    "metric every treasury/finance warehouse tracks and the same "
+    "shape as an SLO error-budget burn monitor (a cumulative curve "
+    "over all-positive flows would be monotone, so the level "
+    "series is the honest domain here). Exact integers end to "
+    "end: running peaks in cents over ONE key-partitioned ordered "
+    "window, drawdown "
+    "= peak - cum, and the trough day comes from the "
+    "struct-ordered min with the day tie-break. Shape: one "
+    "day-bucket reduce touches the facts, then calendar-bounded "
+    "windows per key — scan-bound at 100 TB.",
+)
+def time_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("z")
+    )
+    w = Window.partitionBy("pri").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = d.select(
+        "pri",
+        "day",
+        "z",
+        F.max("z").over(w).cast("bigint").alias("peak"),
+        (F.max("z").over(w).cast("bigint") - F.col("z")).alias("drawdown"),
+    )
+    return dd.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+        F.min(F.struct((-F.col("drawdown")).alias("a"), F.col("day").alias("b")))
+        .getField("b")
+        .cast("date")
+        .alias("trough_day"),
+    )
+
+
+# --- Croston intermittent-demand smoothing (round 12, wave-5 queue) ------
+
+# Fixed-point gain 1/4 by truncated division (the alpha-beta filter's
+# engine-portable idiom). Croston updates ONLY at demand points: size
+# estimate z <- z + trunc((q - z)/4); interval estimate p (in days,
+# micro-scaled) <- p + trunc((gap*1e6 - p)/4).
+CROSTON_DEN = 4
+CROSTON_MU = 1_000_000
+
+
+@register(
+    "time_croston_intermittent",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT pk, q,
+             row_number() OVER (PARTITION BY pk ORDER BY day) AS step,
+             CAST(count(*) OVER (PARTITION BY pk) AS BIGINT) AS n_demands,
+             CAST(datediff('day',
+                  lag(day) OVER (PARTITION BY pk ORDER BY day), day)
+                  AS BIGINT) AS gap
+      FROM d
+    ),
+    fold AS (
+      SELECT pk, step, n_demands, q AS z,
+             CAST({CROSTON_MU} AS BIGINT) AS p,
+             q AS total_q
+      FROM s WHERE step = 1
+      UNION ALL
+      SELECT s.pk, s.step, s.n_demands,
+             CAST(f.z + CAST(((s.q - f.z) - (s.q - f.z) % {CROSTON_DEN})
+                             / {CROSTON_DEN} AS BIGINT) AS BIGINT) AS z,
+             CAST(f.p + CAST(((s.gap * {CROSTON_MU} - f.p)
+                              - (s.gap * {CROSTON_MU} - f.p)
+                                % {CROSTON_DEN})
+                             / {CROSTON_DEN} AS BIGINT) AS BIGINT) AS p,
+             CAST(f.total_q + s.q AS BIGINT) AS total_q
+      FROM fold f JOIN s ON s.pk = f.pk AND s.step = f.step + 1
+    )
+    SELECT pk AS l_partkey, CAST(n_demands AS BIGINT) AS n_demands,
+           total_q AS total_qty, z AS size_est, p AS interval_est_mu,
+           round(CAST(z AS DOUBLE) * {CROSTON_MU} / p, 6)
+             AS demand_per_day
+    FROM fold WHERE step = n_demands AND n_demands >= 3
+    """,
+    doc="Croston's method for INTERMITTENT demand — the forecaster "
+    "supply chains run on slow-moving parts where ordinary "
+    "exponential smoothing collapses toward zero between orders: "
+    "smooth the demand SIZE and the inter-demand INTERVAL as two "
+    "separate recurrences updated only at demand points; the rate "
+    "forecast is their ratio. The part x ship-day grid is genuinely "
+    "intermittent (each part ships a handful of days across the "
+    "7-year calendar). Exactness: both recurrences use the "
+    "alpha-beta filter's fixed-point idiom — gain 1/4 by truncated "
+    "division (r - r % 4, dividend-signed % in both engines), "
+    "intervals micro-scaled so the integer state never loses a "
+    "digit; demand_per_day is ONE IEEE division at the end. Parts "
+    "with < 3 demand points are excluded (no interval signal). "
+    "Shape: one (part, day) reduce touches the facts, then the fold "
+    "runs per part over its OWN demand points (Spark: codegen "
+    "higher-order aggregate over the sorted array; oracle: "
+    "recursive CTE) — O(demand points) work, part-dimension "
+    "output, scan-bound at 100 TB.",
+)
+def time_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    d = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    series = d.groupBy("pk").agg(
+        F.array_sort(F.collect_list(F.struct("day", "q"))).alias("pts")
+    )
+
+    def trunc_div(r, den):
+        return ((r - r % F.lit(den)) / F.lit(den)).cast("long")
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("z"),
+        F.lit(CROSTON_MU).cast("bigint").alias("p"),
+        F.lit(0).cast("bigint").alias("tq"),
+        F.lit(None).cast("date").alias("prev"),
+        F.lit(False).alias("started"),
+    )
+
+    def step(acc, pt):
+        q = pt.getField("q")
+        day = pt.getField("day")
+        gap = F.datediff(day, acc.getField("prev")).cast("bigint")
+        z, p = acc.getField("z"), acc.getField("p")
+        nz = (z + trunc_div(q - z, CROSTON_DEN)).cast("long")
+        np_ = (
+            p + trunc_div(gap * F.lit(CROSTON_MU) - p, CROSTON_DEN)
+        ).cast("long")
+        return F.when(
+            acc.getField("started"),
+            F.struct(
+                nz.alias("z"),
+                np_.alias("p"),
+                (acc.getField("tq") + q).cast("long").alias("tq"),
+                day.alias("prev"),
+                F.lit(True).alias("started"),
+            ),
+        ).otherwise(
+            F.struct(
+                q.cast("long").alias("z"),
+                F.lit(CROSTON_MU).cast("long").alias("p"),
+                q.cast("long").alias("tq"),
+                day.alias("prev"),
+                F.lit(True).alias("started"),
+            )
+        )
+
+    folded = series.select(
+        "pk",
+        F.size("pts").cast("bigint").alias("n_demands"),
+        F.aggregate("pts", init, step).alias("st"),
+    ).filter(F.col("n_demands") >= 3)
+    z = F.col("st").getField("z")
+    p = F.col("st").getField("p")
+    return folded.select(
+        F.col("pk").alias("l_partkey"),
+        "n_demands",
+        F.col("st").getField("tq").alias("total_qty"),
+        z.alias("size_est"),
+        p.alias("interval_est_mu"),
+        F.round(z.cast("double") * F.lit(float(CROSTON_MU)) / p, 6).alias(
+            "demand_per_day"
+        ),
+    )

@@ -76,7 +76,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   graph_jaccard_links (neighborhood-Jaccard link prediction),
 #   er_sorted_neighborhood (windowed SNM blocking),
 #   text_vocab_capture_recapture (Chapman vocabulary estimation),
-#   events_decay_weighted_score (quantized-decay engagement feature).
+#   events_decay_weighted_score (quantized-decay engagement feature),
+#   time_max_drawdown (peak-to-trough of the daily revenue level),
+#   time_croston_intermittent (sparse-demand two-recurrence smoother),
+#   sample_pps_systematic (fixed-size weighted systematic sampling),
+#   privacy_dp_quantiles (exponential-mechanism DP median).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r11)

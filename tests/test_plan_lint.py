@@ -102,6 +102,11 @@ NESTED_LOOP_SANCTIONED = {
     # time_dominant_period, joined r == t % p (expression of both
     # sides — no extractable equi-key); constant work per day row
     "time_spectral_entropy": 1,
+    # r12: DELIBERATE grid cross join — the exponential mechanism's
+    # 100-row literal candidate range broadcasts onto the (type,
+    # bucket) histogram; the build is a CONSTANT fixed at authoring
+    # time, the classic dimension-bounded shape
+    "privacy_dp_quantiles": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

@@ -703,3 +703,166 @@ def test_bitmap_bit63_survives_signed_long_in_spark(spark):
     ).select(F.bit_count("word").alias("n"), "word").collect()[0]
     assert row["n"] == 2
     assert row["word"] < 0  # the sign bit really is set
+
+
+# ------------------------------------------------ time_max_drawdown
+
+
+def test_max_drawdown_matches_python_scan(spark, sf_dir):
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT o_orderpriority AS pri, o_orderdate AS day,
+            CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS z
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchdf()
+    got = {
+        r["o_orderpriority"]: r
+        for r in SPECS["time_max_drawdown"].fn(spark, sf_dir).collect()
+    }
+    for pri, g in pdf.groupby("pri"):
+        g = g.sort_values("day")
+        peak, maxdd, trough = -(10**18), -1, None
+        for _, rec in g.iterrows():
+            z = int(rec["z"])
+            peak = max(peak, z)
+            dd = peak - z
+            if dd > maxdd:
+                maxdd, trough = dd, rec["day"]
+        row = got[pri]
+        assert row["n_days"] == len(g)
+        assert row["peak_cents"] == peak
+        assert row["max_drawdown_cents"] == maxdd
+        assert str(row["trough_day"]) == str(trough)[:10]
+        assert maxdd > 0  # the level series must actually draw down
+
+
+# ------------------------------------------------ time_croston_intermittent
+
+
+def test_croston_matches_python_fold(spark, sf_dir):
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchdf()
+    got = {
+        r["l_partkey"]: r
+        for r in SPECS["time_croston_intermittent"].fn(spark, sf_dir).collect()
+    }
+
+    def tdiv(r, den):
+        q, _ = divmod(abs(r), den)
+        return q if r >= 0 else -q
+
+    n_checked = 0
+    for pk, g in pdf.groupby("pk"):
+        g = g.sort_values("day")
+        if len(g) < 3:
+            assert pk not in got
+            continue
+        days = list(g["day"])
+        qs = [int(x) for x in g["q"]]
+        z, p, tq = qs[0], 1_000_000, qs[0]
+        for i in range(1, len(qs)):
+            gap = (days[i] - days[i - 1]).days
+            z = z + tdiv(qs[i] - z, 4)
+            p = p + tdiv(gap * 1_000_000 - p, 4)
+            tq += qs[i]
+        row = got[pk]
+        assert row["n_demands"] == len(qs)
+        assert row["total_qty"] == tq
+        assert row["size_est"] == z
+        assert row["interval_est_mu"] == p
+        assert row["demand_per_day"] == pytest.approx(
+            round(z * 1_000_000 / p, 6), abs=1e-9
+        )
+        n_checked += 1
+    assert n_checked > 50  # the grid is genuinely intermittent & covered
+
+
+# ------------------------------------------------ sample_pps_systematic
+
+
+def test_pps_systematic_matches_python_grid(spark, sf_dir):
+    import hashlib
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT l_partkey AS pk,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    tot = int(pdf["wt"].sum())
+    r0 = int(hashlib.md5(b"pps:427").hexdigest()[:12], 16) % tot
+    got = {
+        r["l_partkey"]: r
+        for r in SPECS["sample_pps_systematic"].fn(spark, sf_dir).collect()
+    }
+    cum = 0
+    expected = {}
+    for _, rec in pdf.iterrows():
+        prev = cum
+        cum += int(rec["wt"])
+        s_hi = (cum * 50 - r0) // tot + 1 if cum * 50 >= r0 else 0
+        s_lo = (prev * 50 - r0) // tot + 1 if prev * 50 >= r0 else 0
+        if s_hi - s_lo > 0:
+            expected[int(rec["pk"])] = (s_hi - s_lo, int(rec["wt"]))
+    assert set(got) == set(expected)
+    for pk, (hits, wt) in expected.items():
+        assert got[pk]["n_hits"] == hits
+        assert got[pk]["weight"] == wt
+    # the systematic design delivers EXACTLY k draws
+    assert sum(h for h, _ in expected.values()) == 50
+
+
+# ------------------------------------------------ privacy_dp_quantiles
+
+
+def test_dp_quantiles_matches_python_mechanism(spark, sf_dir):
+    import hashlib
+    import math
+
+    pdf = _events_pdf(sf_dir)
+    pdf["b"] = (pdf["value"] // 10).astype("int64")
+    got = {
+        r["event_type"]: r
+        for r in SPECS["privacy_dp_quantiles"].fn(spark, sf_dir).collect()
+    }
+    any_deviates = False
+    for et, g in pdf.groupby("event_type"):
+        counts = g.groupby("b").size().to_dict()
+        n = len(g)
+        best = None
+        best_util = None
+        for c in range(100):
+            below_mid = sum(v for b, v in counts.items() if b < c) + counts.get(
+                c, 0
+            ) / 2
+            util = -abs(2 * below_mid - n)
+            u = (
+                int(
+                    hashlib.md5(f"dpq:{et}:{c}".encode()).hexdigest()[:8], 16
+                )
+                + 0.5
+            ) / 4294967296.0
+            gumbel = round(-math.log(-math.log(u)), 9)
+            score = 0.1 * 0.5 * util + gumbel
+            if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                best = (score, c)
+            if best_util is None or util > best_util[0]:
+                best_util = (util, c)
+        row = got[et]
+        assert row["n_events"] == n
+        assert row["dp_bucket"] == best[1]
+        assert row["dp_median_approx"] == best[1] * 10 + 5
+        assert row["best_utility_mid"] == best_util[1] * 10 + 5
+        any_deviates = any_deviates or best[1] != best_util[1]
+    # utility must dominate overall (the release is useful) ...
+    assert all(
+        abs(r["dp_median_approx"] - r["best_utility_mid"]) <= 20
+        for r in got.values()
+    )
