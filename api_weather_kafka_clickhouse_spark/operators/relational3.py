@@ -2166,3 +2166,77 @@ def privacy_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dp_c * 10 + 5).cast("bigint").alias("dp_median_approx"),
         (best_c * 10 + 5).cast("bigint").alias("best_utility_mid"),
     )
+
+
+# --- XYZ demand-variability classes (round 12, wave-5 queue) -------------
+
+# CV bands: X (steady, CV <= 1/2), Y (variable, CV <= 3/5), Z
+# (erratic) — the 0.5/0.6 operating point (industry picks cuts per
+# assortment; this one makes all three classes live on the fixture).
+# CV^2 = (n*SS - S^2) / S^2 compares cross-multiplied: no sqrt, no
+# division — X iff 4*(n*SS-S^2) <= S^2, Y iff 25*(n*SS-S^2) <= 9*S^2.
+XYZ_MIN_DEMANDS = 3
+
+
+@register(
+    "part_xyz_variability",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM d GROUP BY pk
+    )
+    SELECT pk AS l_partkey, n AS n_demands, sq AS total_qty,
+           CAST(n * ss - sq * sq AS BIGINT) AS var_num,
+           round(sqrt(CAST(n * ss - sq * sq AS DOUBLE)) / sq, 6) AS cv,
+           CASE WHEN 4 * (n * ss - sq * sq) <= sq * sq THEN 'X'
+                WHEN 25 * (n * ss - sq * sq) <= 9 * sq * sq THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM s WHERE n >= {XYZ_MIN_DEMANDS}
+    """,
+    doc="XYZ demand-variability classification per part — the second "
+    "axis of the ABC/XYZ inventory matrix (part_abc_classification "
+    "ranks by VALUE; this bands by forecastABILITY): X = steady "
+    "(CV <= 1/2, forecast with time_holt_*), Y = variable (CV <= "
+    "3/5), Z = erratic (route to time_croston_intermittent — the "
+    "two operators are designed as a pair). The band decision "
+    "never touches a float: CV^2 = (n*SS - S^2)/S^2 compares "
+    "against (1/2)^2 and (3/5)^2 fully cross-multiplied over exact "
+    "sufficient sums; the displayed cv is one sqrt+division, "
+    "presentation-only. OPERAND BOUND: n*SS <= days * (sum q)^2 "
+    "stays in BIGINT to ~3e9 lifetime units per part. Shape: one "
+    "(part, day) reduce then one part reduce, both map-side "
+    "combined — two scans collapse to one exchange; part-dimension "
+    "output, scan-bound at 100 TB.",
+)
+def part_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    d = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    s = d.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    ).filter(F.col("n") >= XYZ_MIN_DEMANDS)
+    var_num = F.col("n") * F.col("ss") - F.col("sq") * F.col("sq")
+    return s.select(
+        F.col("pk").alias("l_partkey"),
+        F.col("n").alias("n_demands"),
+        F.col("sq").alias("total_qty"),
+        var_num.cast("bigint").alias("var_num"),
+        F.round(
+            F.sqrt(var_num.cast("double")) / F.col("sq").cast("double"), 6
+        ).alias("cv"),
+        F.when(F.lit(4) * var_num <= F.col("sq") * F.col("sq"), "X")
+        .when(F.lit(25) * var_num <= F.lit(9) * F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )

@@ -80,7 +80,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   time_max_drawdown (peak-to-trough of the daily revenue level),
 #   time_croston_intermittent (sparse-demand two-recurrence smoother),
 #   sample_pps_systematic (fixed-size weighted systematic sampling),
-#   privacy_dp_quantiles (exponential-mechanism DP median).
+#   privacy_dp_quantiles (exponential-mechanism DP median),
+#   part_xyz_variability (CV-band XYZ inventory classes).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r11)

@@ -866,3 +866,46 @@ def test_dp_quantiles_matches_python_mechanism(spark, sf_dir):
         abs(r["dp_median_approx"] - r["best_utility_mid"]) <= 20
         for r in got.values()
     )
+
+
+# ------------------------------------------------ part_xyz_variability
+
+
+def test_xyz_matches_python_cv_bands(spark, sf_dir):
+    import math
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1,2"""
+    ).fetchdf()
+    got = {
+        r["l_partkey"]: r
+        for r in SPECS["part_xyz_variability"].fn(spark, sf_dir).collect()
+    }
+    classes = set()
+    for pk, g in pdf.groupby("pk"):
+        qs = [int(x) for x in g["q"]]
+        n, sq, ss = len(qs), sum(qs), sum(x * x for x in qs)
+        if n < 3:
+            assert pk not in got
+            continue
+        var_num = n * ss - sq * sq
+        if 4 * var_num <= sq * sq:
+            cls = "X"
+        elif 25 * var_num <= 9 * sq * sq:
+            cls = "Y"
+        else:
+            cls = "Z"
+        row = got[pk]
+        assert row["n_demands"] == n
+        assert row["total_qty"] == sq
+        assert row["var_num"] == var_num
+        assert row["cv"] == pytest.approx(
+            round(math.sqrt(var_num) / sq, 6), abs=1e-9
+        )
+        assert row["xyz_class"] == cls
+        classes.add(cls)
+    assert classes == {"X", "Y", "Z"}  # all bands live on the fixture
