@@ -893,7 +893,7 @@ PPS_K = 50  # target draws
     ),
     r AS (
       SELECT CAST(('0x' || substr(md5('pps:427'), 1, 12)) AS BIGINT)
-             % (SELECT max(tot) FROM c) AS r0
+             % (SELECT max(tot) FROM c) + 1 AS r0
     ),
     s AS (
       SELECT pk, wt, cum, tot, r0,
@@ -918,8 +918,9 @@ PPS_K = 50  # target draws
     "a deterministic draw count). Fully exact: the selection grid "
     "r + j*T over cumulative weights is cross-multiplied by k (no "
     "rational step is ever materialized), the start offset r is the "
-    "md5-deterministic integer mod T both engines derive "
-    "identically, and per-item hit counts are differences of "
+    "md5-deterministic integer in [1, T] both engines derive "
+    "identically (a zero offset would draw k+1 items: grid points "
+    "j=0..k all land in [0, T]), and per-item hit counts are differences of "
     "integer floor divisions of NON-NEGATIVE operands (floor == "
     "trunc, engine-agreed); oversized items legitimately draw "
     "n_hits > 1. OPERAND BOUND: cum*k <= T*k stays in BIGINT to "
@@ -946,9 +947,13 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("tot"),
     )
+    # r0 in [1, tot]: a zero offset would put grid points j=0..k all
+    # inside [0, T] and draw k+1 items (round-12 advice); the shifted
+    # range keeps the draw count at exactly PPS_K for every offset.
     r0 = (
         F.conv(F.substring(F.md5(F.lit("pps:427")), 1, 12), 16, 10).cast("long")
         % F.col("tot")
+        + F.lit(1)
     )
     s = c.select(
         "pk",

@@ -672,11 +672,15 @@ CUT_HEAD = 16  # rendered cut-position prefix
 def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     nf = F.floor(F.length("text") / 100).cast("bigint")
-    frames = d.select(
+    # Short docs filtered BEFORE the explode: sequence(0, nf-1) on an
+    # nf=0 doc is a DESCENDING [0, -1] generator that would fabricate
+    # frame rows correctness then depends on a later filter dropping
+    # (round-12 advice) — this way none is ever materialized.
+    frames = d.filter(F.length("text") >= 100).select(
         "doc_id",
         "text",
         F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
-    ).filter(F.length("text") >= 100)
+    )
     frame_str = F.col("text").substr(
         (F.col("frame_idx") * 100 + 1).cast("int"), F.lit(100)
     )
@@ -784,11 +788,15 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     nf = F.floor(F.length("text") / 100).cast("bigint")
-    frames = d.select(
+    # Short docs filtered BEFORE the explode: sequence(0, nf-1) on an
+    # nf=0 doc is a DESCENDING [0, -1] generator that would fabricate
+    # frame rows correctness then depends on a later filter dropping
+    # (round-12 advice) — this way none is ever materialized.
+    frames = d.filter(F.length("text") >= 100).select(
         "doc_id",
         "text",
         F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
-    ).filter(F.length("text") >= 100)
+    )
     frame_str = F.col("text").substr(
         (F.col("frame_idx") * 100 + 1).cast("int"), F.lit(100)
     )

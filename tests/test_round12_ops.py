@@ -797,7 +797,7 @@ def test_pps_systematic_matches_python_grid(spark, sf_dir):
             FROM '{sf_dir}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
     ).fetchdf()
     tot = int(pdf["wt"].sum())
-    r0 = int(hashlib.md5(b"pps:427").hexdigest()[:12], 16) % tot
+    r0 = int(hashlib.md5(b"pps:427").hexdigest()[:12], 16) % tot + 1
     got = {
         r["l_partkey"]: r
         for r in SPECS["sample_pps_systematic"].fn(spark, sf_dir).collect()
