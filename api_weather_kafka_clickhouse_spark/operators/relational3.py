@@ -1666,6 +1666,15 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputed it a second time inside the grid join
     band_rows = glob.collect()
     m = len(band_rows)
+    # EMD normalizes by (m-1): a corpus whose sensitive attribute
+    # collapses to a single band has no transport distance to measure
+    # and would divide by zero (inf/NULL in the oracle) — fail loudly
+    # at the collect step rather than emit a degenerate release audit.
+    if m < 2:
+        raise ValueError(
+            "privacy_t_closeness requires >= 2 sensitive-attribute "
+            f"bands; corpus collapsed to m={m} (EMD undefined)"
+        )
     nn = max(int(r["cum_c"]) for r in band_rows)
     glob_lit = spark.createDataFrame(
         [(int(r["band"]), int(r["cum_c"])) for r in band_rows],
@@ -1984,6 +1993,17 @@ def _snm_oracle_sql() -> str:
     "parallelize across executors and each sorts locally.",
 )
 def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _snm_candidate_pairs(spark, sf_dir, carry_names=False)
+
+
+def _snm_candidate_pairs(
+    spark: SparkSession, sf_dir: str, carry_names: bool
+) -> DataFrame:
+    """Shared SNM candidate generator for er_sorted_neighborhood and
+    er_funnel: (cust_a, cust_b, win_offset, bal_diff_cents), plus
+    (name_a, name_b) when ``carry_names`` — the funnel's DL-verify
+    stage needs both names and carrying them through the SAME single
+    window beats re-joining the customer table twice afterwards."""
     from pyspark.sql import Window
 
     c = load(spark, "customer", sf_dir)
@@ -1991,6 +2011,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
+        "c_name",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
         F.concat(
             F.col("c_nationkey").cast("string"), F.lit("|"), F.col("c_name")
@@ -2011,7 +2032,9 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("c_nationkey", k).over(win).alias(f"nbr_nation_{k}"),
             F.lead("bal", k).over(win).alias(f"nbr_bal_{k}"),
         ]
-    leaded = s.select("c_custkey", "c_nationkey", "bal", *lead_cols)
+        if carry_names:
+            lead_cols.append(F.lead("c_name", k).over(win).alias(f"nbr_name_{k}"))
+    leaded = s.select("c_custkey", "c_nationkey", "c_name", "bal", *lead_cols)
     nbrs = F.array(
         *[
             F.struct(
@@ -2019,6 +2042,9 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"nbr_key_{k}").alias("cust_b"),
                 F.col(f"nbr_nation_{k}").alias("nbr_nation"),
                 F.col(f"nbr_bal_{k}").alias("nbr_bal"),
+                (
+                    F.col(f"nbr_name_{k}") if carry_names else F.lit(None).cast("string")
+                ).alias("nbr_name"),
             )
             for k in range(1, SNM_WINDOW)
         ]
@@ -2026,10 +2052,11 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = leaded.select(
         F.col("c_custkey").alias("cust_a"),
         "c_nationkey",
+        "c_name",
         "bal",
         F.explode(nbrs).alias("nbr"),
     )
-    return w.filter(
+    out = w.filter(
         F.col("nbr.cust_b").isNotNull()
         & (F.col("c_nationkey") == F.col("nbr.nbr_nation"))
         & (F.abs(F.col("bal") - F.col("nbr.nbr_bal")) < SNM_BAL_CENTS)
@@ -2040,7 +2067,164 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("bal") - F.col("nbr.nbr_bal"))
         .cast("bigint")
         .alias("bal_diff_cents"),
+        F.col("c_name").alias("name_a"),
+        F.col("nbr.nbr_name").alias("name_b"),
     )
+    if not carry_names:
+        out = out.drop("name_a", "name_b")
+    return out
+
+
+# --- end-to-end ER funnel (round 13) --------------------------------------
+
+ER_FUNNEL_DL_MAX = 2  # verify: true Damerau-Levenshtein on names
+
+
+def _er_funnel_oracle() -> str:
+    leads = "\n".join(
+        f"""             lead(c_custkey, {k}) OVER win AS nbr_key_{k},
+             lead(c_nationkey, {k}) OVER win AS nbr_nation_{k},
+             lead(bal, {k}) OVER win AS nbr_bal_{k},
+             lead(c_name, {k}) OVER win AS nbr_name_{k},"""
+        for k in range(1, SNM_WINDOW)
+    )
+    legs = "\n      UNION ALL\n".join(
+        f"""      SELECT c_custkey AS cust_a, nbr_key_{k} AS cust_b,
+             c_nationkey, bal, c_name AS name_a,
+             nbr_nation_{k} AS nbr_nation, nbr_bal_{k} AS nbr_bal,
+             nbr_name_{k} AS name_b
+      FROM w"""
+        for k in range(1, SNM_WINDOW)
+    )
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             CAST(c_nationkey AS VARCHAR) || '|' || c_name AS sort_key
+      FROM customer
+    ),
+    w AS (
+      SELECT c_custkey, c_nationkey, c_name, bal,
+{leads}
+             sort_key
+      FROM s
+      WINDOW win AS (PARTITION BY c_mktsegment
+                     ORDER BY sort_key, c_custkey)
+    ),
+    pairs AS (
+{legs}
+    ),
+    cand AS (
+      SELECT cust_a, cust_b, name_a, name_b
+      FROM pairs
+      WHERE cust_b IS NOT NULL
+        AND c_nationkey = nbr_nation
+        AND abs(bal - nbr_bal) < {SNM_BAL_CENTS}
+    ),
+    matched AS (
+      SELECT cust_a, cust_b FROM cand
+      WHERE damerau_levenshtein(name_a, name_b) <= {ER_FUNNEL_DL_MAX}
+    ),
+    edges AS (
+      SELECT cust_a AS e_src, cust_b AS e_dst FROM matched
+      UNION ALL
+      SELECT cust_b, cust_a FROM matched
+    ),
+    reach(id, r) AS (
+      SELECT e_src, e_src FROM edges
+      UNION
+      SELECT reach.id, e.e_dst FROM reach JOIN edges e ON e.e_src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+    SELECT 'total_records' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+           CAST(count(*) AS BIGINT) AS n_records FROM customer
+    UNION ALL
+    SELECT 'snm_candidates', 1, CAST(count(*) AS BIGINT) FROM cand
+    UNION ALL
+    SELECT 'dl_matches', 2, CAST(count(*) AS BIGINT) FROM matched
+    UNION ALL
+    SELECT 'golden_records', 3,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer)
+           - (SELECT CAST(count(*) AS BIGINT) FROM comp WHERE id != c)
+    """
+
+
+@register(
+    "er_funnel",
+    oracle=_er_funnel_oracle(),
+    doc="Stage-count funnel of the packaged ENTITY-RESOLUTION pipeline "
+    "— the ER twin of curation_funnel, composing the three "
+    "individually-gated stages into one deployable report: customer "
+    "records -> sorted-neighborhood blocking (er_sorted_neighborhood's "
+    "exact candidate generator, shared helper) -> true "
+    f"Damerau-Levenshtein verify on names (distance <= "
+    f"{ER_FUNNEL_DL_MAX}, fuzzy_match_damerau's Arrow-batched UDF, "
+    "priced per CANDIDATE only) -> transitive golden records "
+    "(connected_components' pointer-doubling min-label propagation; "
+    "golden = records - merged-away members). One count per stage — "
+    "the monitoring view an MDM operator watches to see where records "
+    "merge. The oracle recomputes every stage from first principles, "
+    "closing the match graph with a recursive CTE, so the composed "
+    "pipeline is hash-checked END TO END, not just its pieces. Shape: "
+    "candidate legs re-scan the one segment-partitioned window "
+    "(dimension-sized input, stage counts are aggregates — no persist "
+    "of a corpus-sized frame); the CC stage shuffles only id pairs, "
+    "O(E) longs per iteration, O(log diameter) rounds. At 100 TB the "
+    "verify UDF cost is bounded by the SNM window width w-1 per "
+    "record, never |block|^2.",
+)
+def er_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    @F.pandas_udf("long")
+    def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    c = load(spark, "customer", sf_dir)
+    cand = _snm_candidate_pairs(spark, sf_dir, carry_names=True)
+    matched = cand.filter(dl_udf("name_a", "name_b") <= ER_FUNNEL_DL_MAX).select(
+        "cust_a", "cust_b"
+    )
+    # connected_components materializes the match graph ONCE into its
+    # edge checkpoint (its own persist covers the double-embedded
+    # union), so the labels frame below never re-executes the
+    # window+UDF plan; the count legs re-scan the dimension-sized
+    # window lazily — same no-corpus-persist philosophy as
+    # curation_funnel.
+    labels = connected_components(matched, src="cust_a", dst="cust_b")
+    zero = F.lit(0).cast("bigint")
+
+    def leg(df: DataFrame, stage: str, idx: int, n) -> DataFrame:
+        return df.agg(n.alias("n_records")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            "n_records",
+        )
+
+    n_rows = F.count(F.lit(1)).cast("bigint")
+    s0 = leg(c, "total_records", 0, n_rows)
+    s1 = leg(cand, "snm_candidates", 1, n_rows)
+    s2 = leg(matched, "dl_matches", 2, n_rows)
+    # golden = total - members that merged away (non-canonical
+    # vertices of the match graph); coalesce: an all-unique corpus has
+    # an empty graph and SUM over zero rows is NULL, not 0
+    nc = labels.agg(
+        F.coalesce(
+            F.sum((F.col("doc_id") != F.col("canonical_id")).cast("bigint")), zero
+        ).alias("nc")
+    )
+    s3 = (
+        c.agg(n_rows.alias("t"))
+        .crossJoin(F.broadcast(nc))  # 1-row x 1-row scalar join
+        .select(
+            F.lit("golden_records").alias("stage"),
+            F.lit(3).cast("bigint").alias("stage_idx"),
+            (F.col("t") - F.col("nc")).cast("bigint").alias("n_records"),
+        )
+    )
+    return s0.unionByName(s1).unionByName(s2).unionByName(s3)
 
 
 # --- DP median via the exponential mechanism (round 12, wave-5 queue) ----
@@ -2232,6 +2416,10 @@ def part_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_demands"),
         F.col("sq").alias("total_qty"),
         var_num.cast("bigint").alias("var_num"),
+        # Display-only libm column: one sqrt + one IEEE division,
+        # round(.,6) before comparison — never feeds the band decision
+        # (that is the cross-multiplied CASE below), same contract as
+        # time_dominant_period's power_str / sim_ndcg_eval's log2 table.
         F.round(
             F.sqrt(var_num.cast("double")) / F.col("sq").cast("double"), 6
         ).alias("cv"),

@@ -59,86 +59,84 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # oracle-verified locally in tests/test_oracle_parity.py — the replica
 # that has predicted the driver gate bit-for-bit eleven rounds running.
 #
-# Round-12 rotation (WAVE 4, executed): the 46 non-anchor slots hold
-# (a) the 4 stale-oracle re-gates — dedup_simhash / dedup_embedding_lsh
-# (rows-only upgraded to hash-checked in r8/r7) and agg_approx_distinct
-# / agg_approx_percentile (upgraded to sketch-bounds oracles in r8) —
-# whose ONLY driver rows were r01 `no_oracle` entries (r11 verdict
-# item 2); (b) ALL 32 queued never-driver-gated names: the 7
-# pre-continuation r11 additions and the 25 r11-continuation
-# operators; (c) 10 round-12 additions (new code meets the driver
-# cold, the r9-r11 discipline).
+# Round-13 rotation (WAVE 5, executed): first-time coverage is
+# exhausted (r12 gated the last of the wave-4 queue), so this wave
+# turns the rotation into a REGRESSION-REPROOF program (r12 verdict
+# item 1). The 46 non-anchor slots hold (a) the 11 queued wave-5
+# names (every query registered after the wave-4 pin); (b) the 1
+# round-13 addition er_funnel (new code meets the driver cold, the
+# r9-r12 discipline); (c) the 34 queries whose last driver row is
+# OLDEST — all 12 r01-last-seen names, both r02 names, all 12 r04
+# names, and the first 8 (by name) of the 16 r05-era names. The goal
+# (no row older than r06) needs 42 stale slots but only 34 exist this
+# round; the remaining 8 r05 names lead the wave-6 queue below.
 #
-# Live queue for the NEXT rotation (wave 5) — queries registered after
-# the wave-4 pin, by name (add here in the same commit as @register):
-#   stats_beta_binomial_ranking (empirical-Bayes smoothed ranking),
-#   events_rfm_migration (period-over-period segment matrix),
-#   graph_jaccard_links (neighborhood-Jaccard link prediction),
-#   er_sorted_neighborhood (windowed SNM blocking),
-#   text_vocab_capture_recapture (Chapman vocabulary estimation),
-#   events_decay_weighted_score (quantized-decay engagement feature),
-#   time_max_drawdown (peak-to-trough of the daily revenue level),
-#   time_croston_intermittent (sparse-demand two-recurrence smoother),
-#   sample_pps_systematic (fixed-size weighted systematic sampling),
-#   privacy_dp_quantiles (exponential-mechanism DP median),
-#   part_xyz_variability (CV-band XYZ inventory classes).
+# Live queue for the NEXT rotation (wave 6) — stale re-proofs first,
+# then queries registered after the wave-5 pin (add new names here in
+# the same commit as @register):
+#   q19_disjunctive_predicates, q4_order_priority,
+#   q6_forecast_revenue, retention_cohorts, shuffle_deterministic,
+#   text_repetition_ratio, window_lag_lead, window_range_frame
+#   (the 8 r05-era rows wave 5 could not fit), then the r06-era block.
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
-    "curation_funnel",  # KEEP: curation chain (gated r7-r11)
-    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r11)
-    "set_ops",  # KEEP: set-operations anchor (gated r1-r11)
-    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10-r11)
-    # --- stale-oracle re-gates (upgraded oracles never driver-proven) ---
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # --- wave 4a: the 7 pre-continuation r11 additions ---
-    "sim_ivf_int8",
-    "dedup_semdedup_int8",
-    "stats_cohens_d",
-    "events_cuped_adjustment",
-    "time_holt_winters",
-    "graph_adamic_adar",
-    "stats_power_analysis",
-    # --- wave 4b: the 25 round-11-continuation operators ---
-    "time_ohlc_bars",
-    "graph_clustering_coeff",
-    "sim_ndcg_eval",
-    "stats_permutation_test",
-    "clickhouse_dialect_battery5",
-    "time_lttb_downsample",
-    "quality_embedding_outliers",
-    "join_asof_nearest",
-    "privacy_pseudonymize_join",
-    "er_phonetic_blocking",
-    "time_dominant_period",
-    "mm_magic_sniff",
-    "time_dtw_distance",
-    "orders_skyline_pareto",
-    "time_bollinger_breach",
-    "stats_hmm_viterbi",
-    "profile_dq_rules",
-    "graph_assortativity",
-    "stats_mcnemar",
-    "text_bpe_tokenize",
-    "mm_scene_cuts",
-    "orders_near_duplicate_payments",
-    "supplier_leadtime_profile",
-    "stats_cochran_armitage",
-    "graph_modularity",
-    # --- wave 4c: the 10 round-12 additions (new code meets the
-    # driver cold, the r9-r11 discipline) ---
-    "agg_bitmap_distinct",  # r12: bitmap-word exact distinct
-    "privacy_t_closeness",  # r12: EMD release audit
-    "er_survivorship_golden",  # r12: MDM golden record
-    "time_alpha_beta_filter",  # r12: fixed-point g-h tracker
-    "stats_sprt_ab_monitor",  # r12: Wald sequential A/B
-    "mm_audio_vad_segments",  # r12: VAD islands
-    "text_url_domains",  # r12: crawl link analysis
-    "sim_maxsim_late_interaction",  # r12: ColBERT MaxSim
-    "time_spectral_entropy",  # r12: periodicity router
-    "decontaminate_embedding_near",  # r12: semantic decontamination
+    "curation_funnel",  # KEEP: curation chain (gated r7-r12)
+    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r12)
+    "set_ops",  # KEEP: set-operations anchor (gated r1-r12)
+    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10-r12)
+    # --- wave 5a: the 11 queued names (registered r12, never gated) ---
+    "stats_beta_binomial_ranking",
+    "events_rfm_migration",
+    "graph_jaccard_links",
+    "er_sorted_neighborhood",
+    "text_vocab_capture_recapture",
+    "events_decay_weighted_score",
+    "time_max_drawdown",
+    "time_croston_intermittent",
+    "sample_pps_systematic",
+    "privacy_dp_quantiles",
+    "part_xyz_variability",
+    # --- wave 5b: round-13 additions (new code meets the driver cold) ---
+    "er_funnel",  # r13: SNM -> DL verify -> golden records, end to end
+    # --- wave 5c: stale re-proofs, oldest driver row first ---
+    # last driver row r01:
+    "agg_corr_moments",
+    "agg_median_percentile",
+    "conditional_case",
+    "dedup_exact_hash",
+    "distinct_projection",
+    "limit_offset_page",
+    "round_robin_assign",
+    "scalar_dates2",
+    "scalar_format",
+    "scalar_math",
+    "scalar_strings2",
+    "vector_stats",
+    # last driver row r02:
+    "q11_important_stock",
+    "q21_suppliers_kept_waiting",
+    # last driver row r04:
+    "agg_distinct_multi",
+    "agg_pivot",
+    "join_anti",
+    "join_full_outer",
+    "join_semi",
+    "mm_resize_stub",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "text_fingerprint",
+    "window_rank_dense",
+    "window_running_sum",
+    # last driver row r05 (first 8 by name; rest lead the wave-6 queue):
+    "agg_grouping_sets",
+    "agg_rollup",
+    "decontaminate_ngram_overlap",
+    "join_left_outer",
+    "join_null_safe",
+    "pack_sequences",
+    "q10_returned_items",
+    "q14_promo_revenue",
 )
 
 

@@ -131,6 +131,16 @@ HEADLINE = [
     "decontaminate_embedding_near",
     "agg_bitmap_distinct",
     "stats_sprt_ab_monitor",
+    # round-13: the wave-5 cost shapes worth proving at sf0.1 (r12
+    # verdict item 3) — the one-window blocked SNM, the
+    # exponential-mechanism DP scan over the bucket histogram, the
+    # sparse-demand Croston fold — plus the composed ER funnel
+    # (SNM -> Arrow DL verify -> pointer-doubling CC golden records),
+    # the ER chain's curation_funnel analogue
+    "er_sorted_neighborhood",
+    "privacy_dp_quantiles",
+    "time_croston_intermittent",
+    "er_funnel",
 ]
 
 
