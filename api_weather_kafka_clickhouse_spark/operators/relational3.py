@@ -1018,6 +1018,118 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Entropy l-diversity threshold ln(L_DIV): quantized ONCE in Python
+# (cookbook rule) and injected as the same literal into both engines,
+# compared against the identically per-class-rounded entropy.
+ENTROPY_L_THRESHOLD = 1.6094  # round(ln(5), 4)
+RECURSIVE_C = 1  # the strict classic (1, l)-diversity operating point
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_nationkey, band, cnt,
+             row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                ORDER BY cnt DESC, band) AS rk
+      FROM cells
+    ),
+    agg AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(sum(cnt) AS BIGINT) AS group_size,
+             CAST(count(*) AS BIGINT) AS distinct_l,
+             CAST(max(cnt) AS BIGINT) AS top_freq,
+             CAST(coalesce(sum(CASE WHEN rk >= {L_DIV} THEN cnt END), 0)
+                  AS BIGINT) AS tail_from_l,
+             sum(CAST(round(cnt * ln(cnt), 6) AS DECIMAL(28,6))) AS s
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, group_size, distinct_l, top_freq,
+           tail_from_l,
+           round(ln(group_size) - CAST(s AS DOUBLE) / group_size, 4)
+             AS entropy_nats,
+           (round(ln(group_size) - CAST(s AS DOUBLE) / group_size, 4)
+            >= {ENTROPY_L_THRESHOLD}) AS meets_entropy_l,
+           (top_freq < {RECURSIVE_C} * tail_from_l) AS meets_recursive_cl
+    FROM agg
+    """,
+    doc="The two STRONG l-diversity variants (Machanavajjhala et al.) "
+    "over the same (segment, nation) equivalence classes and "
+    "acctbal-band sensitive attribute privacy_k_anonymity audits with "
+    "plain distinct-l: ENTROPY l-diversity (class entropy >= ln(l) — "
+    "a class can hold l distinct values yet still be 99% one value; "
+    "entropy catches the skew distinct-count misses) and RECURSIVE "
+    f"(c,l)-diversity with c={RECURSIVE_C}, l={L_DIV} (the most "
+    "frequent sensitive value must be outweighed by the tail from "
+    "rank l on: r1 < c*(r_l+..+r_m) — robust to both skew and rare "
+    "outliers). Determinism: the recursive verdict is EXACT integers "
+    "(top count vs tail sum, no division); entropy uses the "
+    "text_unigram_entropy pattern — each c*ln(c) term rounded to 6dp "
+    "then summed as DECIMAL (combine-order independent), final value "
+    "rounded to 4dp, compared against the Python-quantized ln(l) "
+    "literal injected into both engines. Shape: one (class, band) "
+    "map-side-combined reduce, one class-partitioned rank window over "
+    "the band-bounded cell table, one class reduce — everything after "
+    "the first aggregate is quasi-identifier-bounded, never "
+    "row-bounded. The release gate that decides whether a 100 TB "
+    "corpus partition may ship.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, "customer", sf_dir)
+    cells = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        F.col("cnt").desc(), "band"
+    )
+    ranked = cells.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+    )
+    agg = ranked.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").cast("bigint").alias("group_size"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
+        F.max("cnt").cast("bigint").alias("top_freq"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") >= L_DIV, F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tail_from_l"),
+        F.sum(
+            F.round(F.col("cnt") * F.log("cnt"), 6).cast("decimal(28,6)")
+        ).alias("s"),
+    )
+    entropy = F.round(
+        F.log("group_size") - F.col("s").cast("double") / F.col("group_size"), 4
+    )
+    return agg.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "group_size",
+        "distinct_l",
+        "top_freq",
+        "tail_from_l",
+        entropy.alias("entropy_nats"),
+        (entropy >= ENTROPY_L_THRESHOLD).alias("meets_entropy_l"),
+        (F.col("top_freq") < RECURSIVE_C * F.col("tail_from_l")).alias(
+            "meets_recursive_cl"
+        ),
+    )
+
+
 # epsilon for the Laplace release; sensitivity of a disjoint-cell
 # histogram is 1, so the noise scale b = 1/DP_EPSILON.
 DP_EPSILON = 1.0

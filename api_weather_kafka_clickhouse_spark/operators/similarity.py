@@ -1864,6 +1864,217 @@ def sim_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-PQ (IVFADC) retrieval on the int8 lattice (round 13) ------------
+
+# ADC shortlist size: candidates surviving the PQ-approximate pass per
+# query before the exact-refine stage fetches their original vectors.
+IVFPQ_SHORTLIST = 32
+
+
+def _ivfpq_oracle_sql() -> str:
+    k, iters = KMEANS_K, KMEANS_I8_ITERS
+    t = iters - 1  # the centroids that produced the final assignment
+    l2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_i8_lloyd_ctes(k, iters))
+        + f""",
+    {_pq_cb_values_sql()},
+    du AS (
+      SELECT vec_id, g.i - 1 AS dim, q[g.i] AS qd
+      FROM pts, generate_series(1, {_DIM}) AS g(i)
+    ),
+    -- per (vector, subspace, codeword) exact integer distance: the
+    -- ENCODE table for corpus vectors AND the ADC lookup table for
+    -- query vectors are the same relation
+    pdist AS (
+      SELECT du.vec_id, cb.m, cb.k,
+             sum((du.qd - cb.val) * (du.qd - cb.val)) AS dist
+      FROM du JOIN cb ON cb.m = du.dim // {PQ_SUB} AND cb.d = du.dim % {PQ_SUB}
+      GROUP BY du.vec_id, cb.m, cb.k
+    ),
+    enc AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, k) AS rk
+        FROM pdist) WHERE rk = 1
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, q AS qv FROM pts WHERE vec_id < {N_QUERIES}
+    ),
+    qdist AS (
+      SELECT query_id, c.cluster,
+             {l2.format(d=_DIM, a="qv", b="c.cv")} AS d
+      FROM qs CROSS JOIN cent{t} c
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cluster) AS rn
+        FROM qdist)
+      WHERE rn <= {IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS nbr_id
+      FROM probes p JOIN a{iters} a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.nbr_id, CAST(sum(qt.dist) AS BIGINT) AS adc
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.nbr_id
+      JOIN pdist qt ON qt.vec_id = c.query_id
+                   AND qt.m = e.m AND qt.k = e.k
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, nbr_id, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, nbr_id) AS rn
+        FROM adc) WHERE rn <= {IVFPQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.nbr_id, s.adc,
+             {l2.format(d=_DIM, a="q2.qv", b="p2.q")} AS l2
+      FROM short s
+      JOIN qs q2 ON q2.query_id = s.query_id
+      JOIN pts p2 ON p2.vec_id = s.nbr_id
+    )
+    SELECT query_id, nbr_id, adc, CAST(l2 AS BIGINT) AS l2,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY l2, nbr_id) AS rn FROM rer)
+    WHERE rn <= {IVF8_TOP_K}"""
+    )
+
+
+@register(
+    "sim_ivf_pq_int8",
+    oracle=_ivfpq_oracle_sql(),
+    doc="IVF-PQ (IVFADC) retrieval, hash-checked END TO END — the "
+    "composition the two gated pieces exist for: sim_ivf_int8's "
+    "TRAINED integer-lattice coarse quantizer restricts each query "
+    f"to its {IVF_PROBES} nearest cells, embedding_pq_int8's fixed "
+    f"integer codebooks compress every candidate to {PQ_M} codes, "
+    "and the asymmetric-distance (ADC) pass scores candidates with "
+    f"{PQ_M} array lookups into the query's precomputed 128-entry "
+    "subspace-distance table — never touching the original vector — "
+    f"before an exact integer-L2 refine of the top {IVFPQ_SHORTLIST} "
+    "fetches full vectors for the SHORTLIST ONLY (the FAISS "
+    "IVFADC+refine architecture, Jégou et al.). Every number in "
+    "train, encode, probe, ADC, and refine is integer arithmetic the "
+    "oracle re-derives bit-for-bit (the per-(vector, subspace, code) "
+    "distance relation doubles as corpus encoder and query ADC "
+    "table). Driver metadata: the k x dim centroid matrix per Lloyd "
+    f"round plus the {N_QUERIES} x {_DIM} query code matrix (the "
+    "MaxSim precedent) from which probes and ADC tables are built. "
+    "100 TB shape: PQ codes are 8 small ints per vector (32x "
+    "compression — the index that fits in RAM), candidates move as "
+    "(id, 8 codes), ADC is pure codegen array lookups on a broadcast "
+    "per-query table, and only queries x shortlist original vectors "
+    "are ever fetched. Recall@10 vs exhaustive integer L2 pinned in "
+    "tests/test_round13_ops.py.",
+)
+def sim_ivf_pq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, "embeddings", sf_dir)
+    codes = _i8_codes(e)
+    centroids = _i8_lloyd_fit(codes)
+    corpus = _i8_assign(codes, centroids)
+    cb = np.asarray(_PQ_CB, dtype=np.int64)  # (M, K, SUB)
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            c = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, DIM)
+            sub = c.reshape(n, PQ_M, 1, PQ_SUB)
+            d = sub - cb[None, :, :, :]
+            dist = np.einsum("nmks,nmks->nmk", d, d)  # exact ints < 2^53
+            kk = dist.argmin(axis=2)  # first occurrence = lowest code
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster": pdf["cluster"].astype("int64"),
+                    "codes": [row.tolist() for row in kk],
+                }
+            )
+
+    enc = corpus.select("vec_id", "cluster", "q").mapInPandas(
+        encode, schema="vec_id bigint, cluster bigint, codes array<bigint>"
+    )
+    # ONE bounded-metadata collect: the N_QUERIES x DIM query code
+    # matrix yields probes AND the per-query ADC lookup tables in
+    # exact int64 numpy (argsort stable + integer keys == the oracle's
+    # ORDER BY d, cluster / dist, k tiebreaks)
+    q_rows = codes.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qmat = np.array([list(r["q"]) for r in q_rows], dtype=np.int64)
+    qsub = qmat.reshape(len(q_rows), PQ_M, 1, PQ_SUB)
+    qd = qsub - cb[None, :, :, :]
+    adc_tabs = np.einsum("nmks,nmks->nmk", qd, qd)  # (Q, M, K)
+    cmat = np.asarray(centroids, dtype=np.int64)
+    d2 = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)  # (Q, k)
+    probe_cells = np.argsort(d2, axis=1, kind="stable")[:, :IVF_PROBES]
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(cell), [int(x) for x in adc_tabs[i].reshape(-1)])
+            for i, r in enumerate(q_rows)
+            for cell in probe_cells[i]
+        ],
+        "query_id bigint, cluster bigint, adc_flat array<bigint>",
+    )
+    cand = enc.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # ADC: 8 codegen array lookups per candidate — adc_flat is laid
+    # out m*PQ_K + code (Spark [] indexing is 0-based; element_at is
+    # the 1-based one)
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        F.expr(
+            f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
+            f"(acc, m) -> acc + adc_flat[CAST(m * {PQ_K} + codes[m] AS INT)])"
+        ).alias("adc"),
+    )
+    w_s = Window.partitionBy("query_id").orderBy("adc", "nbr_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .drop("rn")
+    )
+    # refine: original vectors fetched for the shortlist only
+    nv = codes.select(F.col("vec_id").alias("nbr_id"), F.col("q").alias("nv"))
+    qv = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_r = Window.partitionBy("query_id").orderBy("l2", "nbr_id")
+    return (
+        short.join(nv, "nbr_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("l2", l2)
+        .withColumn("rank", F.row_number().over(w_r))
+        .filter(F.col("rank") <= IVF8_TOP_K)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.col("adc").cast("bigint").alias("adc"),
+            F.col("l2").cast("bigint").alias("l2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 # --- NDCG retrieval evaluation (round 11 continuation) -------------------
 
 NDCG_K = 10

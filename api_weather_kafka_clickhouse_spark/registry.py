@@ -77,7 +77,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   q19_disjunctive_predicates, q4_order_priority,
 #   q6_forecast_revenue, retention_cohorts, shuffle_deterministic,
 #   text_repetition_ratio, window_lag_lead, window_range_frame
-#   (the 8 r05-era rows wave 5 could not fit), then the r06-era block.
+#   (the 8 r05-era rows wave 5 could not fit), then the r06-era block;
+#   new round-13 registrations (gate them cold in wave 6):
+#   privacy_l_diversity (entropy + recursive-(c,l) release gates),
+#   sim_ivf_pq_int8 (IVFADC: coarse cells + PQ/ADC + exact refine).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r12)

@@ -90,3 +90,138 @@ def test_er_funnel_matches_python_pipeline(spark, sf_dir):
     # funnel test passes vacuously on an all-unique corpus
     assert len(cand) > len(matched) > 0
     assert merged_away > 0
+
+
+# ------------------------------------------------ privacy_l_diversity
+
+
+def test_l_diversity_matches_python_variants(spark, sf_dir):
+    """Entropy and recursive-(c,l) flags re-derived with plain
+    math.log over pandas value_counts — no windows, no decimal sums."""
+    import math
+
+    pdf = _customers_pdf(sf_dir)
+    # bal is cents; band = floor(acctbal/1000) = floor(bal/100000)
+    pdf["band"] = (pdf["bal"] // 100_000).astype("int64")
+    got = {
+        (r["c_mktsegment"], r["c_nationkey"]): r
+        for r in SPECS["privacy_l_diversity"].fn(spark, sf_dir).collect()
+    }
+    groups = pdf.groupby(["c_mktsegment", "c_nationkey"])
+    assert set(got) == set(groups.groups)
+    for key, g in groups:
+        counts = sorted(g["band"].value_counts().tolist(), reverse=True)
+        n = len(g)
+        ent = round(
+            math.log(n) - sum(round(c * math.log(c), 6) for c in counts) / n, 4
+        )
+        tail = sum(counts[4:])  # ranks >= L_DIV=5 (1-indexed)
+        r = got[key]
+        assert r["group_size"] == n
+        assert r["distinct_l"] == len(counts)
+        assert r["top_freq"] == counts[0]
+        assert r["tail_from_l"] == tail
+        assert abs(r["entropy_nats"] - ent) < 1e-9
+        assert r["meets_entropy_l"] == (ent >= 1.6094)
+        assert r["meets_recursive_cl"] == (counts[0] < 1 * tail)
+    # at driver scale (sf0.01+: ~12 members per class) the fixture
+    # must exercise the recursive verdict in both directions; sf0.001's
+    # 1-2-member classes legitimately fail it everywhere
+    if len(pdf) >= 1000:
+        flags_r = {r["meets_recursive_cl"] for r in got.values()}
+        assert flags_r == {True, False}
+
+
+# ------------------------------------------------ sim_ivf_pq_int8
+
+
+def test_ivf_pq_matches_python_ivfadc(spark, sf_dir):
+    """Full IVFADC re-derivation in loop-formulated numpy/python (no
+    einsum, no Spark helpers): lattice quantize -> 2-update Lloyd ->
+    PQ encode -> probes -> ADC -> shortlist -> exact refine. Also pins
+    recall@10 of the returned neighbors vs exhaustive integer L2."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchdf()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 127.0
+    Q = np.trunc(X + np.copysign(0.5, X)).astype(np.int64)
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    id2idx = {int(v): i for i, v in enumerate(ids)}
+
+    cents = Q[:8].copy()
+
+    def assign(C):
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(2):  # KMEANS_I8_ITERS - 1 update rounds
+        a = assign(cents)
+        new = cents.copy()
+        for c in range(8):
+            members = Q[a == c]
+            n = len(members)
+            if n:
+                s = members.sum(axis=0) + 127 * n
+                new[c] = (2 * s + n) // (2 * n) - 127
+        cents = new
+    a = assign(cents)
+
+    rng = random.Random(1427)  # the codebook's authored-constant spec
+    cb = np.array(
+        [[[rng.randint(-64, 63) for _ in range(8)] for _ in range(16)] for _ in range(8)],
+        dtype=np.int64,
+    )
+
+    def pq_table(v):
+        t = np.empty((8, 16), dtype=np.int64)
+        for m in range(8):
+            s = v[m * 8 : (m + 1) * 8]
+            for k in range(16):
+                t[m, k] = int(((s - cb[m, k]) ** 2).sum())
+        return t
+
+    enc = {int(vid): pq_table(Q[i]).argmin(axis=1) for i, vid in enumerate(ids)}
+
+    expected = {}
+    truth_hits, total = 0, 0
+    got = {
+        (r["query_id"], r["nbr_id"]): (r["adc"], r["l2"], r["rank"])
+        for r in SPECS["sim_ivf_pq_int8"].fn(spark, sf_dir).collect()
+    }
+    for qi in range(8):
+        i = id2idx[qi]
+        dq = ((cents - Q[i]) ** 2).sum(axis=1)
+        cells = set(np.argsort(dq, kind="stable")[:3].tolist())
+        tab = pq_table(Q[i])
+        adc = sorted(
+            (
+                sum(int(tab[m, enc[int(vid)][m]]) for m in range(8)),
+                int(vid),
+            )
+            for j, vid in enumerate(ids)
+            if int(vid) != qi and int(a[j]) in cells
+        )
+        short = adc[:32]
+        rer = sorted(
+            (int(((Q[id2idx[v]] - Q[i]) ** 2).sum()), v, s) for s, v in short
+        )
+        for rank, (l2v, v, s) in enumerate(rer[:10], 1):
+            expected[(qi, v)] = (s, l2v, rank)
+        # recall@10 vs exhaustive integer L2 over the whole corpus
+        brute = sorted(
+            (int(((Q[j] - Q[i]) ** 2).sum()), int(v))
+            for j, v in enumerate(ids)
+            if int(v) != qi
+        )
+        truth = {v for _, v in brute[:10]}
+        returned = {n for (q, n) in got if q == qi}
+        truth_hits += len(truth & returned)
+        total += len(truth)
+    assert got == expected
+    recall = truth_hits / total
+    assert recall >= 0.4, recall
