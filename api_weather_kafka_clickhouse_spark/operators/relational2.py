@@ -3011,6 +3011,123 @@ def time_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- matrix profile over the daily revenue series (round 13) -------------
+
+# Subsequence window length (days) and the trivial-match exclusion
+# zone |i - j| >= MP_W (self-overlapping windows are near-identical by
+# construction; the classic profile excludes them).
+MP_W = 4
+
+
+@register(
+    "time_matrix_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS z
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT day, z, row_number() OVER (ORDER BY day) AS idx,
+             lead(z, 1) OVER (ORDER BY day) AS z1,
+             lead(z, 2) OVER (ORDER BY day) AS z2,
+             lead(z, 3) OVER (ORDER BY day) AS z3
+      FROM d
+    ),
+    w AS (
+      SELECT idx, day, [z, z1, z2, z3] AS v FROM s WHERE z3 IS NOT NULL
+    ),
+    p AS (
+      SELECT a.idx AS ia, a.day, b.idx AS ib,
+             list_sum(list_transform(range(1, {MP_W + 1}),
+                      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS dist2
+      FROM w a JOIN w b ON abs(a.idx - b.idx) >= {MP_W}
+    ),
+    prof AS (
+      SELECT ia, day,
+             min(struct_pack(a := dist2, b := ib)) AS nn
+      FROM p GROUP BY 1, 2
+    )
+    SELECT ia AS idx, day,
+           CAST(nn.b AS BIGINT) AS nn_idx,
+           CAST(nn.a AS BIGINT) AS nn_dist,
+           CAST(row_number() OVER (ORDER BY nn.a DESC, ia) AS BIGINT)
+             AS discord_rank
+    FROM prof
+    """,
+    doc=f"Matrix profile of the daily-revenue series (Yeh et al.): for "
+    f"every {MP_W}-day window, the exact integer squared-L2 distance "
+    "to its nearest non-overlapping neighbor window and that "
+    "neighbor's index — the one structure that answers both motif "
+    "discovery (smallest profile values: the most repeated revenue "
+    "shapes) and discord/anomaly detection (largest: discord_rank 1 "
+    "is the most anomalous window in seven years of data). "
+    "Deliberately the NON-normalized integer profile: z-normalized "
+    "MP needs per-window float mean/std (rows-only territory); raw "
+    "cents keep every distance exact and the argmin deterministic "
+    f"(struct min with the neighbor-index tiebreak). Exclusion zone "
+    f"|i-j| >= {MP_W} removes trivial self-overlap matches. OPERAND "
+    "BOUND: per-dim diff^2 * w stays in BIGINT to ~$150M/day in "
+    "cents; larger deployments switch units to dollars. Shape: ONE "
+    "day-bucket reduce touches the facts; the all-pairs stage is a "
+    "deliberate CALENDAR-BOUNDED nested-loop self-join of the "
+    "~2,400-row window dimension (sanctioned in test_plan_lint.py — "
+    "constant work regardless of fact volume, exactly like "
+    "time_dtw_distance's series pairs), then one min-struct reduce. "
+    "At 100 TB only the first aggregate sees data.",
+)
+def time_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("z")
+    )
+    # single-partition ordered window: the series is calendar-bounded
+    # (~2,400 rows at ANY scale factor), the documented exception to
+    # the partitioned-window rule (same as the PPS cumulative window)
+    w_ord = Window.orderBy("day")
+    s = d.select(
+        "day",
+        "z",
+        F.row_number().over(w_ord).alias("idx"),
+        *[F.lead("z", k).over(w_ord).alias(f"z{k}") for k in range(1, MP_W)],
+    )
+    win = s.filter(F.col(f"z{MP_W - 1}").isNotNull()).select(
+        "idx",
+        "day",
+        F.array(F.col("z"), *[F.col(f"z{k}") for k in range(1, MP_W)]).alias("v"),
+    )
+    a = win.select(F.col("idx").alias("ia"), "day", F.col("v").alias("va"))
+    b = win.select(F.col("idx").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(
+        F.broadcast(b), F.abs(F.col("ia") - F.col("ib")) >= MP_W
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    prof = (
+        pairs.select("ia", "day", "ib", dist2.alias("dist2"))
+        .groupBy("ia", "day")
+        .agg(
+            F.min(
+                F.struct(F.col("dist2").alias("a"), F.col("ib").alias("b"))
+            ).alias("nn")
+        )
+    )
+    w_rank = Window.orderBy(F.col("nn.a").desc(), "ia")
+    return prof.select(
+        F.col("ia").alias("idx"),
+        "day",
+        F.col("nn.b").cast("bigint").alias("nn_idx"),
+        F.col("nn.a").cast("bigint").alias("nn_dist"),
+        F.row_number().over(w_rank).cast("bigint").alias("discord_rank"),
+    )
+
+
 # --- Croston intermittent-demand smoothing (round 12, wave-5 queue) ------
 
 # Fixed-point gain 1/4 by truncated division (the alpha-beta filter's

@@ -80,7 +80,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   (the 8 r05-era rows wave 5 could not fit), then the r06-era block;
 #   new round-13 registrations (gate them cold in wave 6):
 #   privacy_l_diversity (entropy + recursive-(c,l) release gates),
-#   sim_ivf_pq_int8 (IVFADC: coarse cells + PQ/ADC + exact refine).
+#   sim_ivf_pq_int8 (IVFADC: coarse cells + PQ/ADC + exact refine),
+#   time_matrix_profile (exact-integer motif/discord profile).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r12)

@@ -107,6 +107,11 @@ NESTED_LOOP_SANCTIONED = {
     # bucket) histogram; the build is a CONSTANT fixed at authoring
     # time, the classic dimension-bounded shape
     "privacy_dp_quantiles": 1,
+    # r13: the matrix profile's all-pairs stage — a CALENDAR-bounded
+    # (~2,400-row) window-dimension self-join on the non-equi
+    # exclusion zone |i-j| >= w; constant work regardless of fact
+    # volume (time_dtw_distance's argument, one dimension up)
+    "time_matrix_profile": 1,
 }
 
 # Queries allowed a BatchEvalPython node: Spark UDTFs execute row-wise

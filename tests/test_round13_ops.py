@@ -225,3 +225,45 @@ def test_ivf_pq_matches_python_ivfadc(spark, sf_dir):
     assert got == expected
     recall = truth_hits / total
     assert recall >= 0.4, recall
+
+
+# ------------------------------------------------ time_matrix_profile
+
+
+def test_matrix_profile_matches_python_brute_force(spark, sf_dir):
+    """Brute-force O(n^2) profile in plain Python over the daily
+    revenue series — explicit loops, no arrays-of-leads, no joins."""
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT o_orderdate AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS z
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    z = pdf["z"].tolist()
+    days = pdf["day"].tolist()
+    n = len(z) - 3  # windows of length 4
+    wins = [z[i : i + 4] for i in range(n)]
+    prof = {}
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if abs(i - j) < 4:
+                continue
+            d = sum((wins[i][k] - wins[j][k]) ** 2 for k in range(4))
+            # tiebreak: lowest neighbor index (struct-min rule)
+            if best is None or (d, j) < best:
+                best = (d, j)
+        prof[i + 1] = (best[0], best[1] + 1, days[i])  # 1-based idx
+    ranks = sorted(prof, key=lambda i: (-prof[i][0], i))
+    discord = {idx: r + 1 for r, idx in enumerate(ranks)}
+    got = {
+        r["idx"]: r
+        for r in SPECS["time_matrix_profile"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(prof)
+    for i, (d, j, day) in prof.items():
+        assert got[i]["nn_dist"] == d
+        assert got[i]["nn_idx"] == j
+        assert got[i]["day"] == day
+        assert got[i]["discord_rank"] == discord[i]
