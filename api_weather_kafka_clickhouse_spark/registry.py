@@ -81,7 +81,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   new round-13 registrations (gate them cold in wave 6):
 #   privacy_l_diversity (entropy + recursive-(c,l) release gates),
 #   sim_ivf_pq_int8 (IVFADC: coarse cells + PQ/ADC + exact refine),
-#   time_matrix_profile (exact-integer motif/discord profile).
+#   time_matrix_profile (exact-integer motif/discord profile),
+#   clickhouse_dialect_battery6 (interval analytics: maxIntersections
+#   / maxIntersectionsPosition / intervalLengthSum sweep line).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r12)

@@ -39,7 +39,6 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
-    "text_token_stats",
     "text_tfidf_topk",
     "text_segment_dedup",  # round-6: corpus-wide segment dedup + reassembly
     "decontaminate_bloom",  # round-6: zero-shuffle Bloom decontamination
@@ -115,22 +114,19 @@ HEADLINE = [
     "stats_hmm_viterbi",
     "time_dtw_distance",
     "profile_dq_rules",
-    # round-12 (five sub-second same-family entries pruned above to
-    # stay inside the 1900-char contract line): the wave-4 one-pass
-    # aggregate shapes (OHLC candles, the LTTB fold, the RANGE-frame
-    # skyline), the residue-class coefficient join powering the
-    # entropy router, and the four new r12 shapes — nested 8x8 HOF
-    # MaxSim interaction, the IVF-cell decontamination pipeline, the
-    # bitmap-word distinct (two hash aggregates, zero count-distinct
-    # expansion), and the arm-partitioned SPRT walk
-    "time_ohlc_bars",
+    # round-12 shapes (sub-second same-family entries pruned in r12
+    # and again in r13 — time_ohlc_bars, agg_bitmap_distinct,
+    # stats_sprt_ab_monitor, text_token_stats — to keep the
+    # worst-case contract line inside the 1900-char guard; their
+    # families stay covered by the heavier siblings below): the LTTB
+    # fold, the RANGE-frame skyline, the residue-class coefficient
+    # join powering the entropy router, the nested 8x8 HOF MaxSim
+    # interaction, and the IVF-cell decontamination pipeline
     "time_lttb_downsample",
     "orders_skyline_pareto",
     "time_spectral_entropy",
     "sim_maxsim_late_interaction",
     "decontaminate_embedding_near",
-    "agg_bitmap_distinct",
-    "stats_sprt_ab_monitor",
     # round-13: the wave-5 cost shapes worth proving at sf0.1 (r12
     # verdict item 3) — the one-window blocked SNM, the
     # exponential-mechanism DP scan over the bucket histogram, the

@@ -267,3 +267,54 @@ def test_matrix_profile_matches_python_brute_force(spark, sf_dir):
         assert got[i]["nn_idx"] == j
         assert got[i]["day"] == day
         assert got[i]["discord_rank"] == discord[i]
+
+
+# ------------------------------------------------ clickhouse_dialect_battery6
+
+
+def test_battery6_matches_python_sweep(spark, sf_dir):
+    """Interval metrics re-derived with a per-day python dict sweep —
+    no windows, no event-union construction."""
+    import datetime
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT l.l_suppkey AS sk, CAST(o.o_orderdate AS DATE) AS s,
+            CAST(l.l_shipdate AS DATE) AS e
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o ON o.o_orderkey = l.l_orderkey"""
+    ).fetchdf()
+    pdf["s"] = pd.to_datetime(pdf["s"]).dt.date
+    pdf["e"] = pd.to_datetime(pdf["e"]).dt.date
+    # the synthetic fixture has inverted spans (orderdate > shipdate);
+    # the operator drops them — mirror that precondition
+    pdf = pdf[pdf["s"] <= pdf["e"]]
+    import numpy as np
+
+    got = {
+        r["l_suppkey"]: r
+        for r in SPECS["clickhouse_dialect_battery6"].fn(spark, sf_dir).collect()
+    }
+    for sk, g in pdf.groupby("sk"):
+        ivs = list(zip(g["s"], g["e"]))
+        lo, hi = min(s for s, _ in ivs), max(e for _, e in ivs)
+        span = (hi - lo).days + 1
+        # DENSE day-grid formulation (vs the operator's sparse event
+        # sweep): materialize per-day concurrency over the whole span
+        grid = np.zeros(span + 1, dtype=np.int64)
+        for s, e in ivs:
+            grid[(s - lo).days] += 1
+            grid[(e - lo).days + 1] -= 1
+        conc = grid.cumsum()[:span]
+        best = int(conc.max())
+        best_day = lo + datetime.timedelta(days=int(conc.argmax()))
+        covered = int((conc > 0).sum())
+        r = got[sk]
+        assert r["n_intervals"] == len(ivs)
+        assert r["max_concurrent"] == best
+        assert r["peak_day"] == best_day
+        assert r["covered_days"] == covered
+        assert r["span_days"] == span
+        assert abs(r["utilization"] - round(covered / span, 6)) < 1e-9
+    assert set(got) == set(pdf["sk"].unique())
