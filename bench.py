@@ -220,6 +220,57 @@ def _time_scd2_backfill(spark) -> list[float]:
     return runs, stage_runs
 
 
+def _time_er_backfill(spark) -> list[float]:
+    """Four-batch incremental ENTITY-RESOLUTION fold of the customer
+    table into a fresh store — the deployable MDM chain's wall-time
+    (batch twin er_funnel is a registered query; this times the
+    INGEST machinery per batch: block-index join, Damerau-Levenshtein
+    verify on candidates, label-store contraction)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from api_weather_kafka_clickhouse_spark.streaming.er_ingest import (
+        er_ingest_batch,
+    )
+    from api_weather_kafka_clickhouse_spark.tables import load
+
+    c = load(spark, "customer", SF_DIR).select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    bounds = c.approxQuantile("rec_id", [0.25, 0.5, 0.75], 0.0)
+    cuts = [float("-inf"), *bounds, float("inf")]
+    batches = [
+        c.filter((F.col("rec_id") > lo) & (F.col("rec_id") <= hi))
+        for lo, hi in zip(cuts, cuts[1:])
+    ]
+    runs: list[float] = []
+    stage_runs: list[dict[str, float]] = []
+    for _ in range(3):
+        base = tempfile.mkdtemp(prefix="bench_er_")
+        stages: dict[str, float] = {}
+        try:
+            t0 = time.perf_counter()
+            for bid, b in enumerate(batches):
+                er_ingest_batch(
+                    b,
+                    bid,
+                    f"{base}/store",
+                    f"{base}/pairs",
+                    f"{base}/labels",
+                    stage_times=stages,
+                )
+            runs.append(round(time.perf_counter() - t0, 3))
+            stage_runs.append(stages)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return runs, stage_runs
+
+
 def main() -> None:
     # host-load drift marker, sampled BEFORE the bench adds its own
     # load: a loaded host inflates every number uniformly (the r8
@@ -283,6 +334,7 @@ def main() -> None:
     for label, (runs, stage_runs) in (
         ("curation_backfill", _time_curation_backfill(spark)),
         ("scd2_backfill", _time_scd2_backfill(spark)),
+        ("er_backfill", _time_er_backfill(spark)),
     ):
         all_runs[label] = runs
         timings[label] = min(runs)

@@ -21,7 +21,7 @@ import bench
 def _worst_case_line() -> str:
     # every query pinned at a worst-width value (xxx.xxx = 7 chars,
     # wider than any realistic median at sf0.1)
-    names = [*bench.HEADLINE, "curation_backfill", "scd2_backfill"]
+    names = [*bench.HEADLINE, "curation_backfill", "scd2_backfill", "er_backfill"]
     timings = {n: 999.999 for n in names}
     return json.dumps(
         {
@@ -46,7 +46,7 @@ def test_contract_line_fits_driver_tail_window() -> None:
 
 
 def test_headline_names_unique() -> None:
-    names = [*bench.HEADLINE, "curation_backfill", "scd2_backfill"]
+    names = [*bench.HEADLINE, "curation_backfill", "scd2_backfill", "er_backfill"]
     assert len(names) == len(set(names))
 
 
