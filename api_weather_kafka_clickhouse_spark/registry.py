@@ -83,7 +83,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   sim_ivf_pq_int8 (IVFADC: coarse cells + PQ/ADC + exact refine),
 #   time_matrix_profile (exact-integer motif/discord profile),
 #   clickhouse_dialect_battery6 (interval analytics: maxIntersections
-#   / maxIntersectionsPosition / intervalLengthSum sweep line).
+#   / maxIntersectionsPosition / intervalLengthSum sweep line),
+#   stats_wilcoxon_signed_rank (paired nonparametric shift test).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r12)

@@ -318,3 +318,60 @@ def test_battery6_matches_python_sweep(spark, sf_dir):
         assert r["span_days"] == span
         assert abs(r["utilization"] - round(covered / span, 6)) < 1e-9
     assert set(got) == set(pdf["sk"].unique())
+
+
+# ------------------------------------------------ stats_wilcoxon_signed_rank
+
+
+def test_wilcoxon_matches_python_textbook(spark, sf_dir):
+    """Textbook signed-rank re-derivation: pandas half-sums, average
+    ranks from a plain sorted list (float ranks, not the operator's
+    2x-integer lattice), exact tie-corrected variance in Python ints."""
+    import math
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+            CAST(round(value * 100) AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchdf()
+    d0 = pdf["day"].min()
+    pdf["half"] = [1 if (d - d0).days < 15 else 2 for d in pdf["day"]]
+    half = pdf.groupby(["user_id", "event_type", "half"])["c"].sum().unstack("half")
+    got = {
+        r["event_type"]: r
+        for r in SPECS["stats_wilcoxon_signed_rank"].fn(spark, sf_dir).collect()
+    }
+    for et, g in half.groupby(level="event_type"):
+        g = g.dropna()
+        diffs = [int(b - a) for a, b in zip(g[1], g[2]) if b != a]
+        if not diffs:
+            assert et not in got
+            continue
+        n = len(diffs)
+        # average ranks of |d| (floats, textbook style)
+        srt = sorted(abs(x) for x in diffs)
+        rank = {}
+        i = 0
+        while i < len(srt):
+            j = i
+            while j < len(srt) and srt[j] == srt[i]:
+                j += 1
+            rank[srt[i]] = (i + 1 + j) / 2  # mean of positions i+1..j
+            i = j
+        w_plus = sum(rank[abs(x)] for x in diffs if x > 0)
+        ties = {}
+        for x in srt:
+            ties[x] = ties.get(x, 0) + 1
+        tie_cubes = sum(t**3 - t for t in ties.values())
+        var = (n * (n + 1) * (2 * n + 1) - tie_cubes / 2) / 24
+        z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+        r = got[et]
+        assert r["n_pairs"] == n
+        assert r["w2_plus"] == round(2 * w_plus)
+        assert r["d_stat"] == round(4 * (w_plus - n * (n + 1) / 4))
+        assert r["var12"] == 2 * n * (n + 1) * (2 * n + 1) - tie_cubes
+        assert abs(r["z_approx"] - z) < 1e-5
+        assert r["significant"] == (z * z > 3.841459)
+    assert set(got) <= set(half.index.get_level_values("event_type"))
