@@ -143,6 +143,28 @@ def _verified(
     )
 
 
+def _latest_attrs(spark, store_dir: str, exclude_batch: int | None = None) -> DataFrame:
+    """Stored attributes, ONE row per rec_id — the latest batch wins.
+    A re-sent rec_id (an attribute update) appends a new partition
+    row; every consumer (the verify stage, resolve_golden) must see
+    only the current version or n_sources inflates and stale values
+    can win survivorship (round-13 review finding). Ties are
+    impossible: dynamic partition overwrite keeps one row per
+    (rec_id, batch)."""
+    raw = read_store(
+        spark,
+        os.path.join(store_dir, "attrs"),
+        _ATTR_SCHEMA + ", ingest_batch bigint",
+        exclude_batch=exclude_batch,
+    )
+    w = Window.partitionBy("rec_id").orderBy(F.col("ingest_batch").desc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("rec_id", "name", "nation", "bal_cents")
+    )
+
+
 def er_ingest_batch(
     batch: DataFrame,
     batch_id: int,
@@ -203,16 +225,18 @@ def er_ingest_batch(
             _BLOCK_SCHEMA,
             exclude_batch=batch_id,
         )
-        stored_attrs = read_store(
-            spark,
-            os.path.join(store_dir, "attrs"),
-            _ATTR_SCHEMA,
-            exclude_batch=batch_id,
-        )
+        stored_attrs = _latest_attrs(spark, store_dir, exclude_batch=batch_id)
         batch_attrs = recs.select("rec_id", "name", "nation", "bal_cents")
 
-        # candidates: the bounded bucket joins shared with LSH ingest
-        cand_store = vs_store_pairs(blocks, stored_blocks, "rec_id", cap=bucket_cap)
+        # candidates: the bounded bucket joins shared with LSH ingest.
+        # new_id != old_id matters HERE though it never did for dedup
+        # ingest: a re-sent rec_id (an attribute update — a normal MDM
+        # stream event) still has its earlier copy in the store, and a
+        # (5, 5) self-candidate would pass the verify trivially and
+        # poison the pairs log (round-13 review finding).
+        cand_store = vs_store_pairs(blocks, stored_blocks, "rec_id", cap=bucket_cap).filter(
+            F.col("new_id") != F.col("old_id")
+        )
         cand_batch = within_batch_pairs(blocks, "rec_id", cap=bucket_cap)
         matches = (
             _verified(
@@ -278,7 +302,7 @@ def resolve_golden(
     entity: min key canonical, longest name (lexicographic tiebreak),
     best balance, modal nation (min tiebreak). Cost: one label join +
     two entity-keyed aggregates — never a re-resolution."""
-    attrs = read_store(spark, os.path.join(store_dir, "attrs"), _ATTR_SCHEMA)
+    attrs = _latest_attrs(spark, store_dir)
     labels = read_labels(spark, labels_dir).withColumnsRenamed(
         {"doc_id": "rec_id", "canonical_id": "entity_id"}
     )

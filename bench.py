@@ -220,7 +220,7 @@ def _time_scd2_backfill(spark) -> list[float]:
     return runs, stage_runs
 
 
-def _time_er_backfill(spark) -> list[float]:
+def _time_er_backfill(spark) -> tuple[list[float], list[dict[str, float]]]:
     """Four-batch incremental ENTITY-RESOLUTION fold of the customer
     table into a fresh store — the deployable MDM chain's wall-time
     (batch twin er_funnel is a registered query; this times the

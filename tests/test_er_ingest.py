@@ -199,3 +199,29 @@ def test_er_streaming_wiring_end_to_end(spark, tmp_path):
     assert lab == {1: 1, 2: 1}
     golden = er_ingest.resolve_golden(spark, store, labels).collect()
     assert len(golden) == 1 and golden[0]["n_sources"] == 2
+
+
+def test_er_reingested_record_is_an_update_not_a_self_match(spark, tmp_path):
+    """A re-sent rec_id (attribute update — a normal MDM stream event)
+    must not self-match against its own stored copy, must not inflate
+    n_sources, and its LATEST version must win survivorship."""
+    from api_weather_kafka_clickhouse_spark.streaming.store import read_store
+
+    store, pairs, labels = _dirs(tmp_path)
+    er_ingest.er_ingest_batch(_batch(spark, [(1, N1, 5, 1000)]), 0, store, pairs, labels)
+    er_ingest.er_ingest_batch(_batch(spark, [(1, N1, 5, 2500)]), 1, store, pairs, labels)
+    assert read_store(spark, pairs, "doc_a bigint, doc_b bigint").count() == 0
+    golden = er_ingest.resolve_golden(spark, store, labels).collect()
+    assert len(golden) == 1
+    assert golden[0]["n_sources"] == 1
+    assert golden[0]["best_bal_cents"] == 2500  # the update won
+    # the update must still LINK forward: a true match arriving later
+    # verifies against the CURRENT balance, not the stale one
+    er_ingest.er_ingest_batch(
+        _batch(spark, [(2, N1_TYPO, 5, 2600)]), 2, store, pairs, labels
+    )
+    lab = {
+        r["doc_id"]: r["canonical_id"]
+        for r in cluster_store.read_labels(spark, labels).collect()
+    }
+    assert lab == {1: 1, 2: 1}
