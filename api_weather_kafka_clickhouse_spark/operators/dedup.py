@@ -1095,6 +1095,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         raise
 
 
+# Driver-fold ceiling for merge_components' contracted closure: edges
+# up to this count are collected (two longs each — ~1.6 MB at the
+# ceiling) and closed with a driver union-find in ONE action; above
+# it the distributed connected_components path runs. Micro-batch
+# folds sit orders of magnitude below this; only backfill-scale
+# replays cross it.
+MERGE_FOLD_DRIVER_MAX = 100_000
+
+
 def merge_components(
     labels: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:
@@ -1115,11 +1124,27 @@ def merge_components(
     resolves to its current canonical (one equi-join against labels);
     edges that fall inside one existing component vanish; the
     surviving contracted edge set — O(new pairs), independent of
-    corpus size — goes through connected_components; and the resulting
-    old-canonical → new-canonical mapping broadcasts back onto labels
-    (the mapping is small, so the full-label update join is
-    broadcast-hash, no label shuffle). Only components actually
-    touched by new pairs change labels.
+    corpus size — closes into an old-canonical → new-canonical
+    mapping that broadcasts back onto labels (the mapping is small,
+    so the full-label update join is broadcast-hash, no label
+    shuffle). Only components actually touched by new pairs change
+    labels.
+
+    The closure itself is two-tier (round-14: the r13 verdict
+    measured ~6 s/batch of FIXED control-plane cost in the
+    distributed path — edge checkpoint write, >=2 pointer-doubling
+    iteration jobs each with a convergence collect, result
+    checkpoint — independent of match volume, paid by all four
+    ingest stores). The contracted edges are O(new pairs per
+    micro-batch) — bounded driver metadata under the same discipline
+    as store manifests and CC convergence scalars — so up to
+    MERGE_FOLD_DRIVER_MAX edges the closure is ONE limit-collect plus
+    a driver union-find, and the whole fold costs one action instead
+    of five-plus jobs. Past the threshold (backfill-scale folds, e.g.
+    re-playing a large pairs log in one call) it falls back to the
+    distributed connected_components unchanged. Both tiers satisfy
+    the same contract and both are pinned by the random-split
+    property test (which forces each tier explicitly).
     """
     ends = (
         pairs.select(F.col(src).alias("id"))
@@ -1140,10 +1165,37 @@ def merge_components(
         .select("canon_a", "canon_b")
         .distinct()
     )
-    # CC over the contracted graph: O(new pairs) vertices/edges
-    mapping = connected_components(contracted, "canon_a", "canon_b").select(
-        F.col("doc_id").alias("old_canon"), F.col("canonical_id").alias("new_canon")
-    )
+    spark = pairs.sparkSession
+    head = contracted.limit(MERGE_FOLD_DRIVER_MAX + 1).collect()
+    if len(head) <= MERGE_FOLD_DRIVER_MAX:
+        # driver tier: union-find over the contracted edges (min-label
+        # components, identical semantics to connected_components);
+        # only REMAPPED canonicals need a mapping row — identity rows
+        # would ride the broadcast for nothing
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in head:
+            a, b = _find(int(r["canon_a"])), _find(int(r["canon_b"]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        vertices = {int(v) for r in head for v in (r["canon_a"], r["canon_b"])}
+        remap = [(v, _find(v)) for v in vertices if _find(v) != v]
+        mapping = spark.createDataFrame(
+            remap, "old_canon bigint, new_canon bigint"
+        )
+    else:
+        # distributed tier: CC over the contracted graph — still
+        # O(new pairs) vertices/edges, never the corpus
+        mapping = connected_components(contracted, "canon_a", "canon_b").select(
+            F.col("doc_id").alias("old_canon"),
+            F.col("canonical_id").alias("new_canon"),
+        )
     updated = labels.join(
         F.broadcast(mapping), labels["canonical_id"] == mapping["old_canon"], "left"
     ).select(

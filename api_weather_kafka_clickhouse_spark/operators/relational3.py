@@ -2191,6 +2191,12 @@ def _snm_candidate_pairs(
 
 ER_FUNNEL_DL_MAX = 2  # verify: true Damerau-Levenshtein on names
 
+# Streaming blocker's key width (nation | name[:PREFIX]) — owned here
+# so the batch reconciler and streaming/er_ingest.py share ONE
+# operating point (measured: 16 gives ~3.7k blocks of ~4 at sf0.1;
+# 14 collapsed to 50 blocks of ~300 — see er_ingest module doc).
+ER_BLOCK_PREFIX = 16
+
 
 def _er_funnel_oracle() -> str:
     leads = "\n".join(
@@ -2539,4 +2545,255 @@ def part_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.lit(25) * var_num <= F.lit(9) * F.col("sq") * F.col("sq"), "Y")
         .otherwise("Z")
         .alias("xyz_class"),
+    )
+
+
+# --- ER reconciliation: streaming blocker vs batch funnel (round 14) ------
+
+
+def _er_reconcile_oracle() -> str:
+    leads = "\n".join(
+        f"""             lead(c_custkey, {k}) OVER win AS nbr_key_{k},
+             lead(c_nationkey, {k}) OVER win AS nbr_nation_{k},
+             lead(bal, {k}) OVER win AS nbr_bal_{k},
+             lead(c_name, {k}) OVER win AS nbr_name_{k},"""
+        for k in range(1, SNM_WINDOW)
+    )
+    legs = "\n      UNION ALL\n".join(
+        f"""      SELECT c_custkey AS cust_a, nbr_key_{k} AS cust_b,
+             c_nationkey, bal, c_name AS name_a,
+             nbr_nation_{k} AS nbr_nation, nbr_bal_{k} AS nbr_bal,
+             nbr_name_{k} AS name_b
+      FROM w"""
+        for k in range(1, SNM_WINDOW)
+    )
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             CAST(c_nationkey AS VARCHAR) || '|'
+               || substr(c_name, 1, {ER_BLOCK_PREFIX}) AS block_key,
+             CAST(c_nationkey AS VARCHAR) || '|' || c_name AS sort_key
+      FROM customer
+    ),
+    stream_pairs AS (
+      SELECT DISTINCT a.c_custkey AS pa, b.c_custkey AS pb
+      FROM s a JOIN s b
+        ON a.block_key = b.block_key AND a.c_custkey < b.c_custkey
+      WHERE abs(a.bal - b.bal) < {SNM_BAL_CENTS}
+        AND damerau_levenshtein(a.c_name, b.c_name) <= {ER_FUNNEL_DL_MAX}
+    ),
+    w AS (
+      SELECT c_custkey, c_nationkey, c_name, bal,
+{leads}
+             sort_key
+      FROM s
+      WINDOW win AS (PARTITION BY c_mktsegment
+                     ORDER BY sort_key, c_custkey)
+    ),
+    pairs AS (
+{legs}
+    ),
+    batch_pairs AS (
+      SELECT DISTINCT least(cust_a, cust_b) AS pa,
+             greatest(cust_a, cust_b) AS pb
+      FROM pairs
+      WHERE cust_b IS NOT NULL
+        AND c_nationkey = nbr_nation
+        AND abs(bal - nbr_bal) < {SNM_BAL_CENTS}
+        AND damerau_levenshtein(name_a, name_b) <= {ER_FUNNEL_DL_MAX}
+    ),
+    batch_only AS (
+      -- anti-join, not EXCEPT: DuckDB's WITH RECURSIVE chain only
+      -- admits UNION/UNION ALL set-op CTE bodies
+      SELECT bp.pa, bp.pb FROM batch_pairs bp
+      WHERE NOT EXISTS (SELECT 1 FROM stream_pairs sp
+                        WHERE sp.pa = bp.pa AND sp.pb = bp.pb)
+    ),
+    union_pairs AS (
+      SELECT pa, pb FROM batch_pairs
+      UNION
+      SELECT pa, pb FROM stream_pairs
+    ),
+    s_edges AS (
+      SELECT pa AS e_src, pb AS e_dst FROM stream_pairs
+      UNION ALL
+      SELECT pb, pa FROM stream_pairs
+    ),
+    u_edges AS (
+      SELECT pa AS e_src, pb AS e_dst FROM union_pairs
+      UNION ALL
+      SELECT pb, pa FROM union_pairs
+    ),
+    reach_s(id, r) AS (
+      SELECT e_src, e_src FROM s_edges
+      UNION
+      SELECT reach_s.id, e.e_dst
+      FROM reach_s JOIN s_edges e ON e.e_src = reach_s.r
+    ),
+    comp_s AS (SELECT id, min(r) AS c FROM reach_s GROUP BY id),
+    reach_u(id, r) AS (
+      SELECT e_src, e_src FROM u_edges
+      UNION
+      SELECT reach_u.id, e.e_dst
+      FROM reach_u JOIN u_edges e ON e.e_src = reach_u.r
+    ),
+    comp_u AS (SELECT id, min(r) AS c FROM reach_u GROUP BY id)
+    SELECT 'total_records' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+           CAST(count(*) AS BIGINT) AS n_records FROM customer
+    UNION ALL
+    SELECT 'stream_matches', 1, CAST(count(*) AS BIGINT) FROM stream_pairs
+    UNION ALL
+    SELECT 'batch_matches', 2, CAST(count(*) AS BIGINT) FROM batch_pairs
+    UNION ALL
+    SELECT 'batch_only_matches', 3, CAST(count(*) AS BIGINT) FROM batch_only
+    UNION ALL
+    SELECT 'corrected_records', 4, CAST(count(*) AS BIGINT)
+    FROM customer k
+    LEFT JOIN comp_s cs ON cs.id = k.c_custkey
+    LEFT JOIN comp_u cu ON cu.id = k.c_custkey
+    WHERE coalesce(cs.c, k.c_custkey) != coalesce(cu.c, k.c_custkey)
+    UNION ALL
+    SELECT 'golden_records_after', 5,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer)
+           - (SELECT CAST(count(*) AS BIGINT) FROM comp_u WHERE id != c)
+    """
+
+
+@register(
+    "er_reconcile",
+    oracle=_er_reconcile_oracle(),
+    doc="Scheduled RECONCILIATION between the streaming blocker's "
+    "maintained linkage and the batch ER funnel — the operator that "
+    "closes streaming/er_ingest.py's documented recall gap (an edit "
+    "INSIDE the nation|name[:16] block prefix lands the record in "
+    "another block, so the incremental path can never link it; the "
+    "batch sweep's sort-adjacency can). Runs BOTH candidate "
+    "generators over the same current corpus — the streaming "
+    "blocker's equality-blocked pairs (idealized uncapped: er_ingest "
+    "hub/rank caps only shave hot blocks) and er_funnel's "
+    "sorted-neighborhood pass — through the shared verify (same "
+    "nation, balance within $500 exact cents, true "
+    f"Damerau-Levenshtein <= {ER_FUNNEL_DL_MAX}), then reports the "
+    "monotone repair an MDM reconciler would apply: batch-only links "
+    "are FOLDED IN (links are only ever added, never revoked — the "
+    "irreversible-merge discipline of the label store), and "
+    "corrected_records counts records whose golden entity changes "
+    "under the union closure vs the stream-only closure. Stage "
+    "funnel: total -> stream_matches -> batch_matches -> batch_only "
+    "-> corrected -> golden_after; the oracle recomputes every stage "
+    "from first principles with TWO recursive-CTE closures. Shape: "
+    "one equality-blocked self-join (the measured prefix-16 operating "
+    "point: ~3.7k blocks of ~4 at sf0.1 — never all-pairs), one "
+    "segment-partitioned SNM window, DL priced per CANDIDATE, and two "
+    "pointer-doubling CC runs over id-pair edges (O(E) longs, O(log "
+    "diameter) rounds). At 100 TB this is the weekly batch job beside "
+    "the always-on ingest — the lake is scanned twice (block + sort), "
+    "everything downstream is candidate- or edge-sized. Reference "
+    "contact: none (the reference has no ER; this completes the "
+    "round-13 family per the round-13 verdict item 6).",
+)
+def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    @F.pandas_udf("long")
+    def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    c = load(spark, "customer", sf_dir)
+    s = c.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_name").substr(1, ER_BLOCK_PREFIX),
+        ).alias("block_key"),
+    )
+    a = s.select(
+        F.col("c_custkey").alias("pa"),
+        F.col("c_name").alias("name_a"),
+        F.col("bal").alias("bal_a"),
+        "block_key",
+    )
+    b = s.select(
+        F.col("c_custkey").alias("pb"),
+        F.col("c_name").alias("name_b"),
+        F.col("bal").alias("bal_b"),
+        "block_key",
+    )
+    stream_pairs = (
+        a.join(b, "block_key")
+        .filter(
+            (F.col("pa") < F.col("pb"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) < SNM_BAL_CENTS)
+        )
+        .filter(dl_udf("name_a", "name_b") <= ER_FUNNEL_DL_MAX)
+        .select("pa", "pb")
+        .distinct()
+    )
+    batch_pairs = (
+        _snm_candidate_pairs(spark, sf_dir, carry_names=True)
+        .filter(dl_udf("name_a", "name_b") <= ER_FUNNEL_DL_MAX)
+        .select(
+            F.least("cust_a", "cust_b").alias("pa"),
+            F.greatest("cust_a", "cust_b").alias("pb"),
+        )
+        .distinct()
+    )
+    batch_only = batch_pairs.join(stream_pairs, ["pa", "pb"], "left_anti")
+    union_pairs = batch_pairs.unionByName(stream_pairs).distinct()
+    # each CC call checkpoints its edge list internally, so the labels
+    # frames below never re-execute the candidate+DL plans; the count
+    # legs re-scan the dimension-sized generators lazily (er_funnel's
+    # no-corpus-persist philosophy)
+    labels_s = connected_components(stream_pairs, src="pa", dst="pb").select(
+        F.col("doc_id").alias("k_s"), F.col("canonical_id").alias("c_s")
+    )
+    labels_u = connected_components(union_pairs, src="pa", dst="pb").select(
+        F.col("doc_id").alias("k_u"), F.col("canonical_id").alias("c_u")
+    )
+    n_rows = F.count(F.lit(1)).cast("bigint")
+
+    def leg(df: DataFrame, stage: str, idx: int) -> DataFrame:
+        return df.agg(n_rows.alias("n_records")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            "n_records",
+        )
+
+    corrected = (
+        c.select(F.col("c_custkey").alias("k"))
+        .join(labels_s, F.col("k") == F.col("k_s"), "left")
+        .join(labels_u, F.col("k") == F.col("k_u"), "left")
+        .filter(
+            F.coalesce(F.col("c_s"), F.col("k"))
+            != F.coalesce(F.col("c_u"), F.col("k"))
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    merged_u = labels_u.agg(
+        F.coalesce(
+            F.sum((F.col("k_u") != F.col("c_u")).cast("bigint")), zero
+        ).alias("nm")
+    )
+    golden_after = (
+        c.agg(n_rows.alias("t"))
+        .crossJoin(F.broadcast(merged_u))  # 1-row x 1-row scalar join
+        .select(
+            F.lit("golden_records_after").alias("stage"),
+            F.lit(5).cast("bigint").alias("stage_idx"),
+            (F.col("t") - F.col("nm")).cast("bigint").alias("n_records"),
+        )
+    )
+    return (
+        leg(c, "total_records", 0)
+        .unionByName(leg(stream_pairs, "stream_matches", 1))
+        .unionByName(leg(batch_pairs, "batch_matches", 2))
+        .unionByName(leg(batch_only, "batch_only_matches", 3))
+        .unionByName(leg(corrected, "corrected_records", 4))
+        .unionByName(golden_after)
     )

@@ -17,7 +17,7 @@ float could differ between engines and flip a downstream filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -4326,6 +4326,34 @@ def stats_beta_binomial_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever divides.
 WSR_SPLIT_DAYS = 15
 WSR_Z2_MICRO = 3_841_459
+# Exact-verdict operand bound: D <= n(n+1) so 3*D^2*1e6 <= 3e6*n^4,
+# which fits decimal(38,0) to n ~ 2e7 paired users per cell. Past it
+# Spark's 38-cap decimal would silently NULL `significant` while the
+# DuckDB oracle's HUGEINT keeps answering — so the Spark side FAILS
+# LOUDLY instead (round-14 ADVICE; the t-closeness m<2 discipline).
+WSR_N_MAX = 20_000_000
+
+
+def _wsr_guard(n: Column) -> Column:
+    """n_pairs, or a loud per-row error past the documented exact
+    bound — never a silent engine divergence."""
+    return (
+        F.when(n <= F.lit(WSR_N_MAX), n)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("stats_wilcoxon_signed_rank: n_pairs="),
+                    n.cast("string"),
+                    F.lit(
+                        f" exceeds the exact decimal(38,0) verdict bound"
+                        f" {WSR_N_MAX}; 3*D^2*1e6 would overflow and"
+                        " silently NULL `significant`"
+                    ),
+                )
+            )
+        )
+        .cast("bigint")
+    )
 
 
 @register(
@@ -4410,7 +4438,10 @@ WSR_Z2_MICRO = 3_841_459
     "3*D^2*1e6 > z2crit_micro*VAR12 in DECIMAL(38,0) — no engine "
     "ever divides; z_approx is presentation-only (one sqrt). "
     "OPERAND BOUND: D <= n(n+1), so the lhs <= 3e6*n^4 stays inside "
-    "38 digits to n ~ 2e7 paired users per cell. Shape: one (user, "
+    "38 digits to n ~ 2e7 paired users per cell — and the Spark side "
+    "raise_error()s LOUDLY past WSR_N_MAX instead of letting the "
+    "38-cap decimal silently NULL `significant` while the oracle's "
+    "HUGEINT keeps answering (round-14 ADVICE). Shape: one (user, "
     "type, half) reduce touches the facts, then user-dimension "
     "pairing, one |diff|-ordered window per type over the DISTINCT "
     "magnitude table, one rollup — scan-bound at 100 TB.",
@@ -4475,7 +4506,7 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     var12 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_cubes")
     return agg.select(
         "event_type",
-        "n_pairs",
+        _wsr_guard(n).alias("n_pairs"),
         "w2_plus",
         "w2_minus",
         d_stat.cast("bigint").alias("d_stat"),

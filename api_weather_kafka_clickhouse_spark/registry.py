@@ -59,91 +59,82 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # oracle-verified locally in tests/test_oracle_parity.py — the replica
 # that has predicted the driver gate bit-for-bit eleven rounds running.
 #
-# Round-13 rotation (WAVE 5, executed): first-time coverage is
-# exhausted (r12 gated the last of the wave-4 queue), so this wave
-# turns the rotation into a REGRESSION-REPROOF program (r12 verdict
-# item 1). The 46 non-anchor slots hold (a) the 11 queued wave-5
-# names (every query registered after the wave-4 pin); (b) the 1
-# round-13 addition er_funnel (new code meets the driver cold, the
-# r9-r12 discipline); (c) the 34 queries whose last driver row is
-# OLDEST — all 12 r01-last-seen names, both r02 names, all 12 r04
-# names, and the first 8 (by name) of the 16 r05-era names. The goal
-# (no row older than r06) needs 42 stale slots but only 34 exist this
-# round; the remaining 8 r05 names lead the wave-6 queue below.
+# Round-14 rotation (WAVE 6, executed): the regression-reproof
+# program continues (r13 verdict item 1). The 46 non-anchor slots
+# hold (a) the 8 r05-era stragglers wave 5 could not fit; (b) the 5
+# round-13 additions meeting the driver cold (registered after the
+# wave-5 pin); (c) the 1 round-14 addition er_reconcile (new code
+# meets the driver cold — sixth consecutive round of that
+# discipline); (d) the first 32 (by name, stable order) of the 48
+# r06-era names. After this wave no driver row is older than r06 and
+# only 16 r06-era rows remain — they lead the wave-7 queue below.
+# Full rotation history (waves 1-5, rounds 3-13): CHANGES_r12.md
+# appendix + CHANGES_r13.md.
 #
-# Live queue for the NEXT rotation (wave 6) — stale re-proofs first,
-# then queries registered after the wave-5 pin (add new names here in
-# the same commit as @register):
-#   q19_disjunctive_predicates, q4_order_priority,
-#   q6_forecast_revenue, retention_cohorts, shuffle_deterministic,
-#   text_repetition_ratio, window_lag_lead, window_range_frame
-#   (the 8 r05-era rows wave 5 could not fit), then the r06-era block;
-#   new round-13 registrations (gate them cold in wave 6):
-#   privacy_l_diversity (entropy + recursive-(c,l) release gates),
-#   sim_ivf_pq_int8 (IVFADC: coarse cells + PQ/ADC + exact refine),
-#   time_matrix_profile (exact-integer motif/discord profile),
-#   clickhouse_dialect_battery6 (interval analytics: maxIntersections
-#   / maxIntersectionsPosition / intervalLengthSum sweep line),
-#   stats_wilcoxon_signed_rank (paired nonparametric shift test).
+# Live queue for the NEXT rotation (wave 7) — stale re-proofs first
+# (add new names here in the same commit as @register):
+#   scalar_dates, scalar_strings, sessionize, sim_topk_bruteforce,
+#   sort_limit_topk, split_train_holdout, text_bigram_topk,
+#   text_pii_scrub, text_tfidf_topk, text_token_stats,
+#   time_bucket_hourly, time_ewma_per_key, time_resample_gapfill,
+#   window_distribution, window_first_last_nth, window_topk_per_group
+#   (the 16 remaining r06-era rows), then the r07-era block (7 names).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
-    "curation_funnel",  # KEEP: curation chain (gated r7-r12)
-    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r12)
-    "set_ops",  # KEEP: set-operations anchor (gated r1-r12)
-    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10-r12)
-    # --- wave 5a: the 11 queued names (registered r12, never gated) ---
-    "stats_beta_binomial_ranking",
-    "events_rfm_migration",
-    "graph_jaccard_links",
-    "er_sorted_neighborhood",
-    "text_vocab_capture_recapture",
-    "events_decay_weighted_score",
-    "time_max_drawdown",
-    "time_croston_intermittent",
-    "sample_pps_systematic",
-    "privacy_dp_quantiles",
-    "part_xyz_variability",
-    # --- wave 5b: round-13 additions (new code meets the driver cold) ---
-    "er_funnel",  # r13: SNM -> DL verify -> golden records, end to end
-    # --- wave 5c: stale re-proofs, oldest driver row first ---
-    # last driver row r01:
-    "agg_corr_moments",
-    "agg_median_percentile",
-    "conditional_case",
-    "dedup_exact_hash",
-    "distinct_projection",
-    "limit_offset_page",
-    "round_robin_assign",
-    "scalar_dates2",
-    "scalar_format",
-    "scalar_math",
-    "scalar_strings2",
-    "vector_stats",
-    # last driver row r02:
-    "q11_important_stock",
-    "q21_suppliers_kept_waiting",
-    # last driver row r04:
-    "agg_distinct_multi",
-    "agg_pivot",
-    "join_anti",
-    "join_full_outer",
-    "join_semi",
-    "mm_resize_stub",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "text_fingerprint",
-    "window_rank_dense",
-    "window_running_sum",
-    # last driver row r05 (first 8 by name; rest lead the wave-6 queue):
-    "agg_grouping_sets",
-    "agg_rollup",
-    "decontaminate_ngram_overlap",
-    "join_left_outer",
-    "join_null_safe",
-    "pack_sequences",
-    "q10_returned_items",
-    "q14_promo_revenue",
+    "curation_funnel",  # KEEP: curation chain (gated r7-r13)
+    "q8_market_share",  # KEEP: TPC-H battery (gated r7-r13)
+    "set_ops",  # KEEP: set-operations anchor (gated r1-r13)
+    "mm_phash_signatures",  # KEEP: multimodal anchor (hash-checked r10-r13)
+    # --- wave 6a: the 8 r05-era stragglers (oldest driver rows left) ---
+    "q19_disjunctive_predicates",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "retention_cohorts",
+    "shuffle_deterministic",
+    "text_repetition_ratio",
+    "window_lag_lead",
+    "window_range_frame",
+    # --- wave 6b: round-13 additions (registered after the wave-5 pin) ---
+    "privacy_l_diversity",
+    "sim_ivf_pq_int8",
+    "time_matrix_profile",
+    "clickhouse_dialect_battery6",
+    "stats_wilcoxon_signed_rank",
+    # --- wave 6c: round-14 addition (new code meets the driver cold) ---
+    "er_reconcile",  # r14: streaming-vs-batch ER linkage reconciliation
+    # --- wave 6d: r06-era re-proofs, first 32 by name (stable order) ---
+    "agg_collect_sorted",
+    "agg_cube",
+    "agg_groupby_having",
+    "agg_salted_skew",
+    "agg_stats_moments",
+    "corpus_clean_pipeline",
+    "dedup_cluster_canonical",
+    "dedup_embedding_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_survivors_transitive",
+    "events_json_extract",
+    "filter_project",
+    "fuzzy_match_blocked",
+    "in_subquery",
+    "join_asof",
+    "join_broadcast_region",
+    "join_cross_small",
+    "join_flagship_revenue",
+    "join_interval_pairs",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
 )
 
 

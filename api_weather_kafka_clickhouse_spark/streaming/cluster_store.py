@@ -19,9 +19,12 @@ CLUSTERED doc (docs never involved in any pair carry no row — lookup
 misses mean "canonical = self"), which is tiny next to the corpus.
 
 Update cost per batch: merge_components' contraction — one equi-join
-of the new pairs' endpoints against labels, CC over the O(new pairs)
-contracted graph, one broadcast-mapped rewrite. The corpus is never
-re-clustered.
+of the new pairs' endpoints against labels, then the two-tier closure
+(micro-batch-sized contracted graphs fold in ONE limit-collect + a
+driver union-find; backfill-scale folds fall back to distributed CC —
+see MERGE_FOLD_DRIVER_MAX), one broadcast-mapped rewrite. The corpus
+is never re-clustered, and the steady-state per-batch control plane
+is one action plus the label-table swap.
 """
 
 from __future__ import annotations

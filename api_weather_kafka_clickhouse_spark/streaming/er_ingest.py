@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.relational3 import (
+    ER_BLOCK_PREFIX,
     ER_FUNNEL_DL_MAX,
     SNM_BAL_CENTS,
     damerau_levenshtein,
@@ -74,12 +75,13 @@ from .store import (
     verify_scheme_store_run,
 )
 
-# Name chars riding the block key beside nation. Operating point
-# measured on the fixture: at sf0.1 prefix 14 leaves only 50 blocks
-# of ~300 records (222k candidate pairs — blocking in name only);
-# 16 gives ~3.7k blocks of ~4 and 2.7k candidates. Production tunes
-# this per name distribution exactly like LSH band width.
-ER_BLOCK_PREFIX = 16
+# Name chars riding the block key beside nation (ER_BLOCK_PREFIX,
+# imported above — owned by operators/relational3.py so the batch
+# er_reconcile diff runs the SAME blocker). Operating point measured
+# on the fixture: at sf0.1 prefix 14 leaves only 50 blocks of ~300
+# records (222k candidate pairs — blocking in name only); 16 gives
+# ~3.7k blocks of ~4 and 2.7k candidates. Production tunes this per
+# name distribution exactly like LSH band width.
 ER_SCHEME = (
     f"erblock-nation-name{ER_BLOCK_PREFIX}-dl{ER_FUNNEL_DL_MAX}-bal{SNM_BAL_CENTS}"
 )
@@ -225,8 +227,23 @@ def er_ingest_batch(
             _BLOCK_SCHEMA,
             exclude_batch=batch_id,
         )
-        stored_attrs = _latest_attrs(spark, store_dir, exclude_batch=batch_id)
         batch_attrs = recs.select("rec_id", "name", "nation", "bal_cents")
+        # store-side attrs with the BATCH version winning for any
+        # rec_id present in both (round-14 ADVICE): when an attribute
+        # update for X and a potential match Y arrive in the SAME
+        # micro-batch, the store-vs-batch candidate (Y, X_stored) must
+        # be verified against X's CURRENT attributes — ER links are
+        # irreversible monotone merges, so a pair the current version
+        # would reject must never link via the stale stored copy. The
+        # coalesce (anti-join + union) beats a plain anti-join: X's
+        # stored BLOCK rows keep generating candidates (its old block
+        # key may differ from the new one), but every verify sees the
+        # batch's values.
+        stored_attrs = (
+            _latest_attrs(spark, store_dir, exclude_batch=batch_id)
+            .join(batch_attrs.select("rec_id"), "rec_id", "left_anti")
+            .unionByName(batch_attrs)
+        )
 
         # candidates: the bounded bucket joins shared with LSH ingest.
         # new_id != old_id matters HERE though it never did for dedup

@@ -58,7 +58,10 @@ HEADLINE = [
     # new codegen expression tree (PQ argmin: 128 candidate structs
     # per row) — both cost shapes otherwise invisible to the bench
     "graph_tree_depth",
-    "embedding_pq_int8",
+    # (embedding_pq_int8 pruned r14: its PQ-encode einsum + codegen
+    # argmin shape is a stage INSIDE sim_ivf_pq_int8 below, and the
+    # worst-case contract line needed the room — the r12/r13 pruning
+    # discipline)
     # round-8 continuation: retrieval scoring (HOF tf pass + postings
     # ranking — the registry's widest codegen higher-order pipeline)
     # and integer-mass message passing (two join+sum hops over the
@@ -137,6 +140,12 @@ HEADLINE = [
     "privacy_dp_quantiles",
     "time_croston_intermittent",
     "er_funnel",
+    # round-14: the flagship ANN composition (r13 verdict item 3) —
+    # FAISS-style IVFADC: trained int8 coarse cells + fixed integer PQ
+    # codebooks + ADC via broadcast per-query tables + exact integer
+    # refine on the shortlist — benched beside sim_ivf_int8 so the
+    # ADC-vs-full-vector cost gap is public at sf0.1
+    "sim_ivf_pq_int8",
 ]
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from api_weather_kafka_clickhouse_spark.operators import dedup
@@ -239,13 +240,19 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         assert got == expected, f"seed {seed}: {got} != {expected}"
 
 
-def test_merge_components_equals_full_recompute_on_random_splits(spark):
+@pytest.mark.parametrize("driver_max", [100_000, 0])
+def test_merge_components_equals_full_recompute_on_random_splits(
+    spark, monkeypatch, driver_max
+):
     """Incremental contract: labels = CC(E1), then
     merge_components(labels, E2) == CC(E1 u E2) — for random graphs
     randomly split so E2 carries both edges between already-clustered
-    components and brand-new vertices."""
+    components and brand-new vertices. Parametrized over BOTH closure
+    tiers: the default driver union-find fold, and (threshold forced
+    to 0) the distributed connected_components fallback."""
     import random
 
+    monkeypatch.setattr(dedup, "MERGE_FOLD_DRIVER_MAX", driver_max)
     for seed in (3, 41):
         rng = random.Random(seed)
         n_vertices, n_edges = 50, 40

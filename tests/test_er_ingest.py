@@ -171,6 +171,56 @@ def test_er_ingest_batch_is_replay_idempotent(spark, tmp_path):
     assert len(nine) == 1 and nine[0]["name"] == N1  # smallest (name, ...) tuple
 
 
+def test_er_same_batch_update_verifies_with_current_attrs(spark, tmp_path):
+    """When an attribute update for X and a potential match Y arrive in
+    the SAME micro-batch, the store-vs-batch candidate (Y, X_stored)
+    must be verified against X's CURRENT version (round-14 ADVICE): a
+    link the current attributes reject must never form via the stale
+    stored copy — ER merges are irreversible."""
+    from api_weather_kafka_clickhouse_spark.streaming.store import read_store
+
+    store, pairs, labels = _dirs(tmp_path)
+    er_ingest.er_ingest_batch(_batch(spark, [(1, N1, 5, 1000)]), 0, store, pairs, labels)
+    # same batch: X's balance moves OUT of range of Y; the stored copy
+    # (bal 1000, within SNM_BAL_CENTS of Y) must not win the verify
+    er_ingest.er_ingest_batch(
+        _batch(spark, [(1, N1, 5, 200_000), (2, N1_TYPO, 5, 1500)]),
+        1,
+        store,
+        pairs,
+        labels,
+    )
+    assert read_store(spark, pairs, "doc_a bigint, doc_b bigint").count() == 0
+    assert cluster_store.read_labels(spark, labels).count() == 0
+
+    # the coalesce keeps the OLD-block candidate path alive (fresh
+    # store): X's update renames it INSIDE the block prefix (new block
+    # != stored block), and Z blocks with X's STORED key — the
+    # candidate comes from the stored block row, the verify must use
+    # the new name (DL 2 from Z) and new balance: link expected. A
+    # plain anti-join of stored attrs would have dropped this pair.
+    store2, pairs2, labels2 = (
+        str(tmp_path / "store2"),
+        str(tmp_path / "pairs2"),
+        str(tmp_path / "labels2"),
+    )
+    er_ingest.er_ingest_batch(
+        _batch(spark, [(1, N1, 5, 1000)]), 0, store2, pairs2, labels2
+    )
+    er_ingest.er_ingest_batch(
+        _batch(spark, [(1, OTHER_BLOCK, 5, 1600), (3, N1_TYPO, 5, 1500)]),
+        1,
+        store2,
+        pairs2,
+        labels2,
+    )
+    lab = {
+        r["doc_id"]: r["canonical_id"]
+        for r in cluster_store.read_labels(spark, labels2).collect()
+    }
+    assert lab == {1: 1, 3: 1}
+
+
 def test_er_streaming_wiring_end_to_end(spark, tmp_path):
     d = tmp_path / "er_in"
     d.mkdir()

@@ -9,6 +9,7 @@ in the verify sweep.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from api_weather_kafka_clickhouse_spark import registry
 
@@ -375,3 +376,27 @@ def test_wilcoxon_matches_python_textbook(spark, sf_dir):
         assert abs(r["z_approx"] - z) < 1e-5
         assert r["significant"] == (z * z > 3.841459)
     assert set(got) <= set(half.index.get_level_values("event_type"))
+
+
+def test_wilcoxon_overflow_guard_raises_loudly(spark):
+    """Past WSR_N_MAX the 38-cap decimal verdict would silently NULL
+    `significant` while the DuckDB oracle's HUGEINT keeps answering —
+    the guard must turn that silent engine divergence into a loud
+    error, and must stay transparent at and below the bound."""
+    from pyspark.sql import functions as F
+
+    from api_weather_kafka_clickhouse_spark.operators.stats import (
+        WSR_N_MAX,
+        _wsr_guard,
+    )
+
+    ok = (
+        spark.range(1)
+        .select(_wsr_guard(F.lit(WSR_N_MAX).cast("bigint")).alias("n_pairs"))
+        .collect()
+    )
+    assert ok[0]["n_pairs"] == WSR_N_MAX
+    with pytest.raises(Exception, match="exceeds the exact decimal"):
+        spark.range(1).select(
+            _wsr_guard(F.lit(WSR_N_MAX + 1).cast("bigint")).alias("n_pairs")
+        ).collect()
