@@ -2797,3 +2797,78 @@ def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(corrected, "corrected_records", 4))
         .unionByName(golden_after)
     )
+
+
+# --- k-map release audit (round 14) ----------------------------------------
+
+KMAP_K = 10  # population classes smaller than this are re-identifiable
+
+
+@register(
+    "privacy_k_map",
+    oracle=f"""
+    WITH pop AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_population
+      FROM customer GROUP BY 1, 2
+    ),
+    samp AS (
+      SELECT c.c_mktsegment, c.c_nationkey,
+             CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_sample
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    )
+    SELECT s.c_mktsegment, s.c_nationkey, s.n_sample, p.n_population,
+           (p.n_population < {KMAP_K}) AS at_risk,
+           round(1.0 / p.n_population, 9) AS reident_risk
+    FROM samp s
+    JOIN pop p
+      ON p.c_mktsegment = s.c_mktsegment AND p.c_nationkey = s.c_nationkey
+    """,
+    doc="k-map release audit over quasi-identifiers — the POPULATION "
+    "attack model the k-anonymity family's fourth rung: "
+    "privacy_k_anonymity measures class sizes INSIDE the released "
+    "sample, which overstates risk when the release is a subset (a "
+    "sample-unique record is safe if its QI class is common in the "
+    "population the attacker actually matches against). Here the "
+    "release is the FULFILLED-order cohort (customers with >= 1 "
+    "status-'F' order — a proper subset: on this fixture every "
+    "customer transacts, so an all-orders release would collapse "
+    "sample onto population and the two models could never "
+    "disagree), the population is the full customer dimension, and each "
+    "released (segment, nation) class reports its sample count, its "
+    "POPULATION count, the k-map violation flag (population class "
+    f"< {KMAP_K} -> linkage attack re-identifies), and the "
+    "per-record re-identification risk 1/N_population "
+    "(presentation-only single division, round 9). Shape: two "
+    "map-side-combined reduces (population classes; distinct "
+    "transacting customers per class via one orders semi-reduce) and "
+    "one QI-bounded class join — at 100 TB both sides of the final "
+    "join are quasi-identifier-bounded (|segments| x |nations|), "
+    "never row-bounded; the orders scan is the only fact pass. "
+    "Reference contact: none (no privacy surface in the reference; "
+    "north-star §2-D release-audit family).",
+)
+def privacy_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    pop = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_population")
+    )
+    samp = (
+        c.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            c["c_custkey"] == o["o_custkey"],
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.countDistinct("c_custkey").cast("bigint").alias("n_sample"))
+    )
+    return samp.join(pop, ["c_mktsegment", "c_nationkey"]).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n_sample",
+        "n_population",
+        (F.col("n_population") < KMAP_K).alias("at_risk"),
+        F.round(F.lit(1.0) / F.col("n_population"), 9).alias("reident_risk"),
+    )

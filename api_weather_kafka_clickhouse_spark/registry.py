@@ -78,7 +78,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   text_pii_scrub, text_tfidf_topk, text_token_stats,
 #   time_bucket_hourly, time_ewma_per_key, time_resample_gapfill,
 #   window_distribution, window_first_last_nth, window_topk_per_group
-#   (the 16 remaining r06-era rows), then the r07-era block (7 names).
+#   (the 16 remaining r06-era rows), then the r07-era block (7 names);
+#   new round-14 registrations (gate them cold in wave 7):
+#   er_reconcile is ALREADY gated (wave 6c); new:
+#   stats_mann_kendall (exact-integer monotonic trend test, the
+#   Wilcoxon family's unpaired trend sibling),
+#   privacy_k_map (population attack model: sample class counts vs
+#   population class counts — the release-audit family's k-map rung).
 _PRIORITY: tuple[str, ...] = (
     # family keeps (no other gate-able member of their family)
     "curation_funnel",  # KEEP: curation chain (gated r7-r13)

@@ -251,6 +251,41 @@ def test_er_streaming_wiring_end_to_end(spark, tmp_path):
     assert len(golden) == 1 and golden[0]["n_sources"] == 2
 
 
+def test_reconcile_store_repairs_blocking_recall_miss(spark, tmp_path):
+    """The documented streaming recall miss (an edit INSIDE the block
+    prefix lands in another block) is repaired by the scheduled
+    reconcile_store sweep: sort-adjacency over the store's current
+    attrs finds the link, folds it monotonically into the label
+    store, and a re-run is an idempotent no-op (no repairs, no label
+    swap)."""
+    store, pairs, labels = _dirs(tmp_path)
+    er_ingest.er_ingest_batch(_batch(spark, [(1, N1, 5, 1000)]), 0, store, pairs, labels)
+    er_ingest.er_ingest_batch(
+        _batch(spark, [(5, OTHER_BLOCK, 5, 1000)]), 1, store, pairs, labels
+    )
+    # streaming alone: different blocks -> never paired
+    assert cluster_store.read_labels(spark, labels).count() == 0
+
+    got = er_ingest.reconcile_store(spark, store, pairs, labels, 1_000_000)
+    assert got == {"swept_pairs": 1, "new_links": 1}
+    lab = {
+        r["doc_id"]: r["canonical_id"]
+        for r in cluster_store.read_labels(spark, labels).collect()
+    }
+    assert lab == {1: 1, 5: 1}
+    golden = er_ingest.resolve_golden(spark, store, labels).collect()
+    assert len(golden) == 1 and golden[0]["n_sources"] == 2
+
+    # idempotent re-run: the same pair sweeps again but repairs nothing
+    again = er_ingest.reconcile_store(spark, store, pairs, labels, 1_000_000)
+    assert again == {"swept_pairs": 1, "new_links": 0}
+    lab2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in cluster_store.read_labels(spark, labels).collect()
+    }
+    assert lab2 == lab
+
+
 def test_er_reingested_record_is_an_update_not_a_self_match(spark, tmp_path):
     """A re-sent rec_id (attribute update — a normal MDM stream event)
     must not self-match against its own stored copy, must not inflate

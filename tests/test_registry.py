@@ -51,7 +51,7 @@ def test_registry_totals_are_pinned():
     specs = registry.all_specs()
     total = len(specs)
     oracle = sum(1 for s in specs.values() if s.oracle is not None)
-    assert (total, oracle, total - oracle) == (349, 343, 6), (
+    assert (total, oracle, total - oracle) == (351, 345, 6), (
         total,
         oracle,
         total - oracle,

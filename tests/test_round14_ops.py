@@ -147,3 +147,125 @@ def test_er_reconcile_full_funnel_at_driver_scale(spark):
     assert want["batch_only_matches"][1] > 0
     assert want["corrected_records"][1] > 0
     assert want["stream_matches"][1] > want["batch_matches"][1]
+
+
+# ------------------------------------------------ stats_mann_kendall
+
+
+def test_mann_kendall_matches_python_textbook(spark, sf_dir):
+    """Textbook re-derivation: pandas daily sums, a plain double loop
+    for S, tie groups from a Counter, float variance and z from math
+    (not the operator's x18-integral lattice or cross-multiplied
+    verdict) — so a shared formulation bug can't self-pass."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+            CAST(round(value * 100) AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchdf()
+    daily = (
+        pdf.groupby(["event_type", "day"])["c"].sum().reset_index(name="x")
+    )
+    got = {
+        r["event_type"]: r
+        for r in SPECS["stats_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily["event_type"].unique())
+    for et, g in daily.groupby("event_type"):
+        xs = [int(x) for _, x in sorted(zip(g["day"], g["x"]))]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        var = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        ) / 18.0
+        if var > 0 and s != 0:
+            z = (s - (1 if s > 0 else -1)) / math.sqrt(var)
+        else:
+            z = 0.0
+        sig = s != 0 and z * z > 3.841459
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["s_stat"] == s
+        assert r["var18"] == round(18 * var)
+        assert abs(r["z_approx"] - z) < 1e-5
+        assert r["significant"] == sig
+        assert r["trend"] == (
+            "no_trend" if not sig else ("increasing" if s > 0 else "decreasing")
+        )
+
+
+# ------------------------------------------------ privacy_k_map
+
+
+def test_k_map_matches_python_reference(spark, sf_dir):
+    """Independent pandas re-derivation of the population attack
+    model: population class sizes from the customer dimension, sample
+    class sizes from the set of transacting customers, risk flags at
+    K=10 — plain dict arithmetic, no SQL."""
+    import duckdb
+
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment, c_nationkey FROM '{sf_dir}/customer.parquet'"
+    ).fetchdf()
+    buyers = set(
+        duckdb.sql(
+            f"""SELECT DISTINCT o_custkey FROM '{sf_dir}/orders.parquet'
+            WHERE o_orderstatus = 'F'"""
+        ).fetchdf()["o_custkey"]
+    )
+    pop: dict[tuple, int] = {}
+    samp: dict[tuple, int] = {}
+    for r in cust.itertuples():
+        qi = (r.c_mktsegment, r.c_nationkey)
+        pop[qi] = pop.get(qi, 0) + 1
+        if r.c_custkey in buyers:
+            samp[qi] = samp.get(qi, 0) + 1
+    got = {
+        (r["c_mktsegment"], r["c_nationkey"]): r
+        for r in SPECS["privacy_k_map"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(samp)  # only RELEASED classes are audited
+    for qi, row in got.items():
+        assert row["n_sample"] == samp[qi]
+        assert row["n_population"] == pop[qi]
+        assert row["at_risk"] == (pop[qi] < 10)
+        assert abs(row["reident_risk"] - round(1.0 / pop[qi], 9)) < 1e-12
+    # non-vacuity at the small fixture: the risk flag actually fires
+    assert any(r["at_risk"] for r in got.values())
+
+
+@pytest.mark.slow
+def test_k_map_separates_sample_and_population_models():
+    """The whole point of k-map vs k-anonymity: at sf0.01 some class
+    must be SAMPLE-rare (k-anonymity on the release would flag it)
+    yet POPULATION-safe (the k-map attacker cannot single it out) —
+    on the tiny sf0.001 fixture every class is rare in both models
+    and the distinction is vacuous."""
+    import duckdb
+
+    sf01 = "/root/testdata/sf0.01"
+    rows = duckdb.sql(
+        f"""WITH pop AS (
+              SELECT c_mktsegment, c_nationkey, count(*) AS np
+              FROM '{sf01}/customer.parquet' GROUP BY 1, 2),
+            samp AS (
+              SELECT c.c_mktsegment, c.c_nationkey,
+                     count(DISTINCT c.c_custkey) AS ns
+              FROM '{sf01}/customer.parquet' c
+              JOIN '{sf01}/orders.parquet' o ON o.o_custkey = c.c_custkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY 1, 2)
+            SELECT ns, np FROM samp JOIN pop USING (c_mktsegment, c_nationkey)
+        """
+    ).fetchall()
+    assert any(ns < 10 <= np for ns, np in rows)
