@@ -1166,36 +1166,53 @@ def merge_components(
         .distinct()
     )
     spark = pairs.sparkSession
-    head = contracted.limit(MERGE_FOLD_DRIVER_MAX + 1).collect()
-    if len(head) <= MERGE_FOLD_DRIVER_MAX:
-        # driver tier: union-find over the contracted edges (min-label
-        # components, identical semantics to connected_components);
-        # only REMAPPED canonicals need a mapping row — identity rows
-        # would ride the broadcast for nothing
-        parent: dict[int, int] = {}
+    # persisted across the tier probe: the limit-collect evaluates the
+    # two-join contraction plan, and on the OVER-threshold branch
+    # connected_components would otherwise re-execute that exact plan
+    # into its edge checkpoint — doubling the dominant cost precisely
+    # when the fold is large (round-14 review). Both tiers fully
+    # materialize `mapping` before the finally releases the cache
+    # (the driver tier via createDataFrame; CC via its internal
+    # checkpoints, whose lineage never re-reads `contracted`).
+    contracted = contracted.persist()
+    try:
+        head = contracted.limit(MERGE_FOLD_DRIVER_MAX + 1).collect()
+        if len(head) <= MERGE_FOLD_DRIVER_MAX:
+            # driver tier: union-find over the contracted edges
+            # (min-label components, identical semantics to
+            # connected_components); only REMAPPED canonicals need a
+            # mapping row — identity rows would ride the broadcast
+            # for nothing
+            parent: dict[int, int] = {}
 
-        def _find(x: int) -> int:
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
+            def _find(x: int) -> int:
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
 
-        for r in head:
-            a, b = _find(int(r["canon_a"])), _find(int(r["canon_b"]))
-            if a != b:
-                parent[max(a, b)] = min(a, b)
-        vertices = {int(v) for r in head for v in (r["canon_a"], r["canon_b"])}
-        remap = [(v, _find(v)) for v in vertices if _find(v) != v]
-        mapping = spark.createDataFrame(
-            remap, "old_canon bigint, new_canon bigint"
-        )
-    else:
-        # distributed tier: CC over the contracted graph — still
-        # O(new pairs) vertices/edges, never the corpus
-        mapping = connected_components(contracted, "canon_a", "canon_b").select(
-            F.col("doc_id").alias("old_canon"),
-            F.col("canonical_id").alias("new_canon"),
-        )
+            for r in head:
+                a, b = _find(int(r["canon_a"])), _find(int(r["canon_b"]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+            vertices = {
+                int(v) for r in head for v in (r["canon_a"], r["canon_b"])
+            }
+            remap = [(v, _find(v)) for v in vertices if _find(v) != v]
+            mapping = spark.createDataFrame(
+                remap, "old_canon bigint, new_canon bigint"
+            )
+        else:
+            # distributed tier: CC over the contracted graph — still
+            # O(new pairs) vertices/edges, never the corpus
+            mapping = connected_components(
+                contracted, "canon_a", "canon_b"
+            ).select(
+                F.col("doc_id").alias("old_canon"),
+                F.col("canonical_id").alias("new_canon"),
+            )
+    finally:
+        contracted.unpersist()
     updated = labels.join(
         F.broadcast(mapping), labels["canonical_id"] == mapping["old_canon"], "left"
     ).select(

@@ -793,6 +793,24 @@ def damerau_levenshtein(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
+def dl_pandas_udf():
+    """Arrow-batched Damerau-Levenshtein column UDF — built lazily
+    because pandas_udf registration needs an active session (a
+    module-level decorator breaks plain imports, the r13 lesson).
+    ONE definition for every verify site (fuzzy_match_damerau,
+    er_funnel, er_reconcile, streaming/er_ingest) so a change to the
+    metric's dtype/null/batching contract lands everywhere at once
+    (round-14 review consolidation)."""
+
+    @F.pandas_udf("long")
+    def dl(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    return dl
+
+
 @register(
     "fuzzy_match_damerau",
     oracle=f"""
@@ -820,11 +838,7 @@ def damerau_levenshtein(a: str, b: str) -> int:
     "random strings including transpositions.",
 )
 def fuzzy_match_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    @F.pandas_udf("long")
-    def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
-        )
+    dl_udf = dl_pandas_udf()
 
     p = load(spark, "part", sf_dir)
     names = p.select("p_name").distinct()
@@ -2294,11 +2308,7 @@ def _er_funnel_oracle() -> str:
 def er_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
-    @F.pandas_udf("long")
-    def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
-        )
+    dl_udf = dl_pandas_udf()
 
     c = load(spark, "customer", sf_dir)
     cand = _snm_candidate_pairs(spark, sf_dir, carry_names=True)
@@ -2696,11 +2706,7 @@ def _er_reconcile_oracle() -> str:
 def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
-    @F.pandas_udf("long")
-    def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
-        )
+    dl_udf = dl_pandas_udf()
 
     c = load(spark, "customer", sf_dir)
     s = c.select(

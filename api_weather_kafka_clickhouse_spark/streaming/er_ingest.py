@@ -54,7 +54,6 @@ from __future__ import annotations
 import os
 import time as _time
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -63,7 +62,8 @@ from ..operators.relational3 import (
     ER_BLOCK_PREFIX,
     ER_FUNNEL_DL_MAX,
     SNM_BAL_CENTS,
-    damerau_levenshtein,
+    SNM_WINDOW,
+    dl_pandas_udf,
 )
 from .cluster_store import read_labels, update_labels
 from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
@@ -90,16 +90,9 @@ _BLOCK_SCHEMA = "rec_id bigint, band_idx int, band_key string"
 _ATTR_SCHEMA = "rec_id bigint, name string, nation bigint, bal_cents bigint"
 
 
-def _dl_udf():
-    # built lazily: pandas_udf registration needs an active session,
-    # so a module-level decorator would break plain imports
-    @F.pandas_udf("long")
-    def dl(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
-        )
-
-    return dl
+# the shared lazy Damerau-Levenshtein UDF builder (ONE definition for
+# batch and streaming verify sites — round-14 review consolidation)
+_dl_udf = dl_pandas_udf
 
 
 def _block_key() -> F.Column:
@@ -358,7 +351,7 @@ def reconcile_store(
     pairs_dir: str,
     labels_dir: str,
     reconcile_batch_id: int,
-    window: int = 4,
+    window: int = SNM_WINDOW,
 ) -> dict[str, int]:
     """Scheduled batch reconciliation of the maintained label store —
     the OPERATIONAL twin of the ``er_reconcile`` report query
@@ -374,13 +367,22 @@ def reconcile_store(
 
     The sweep is the er_funnel SNM shape over ``_latest_attrs``:
     partition by nation (the store has no segment column; nation
-    already rides every verify), ONE window's worth of leads in sort
-    order (name, rec_id), the shared verify (balance in exact cents +
-    true Damerau-Levenshtein). Matched pairs are logged to the pairs
-    store under ``reconcile_batch_id`` — same dynamic-partition
-    overwrite idempotence as ingest batches; use an id disjoint from
-    the ingest stream's (e.g. negative or a high epoch) — and folded
-    with the same two-tier contraction the ingest uses.
+    already rides every verify), ONE window's worth of leads
+    (``SNM_WINDOW``, shared with the batch funnel so the two can
+    never run different operating points) in sort order (name,
+    rec_id), the shared verify (balance in exact cents + true
+    Damerau-Levenshtein). Matched pairs are logged to the pairs
+    store under ``reconcile_batch_id`` with the same
+    dynamic-partition-overwrite idempotence as ingest batches.
+    ``reconcile_batch_id`` MUST be negative (enforced: streaming
+    ingest batch ids are always >= 0, so negatives can never collide
+    with the stream) and MUST be unique per SCHEDULED run — e.g.
+    ``-(epoch_seconds)`` — because a reused id overwrites the
+    earlier sweep's pairs partition: the labels keep the old merges
+    (monotone) but the pairs log would no longer record the edges
+    justifying them, breaking audit/rebuild-from-log (round-14
+    review). Replaying a CRASHED run with its own id is the intended
+    idempotent case.
 
     Returns ``{"swept_pairs": ..., "new_links": ...}`` where
     new_links counts pairs whose endpoints were in DIFFERENT
@@ -390,6 +392,12 @@ def reconcile_store(
     lake), one nation-partitioned sort window, DL per candidate
     (window-1 per record), and a contraction over O(new links) — the
     weekly batch job beside the always-on ingest."""
+    if reconcile_batch_id >= 0:
+        raise ValueError(
+            "reconcile_batch_id must be negative (unique per scheduled "
+            "run, e.g. -(epoch seconds)): non-negative ids collide with "
+            f"streaming ingest partitions; got {reconcile_batch_id}"
+        )
     attrs = _latest_attrs(spark, store_dir)
     w = Window.partitionBy("nation").orderBy("name", "rec_id")
     lead_cols = []

@@ -266,7 +266,7 @@ def test_reconcile_store_repairs_blocking_recall_miss(spark, tmp_path):
     # streaming alone: different blocks -> never paired
     assert cluster_store.read_labels(spark, labels).count() == 0
 
-    got = er_ingest.reconcile_store(spark, store, pairs, labels, 1_000_000)
+    got = er_ingest.reconcile_store(spark, store, pairs, labels, -1)
     assert got == {"swept_pairs": 1, "new_links": 1}
     lab = {
         r["doc_id"]: r["canonical_id"]
@@ -277,8 +277,11 @@ def test_reconcile_store_repairs_blocking_recall_miss(spark, tmp_path):
     assert len(golden) == 1 and golden[0]["n_sources"] == 2
 
     # idempotent re-run: the same pair sweeps again but repairs nothing
-    again = er_ingest.reconcile_store(spark, store, pairs, labels, 1_000_000)
+    again = er_ingest.reconcile_store(spark, store, pairs, labels, -1)
     assert again == {"swept_pairs": 1, "new_links": 0}
+    # non-negative ids would collide with streaming ingest partitions
+    with pytest.raises(ValueError, match="must be negative"):
+        er_ingest.reconcile_store(spark, store, pairs, labels, 2)
     lab2 = {
         r["doc_id"]: r["canonical_id"]
         for r in cluster_store.read_labels(spark, labels).collect()
