@@ -370,3 +370,20 @@ def test_vad_segments_shuffle_is_doc_keyed_only(spark, sf_dir):
     plan = checks.simple_plan(df)
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_er_reconcile_plan_shape(spark, sf_dir):
+    """The reconciler's two generators keep their scale shapes inside
+    ONE composed plan: the stream leg is an equality hash join on the
+    block key (never a cartesian), the batch leg is the single-window
+    SNM pass, the DL verify is Arrow-batched (ArrowEvalPython, not
+    row-at-a-time BatchEvalPython), and the only nested loops are the
+    sanctioned 1-row scalar broadcasts of the count legs."""
+    df = SPECS["er_reconcile"].fn(spark, sf_dir)
+    plan = checks.simple_plan(df)
+    assert "Window" in plan, plan  # the SNM leg's one sort window
+    assert "ArrowEvalPython" in plan, plan  # the per-candidate DL verify
+    assert "BatchEvalPython" not in plan, plan  # never row-at-a-time
+    # block join + labels joins are hash equi-joins; the only
+    # nested-loop joins are the dimension-bounded 1-row scalar anchors
+    assert checks.unbounded_nested_loop_count(df) <= 1, plan
