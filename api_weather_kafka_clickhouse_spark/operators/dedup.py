@@ -948,6 +948,11 @@ CC_MAX_ITERATIONS = 50
 # shuffle the algorithm already pays.
 CC_CHECKPOINT_EVERY = 2
 
+# Driver-fold ceiling for the two-tier closure (see docstring below):
+# pair graphs up to this edge count close with one limit-collect + a
+# driver union-find; larger graphs take the distributed iteration.
+CC_DRIVER_FOLD_MAX = 100_000
+
 
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """(doc_id, canonical_id) for every vertex of the pair graph,
@@ -989,6 +994,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     checkpoint's columnar files. All caches, including each round's
     labels, are released on every exit path.
 
+    TWO-TIER (round 14, the merge_components pattern): the iterative
+    machinery above carries a FIXED control-plane cost — the edge
+    checkpoint write plus >=2 iteration jobs each ending in a
+    convergence collect — that dwarfs the actual work when the pair
+    graph is small. Up to CC_DRIVER_FOLD_MAX edges (100k, ~1.6 MB as
+    two longs each — bounded driver metadata under the same
+    discipline as the convergence scalars themselves) the closure is
+    ONE limit-collect plus a driver union-find with identical
+    min-label semantics; past it the distributed path runs
+    unchanged. The threshold variable is EDGE count, not corpus
+    size: a 100 TB dedup run emits billions of pairs and takes the
+    distributed path it needs, while a funnel/report query whose
+    match graph is thousands of edges stops paying seconds of
+    per-call scheduling overhead. The union-find property tests are
+    parametrized to force BOTH tiers.
+
     At 100 TB: edges carry two longs per near-dup pair (no text, no
     signatures); each iteration shuffles O(E) longs. Skewed hub
     vertices are AQE's skew-join case, and the driver sees one scalar
@@ -996,6 +1017,30 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     """
     pairs = pairs.persist()
     labels = None
+    head = pairs.select(
+        F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    ).limit(CC_DRIVER_FOLD_MAX + 1).collect()
+    if len(head) <= CC_DRIVER_FOLD_MAX:
+        # driver tier: union-find, canonical = min id per component,
+        # one row for EVERY vertex (identity rows included — callers
+        # and tests rely on full vertex coverage)
+        pairs.unpersist()
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in head:
+            a, b = _find(int(r[0])), _find(int(r[1]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        verts = sorted({int(v) for r in head for v in (r[0], r[1])})
+        return pairs.sparkSession.createDataFrame(
+            [(v, _find(v)) for v in verts], "doc_id bigint, canonical_id bigint"
+        )
     try:
         edges = pairs.select(
             F.col(src).alias("e_src"), F.col(dst).alias("e_dst")

@@ -138,10 +138,14 @@ def test_embedding_lsh_is_exact_subset_with_recall(spark, sf_dir):
         assert recall >= 0.4, f"embedding LSH recall {recall:.2f}"
 
 
-def test_connected_components_transitive_chain(spark):
+@pytest.mark.parametrize("driver_max", [100_000, 0])
+def test_connected_components_transitive_chain(spark, monkeypatch, driver_max):
     """A 4-edge chain needs multiple propagation rounds: every vertex
     must land on the component min even though no direct pair links
-    the endpoints; a separate 2-clique must stay its own component."""
+    the endpoints; a separate 2-clique must stay its own component.
+    Parametrized over both closure tiers (driver union-find fold and,
+    threshold forced to 0, the distributed iteration)."""
+    monkeypatch.setattr(dedup, "CC_DRIVER_FOLD_MAX", driver_max)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a bigint, doc_b bigint"
     )
@@ -152,12 +156,14 @@ def test_connected_components_transitive_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
 
 
-def test_connected_components_empty_pairs(spark):
+@pytest.mark.parametrize("driver_max", [100_000, 0])
+def test_connected_components_empty_pairs(spark, monkeypatch, driver_max):
+    monkeypatch.setattr(dedup, "CC_DRIVER_FOLD_MAX", driver_max)
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert dedup.connected_components(pairs).count() == 0
 
 
-def test_connected_components_releases_scratch(spark):
+def test_connected_components_releases_scratch(spark, monkeypatch):
     """After a CC call exactly ONE scratch checkpoint may remain — the
     result itself. The O(E) cc_edges stage (the operator's largest
     artifact) and any iteration snapshots must be dropped the moment
@@ -165,6 +171,7 @@ def test_connected_components_releases_scratch(spark):
     one stranded edges dir per call × bench runs adds up)."""
     from api_weather_kafka_clickhouse_spark.plans import stage
 
+    monkeypatch.setattr(dedup, "CC_DRIVER_FOLD_MAX", 0)  # distributed tier
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
     )
@@ -180,7 +187,7 @@ def test_connected_components_releases_scratch(spark):
     stage.drop_checkpoint_dir(spark, created[0])
 
 
-def test_connected_components_lazy_mode_result_stays_evaluable(spark):
+def test_connected_components_lazy_mode_result_stays_evaluable(spark, monkeypatch):
     """Under lazy_plans() eager_release returns the UNMATERIALIZED
     plan, whose lineage still scans the cc_edges / iteration-snapshot
     files — the operator must NOT delete them there (round-6 review:
@@ -188,6 +195,7 @@ def test_connected_components_lazy_mode_result_stays_evaluable(spark):
     FileNotFoundException on first evaluation)."""
     from api_weather_kafka_clickhouse_spark.plans import stage
 
+    monkeypatch.setattr(dedup, "CC_DRIVER_FOLD_MAX", 0)  # distributed tier
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
     )
@@ -201,12 +209,16 @@ def test_connected_components_lazy_mode_result_stays_evaluable(spark):
         stage.drop_checkpoint_dir(spark, d)
 
 
-def test_connected_components_matches_union_find_on_random_graphs(spark):
-    """Property check: on seeded random graphs the distributed
-    min-label propagation equals a reference union-find exactly —
-    star, chain, cycle, and forest shapes all arise across seeds."""
+@pytest.mark.parametrize("driver_max", [100_000, 0])
+def test_connected_components_matches_union_find_on_random_graphs(
+    spark, monkeypatch, driver_max
+):
+    """Property check: on seeded random graphs BOTH closure tiers
+    equal a reference union-find exactly — star, chain, cycle, and
+    forest shapes all arise across seeds."""
     import random
 
+    monkeypatch.setattr(dedup, "CC_DRIVER_FOLD_MAX", driver_max)
     for seed in (7, 23, 91):
         rng = random.Random(seed)
         n_vertices, n_edges = 60, 45
@@ -304,12 +316,13 @@ def test_merge_components_noop_and_new_vertex_edges(spark):
     assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}
 
 
-def test_connected_components_long_chain_converges_logarithmically(spark):
+def test_connected_components_long_chain_converges_logarithmically(spark, monkeypatch):
     """A 2000-link chain has diameter 2000 — plain neighbor
     propagation needs 2000 rounds and blows the 50-iteration guard;
     the pointer-doubling term must converge it in O(log n) rounds
     with every vertex on the chain minimum."""
     n = 2001
+    monkeypatch.setattr(dedup, "CC_DRIVER_FOLD_MAX", 0)  # distributed tier
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
     )
