@@ -675,13 +675,21 @@ def _pagerank_masses(spark: SparkSession, sf_dir: str):
         )
         .persist()
     )
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
+    # node set derived FROM the degree aggregate (round-15, §2.4):
+    # the separate e.select(src).distinct() was a second full
+    # exchange+aggregate over the symmetrized edge list computing the
+    # same key set the degree groupBy already reduces to — on a
+    # symmetrized graph every node has an out-edge, so deg's keys ARE
+    # the node set.
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .persist()
     )
+    nodes = deg.select("node")
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     m = nodes.select("node", F.lit(PR_MASS).cast("bigint").alias("mass"))
-    caches = [e, nodes]
+    caches = [e, deg]
     for _ in range(PR_HOPS):
         qn = (
             m.join(F.broadcast(deg), "node")

@@ -131,7 +131,23 @@ def _shingles_exploded(docs: DataFrame, cap: int | None = SHINGLE_DF_CAP) -> Dat
     """
     from pyspark.sql import Window
 
-    t = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    # Shuffle the NARROW doc rows by doc_id BEFORE the token explode
+    # (round-15, guide §2.3/§2.5): the lead-window below needs doc_id
+    # clustering either way, but without this the exchange sat ABOVE
+    # the explode and carried one row per TOKEN (the same text bytes
+    # plus ~16B/row of id+pos overhead), while the tokenize/explode
+    # itself ran at the SCAN's parallelism — one task on a one-split
+    # local file, one task per 128MB split at scale. Moving the
+    # exchange below the explode shuffles doc-sized rows once and
+    # runs explode+window+hash at defaultParallelism (scale-adaptive:
+    # local[N] -> N, a cluster -> its total cores — never a constant).
+    # The count is explicit because AQE would otherwise coalesce this
+    # deliberately-small exchange back to one partition and
+    # re-serialize the compute.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = docs.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     e = (
@@ -523,7 +539,15 @@ def simhash_md5_signatures(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    t = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    # pre-explode doc_id repartition: same rationale as
+    # _shingles_exploded (round-15) — the window exchange moves below
+    # the explode (doc rows instead of token rows on the wire) and
+    # the md5 signature math runs at defaultParallelism instead of
+    # the scan's split count
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = docs.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     e = (
@@ -954,7 +978,12 @@ CC_CHECKPOINT_EVERY = 2
 CC_DRIVER_FOLD_MAX = 100_000
 
 
-def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    force_distributed: bool = False,
+) -> DataFrame:
     """(doc_id, canonical_id) for every vertex of the pair graph,
     canonical_id = the smallest doc_id in the vertex's connected
     component — distributed min-label propagation.
@@ -1014,44 +1043,76 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     signatures); each iteration shuffles O(E) longs. Skewed hub
     vertices are AQE's skew-join case, and the driver sees one scalar
     per round — nothing else leaves the executors.
+
+    ``force_distributed`` (round-15): skip the tier probe and run the
+    distributed path directly. For callers that ALREADY know the edge
+    count is over CC_DRIVER_FOLD_MAX — merge_components' over-
+    threshold branch had just collected its own identical 100k-row
+    probe of the same frame, so the second probe here was a redundant
+    limit-collect job on exactly the cost-sensitive large-fold path
+    (round-14 ADVICE).
+
+    Schema contract (round-15, round-14 ADVICE): BOTH tiers cast
+    endpoints to bigint and return ``doc_id bigint, canonical_id
+    bigint`` — previously the distributed tier preserved input types
+    while the driver tier cast, so the two tiers had divergent
+    schema contracts for future callers. (Every current caller
+    already passes bigint ids, so the cast is a no-op on values.)
     """
-    pairs = pairs.persist()
+    # respect a cache the CALLER owns (round-15): composed operators
+    # (er_reconcile) persist their pair frames for their own fan-out;
+    # blindly persisting+unpersisting here would drop the caller's
+    # cache the moment the tier probe finished. Only manage the cache
+    # we created.
+    sl = pairs.storageLevel
+    caller_cached = sl.useMemory or sl.useDisk
+    if not caller_cached:
+        pairs = pairs.persist()
     labels = None
-    head = pairs.select(
-        F.col(src).cast("bigint"), F.col(dst).cast("bigint")
-    ).limit(CC_DRIVER_FOLD_MAX + 1).collect()
-    if len(head) <= CC_DRIVER_FOLD_MAX:
-        # driver tier: union-find, canonical = min id per component,
-        # one row for EVERY vertex (identity rows included — callers
-        # and tests rely on full vertex coverage)
-        pairs.unpersist()
-        parent: dict[int, int] = {}
+    if not force_distributed:
+        head = pairs.select(
+            F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+        ).limit(CC_DRIVER_FOLD_MAX + 1).collect()
+        if len(head) <= CC_DRIVER_FOLD_MAX:
+            # driver tier: union-find, canonical = min id per component,
+            # one row for EVERY vertex (identity rows included — callers
+            # and tests rely on full vertex coverage)
+            if not caller_cached:
+                pairs.unpersist()
+            parent: dict[int, int] = {}
 
-        def _find(x: int) -> int:
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
+            def _find(x: int) -> int:
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
 
-        for r in head:
-            a, b = _find(int(r[0])), _find(int(r[1]))
-            if a != b:
-                parent[max(a, b)] = min(a, b)
-        verts = sorted({int(v) for r in head for v in (r[0], r[1])})
-        return pairs.sparkSession.createDataFrame(
-            [(v, _find(v)) for v in verts], "doc_id bigint, canonical_id bigint"
-        )
+            for r in head:
+                a, b = _find(int(r[0])), _find(int(r[1]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+            verts = sorted({int(v) for r in head for v in (r[0], r[1])})
+            return pairs.sparkSession.createDataFrame(
+                [(v, _find(v)) for v in verts], "doc_id bigint, canonical_id bigint"
+            )
     try:
         edges = pairs.select(
-            F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-        ).unionByName(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+            F.col(src).cast("bigint").alias("e_src"),
+            F.col(dst).cast("bigint").alias("e_dst"),
+        ).unionByName(
+            pairs.select(
+                F.col(dst).cast("bigint").alias("e_src"),
+                F.col(src).cast("bigint").alias("e_dst"),
+            )
+        )
         # path kept so the O(E) edges dir — the operator's largest
         # scratch artifact — is dropped the moment the result
         # materializes, not at process exit (round-5 review finding)
         edges_path, edges = stage_checkpoint_with_path(edges, "cc_edges")
         edges = edges.persist()
     finally:
-        pairs.unpersist()
+        if not caller_cached:
+            pairs.unpersist()
     try:
         labels = (
             edges.select(F.col("e_src").alias("doc_id"))
@@ -1220,9 +1281,11 @@ def merge_components(
     # (the driver tier via createDataFrame; CC via its internal
     # checkpoints, whose lineage never re-reads `contracted`).
     contracted = contracted.persist()
+    driver_tier = False
     try:
         head = contracted.limit(MERGE_FOLD_DRIVER_MAX + 1).collect()
-        if len(head) <= MERGE_FOLD_DRIVER_MAX:
+        driver_tier = len(head) <= MERGE_FOLD_DRIVER_MAX
+        if driver_tier:
             # driver tier: union-find over the contracted edges
             # (min-label components, identical semantics to
             # connected_components); only REMAPPED canonicals need a
@@ -1249,17 +1312,30 @@ def merge_components(
             )
         else:
             # distributed tier: CC over the contracted graph — still
-            # O(new pairs) vertices/edges, never the corpus
+            # O(new pairs) vertices/edges, never the corpus.
+            # force_distributed: this branch just proved >100k edges
+            # with its own limit-collect, so CC's identical internal
+            # probe would be a redundant ~100k-row collect job on
+            # exactly the cost-sensitive path (round-14 ADVICE).
             mapping = connected_components(
-                contracted, "canon_a", "canon_b"
+                contracted, "canon_a", "canon_b", force_distributed=True
             ).select(
                 F.col("doc_id").alias("old_canon"),
                 F.col("canonical_id").alias("new_canon"),
             )
     finally:
         contracted.unpersist()
+    # broadcast hint SIZE-GATED to the driver tier (round-15, r14
+    # verdict item 2): there the mapping is bounded by construction
+    # (<= MERGE_FOLD_DRIVER_MAX remapped canonicals — driver-metadata
+    # scale), so forcing the hash-join build side is always right. On
+    # the distributed tier (a giant backfill fold) the mapping is
+    # O(contracted vertices) and an unconditional broadcast of a
+    # many-million-row mapping is a driver/executor memory hazard —
+    # leave the strategy to AQE, which sees the real size at runtime.
+    hinted = F.broadcast(mapping) if driver_tier else mapping
     updated = labels.join(
-        F.broadcast(mapping), labels["canonical_id"] == mapping["old_canon"], "left"
+        hinted, labels["canonical_id"] == mapping["old_canon"], "left"
     ).select(
         "doc_id", F.coalesce("new_canon", F.col("canonical_id")).alias("canonical_id")
     )
@@ -1267,7 +1343,7 @@ def merge_components(
     # canonical is the (possibly remapped) canon they resolved to
     fresh = (
         cur.join(labels, cur["id"] == labels["doc_id"], "left_anti")
-        .join(F.broadcast(mapping), cur["canon"] == mapping["old_canon"], "left")
+        .join(hinted, cur["canon"] == mapping["old_canon"], "left")
         .select(
             F.col("id").alias("doc_id"),
             F.coalesce("new_canon", F.col("canon")).alias("canonical_id"),

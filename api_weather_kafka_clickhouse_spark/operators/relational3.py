@@ -2311,16 +2311,21 @@ def er_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl_udf = dl_pandas_udf()
 
     c = load(spark, "customer", sf_dir)
-    cand = _snm_candidate_pairs(spark, sf_dir, carry_names=True)
-    matched = cand.filter(dl_udf("name_a", "name_b") <= ER_FUNNEL_DL_MAX).select(
-        "cust_a", "cust_b"
+    # candidate and match frames PERSISTED (round-15, the er_reconcile
+    # treatment): both are candidate-pair-sized (dimension x SNM
+    # window — never corpus-sized), and unpersisted the count legs
+    # lazily re-ran the SNM window three times and the DL verify
+    # twice (CC's probe + each leg). eager_release below materializes
+    # the 4-row funnel against the hot copies and drops both caches.
+    cand = _snm_candidate_pairs(spark, sf_dir, carry_names=True).persist()
+    matched = (
+        cand.filter(dl_udf("name_a", "name_b") <= ER_FUNNEL_DL_MAX)
+        .select("cust_a", "cust_b")
+        .persist()
     )
     # connected_components materializes the match graph ONCE into its
-    # edge checkpoint (its own persist covers the double-embedded
-    # union), so the labels frame below never re-executes the
-    # window+UDF plan; the count legs re-scan the dimension-sized
-    # window lazily — same no-corpus-persist philosophy as
-    # curation_funnel.
+    # edge checkpoint (respecting the caller-owned cache), so the
+    # labels frame below never re-executes the window+UDF plan
     labels = connected_components(matched, src="cust_a", dst="cust_b")
     zero = F.lit(0).cast("bigint")
 
@@ -2352,7 +2357,10 @@ def er_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t") - F.col("nc")).cast("bigint").alias("n_records"),
         )
     )
-    return s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    from ..plans.stage import eager_release
+
+    out = s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    return eager_release(out, "er_funnel", cand, matched)
 
 
 # --- DP median via the exponential mechanism (round 12, wave-5 queue) ----
@@ -2731,6 +2739,14 @@ def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").alias("bal_b"),
         "block_key",
     )
+    # both pair frames are PERSISTED (round-15, r14 verdict item 3):
+    # they are id-pair-sized (dimension-bounded), and each one feeds
+    # FOUR consumers — its count leg, the batch_only anti-join, the
+    # union closure, and a CC call. Unpersisted, the count legs
+    # lazily re-executed both candidate+DL generator plans, adding
+    # roughly two dimension-sized Damerau-Levenshtein passes per run;
+    # eager_release at the end materializes the 6-row funnel against
+    # the hot copies and drops both caches before returning.
     stream_pairs = (
         a.join(b, "block_key")
         .filter(
@@ -2740,6 +2756,7 @@ def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dl_udf("name_a", "name_b") <= ER_FUNNEL_DL_MAX)
         .select("pa", "pb")
         .distinct()
+        .persist()
     )
     batch_pairs = (
         _snm_candidate_pairs(spark, sf_dir, carry_names=True)
@@ -2749,13 +2766,12 @@ def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("cust_a", "cust_b").alias("pb"),
         )
         .distinct()
+        .persist()
     )
     batch_only = batch_pairs.join(stream_pairs, ["pa", "pb"], "left_anti")
     union_pairs = batch_pairs.unionByName(stream_pairs).distinct()
     # each CC call checkpoints its edge list internally, so the labels
-    # frames below never re-execute the candidate+DL plans; the count
-    # legs re-scan the dimension-sized generators lazily (er_funnel's
-    # no-corpus-persist philosophy)
+    # frames below never re-execute the candidate+DL plans
     labels_s = connected_components(stream_pairs, src="pa", dst="pb").select(
         F.col("doc_id").alias("k_s"), F.col("canonical_id").alias("c_s")
     )
@@ -2795,7 +2811,7 @@ def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t") - F.col("nm")).cast("bigint").alias("n_records"),
         )
     )
-    return (
+    out = (
         leg(c, "total_records", 0)
         .unionByName(leg(stream_pairs, "stream_matches", 1))
         .unionByName(leg(batch_pairs, "batch_matches", 2))
@@ -2803,6 +2819,9 @@ def er_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(corrected, "corrected_records", 4))
         .unionByName(golden_after)
     )
+    from ..plans.stage import eager_release
+
+    return eager_release(out, "er_reconcile", stream_pairs, batch_pairs)
 
 
 # --- k-map release audit (round 14) ----------------------------------------

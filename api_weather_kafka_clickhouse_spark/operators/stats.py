@@ -1450,10 +1450,18 @@ def _poisson_case(u_expr: str) -> str:
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stage import eager_release
 
+    # the B/4 md5 digests per row all evaluate ABOVE this frame; on a
+    # one-split local file (one task per 128MB split at scale) that
+    # hashing ran at the scan's parallelism. One narrow repartition
+    # (two columns, hash-keyed so no sort-before-repartition and
+    # deterministic under retries — guide §2.5) spreads the digest
+    # work across defaultParallelism before the 16x replication
+    # multiplies it (round-15).
     x = (
         load(spark, "events", sf_dir)
         .filter(F.col("value").isNotNull())
         .select("event_id", F.round("value", 6).cast("decimal(18,6)").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "event_id")
         .persist()
     )
     g = spark.range(0, BOOT_B // 4).select(F.col("id").alias("g"))
@@ -1489,16 +1497,27 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy("m", "b")
     ranked = means.select("m", F.row_number().over(wr).alias("rk"))
-    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(F.round("m", 6).alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(F.round("m", 6).alias("ci_hi"))
+    # BOTH order statistics from ONE pass over the ranked means
+    # (round-15): the separate lo/hi legs each embedded the whole
+    # md5-expansion + per-b aggregate subtree in the plan — two
+    # Exchanges and two Windows over the B-replicated corpus where
+    # one suffices (a conditional-max pivot over the two wanted rank
+    # rows is exactly equivalent: ranks are unique by construction).
+    cis = ranked.filter(F.col("rk").isin(BOOT_LO_RANK, BOOT_HI_RANK)).agg(
+        F.round(F.max(F.when(F.col("rk") == BOOT_LO_RANK, F.col("m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("rk") == BOOT_HI_RANK, F.col("m"))), 6).alias(
+            "ci_hi"
+        ),
+    )
     full = x.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("mean_full"),
     )
     out = (
         full.select("n", F.lit(BOOT_B).cast("bigint").alias("n_resamples"), "mean_full")
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(cis))
     )
     return eager_release(out, "bootstrap_ci", x)
 
@@ -4502,11 +4521,20 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tie_cubes"),
     )
     n = F.col("n_pairs")
-    d_stat = 2 * F.col("w2_plus") - n * (n + 1)
-    var12 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_cubes")
+    # the guard threads through EVERY column the decimal overflow
+    # could silently NULL, not just n_pairs: d_stat/var12 (and so
+    # z_approx and the `significant` verdict) are built from the
+    # guarded n, so a consumer that projects only `significant` still
+    # evaluates the loud raise_error — Catalyst column pruning could
+    # otherwise eliminate the guard with the n_pairs column it rode
+    # on (round-14 ADVICE). Values are unchanged below the bound:
+    # _wsr_guard(n) IS n there.
+    gn = _wsr_guard(n)
+    d_stat = 2 * F.col("w2_plus") - gn * (gn + 1)
+    var12 = 2 * gn * (gn + 1) * (2 * gn + 1) - F.col("tie_cubes")
     return agg.select(
         "event_type",
-        _wsr_guard(n).alias("n_pairs"),
+        gn.alias("n_pairs"),
         "w2_plus",
         "w2_minus",
         d_stat.cast("bigint").alias("d_stat"),

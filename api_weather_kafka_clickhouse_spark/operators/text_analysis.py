@@ -2311,7 +2311,21 @@ CDC_MOD = 2147483647
     "re-derives every boundary bit-for-bit.",
 )
 def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    # pre-explode doc_id repartition (round-15, guide §2.3/§2.5): the
+    # cumsum window below needs doc_id clustering either way; without
+    # this the exchange sat above the per-CHAR explode (one row per
+    # character on the wire) and the per-position md5 probes all ran
+    # at the scan's split parallelism — one task on a one-split local
+    # file. Exchange doc rows, then explode+hash at
+    # defaultParallelism (scale-adaptive, never a constant; explicit
+    # count so AQE cannot coalesce the small doc exchange to one
+    # partition and re-serialize the md5 work).
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, "documents", sf_dir)
+        .filter(F.length("text") > 0)
+        .repartition(par, "doc_id")
+    )
     chars = d.select(
         "doc_id",
         "text",
@@ -2346,24 +2360,36 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = chars.select(
         "doc_id", "pos", "code", F.sum("bflag").over(wcum).alias("chunk_id")
     )
-    wmin = Window.partitionBy("doc_id", "chunk_id")
-    started = assigned.select(
-        "*", F.min("pos").over(wmin).alias("start_pos")
-    )
-    return started.groupBy("doc_id", "chunk_id", "start_pos").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chars"),
-        (
-            F.sum((F.col("pos") - F.col("start_pos") + 1) * F.col("code"))
-            % F.lit(CDC_MOD)
+    # ONE aggregate instead of a min-over-(doc,chunk) window feeding a
+    # groupBy (round-15, guide §2.4): start_pos = min(pos) folds into
+    # the same hash aggregate, and the position-relative weighted sum
+    # rewrites exactly as
+    #   sum((pos - start + 1) * code) = sum(pos*code) - (start-1)*sum(code)
+    # (pure bigint algebra, no overflow headroom lost: sum(pos*code)
+    # <= n_chars * max_pos * 255 ~ 2.5e10 at 10k-char docs). This
+    # removes a full per-character shuffle+sort — the wmin window
+    # re-exchanged and re-sorted every exploded char row by
+    # (doc_id, chunk_id) before the final aggregate got to shrink it.
+    return (
+        assigned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chars"),
+            F.sum(F.col("pos") * F.col("code")).alias("_spc"),
+            F.sum("code").alias("_sc"),
         )
-        .cast("bigint")
-        .alias("chunk_hash"),
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.col("start_pos").cast("bigint").alias("start_pos"),
-        "n_chars",
-        "chunk_hash",
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("start_pos").cast("bigint").alias("start_pos"),
+            "n_chars",
+            (
+                (F.col("_spc") - (F.col("start_pos") - 1) * F.col("_sc"))
+                % F.lit(CDC_MOD)
+            )
+            .cast("bigint")
+            .alias("chunk_hash"),
+        )
     )
 
 

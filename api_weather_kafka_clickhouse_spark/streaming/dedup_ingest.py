@@ -161,12 +161,25 @@ def dedup_ingest_batch(
     ensure_store_scheme(spark, store_dir, SIG_SCHEME, ("sigs", "bands", "shorts"))
 
     # collapse duplicate doc_ids deterministically before anything
-    # else (see module docstring)
-    w = Window.partitionBy("doc_id").orderBy("text")
+    # else (see module docstring): keep the lexicographically-
+    # smallest text. min() IS that rule, as a hash aggregate whose
+    # map-side partial phase pre-reduces duplicates before the
+    # exchange — the row_number window this replaces shuffled and
+    # sorted every retry copy (round-15, guide §2.3).
+    # (the struct's leading isNotNull key reproduces the window's
+    # nulls-first ascending order exactly — a bare min(text) would
+    # skip NULLs and silently flip the kept row for a retry pair
+    # where one copy's text is NULL)
     docs = (
-        batch.select("doc_id", "text", F.row_number().over(w).alias("_rn"))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        batch.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("text").isNotNull().alias("_nn"), F.col("text").alias("text")
+                )
+            ).alias("_t")
+        )
+        .select("doc_id", F.col("_t.text").alias("text"))
         .persist()
     )
     try:

@@ -68,9 +68,11 @@ from ..operators.relational3 import (
 from .cluster_store import read_labels, update_labels
 from .lsh_candidates import BAND_BUCKET_CAP, vs_store_pairs, within_batch_pairs
 from .store import (
+    COMPACTED_BATCH_ID,
     append_partition,
     checkpoint_run_id,
     ensure_store_scheme,
+    fs_exists,
     read_store,
     verify_scheme_store_run,
 )
@@ -145,18 +147,33 @@ def _latest_attrs(spark, store_dir: str, exclude_batch: int | None = None) -> Da
     only the current version or n_sources inflates and stale values
     can win survivorship (round-13 review finding). Ties are
     impossible: dynamic partition overwrite keeps one row per
-    (rec_id, batch)."""
+    (rec_id, batch).
+
+    Shape (round-15, guide §2.3 "aggregate before you shuffle"): a
+    ``max_by``-style argmax aggregate, not a row_number window — the
+    hash aggregate pre-reduces each map partition to one row per
+    rec_id before the exchange, where the window shuffled and sorted
+    EVERY stored version. Tie-safety is the same one-row-per-
+    (rec_id, batch) invariant the window relied on."""
     raw = read_store(
         spark,
         os.path.join(store_dir, "attrs"),
         _ATTR_SCHEMA + ", ingest_batch bigint",
         exclude_batch=exclude_batch,
     )
-    w = Window.partitionBy("rec_id").orderBy(F.col("ingest_batch").desc())
     return (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("rec_id", "name", "nation", "bal_cents")
+        raw.groupBy("rec_id")
+        .agg(
+            F.max(
+                F.struct("ingest_batch", "name", "nation", "bal_cents")
+            ).alias("_l")
+        )
+        .select(
+            "rec_id",
+            F.col("_l.name").alias("name"),
+            F.col("_l.nation").alias("nation"),
+            F.col("_l.bal_cents").alias("bal_cents"),
+        )
     )
 
 
@@ -191,21 +208,27 @@ def er_ingest_batch(
     ensure_store_scheme(spark, store_dir, ER_SCHEME, ("blocks", "attrs"))
 
     # collapse duplicate rec_ids deterministically (producer retries):
-    # keep the lexicographically-smallest (name, nation, bal) tuple
+    # keep the lexicographically-smallest (name, nation, bal) tuple.
+    # min(struct(...)) IS that tuple-min, as a hash aggregate with a
+    # map-side partial phase — the row_number window this replaces
+    # shuffled and sorted every duplicate row (guide §2.3).
     recs = (
         batch.select(
             "rec_id",
-            "name",
-            F.col("nation").cast("bigint").alias("nation"),
-            F.col("bal_cents").cast("bigint").alias("bal_cents"),
-            F.row_number()
-            .over(
-                Window.partitionBy("rec_id").orderBy("name", "nation", "bal_cents")
-            )
-            .alias("_rn"),
+            F.struct(
+                "name",
+                F.col("nation").cast("bigint").alias("nation"),
+                F.col("bal_cents").cast("bigint").alias("bal_cents"),
+            ).alias("_t"),
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy("rec_id")
+        .agg(F.min("_t").alias("_t"))
+        .select(
+            "rec_id",
+            F.col("_t.name").alias("name"),
+            F.col("_t.nation").alias("nation"),
+            F.col("_t.bal_cents").alias("bal_cents"),
+        )
         .persist()
     )
     try:
@@ -248,27 +271,26 @@ def er_ingest_batch(
             F.col("new_id") != F.col("old_id")
         )
         cand_batch = within_batch_pairs(blocks, "rec_id", cap=bucket_cap)
+        # ONE verify pass over the unioned candidate set (round-15):
+        # stored_attrs already coalesces to batch-wins for every
+        # rec_id in the batch (the anti-join + union above), so it is
+        # the correct attribute source for BOTH candidate legs —
+        # doc_a is always a batch rec_id (present via the union arm)
+        # and doc_b is either stored (kept by the anti-join) or
+        # batch-updated (batch arm wins). Verifying the union once
+        # halves the attr joins and DL-verify subplans per batch vs
+        # the per-leg _verified calls this replaces; values are
+        # identical because batch_attrs is a SUBSET of stored_attrs
+        # row-for-row on batch rec_ids.
+        cand = cand_store.select(
+            F.col("new_id").alias("doc_a"), F.col("old_id").alias("doc_b")
+        ).unionByName(
+            cand_batch.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
         matches = (
-            _verified(
-                cand_store.select(
-                    F.col("new_id").alias("doc_a"), F.col("old_id").alias("doc_b")
-                ),
-                batch_attrs,
-                stored_attrs,
-                "doc_a",
-                "doc_b",
-            )
-            .unionByName(
-                _verified(
-                    cand_batch.select(
-                        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-                    ),
-                    batch_attrs,
-                    batch_attrs,
-                    "doc_a",
-                    "doc_b",
-                )
-            )
+            _verified(cand, stored_attrs, stored_attrs, "doc_a", "doc_b")
             .distinct()
             .persist()
         )
@@ -284,16 +306,24 @@ def er_ingest_batch(
             append_partition(blocks, os.path.join(store_dir, "blocks"), batch_id)
             append_partition(batch_attrs, os.path.join(store_dir, "attrs"), batch_id)
             _t = _mark("index_write", _t)
-            # fold from a RE-READ of the written pairs partition: its
-            # lineage is a file scan, so the label swap can never
-            # re-execute the candidate plan against a mutated store
-            written = read_store(
-                spark, pairs_dir, "doc_a bigint, doc_b bigint", only_batch=batch_id
-            ).select("doc_a", "doc_b")
             # a no-match batch (the steady state) skips the O(labels)
-            # crash-safe table swap entirely — one cheap probe of the
-            # just-written (tiny) partition decides
-            if written.limit(1).count() > 0:
+            # crash-safe table swap entirely. Whether the batch wrote
+            # pairs is read off the partition listing (dynamic
+            # overwrite writes no ingest_batch=N dir for an empty
+            # frame) — one driver-side FS stat, replacing the
+            # limit(1).count() probe job this was (round-15; the
+            # curation chain's label_fold already used this shape).
+            # A replayed batch sees its first attempt's partition,
+            # but the batch body is deterministic, so the re-fold is
+            # the same idempotent merge either way.
+            if fs_exists(spark, os.path.join(pairs_dir, f"ingest_batch={batch_id}")):
+                # fold from a RE-READ of the written pairs partition:
+                # its lineage is a file scan, so the label swap can
+                # never re-execute the candidate plan against a
+                # mutated store
+                written = read_store(
+                    spark, pairs_dir, "doc_a bigint, doc_b bigint", only_batch=batch_id
+                ).select("doc_a", "doc_b")
                 update_labels(spark, labels_dir, written)
             _mark("labels_update", _t)
         finally:
@@ -374,9 +404,12 @@ def reconcile_store(
     Damerau-Levenshtein). Matched pairs are logged to the pairs
     store under ``reconcile_batch_id`` with the same
     dynamic-partition-overwrite idempotence as ingest batches.
-    ``reconcile_batch_id`` MUST be negative (enforced: streaming
-    ingest batch ids are always >= 0, so negatives can never collide
-    with the stream) and MUST be unique per SCHEDULED run — e.g.
+    ``reconcile_batch_id`` MUST be <= -2 (enforced: streaming ingest
+    batch ids are always >= 0, so negatives can never collide with
+    the stream, and -1 is ``store.COMPACTED_BATCH_ID`` — a sweep
+    under the compaction sentinel would overwrite the compacted
+    pairs history and read it back mixed into the sweep, round-15
+    ADVICE fix) and MUST be unique per SCHEDULED run — e.g.
     ``-(epoch_seconds)`` — because a reused id overwrites the
     earlier sweep's pairs partition: the labels keep the old merges
     (monotone) but the pairs log would no longer record the edges
@@ -392,11 +425,25 @@ def reconcile_store(
     lake), one nation-partitioned sort window, DL per candidate
     (window-1 per record), and a contraction over O(new links) — the
     weekly batch job beside the always-on ingest."""
-    if reconcile_batch_id >= 0:
+    if reconcile_batch_id > COMPACTED_BATCH_ID:
         raise ValueError(
-            "reconcile_batch_id must be negative (unique per scheduled "
-            "run, e.g. -(epoch seconds)): non-negative ids collide with "
-            f"streaming ingest partitions; got {reconcile_batch_id}"
+            "reconcile_batch_id must be < COMPACTED_BATCH_ID (i.e. <= "
+            f"{COMPACTED_BATCH_ID - 1}), unique per scheduled run — e.g. "
+            "-(epoch seconds): non-negative ids collide with streaming "
+            f"ingest partitions, and {COMPACTED_BATCH_ID} is the store "
+            "layout's compaction sentinel (a sweep under that id would "
+            "dynamic-partition-overwrite the COMPACTED pairs history and "
+            "read it back mixed into the sweep); got "
+            f"{reconcile_batch_id}"
+        )
+    if reconcile_batch_id == COMPACTED_BATCH_ID:
+        raise ValueError(
+            f"reconcile_batch_id {COMPACTED_BATCH_ID} is COMPACTED_BATCH_ID, "
+            "the store layout's compaction sentinel — a sweep under it "
+            "would overwrite the compacted pairs history (destroying the "
+            "audit/rebuild log) and read_store(only_batch=-1) would return "
+            "compacted history mixed with the sweep; use a unique id <= -2, "
+            "e.g. -(epoch seconds)"
         )
     attrs = _latest_attrs(spark, store_dir)
     w = Window.partitionBy("nation").orderBy("name", "rec_id")

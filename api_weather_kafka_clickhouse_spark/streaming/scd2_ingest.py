@@ -71,14 +71,40 @@ _LATE_SCHEMA = "event_id bigint, user_id bigint, event_type string, ts timestamp
 
 
 def _current_heads(heads: DataFrame) -> DataFrame:
-    """Argmax-by-seq per user over the head delta rows."""
-    from pyspark.sql import Window
+    """Argmax-by-seq per user over the head delta rows.
 
-    w = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    A ``max(struct(seq, ...))`` hash aggregate, not a row_number
+    window (round-15, guide §2.3): the partial phase pre-reduces each
+    map partition to one row per user before the exchange, where the
+    window shuffled and sorted every superseded delta row. Exactly
+    one head row exists per (user_id, seq) — the per-batch dynamic
+    partition overwrite guarantees it — so the argmax is unique and
+    the trailing struct fields never break a tie."""
     return (
-        heads.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        heads.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "seq",
+                    "state",
+                    "version",
+                    "valid_from",
+                    "n_events",
+                    "last_ts",
+                    "last_event_id",
+                )
+            ).alias("_h")
+        )
+        .select(
+            "user_id",
+            F.col("_h.state").alias("state"),
+            F.col("_h.version").alias("version"),
+            F.col("_h.valid_from").alias("valid_from"),
+            F.col("_h.n_events").alias("n_events"),
+            F.col("_h.last_ts").alias("last_ts"),
+            F.col("_h.last_event_id").alias("last_event_id"),
+            F.col("_h.seq").alias("seq"),
+        )
     )
 
 

@@ -119,6 +119,30 @@ def read_small_text(spark: SparkSession, path: str) -> str | None:
     return "".join(out)
 
 
+def write_small_text(spark: SparkSession, path: str, content: str) -> None:
+    """Driver-side write of a SMALL text file through the Hadoop FS
+    API — no Spark job. The write-side twin of ``read_small_text``,
+    for the marker/metadata files (scheme, run id, high-water): a
+    ``createDataFrame().coalesce(1).write.text`` of ~50 bytes costs a
+    full job submission per call, which the per-batch markers pay on
+    every micro-batch. Writes a plain file (overwriting), which
+    ``read_small_text`` reads via its single-file branch; stores
+    written by the old directory-style writer remain readable."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    # an old-layout marker is a DIRECTORY of part files at this path;
+    # fs.create cannot overwrite a directory, so clear it first
+    if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+        fs.delete(p, True)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def read_store(
     spark: SparkSession,
     path: str,
@@ -344,9 +368,16 @@ def ensure_store_scheme(
     fresh store directory.
     """
     path = os.path.join(store_dir, SCHEME_FILE)
-    if fs_exists(spark, path):
-        rows = spark.read.text(path).collect()
-        found = "".join(r.value for r in rows).strip()
+    # driver-side Hadoop FS read (read_small_text), not
+    # spark.read.text().collect(): the record is ~50 bytes and this
+    # guard runs on EVERY micro-batch of every ingest store — a full
+    # Spark job per batch just to re-read it was measurable fixed
+    # control-plane cost in the r14 backfill benches (guide §1/§5:
+    # the driver should do almost no data work, and tiny metadata
+    # reads are driver work, not cluster work).
+    found_txt = read_small_text(spark, path)
+    if found_txt is not None:
+        found = found_txt.strip()
         if found != scheme:
             raise RuntimeError(
                 f"store {store_dir} was written with scheme {found!r} but the "
@@ -362,12 +393,7 @@ def ensure_store_scheme(
             f"compatible with the current scheme {scheme!r} — rebuild the store "
             "by re-ingesting into a fresh directory"
         )
-    (
-        spark.createDataFrame([(scheme,)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(path)
-    )
+    write_small_text(spark, path, scheme)
 
 
 # Stream-run identity marker ("_stream_run"): foreachBatch batch ids
@@ -436,12 +462,7 @@ def verify_stream_run(
             "this run's — rebuild the store in a fresh directory or drive it "
             "with the batch API."
         )
-    (
-        spark.createDataFrame([(run_id,)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(path)
-    )
+    write_small_text(spark, path, run_id)
 
 
 def verify_scheme_store_run(spark: SparkSession, store_dir: str, run_id: str | None) -> None:
@@ -473,12 +494,7 @@ def read_high_water(spark: SparkSession, store_dir: str) -> int | None:
 
 
 def write_high_water(spark: SparkSession, store_dir: str, batch_id: int) -> None:
-    (
-        spark.createDataFrame([(str(batch_id),)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(os.path.join(store_dir, MAX_BATCH_MARKER))
-    )
+    write_small_text(spark, os.path.join(store_dir, MAX_BATCH_MARKER), str(batch_id))
 
 
 def guard_replay_after_compaction(

@@ -370,10 +370,17 @@ def test_store_scheme_mismatch_fails_loud(spark, tmp_path):
     out = str(tmp_path / "survivors")
     docs = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
     dedup_ingest.dedup_ingest_batch(docs, 0, store, out)
-    # the store records the current scheme...
+    # the store records the current scheme... (read via the library's
+    # canonical reader: round-15 writes the marker as a plain
+    # driver-side file, which spark.read.text's underscore-prefix
+    # listing filter would ignore)
+    from api_weather_kafka_clickhouse_spark.streaming.store import read_small_text
+
     scheme_dir = _os.path.join(store, "_scheme")
-    got = "".join(r.value for r in spark.read.text(scheme_dir).collect()).strip()
+    got = (read_small_text(spark, scheme_dir) or "").strip()
     assert got == dedup_ingest.SIG_SCHEME
+    # ...and the old directory-style record (written below by
+    # spark.write.text, the pre-round-15 layout) stays readable
     # ...and a code change to the scheme string refuses the old store
     (
         spark.createDataFrame([("minhash64-bands16x4-shingle3-CAPPED",)], "value string")

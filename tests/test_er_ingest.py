@@ -266,7 +266,7 @@ def test_reconcile_store_repairs_blocking_recall_miss(spark, tmp_path):
     # streaming alone: different blocks -> never paired
     assert cluster_store.read_labels(spark, labels).count() == 0
 
-    got = er_ingest.reconcile_store(spark, store, pairs, labels, -1)
+    got = er_ingest.reconcile_store(spark, store, pairs, labels, -2)
     assert got == {"swept_pairs": 1, "new_links": 1}
     lab = {
         r["doc_id"]: r["canonical_id"]
@@ -277,11 +277,16 @@ def test_reconcile_store_repairs_blocking_recall_miss(spark, tmp_path):
     assert len(golden) == 1 and golden[0]["n_sources"] == 2
 
     # idempotent re-run: the same pair sweeps again but repairs nothing
-    again = er_ingest.reconcile_store(spark, store, pairs, labels, -1)
+    again = er_ingest.reconcile_store(spark, store, pairs, labels, -2)
     assert again == {"swept_pairs": 1, "new_links": 0}
-    # non-negative ids would collide with streaming ingest partitions
-    with pytest.raises(ValueError, match="must be negative"):
+    # non-negative ids would collide with streaming ingest partitions,
+    # and -1 is the store layout's COMPACTED_BATCH_ID sentinel — a sweep
+    # under it would overwrite the compacted pairs history (round-15
+    # ADVICE fix: the guard is now <= -2)
+    with pytest.raises(ValueError, match="COMPACTED_BATCH_ID"):
         er_ingest.reconcile_store(spark, store, pairs, labels, 2)
+    with pytest.raises(ValueError, match="compaction sentinel"):
+        er_ingest.reconcile_store(spark, store, pairs, labels, -1)
     lab2 = {
         r["doc_id"]: r["canonical_id"]
         for r in cluster_store.read_labels(spark, labels).collect()
