@@ -949,6 +949,14 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # NOTE (round-15, measured and rejected): deriving seeds from the
+    # persisted edge list (filter src % 100 == 0 + distinct — the
+    # identical set, since src = 2*l_suppkey) looked like a saved
+    # fact pass but benched ~2 s SLOWER best-of-3 in both A/B
+    # orderings: the distinct over the 2x-symmetrized edge cache costs
+    # more than this narrow pushdown-pruned re-scan, and it serializes
+    # seed materialization behind the full edge cache. Guide §1.1's
+    # empirical loop wins over the first-principles sketch here.
     seeds = (
         li.filter(F.col("l_suppkey") % BFS_SEED_MOD == 0)
         .select((2 * F.col("l_suppkey")).alias("node"))

@@ -62,10 +62,12 @@ NESTED_LOOP_SANCTIONED = {
     # Poisson bootstrap: the corpus replicates across the B=64
     # resample-id range (the bootstrap's honest constant-factor cost,
     # same shape as join_salted_skew's salt range), and the final
-    # 1-row assembly joins three scalar frames (full mean + the two
-    # CI order statistics; the CI builds are FILTERS rank=k, so the
-    # keys=[] aggregate exemption cannot see them — RRF's caveat)
-    "stats_bootstrap_ci": 4,
+    # 1-row assembly joins the full-mean scalar with ONE combined
+    # ci_lo/ci_hi frame (round-15: both order statistics pivot out of
+    # a single pass over the ranked means; the CI build is a FILTER
+    # rank IN (lo, hi), so the keys=[] aggregate exemption cannot see
+    # it — RRF's caveat)
+    "stats_bootstrap_ci": 3,
     # the converged flag: two 1-row count aggregates cross-joined,
     # then broadcast onto the survivor rows — the aggregate exemption
     # sees the first join's build but not a build that is itself a

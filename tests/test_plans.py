@@ -378,8 +378,17 @@ def test_er_reconcile_plan_shape(spark, sf_dir):
     block key (never a cartesian), the batch leg is the single-window
     SNM pass, the DL verify is Arrow-batched (ArrowEvalPython, not
     row-at-a-time BatchEvalPython), and the only nested loops are the
-    sanctioned 1-row scalar broadcasts of the count legs."""
-    df = SPECS["er_reconcile"].fn(spark, sf_dir)
+    sanctioned 1-row scalar broadcasts of the count legs.
+
+    lazy_plans: round-15 made er_reconcile eager (pair frames persist
+    across the count legs + eager_release), so the registered fn's
+    normal return is a checkpoint re-read — the lazy mode hands back
+    the real pre-checkpoint operator tree, exactly like the dedup
+    family's no-cartesian test above."""
+    from api_weather_kafka_clickhouse_spark.plans.stage import lazy_plans
+
+    with lazy_plans():
+        df = SPECS["er_reconcile"].fn(spark, sf_dir)
     plan = checks.simple_plan(df)
     assert "Window" in plan, plan  # the SNM leg's one sort window
     assert "ArrowEvalPython" in plan, plan  # the per-candidate DL verify
