@@ -255,11 +255,19 @@ def er_ingest_batch(
         # stored BLOCK rows keep generating candidates (its old block
         # key may differ from the new one), but every verify sees the
         # batch's values.
+        # persisted for the batch (round-15, measured −2 s/backfill):
+        # the unioned verify below references stored_attrs on BOTH
+        # join sides, so unpersisted the latest-attrs aggregate (and
+        # the anti-join+union coalesce) evaluated twice per batch.
+        # The frame is record-dimension (id + name + two longs — the
+        # verify's working set either way), MEMORY_AND_DISK spills
+        # gracefully, and the finally below releases it before the
+        # batch returns.
         stored_attrs = (
             _latest_attrs(spark, store_dir, exclude_batch=batch_id)
             .join(batch_attrs.select("rec_id"), "rec_id", "left_anti")
             .unionByName(batch_attrs)
-        )
+        ).persist()
 
         # candidates: the bounded bucket joins shared with LSH ingest.
         # new_id != old_id matters HERE though it never did for dedup
@@ -328,6 +336,7 @@ def er_ingest_batch(
             _mark("labels_update", _t)
         finally:
             matches.unpersist()
+            stored_attrs.unpersist()
     finally:
         recs.unpersist()
 
