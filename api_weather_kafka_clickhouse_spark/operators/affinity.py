@@ -963,26 +963,41 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # Min-layer fold per hop (round-16, guide §2.3 "aggregate before
+    # you shuffle"; r15 verdict item 4): the per-hop
+    # distinct + anti-join-vs-visited pair (TWO exchanges per level,
+    # plus a growing persisted visited union) collapses into ONE
+    # min(layer) hash aggregate over labels ∪ (neighbors of the
+    # frontier tagged with this hop). Equivalence to the first-reached
+    # contract, by induction on i: if labels_{i-1} holds exactly
+    # {(v, dist(v)) : dist(v) <= i-1}, then frontier_{i-1} =
+    # labels_{i-1} at layer i-1 is exactly the dist-(i-1) set; its
+    # neighbor expansion tagged i covers every dist-i node (each has a
+    # dist-(i-1) neighbor) and otherwise only re-proposes nodes with
+    # dist <= i-1, whose smaller label wins the min — so labels_i is
+    # exactly {(v, dist(v)) : dist(v) <= i}. labels_BFS_HOPS IS the
+    # declared union of layers. The hash-pinned oracle re-derives the
+    # same set via its recursive CTE.
     caches = [e, seeds]
-    layers = [seeds.select("node", F.lit(0).alias("layer"))]
-    frontier, visited = seeds, seeds
+    labels = seeds.select("node", F.lit(0).alias("layer")).persist()
+    caches.append(labels)
     for i in range(1, BFS_HOPS + 1):
-        nxt = (
-            e.join(frontier.select(F.col("node").alias("src")), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
+        reach = (
+            e.join(
+                labels.filter(F.col("layer") == i - 1).select(
+                    F.col("node").alias("src")
+                ),
+                "src",
+            ).select(F.col("dst").alias("node"), F.lit(i).alias("layer"))
+        )
+        labels = (
+            labels.unionByName(reach)
+            .groupBy("node")
+            .agg(F.min("layer").alias("layer"))
             .persist()
         )
-        caches.append(nxt)
-        visited = visited.unionByName(nxt).select("node").persist()
-        caches.append(visited)
-        layers.append(nxt.select("node", F.lit(i).alias("layer")))
-        frontier = nxt
-    all_layers = layers[0]
-    for lay in layers[1:]:
-        all_layers = all_layers.unionByName(lay)
-    out = all_layers.select(
+        caches.append(labels)
+    out = labels.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("part"))
         .alias("node_type"),

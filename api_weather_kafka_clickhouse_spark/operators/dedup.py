@@ -139,13 +139,15 @@ def _shingles_exploded(docs: DataFrame, cap: int | None = SHINGLE_DF_CAP) -> Dat
     # itself ran at the SCAN's parallelism — one task on a one-split
     # local file, one task per 128MB split at scale. Moving the
     # exchange below the explode shuffles doc-sized rows once and
-    # runs explode+window+hash at defaultParallelism (scale-adaptive:
-    # local[N] -> N, a cluster -> its total cores — never a constant).
-    # The count is explicit because AQE would otherwise coalesce this
-    # deliberately-small exchange back to one partition and
-    # re-serialize the compute.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    t = docs.repartition(par, "doc_id").select(
+    # runs explode+window+hash at cluster parallelism (never a
+    # constant). The count is explicit because AQE would otherwise
+    # coalesce this deliberately-small exchange back to one partition
+    # and re-serialize the compute; it is size-adaptive (round-16,
+    # plans/partitioning.py) so at 100 TB the per-partition input
+    # stays bounded instead of growing with data-per-core.
+    from ..plans.partitioning import fanout_partitions
+
+    t = docs.repartition(fanout_partitions(docs), "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -542,10 +544,12 @@ def simhash_md5_signatures(docs: DataFrame) -> DataFrame:
     # pre-explode doc_id repartition: same rationale as
     # _shingles_exploded (round-15) — the window exchange moves below
     # the explode (doc rows instead of token rows on the wire) and
-    # the md5 signature math runs at defaultParallelism instead of
-    # the scan's split count
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    t = docs.repartition(par, "doc_id").select(
+    # the md5 signature math runs at cluster parallelism instead of
+    # the scan's split count; size-adaptive count (round-16,
+    # plans/partitioning.py)
+    from ..plans.partitioning import fanout_partitions
+
+    t = docs.repartition(fanout_partitions(docs), "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

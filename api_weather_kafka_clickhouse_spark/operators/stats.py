@@ -1455,15 +1455,18 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashing ran at the scan's parallelism. One narrow repartition
     # (two columns, hash-keyed so no sort-before-repartition and
     # deterministic under retries — guide §2.5) spreads the digest
-    # work across defaultParallelism before the 16x replication
-    # multiplies it (round-15).
-    x = (
+    # work across cluster parallelism before the 16x replication
+    # multiplies it (round-15); size-adaptive count (round-16,
+    # plans/partitioning.py) keeps per-partition input bounded at
+    # warehouse scale.
+    from ..plans.partitioning import fanout_partitions
+
+    x0 = (
         load(spark, "events", sf_dir)
         .filter(F.col("value").isNotNull())
         .select("event_id", F.round("value", 6).cast("decimal(18,6)").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism, "event_id")
-        .persist()
     )
+    x = x0.repartition(fanout_partitions(x0), "event_id").persist()
     g = spark.range(0, BOOT_B // 4).select(F.col("id").alias("g"))
     seed = F.concat(
         F.lit("boot:"), F.col("g").cast("string"), F.lit(":"), F.col("event_id").cast("string")

@@ -2316,16 +2316,16 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this the exchange sat above the per-CHAR explode (one row per
     # character on the wire) and the per-position md5 probes all ran
     # at the scan's split parallelism — one task on a one-split local
-    # file. Exchange doc rows, then explode+hash at
-    # defaultParallelism (scale-adaptive, never a constant; explicit
-    # count so AQE cannot coalesce the small doc exchange to one
-    # partition and re-serialize the md5 work).
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        load(spark, "documents", sf_dir)
-        .filter(F.length("text") > 0)
-        .repartition(par, "doc_id")
-    )
+    # file. Exchange doc rows, then explode+hash at cluster
+    # parallelism (never a constant; explicit count so AQE cannot
+    # coalesce the small doc exchange to one partition and
+    # re-serialize the md5 work; size-adaptive per round-16,
+    # plans/partitioning.py — the per-char explode multiplies rows,
+    # so per-partition INPUT bytes must stay bounded at 100 TB).
+    from ..plans.partitioning import fanout_partitions
+
+    docs0 = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    d = docs0.repartition(fanout_partitions(docs0), "doc_id")
     chars = d.select(
         "doc_id",
         "text",

@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE for CACHED plans too (off by default): every .persist()
+        # otherwise materializes at the raw spark.sql.shuffle.partitions
+        # with no runtime coalescing, so the iterative operators (CC /
+        # pagerank / BFS label loops) and the ingest batch bodies paid a
+        # full-width task wave per iteration/batch regardless of data
+        # size. With it on, cached-plan exchanges size themselves from
+        # runtime bytes exactly like uncached ones — data-adaptive at
+        # every scale, not a local[N] constant (guide §2.2 "fewer,
+        # larger partitions"; measured r16: er_backfill 26.1->16.7 s,
+        # graph_bfs_layers 8.1->5.9 s, graph_pagerank 7.6->6.2 s at
+        # sf0.1, identical results).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -127,20 +127,35 @@ def write_small_text(spark: SparkSession, path: str, content: str) -> None:
     full job submission per call, which the per-batch markers pay on
     every micro-batch. Writes a plain file (overwriting), which
     ``read_small_text`` reads via its single-file branch; stores
-    written by the old directory-style writer remain readable."""
+    written by the old directory-style writer remain readable.
+
+    Crash atomicity (round-16, round-15 ADVICE): the content is
+    written to a ``<path>.__tmp`` sibling and renamed over the target
+    — atomic on the POSIX/HDFS/ABFS filesystems the store layer's
+    compaction protocol already requires. A bare ``fs.create(p,
+    True)`` truncates in place, so a crash mid-write left an EMPTY
+    marker: an empty high-water marker reads back as None in
+    ``read_high_water``, silently disabling
+    ``guard_replay_after_compaction``'s double-count refusal."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp")
     fs = p.getFileSystem(conf)
-    # an old-layout marker is a DIRECTORY of part files at this path;
-    # fs.create cannot overwrite a directory, so clear it first
-    if fs.exists(p) and fs.getFileStatus(p).isDirectory():
-        fs.delete(p, True)
-    stream = fs.create(p, True)
+    stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(content.encode("utf-8")))
     finally:
         stream.close()
+    # an old-layout marker is a DIRECTORY of part files at this path;
+    # rename cannot replace a directory, so clear it first (the window
+    # between delete and rename can lose the OLD value on a crash, but
+    # never leaves a truncated/empty file — the failure read_high_water
+    # cannot distinguish from "no marker yet")
+    if fs.exists(p):
+        fs.delete(p, True)
+    if not fs.rename(tmp, p):
+        raise IOError(f"write_small_text: rename {path}.__tmp -> {path} failed")
 
 
 def read_store(
