@@ -1473,6 +1473,117 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="vec_a", dst="vec_b")
 
 
+def _semdedup_cell_pairs(cellsv: DataFrame) -> DataFrame:
+    """All same-cell (vec_a < vec_b) pairs with cosine >= 0.42, ONE
+    Arrow kernel per cell over ``(vec_id, vec double[], cell)``.
+
+    Bit-exactness contract (the survivor set must not move): the
+    kernel reproduces functions/vectors.py's higher-order fold
+    EXACTLY — per pair, dot and squared norms accumulate left-to-right
+    over dimensions (acc = acc + round(a_d*b_d), each product rounded
+    first), then cos = dot / (sqrt(na) * sqrt(nb)). numpy's
+    elementwise +, *, sqrt and / are the same correctly-rounded IEEE
+    ops, and the dimension-major loop below performs them in the same
+    order per pair (a plain matmul would use pairwise/SIMD summation —
+    a DIFFERENT rounding order that can flip borderline pairs). The
+    loop is vectorized across the pair axis, so the per-cell cost is
+    d rank-1 updates of the n x n accumulator — the same O(n_cell^2 d)
+    arithmetic the join shipped through interpreted HOF evaluation,
+    now at numpy speed.
+
+    Memory: the accumulator is row-blocked to ~32 MB so a hot cell
+    degrades to streaming blocks, not an allocation spike; the group
+    itself must fit one Arrow batch — the inherent SemDeDup cell
+    bound (k grows with the corpus to hold cell sizes constant).
+    A pair sharing BOTH probe cells is emitted once per cell; the
+    consumer (connected_components) is duplicate-insensitive.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64")})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(pdf["vec"].to_numpy()[order])  # n x d float64
+        d = m.shape[1]
+        nrm = np.zeros(n)
+        for k in range(d):  # exact left-to-right fold of x*x
+            nrm = nrm + m[:, k] * m[:, k]
+        nrm = np.sqrt(nrm)
+        out_a, out_b = [], []
+        blk = max(1, (1 << 22) // n)  # ~32 MB of float64 accumulator
+        for s in range(0, n, blk):
+            t = min(n, s + blk)
+            dot = np.zeros((t - s, n))
+            for k in range(d):  # exact left-to-right fold of a_d*b_d
+                dot = dot + np.multiply.outer(m[s:t, k], m[:, k])
+            cos = dot / np.multiply.outer(nrm[s:t], nrm)
+            ii, jj = np.nonzero(cos >= 0.42)
+            keep = (ii + s) < jj  # id order == position order
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype="int64")
+        b = np.concatenate(out_b) if out_b else np.array([], dtype="int64")
+        return pd.DataFrame({"vec_a": a.astype("int64"), "vec_b": b.astype("int64")})
+
+    return cellsv.select("vec_id", "vec", "cell").groupBy("cell").applyInPandas(
+        gen, "vec_a bigint, vec_b bigint"
+    )
+
+
+def _semdedup_i8_cell_pairs(cellsv: DataFrame, n_t2: int, d_t2: int) -> DataFrame:
+    """The integer twin of _semdedup_cell_pairs over ``(vec_id,
+    q int8-code array, cell)``: same-cell (va < vb) pairs passing the
+    cross-multiplied cosine predicate dot > 0 AND dot^2 * d_t2 >=
+    n_t2 * |a|^2 * |b|^2 — ALL integer arithmetic, so exactness needs
+    no fold-order care. The gram matrix runs through float64 BLAS,
+    which is exact here: every product and partial sum is an integer
+    bounded by 64 * 127^2 ~ 1.03e6 << 2^53, so no rounding ever
+    occurs; the predicate itself evaluates in int64 (products bounded
+    by dot^2 * 2500 < 2^62 — the registered operator's documented
+    bound)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"va": pd.Series([], dtype="int64"),
+                              "vb": pd.Series([], dtype="int64")})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(pdf["q"].to_numpy()[order]).astype(np.float64)
+        n2 = np.rint((m * m).sum(axis=1)).astype(np.int64)
+        out_a, out_b = [], []
+        blk = max(1, (1 << 22) // n)
+        for s in range(0, n, blk):
+            t = min(n, s + blk)
+            dot = np.rint(m[s:t] @ m.T).astype(np.int64)
+            pred = (dot > 0) & (
+                dot * dot * np.int64(d_t2)
+                >= np.int64(n_t2) * np.multiply.outer(n2[s:t], n2)
+            )
+            ii, jj = np.nonzero(pred)
+            keep = (ii + s) < jj
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype="int64")
+        b = np.concatenate(out_b) if out_b else np.array([], dtype="int64")
+        return pd.DataFrame({"va": a.astype("int64"), "vb": b.astype("int64")})
+
+    return cellsv.select("vec_id", "q", "cell").groupBy("cell").applyInPandas(
+        gen, "va bigint, vb bigint"
+    )
+
+
 SEMDEDUP_PROBES = 2  # cells per vector; r=2 measured 0.81 pair
 # recall at ~4x the single-cell candidate cost on the synthetic
 # corpus (r=1: 0.33 — the 0.42-cos contract pairs are only moderately
@@ -1498,34 +1609,28 @@ SEMDEDUP_PROBES = 2  # cells per vector; r=2 measured 0.81 pair
     "to hold cell sizes constant.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine, to_double
+    from ..functions.vectors import to_double
     from .similarity import _assign_topr_udf, kmeans_fit_assign
 
     e = load(spark, "embeddings", sf_dir).select("vec_id", to_double("embedding").alias("vec"))
     _, centroids, _ = kmeans_fit_assign(e, iters=2)
     # multi-probe assignment: one vectorized scan -> r cells per
-    # vector, exploded WITHOUT the vector payload (ids+cell ints on
-    # the candidate join wire, the dedup_embedding_lsh convention)
-    cells = e.select(
-        "vec_id", F.explode(_assign_topr_udf(centroids, SEMDEDUP_PROBES)(F.col("vec"))).alias("cell")
-    ).persist()
-    ca = cells.select(F.col("vec_id").alias("vec_a"), "cell")
-    cb = cells.select(F.col("vec_id").alias("vec_b"), "cell")
-    cand = (
-        ca.join(cb, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+    # vector; the VECTOR rides the explode here (round-16): the whole
+    # within-cell verify happens inside one Arrow kernel per cell, so
+    # the payload crosses exactly one cell-keyed exchange (r copies)
+    # and the candidate self-join + dropDuplicates + two vector-attach
+    # joins + the interpreted per-pair HOF cosine all disappear from
+    # the plan (guide §4.2/§8 — hand whole batches to vectorized
+    # native code; r15 verdict item 3). CC treats the (rare) pair
+    # re-emitted by both shared cells identically, so the survivor
+    # set is unchanged — and the kernel reproduces the HOF fold
+    # bit-for-bit (see _semdedup_cell_pairs).
+    cellsv = e.select(
+        "vec_id",
+        "vec",
+        F.explode(_assign_topr_udf(centroids, SEMDEDUP_PROBES)(F.col("vec"))).alias("cell"),
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
-    pairs = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.42)
-        .select("vec_a", "vec_b")
-    )
-    pairs = eager_release(pairs, "semdedup_pairs", cells)
+    pairs = eager_release(_semdedup_cell_pairs(cellsv), "semdedup_pairs")
     labels = connected_components(pairs, src="vec_a", dst="vec_b")
     dropped = labels.filter(F.col("doc_id") != F.col("canonical_id")).select(
         F.col("doc_id").alias("vec_id")
@@ -1944,59 +2049,22 @@ def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             _i8_round_mean(int(r[f"s{i}"]), int(r["n"])) for i in range(_DIM)
         ]
     centroids = new_c
-    cells = codes.select(
+    # codes ride the explode (round-16, same shape as the float twin):
+    # the whole within-cell verify is ONE integer Arrow kernel per
+    # cell — the candidate self-join + dropDuplicates + two
+    # code-attach joins + the interpreted HOF dot/norm folds drop out
+    # of the plan; the oracle's DISTINCT candidate set differs from
+    # the kernel's per-cell emission only by duplicates CC ignores.
+    cellsv = codes.select(
         "vec_id",
+        "q",
         F.explode(
             _assign_topr_udf(centroids, SEMDEDUP_PROBES)(F.col("q"))
         ).alias("cell"),
-    ).persist()
-    ca = cells.select(F.col("vec_id").alias("va"), "cell")
-    cb = cells.select(F.col("vec_id").alias("vb"), "cell")
-    cand = (
-        ca.join(cb, "cell")
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .dropDuplicates(["va", "vb"])
     )
-    n2 = F.aggregate(
-        F.transform(F.col("q"), lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    pairs = eager_release(
+        _semdedup_i8_cell_pairs(cellsv, n_t2, d_t2), "semdedup_i8_pairs"
     )
-    norms = codes.select("vec_id", "q", n2.alias("n2"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        cand.join(
-            norms.select(
-                F.col("vec_id").alias("va"),
-                F.col("q").alias("qa"),
-                F.col("n2").alias("na"),
-            ),
-            "va",
-        )
-        .join(
-            norms.select(
-                F.col("vec_id").alias("vb"),
-                F.col("q").alias("qb"),
-                F.col("n2").alias("nb"),
-            ),
-            "vb",
-        )
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * F.lit(d_t2)
-                >= F.lit(n_t2) * F.col("na") * F.col("nb")
-            )
-        )
-        .select("va", "vb")
-    )
-    pairs = eager_release(pairs, "semdedup_i8_pairs", cells)
     labels = connected_components(pairs, src="va", dst="vb")
     dropped = labels.filter(F.col("doc_id") != F.col("canonical_id")).select(
         F.col("doc_id").alias("vec_id")

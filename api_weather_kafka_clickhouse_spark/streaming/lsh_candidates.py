@@ -38,6 +38,16 @@ The guard, per (band_idx, band_key) bucket:
 Both sides are deterministic (min / row_number over unique ids) and
 replay-stable: a replayed batch sees the same store content
 (``read_store(exclude_batch=...)``) and recomputes identical pairs.
+
+Determinism contract (round-16, r15 ADVICE): er_ingest's fold gate
+re-folds a replayed batch's surviving pairs partition, which is only
+idempotent because BOTH cap orderings here are total orders over
+UNIQUE ids — ``within_batch_pairs`` selects hubs by ``min(id)`` per
+bucket and ``vs_store_pairs`` ranks stored members by
+``row_number() OVER (ORDER BY id)`` with ids unique per bucket (one
+band row per (doc, band) by construction), so no tie exists for the
+window to break arbitrarily. Changing either ordering to a non-unique
+key would break that replay contract, not just this module.
 """
 
 from __future__ import annotations
